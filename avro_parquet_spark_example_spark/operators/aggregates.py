@@ -1,0 +1,213 @@
+"""Group D — aggregation operators (SURVEY.md §2-D).
+
+The reference demonstrated SQL aggregation over Avro/Parquet tables
+(SURVEY.md §0 step 4: ``sqlContext.sql("SELECT ... GROUP BY ...")`` over a
+registered table); these operators re-express that surface with the modern
+DataFrame API and extend it across the standard aggregate inventory.
+
+Float determinism (SURVEY.md §5 oracle-alignment rules): a double SUM is
+order-dependent, and Spark's partial aggregation order differs from DuckDB's.
+Every hash-checked SUM therefore goes through an exact DECIMAL accumulator
+(``dsum``) and is cast back to double — bit-identical in both engines and,
+at 100 TB, still a single map-side-combined hash aggregate (decimal sums are
+Tungsten-native; no Python involved). AVGs are rounded: their error is
+O(1e-13) relative, far below the rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent double SUM via an exact decimal accumulator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB-side twin of :func:`dsum` (same decimal width → same value)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+@register(
+    "agg_scan_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_scan_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 flagship — TPC-H Q1 shape: filter → group → 6 aggregates.
+
+    The reference's aggregation demo generalized; filter + pruned 8-column
+    read both push into the Parquet scan, then one shuffle on a
+    2×low-cardinality key with map-side partial aggregation — the plan that
+    scales linearly to 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 8).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 8).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_distinct_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — COUNT(DISTINCT) / SUM(DISTINCT); Spark expands via a two-phase
+    distinct-aggregate rewrite (Expand + two shuffles) — no driver collect."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — min/max/stddev/variance/exact median (``percentile`` ==
+    DuckDB ``quantile_cont``: linear interpolation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4a — hierarchical totals; NULL group keys mark subtotal rows
+    identically in both engines (no real NULLs in these key columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4b — CUBE over both keys (all 2^2 grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4c — explicit GROUPING SETS via SQL (Spark plans a single Expand)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register("agg_approx_distinct")  # approx → rows-only check (no oracle)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — HyperLogLog++ distinct users per event type. Approximate by
+    design (rsd=0.01): mergeable sketches, one shuffle of fixed-size state —
+    the 100 TB substitute for exact COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — collect_set with sorted, string-joined output for deterministic
+    cross-engine hashing (array renderings differ between clients)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,90 @@
+"""SparkSession construction and configuration.
+
+The reference ran on Spark 1.x with a hand-built ``SQLContext`` (SURVEY.md
+§3.1); the modern equivalent is a configured ``SparkSession``. Two entry
+points:
+
+  * :func:`get_session` — build a session with every config the engine needs
+    (used by tests and ``bench.py``).
+  * :func:`configure` — apply the runtime-settable subset to an EXISTING
+    session (used by ``__spark_entry__.py``: the driver owns the session, so
+    we must configure it in-place; all configs below were verified
+    runtime-settable on PySpark 4.1.2).
+
+Config rationale:
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table's
+    ``ts`` column is Parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects by
+    default with PARQUET_TYPE_ILLEGAL (SURVEY.md §1.4). With this flag it
+    reads as LongType (nanos since epoch); ``sources.catalog.events_ts``
+    normalizes to a real timestamp.
+  * ``spark.sql.session.timeZone=UTC`` — DuckDB (the correctness oracle) and
+    the synthetic data are timezone-naive; UTC makes Spark's timestamp
+    rendering match.
+  * Arrow enabled — pandas UDF / toPandas hot paths use Arrow batches.
+  * AQE enabled (+ skew join) — runtime re-planning is the 100 TB answer for
+    skewed joins and post-shuffle partition sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that can be applied to a live session via ``spark.conf.set``.
+RUNTIME_CONFIGS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+#: Configs that must be set at session-build time.
+BUILD_CONFIGS: dict[str, str] = {
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.driver.memory": "8g",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an existing session.
+
+    Safe to call repeatedly (idempotent); ignores configs the running Spark
+    version refuses to change at runtime rather than failing the query.
+    """
+    for key, value in RUNTIME_CONFIGS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - version-dependent
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "avro-parquet-spark-example-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a fully configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    local runs; on a real cluster pass ``master=None`` with an external
+    cluster manager config and these settings still apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in {**BUILD_CONFIGS, **RUNTIME_CONFIGS}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure(spark)

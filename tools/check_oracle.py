@@ -1,0 +1,139 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf=0.01, then compares row count, column names, and an
+order-insensitive canonicalized value multiset — a stricter local version of
+the driver's row-count + schema + value-hash check, so any mismatch is caught
+before a round ends.
+
+Usage:
+    python tools/check_oracle.py            # all queries
+    python tools/check_oracle.py q1 q2 ...  # subset
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon_cell(v):
+    """Canonicalize one value so Spark and DuckDB renderings compare equal."""
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 == 3
+        return repr(v)
+    if isinstance(v, Decimal):
+        f = float(v)
+        return canon_cell(f)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_cell(r[i]) for i in idx) for r in rows)
+
+
+def main(names: list[str]) -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from avro_parquet_spark_example_spark.session import get_session
+    from avro_parquet_spark_example_spark.sources.catalog import TABLES
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
+
+    spark = get_session(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.2f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(c.lower() for c in map(str, dcols)):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sc, dc = canon_rows(scols, srows), canon_rows(dcols, drows)
+            if sc != dc:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None
+                )
+                detail = f" first diff row {diff}:\n  spark={sc[diff]}\n  duck ={dc[diff]}" if diff is not None else ""
+                problems.append(f"value mismatch{detail}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.2f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
