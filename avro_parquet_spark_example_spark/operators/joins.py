@@ -1,0 +1,288 @@
+"""Group C — joins (SURVEY.md §2-C).
+
+The reference joined implicitly via SQL over registered tables; here the
+full join surface is declared with the DataFrame API and the physical
+strategy is steered for scale:
+
+  * bounded dims (region/nation/supplier/part) → ``broadcast()`` hint: no
+    shuffle of the fact side, scales to any fact size;
+  * fact⋈fact (orders⋈lineitem) → shuffle hash / sort-merge on the key,
+    with AQE skew-splitting enabled (session.py) — the only plan that
+    works when both sides are tens of TB;
+  * as-of (C8) → union + ordered window carry-forward, ONE shuffle by key,
+    instead of the range-join-then-reduce that explodes quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.aggregates import dsum
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "join_broadcast_equi",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — fact ⋈ broadcast dims (customer⋈nation⋈region): zero shuffle on
+    the fact table until the final low-cardinality aggregation."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_equi",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — TPC-H Q3 shape: filtered customer⋈orders⋈lineitem, grouped
+    revenue, top-10. orders⋈lineitem shuffles on the join key (sort-merge /
+    shuffle-hash under AQE); customer side broadcasts after its filter.
+    Deterministic tiebreak on l_orderkey for the LIMIT."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3a — left outer with an extra join-side predicate; customers with no
+    qualifying orders keep count 0 (COUNT over NULLs)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000)
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b — full outer of per-nation customer vs supplier counts."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, "nk", "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — left semi: customers with ≥1 large order; no row multiplication,
+    the probe side streams (EXISTS decorrelated to a semi-join by Catalyst)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — left anti: customers with no urgent orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range_band",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+    FROM part p
+    JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice BETWEEN p.p_retailprice * 10 AND p.p_retailprice * 40
+    GROUP BY p.p_partkey
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6a — equi key + range band: the equi part keeps it a hash/merge join
+    (the band is a post-join filter), so it scales — unlike a pure range
+    theta-join which Spark would plan as a nested loop."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 10)
+        & (li.l_extendedprice <= p.p_retailprice * 40)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b — pure non-equi theta join (broadcast nested loop; only sane for
+    bounded inputs — both sides here are dimension-sized)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey < r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — cartesian product (bounded inputs only)."""
+    r1 = load(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
+    r2 = load(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
+    return r1.crossJoin(F.broadcast(r2))
+
+
+@register(
+    "join_asof_event",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — as-of join: each purchase matched to the same user's latest
+    click at-or-before it.
+
+    Scalable plan: UNION both event sets, ONE shuffle by user_id, in-partition
+    sort by ts, carry the last click timestamp forward with an ordered window
+    (``last(ignorenulls)``), keep purchase rows. O(n log n) per partition and
+    a single exchange — vs the naive range-join + max-reduce whose
+    intermediate is |purchases| × |earlier clicks| (quadratic in the tail).
+    At same-ts ties the click sorts first (side=0) so ``ts >= c.ts`` matches
+    DuckDB's ASOF semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"), F.lit(None).cast("timestamp").alias("click_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )

@@ -1,0 +1,238 @@
+"""Group E — window functions, global sort, top-k, set operations
+(SURVEY.md §2-E).
+
+Windows shuffle once on their partition key and sort within partitions —
+at 100 TB the cost driver is the exchange, so every query here partitions by
+a real key (never a global window without PARTITION BY, which would funnel
+all data to one task). Every orderBy carries a deterministic tiebreaker
+(SURVEY.md §5) so results hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — top-3 orders per customer by row_number (tiebreak o_orderkey)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK()         OVER w AS rk,
+           DENSE_RANK()   OVER w AS drk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — rank / dense_rank / ntile / percent_rank over one window spec."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - LAG(value)  OVER w AS delta_prev,
+           LEAD(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — per-user event deltas via lag/lead over event time."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             AS neighborhood_sum
+    FROM orders
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — running total (unbounded→current) and sliding 3-row frame;
+    decimal accumulator keeps the running double sums engine-identical."""
+    o = load(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(30,4)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price_dec)
+        .over(w.rowsBetween(-1, 1))
+        .cast("double")
+        .alias("neighborhood_sum"),
+    )
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer
+    WHERE c_acctbal < 1000
+    ORDER BY seg NULLS LAST, c_acctbal DESC, c_custkey
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — global multi-key sort with NULLS LAST (range-partitioned
+    exchange; Spark samples ranges so no single-task bottleneck)."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    return (
+        c.filter(F.col("c_acctbal") < 1000)
+        .select("c_custkey", seg, "c_acctbal")
+        .orderBy(
+            F.asc_nulls_last("seg"), F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+    )
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — ORDER BY … LIMIT k: Spark plans TakeOrderedAndProject (per-
+    partition heaps + driver merge of k) — no global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7a — UNION ALL of two filtered subsets (no shuffle, plan concat)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.filter(F.col("l_quantity") < 5).unionByName(
+        li.filter(F.col("l_quantity") > 45)
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7b — UNION (distinct): union + hash aggregate on all columns."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8a — INTERSECT (distinct semantics → left-semi under the hood)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 3000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8b — EXCEPT (distinct semantics → left-anti under the hood)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.subtract(s)
