@@ -1,0 +1,213 @@
+"""Group F — scalar function surface (SURVEY.md §2-F).
+
+All JVM-side ``pyspark.sql.functions`` built-ins — these stay inside
+WholeStageCodegen (no Python worker round-trip), which is the 100 TB rule:
+scalar work must be free.
+
+Cross-engine alignment notes (SURVEY.md §5):
+  * transcendentals (ln/pow/sqrt) can differ in the last ulp between
+    java.lang.Math and libm → rounded to 6 digits on both sides;
+  * Spark ``dayofweek`` is 1=Sunday, DuckDB ``dayofweek`` is 0=Sunday →
+    oracle adds 1;
+  * JSON extracts are cast to INT on both sides (DuckDB returns JSON text);
+  * arrays/structs are never emitted raw — fields are projected out and
+    arrays string-joined, since client renderings differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT doc_id,
+           UPPER(SUBSTR(text, 1, 10)) AS head_upper,
+           LOWER(source) AS src_lower,
+           CONCAT(lang, ':', source) AS lang_src,
+           TRIM('  ' || lang || ' ') AS lang_trim,
+           LENGTH(text) AS text_len,
+           REGEXP_EXTRACT(source, '([0-9]+)', 1) AS src_num,
+           REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS devoweled
+    FROM documents
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — substr/upper/lower/concat/trim/length/regexp extract+replace."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.lower("source").alias("src_lower"),
+        F.concat_ws(":", "lang", "source").alias("lang_src"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.length("text").alias("text_len"),
+        F.regexp_extract("source", "([0-9]+)", 1).alias("src_num"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           DAYOFWEEK(o_orderdate) + 1 AS dow,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — year/month/dayofweek/date_trunc/datediff/date_add/last_day.
+    Spark datediff(end, start) == DuckDB datediff('day', start, end);
+    Spark dayofweek (1=Sun) == DuckDB dayofweek (0=Sun) + 1."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofweek(od).alias("dow"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od.cast("date")).alias(
+            "days_to_end"
+        ),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+        F.last_day(od.cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 0.123456, 2) AS scaled,
+           ABS(l_discount - 0.05) AS abs_diff,
+           CEIL(l_quantity / 7.0) AS ceil_q,
+           FLOOR(l_quantity / 7.0) AS floor_q,
+           ROUND(LN(l_extendedprice), 6) AS ln_price,
+           ROUND(POW(l_quantity, 1.5), 6) AS pow_q,
+           ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+           SIGN(l_discount - 0.05) AS sign_disc
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — round/abs/ceil/floor/ln/pow/sqrt/sign."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.123456, 2).alias("scaled"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_q"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow("l_quantity", F.lit(1.5)), 6).alias("pow_q"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — higher-order array functions (size/element_at/transform/filter/
+    aggregate) over the 64-d embedding column; all evaluated JVM-side."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4b — explode(split(text)): one row per token (generator, no shuffle)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@register(
+    "fn_map_struct",
+    oracle="""
+    SELECT c_custkey,
+           STRUCT_PACK(seg := c_mktsegment, bal := c_acctbal).seg AS seg_field,
+           STRUCT_PACK(seg := c_mktsegment, bal := c_acctbal).bal AS bal_field,
+           ARRAY_TO_STRING(MAP_KEYS(MAP {'segment': c_mktsegment, 'name': c_name}), ',') AS mkeys,
+           MAP {'segment': c_mktsegment, 'name': c_name}['segment'][1] AS seg_from_map
+    FROM customer
+    """,
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — struct/map construction and field/key access; fields projected
+    back out to scalars (client struct renderings differ)."""
+    c = load(spark, sf_dir, "customer")
+    st = F.struct(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal")
+    )
+    m = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        st.getField("seg").alias("seg_field"),
+        st.getField("bal").alias("bal_field"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        m.getItem("segment").alias("seg_from_map"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k_val,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — JSON field extraction from the events.props column, cast to INT
+    on both sides (DuckDB's json_extract returns JSON text)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod"),
+    )

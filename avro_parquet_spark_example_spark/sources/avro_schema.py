@@ -1,0 +1,170 @@
+"""Avro schema JSON → Spark ``StructType`` translator (SURVEY.md §1.2).
+
+This is the engine's re-expression of the reference's format bridge: the
+reference declared record types in Avro schemas and generated JVM classes
+with sbt-avro, then relied on parquet-avro's ``AvroSchemaConverter`` to map
+them onto Parquet (SURVEY.md §0 steps 1–2, reconstructed — the reference
+checkout is empty here, see SURVEY.md §0 provenance). On modern Spark the
+storage side is native (``spark.read.parquet``), so what remains of Avro is
+its role as a *schema language*: this module translates any Avro schema
+document into the equivalent ``pyspark.sql.types.StructType`` which can be
+applied as a declared read schema (see ``sources/scans.py::avro_schema_read``).
+
+Pure Python, no Avro library required (none is installed in this
+environment). Full Avro 1.x type surface:
+
+  primitives        string/int/long/float/double/boolean/bytes/null
+  union with null   → nullable T (general unions of 2+ non-null branches are
+                      rejected — Spark has no variant column type)
+  record            → StructType (named, nestable, reference-able by name)
+  array / map       → ArrayType / MapType(string, T)
+  enum              → StringType (symbol name)
+  fixed             → BinaryType
+  logical types     decimal / date / time-millis|micros /
+                     timestamp-millis|micros / local-timestamp-*
+
+Avro file IO is out of scope offline (no spark-avro jar is bundled); on a
+networked cluster add ``--packages org.apache.spark:spark-avro_2.13:<ver>``
+and ``spark.read.format("avro")`` composes with everything here.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+    "null": T.NullType(),
+}
+
+_LOGICAL: dict[str, T.DataType] = {
+    "date": T.DateType(),
+    "time-millis": T.IntegerType(),
+    "time-micros": T.LongType(),
+    "timestamp-millis": T.TimestampType(),
+    "timestamp-micros": T.TimestampType(),
+    "local-timestamp-millis": T.TimestampNTZType(),
+    "local-timestamp-micros": T.TimestampNTZType(),
+    "uuid": T.StringType(),
+}
+
+
+class AvroSchemaError(ValueError):
+    """Raised for malformed or untranslatable Avro schemas."""
+
+
+def parse_avro_schema(schema: str | dict | list) -> T.StructType:
+    """Translate an Avro schema (JSON string or parsed dict) to StructType.
+
+    The top level must be a record (as in the reference's User schema);
+    use :func:`_translate` for inner types.
+    """
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    named: dict[str, T.DataType] = {}
+    dt = _translate(schema, named)
+    if not isinstance(dt, T.StructType):
+        raise AvroSchemaError(f"top-level Avro schema must be a record, got {dt}")
+    return dt
+
+
+def _translate(node: Any, named: dict[str, T.DataType]) -> T.DataType:
+    if isinstance(node, str):
+        if node in _PRIMITIVES:
+            return _PRIMITIVES[node]
+        if node in named:  # reference to a previously defined named type
+            return named[node]
+        raise AvroSchemaError(f"unknown Avro type reference: {node!r}")
+
+    if isinstance(node, list):  # union
+        non_null = [b for b in node if b != "null"]
+        if len(non_null) != 1:
+            raise AvroSchemaError(
+                f"only unions of one type with null are translatable, got {node!r}"
+            )
+        return _translate(non_null[0], named)
+
+    if not isinstance(node, dict):
+        raise AvroSchemaError(f"malformed Avro schema node: {node!r}")
+
+    logical = node.get("logicalType")
+    if logical:
+        if logical == "decimal":
+            precision = int(node.get("precision", 10))
+            scale = int(node.get("scale", 0))
+            return T.DecimalType(precision, scale)
+        if logical in _LOGICAL:
+            return _LOGICAL[logical]
+        # Unknown logical types fall back to the underlying Avro type.
+
+    kind = node.get("type")
+    if kind in _PRIMITIVES and not logical:
+        return _PRIMITIVES[kind]
+    if kind in _PRIMITIVES:
+        return _PRIMITIVES[kind]
+
+    if kind == "record":
+        fields = []
+        fullname = _fullname(node)
+        for f in node.get("fields", []):
+            ftype = f["type"]
+            nullable = _is_nullable(ftype)
+            fields.append(
+                T.StructField(
+                    f["name"],
+                    _translate(ftype, named),
+                    nullable=nullable,
+                    metadata={"doc": f["doc"]} if "doc" in f else None,
+                )
+            )
+        st = T.StructType(fields)
+        if fullname:
+            named[fullname] = st
+            named[node["name"]] = st
+        return st
+
+    if kind == "array":
+        items = node["items"]
+        return T.ArrayType(_translate(items, named), containsNull=_is_nullable(items))
+
+    if kind == "map":
+        values = node["values"]
+        return T.MapType(
+            T.StringType(), _translate(values, named), valueContainsNull=_is_nullable(values)
+        )
+
+    if kind == "enum":
+        if fullname := _fullname(node):
+            named[fullname] = T.StringType()
+            named[node["name"]] = T.StringType()
+        return T.StringType()
+
+    if kind == "fixed":
+        if fullname := _fullname(node):
+            named[fullname] = T.BinaryType()
+            named[node["name"]] = T.BinaryType()
+        return T.BinaryType()
+
+    raise AvroSchemaError(f"untranslatable Avro type: {node!r}")
+
+
+def _is_nullable(node: Any) -> bool:
+    """Avro nullability = union containing "null" (SURVEY.md §1.2)."""
+    return isinstance(node, list) and "null" in node
+
+
+def _fullname(node: dict) -> str | None:
+    name = node.get("name")
+    if not name:
+        return None
+    ns = node.get("namespace")
+    return f"{ns}.{name}" if ns else name

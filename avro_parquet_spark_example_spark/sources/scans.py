@@ -1,0 +1,144 @@
+"""Group A — scans, sources, sinks (SURVEY.md §2-A).
+
+The reference's whole program was this group: write Avro records as Parquet
+(``AvroParquetWriter``), read them back with requested-projection pushdown
+(``AvroParquetInputFormat.setRequestedProjection``), register, query
+(SURVEY.md §0). Each operator below is the Spark-native form; the write
+queries round-trip through ``/tmp`` scratch space and are oracle-checked
+against the ORIGINAL table, so the check proves write+read preserves values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.avro_schema import parse_avro_schema
+from avro_parquet_spark_example_spark.sources.catalog import load, table_path
+
+SCRATCH = "/tmp/avro_parquet_spark_example_spark_scratch"
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, name)
+
+
+@register(
+    "parquet_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — plain Parquet scan; schema comes from the file footer."""
+    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "parquet_write_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def parquet_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — write snappy Parquet, read it back; oracle-equality with the
+    source table proves the round trip is lossless."""
+    out = _scratch("supplier_roundtrip.parquet")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "parquet_write_partitioned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — hive-style ``partitionBy`` layout; the read filter prunes to the
+    single ``l_returnflag=R`` directory (partition pruning — at 100 TB the
+    other partitions are never opened)."""
+    out = _scratch("lineitem_by_flag.parquet")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+#: The documents table's schema expressed in Avro JSON — the reference's
+#: pattern (schema declared in Avro, storage in Parquet; SURVEY.md §1.2).
+DOCUMENTS_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Document",
+        "namespace": "example.avro",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["string", "null"]},
+            {"name": "lang", "type": ["string", "null"]},
+            {"name": "source", "type": ["string", "null"]},
+            {"name": "n_chars", "type": ["long", "null"]},
+        ],
+    }
+)
+
+
+@register(
+    "avro_schema_read",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def avro_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — declared-schema read: an Avro schema document is translated to a
+    StructType and applied to the Parquet scan (the reference's Avro-as-
+    schema-language essence without its Hadoop-era plumbing)."""
+    st = parse_avro_schema(DOCUMENTS_AVRO_SCHEMA)
+    df = spark.read.schema(st).parquet(table_path(sf_dir, "documents"))
+    return df.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "projection_pushdown_scan",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def projection_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — two-column projection; Catalyst ColumnPruning shrinks the scan's
+    ReadSchema to exactly these columns (asserted in tests/test_plans.py) —
+    the automatic form of the reference's ``setRequestedProjection``."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@register(
+    "csv_scan_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6a — CSV sink + source with explicit schema (header, no inference —
+    schema inference is a full extra pass at scale)."""
+    out = _scratch("nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
+        "header", "true"
+    ).csv(out)
+
+
+@register(
+    "json_scan_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6b — JSON-lines sink + source with explicit schema."""
+    out = _scratch("region_json")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(out)
+    return spark.read.schema("r_regionkey INT, r_name STRING").json(out)

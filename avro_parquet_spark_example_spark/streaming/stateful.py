@@ -1,0 +1,140 @@
+"""Group G (part 2) — true Structured Streaming operators (SURVEY.md §2
+A7/G4/G5): file stream source, watermark + dedup, stateful aggregation.
+
+Each query builds an incremental plan over the events Parquet treated as a
+bounded stream, runs it to completion with ``Trigger.AvailableNow`` into a
+memory sink, and returns the sink table. On a real cluster the same plans
+run unbounded with micro-batch triggers; watermarks bound the dedup/window
+state stores, which is what makes them viable on an infinite 100 TB/day
+feed. Checkpoints land in per-query scratch dirs.
+
+``stream_stateful_agg`` is oracle-checked: the stream's final state must
+equal the batch GROUP BY — the fundamental Structured Streaming invariant.
+The watermark/dedup queries are rows-only (their semantics aren't
+SQL-expressible in DuckDB; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import normalize_events, table_path
+
+SCRATCH = "/tmp/avro_parquet_spark_example_spark_streams"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the events Parquet as a file-source stream with declared schema
+    (streams cannot infer) and normalized event-time column.
+
+    The file source requires a *directory* to monitor, and the driver ships
+    one file per table — stage a symlink into scratch (a real ingest dir
+    would accumulate files and the same plan tails it incrementally).
+    """
+    path = table_path(sf_dir, "events")
+    stage_dir = os.path.join(SCRATCH, "src_" + path.strip("/").replace("/", "_"))
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except OSError:
+            shutil.copyfile(path, link)
+    schema = spark.read.parquet(path).schema
+    return normalize_events(spark.readStream.schema(schema).parquet(stage_dir))
+
+
+def run_to_table(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(SCRATCH, name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+@register("events_stream_source")
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — stream source smoke: readStream → stateless filter/project →
+    sink. Rows-only check (row count equals the batch filter's)."""
+    stream = read_events_stream(spark, sf_dir)
+    filtered = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return run_to_table(filtered, "append")
+
+
+@register("stream_watermark_dedup")
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — 10-minute watermark + exactly-once dedup on event_id. The
+    watermark lets Spark expire dedup state for ids older than
+    (max event time − 10 min) — bounded memory on an unbounded stream."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    return run_to_table(deduped, "append")
+
+
+@register(
+    "stream_stateful_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — running per-user aggregate in complete mode; the stream's final
+    state is oracle-checked to equal the batch GROUP BY."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total_value"),
+    )
+    return run_to_table(agg, "complete")
+
+
+@register(
+    "stream_windowed_watermark",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS win_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING win_start + INTERVAL '1 hour'
+           <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+)
+def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-live — watermarked tumbling-window count as a REAL stream, append
+    mode: a window emits only once the watermark (max event time − 10 min)
+    passes its end, so the stream's final open window is withheld — the
+    oracle's HAVING clause encodes exactly that append-mode contract."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return run_to_table(agg, "append")
