@@ -1,0 +1,389 @@
+"""Group H (dedup) — document deduplication operators (SURVEY.md §2 H1/H2).
+
+Five dedup flavors, each designed shuffle-first for 100 TB corpora:
+
+  * exact       — normalize → hash → keep min-id per group (one shuffle);
+  * minhash-LSH — shingle → per-row minhash signature (NO shuffle) → band
+                  explode → bucket self-join (candidate pairs only within
+                  equal band hashes, never all-pairs) → signature-similarity
+                  filter → iterative min-label propagation for clusters;
+  * simhash     — per-row 64-bit fingerprint via higher-order functions,
+                  grouped on the fingerprint (hamming-0 buckets);
+  * jaccard     — token-set similarity via an inverted-index join (pairs are
+                  generated per shared token, not per doc pair);
+  * embedding   — cosine near-dup pairs (exact form here; the LSH-bucketed
+                  scale path lives in operators/simsearch.py).
+
+All heavy lifting is JVM-side higher-order functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+# ---------------------------------------------------------------------------
+# H1 — exact dedup
+
+
+def with_injected_duplicates(d: DataFrame) -> DataFrame:
+    """The driver corpus is duplicate-free (FIXTURES.md §1), so the checked
+    queries first inject copies (doc_id+100000 for doc_id<50) — the oracle
+    does the same, making the dedup semantics a real, non-vacuous check."""
+    dupes = d.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dupes)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, lang, n_copies FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text)) ORDER BY doc_id) AS rn,
+               COUNT(*)    OVER (PARTITION BY LOWER(TRIM(text))) AS n_copies
+        FROM all_docs)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — exact dedup by normalized-text hash: keep the lowest doc_id of
+    each group, report the group size. sha2(256) group keys shuffle as 32
+    bytes regardless of document size — at 100 TB the texts themselves never
+    shuffle (only in this demo query do they ride along for the oracle)."""
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    key = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    w = Window.partitionBy(key)
+    return (
+        docs.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2 — MinHash + LSH near-dup clustering
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands × 4 rows: catches Jaccard ≳ 0.5 with high recall
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_W = 3
+
+
+def word_shingles(text: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct w-word shingles, computed per-row with higher-order
+    functions (sequence + transform over the token array; no explode)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """n_hashes-element MinHash signature, entirely map-side: the i-th hash
+    family is xxhash64(i, shingle); the signature entry is the min over the
+    shingle set. O(|shingles| × n_hashes) per row, zero shuffles."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def lsh_band_keys(sig: Column, n_bands: int = N_BANDS) -> Column:
+    """Hash each band (contiguous signature slice) to one 64-bit bucket key."""
+    rows = ROWS_PER_BAND
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(b, F.array_join(F.slice(sig, b * rows + 1, rows), ",")),
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sim_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified by estimated
+    Jaccard (fraction of agreeing signature entries).
+
+    Scale shape: signatures are map-side; the only shuffles are the band
+    explode (n_bands rows per doc) and the equi self-join on
+    (band_id, band_hash) — pairs are generated per shared bucket, never
+    by a cartesian product. Returns (a, b, est_jaccard) with a < b.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col))).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
+    )
+    left = bands.select(
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(N_HASHES)
+    )
+    return pairs.select("a", "b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= sim_threshold
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Cluster ids by iterative min-label propagation over undirected edges
+    (columns a, b). Each round is two shuffle joins; ``localCheckpoint``
+    cuts lineage so plans stay bounded. Converges in O(log n) rounds for
+    typical near-dup clusters (small diameter); max_iter bounds worst case.
+    Returns (id, cluster_id = min id reachable)."""
+    # Materialize the edge list once — every propagation round re-reads it,
+    # and without this the full upstream pipeline (e.g. MinHash + LSH join)
+    # would re-execute per iteration.
+    sym = (
+        edges.select("a", "b")
+        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(sym.a.alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — MinHash+LSH near-dup clusters over documents (plus injected
+    duplicates so clusters exist at any sf). Rows-only driver check; pair
+    recall and cluster correctness are pytest properties
+    (tests/test_dedup.py)."""
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pairs = minhash_candidate_pairs(docs, sim_threshold=0.7)
+    clusters = connected_components(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list("id")).alias("members"))
+        .filter(F.col("cluster_size") >= 2)
+        .select("cluster_id", "cluster_size", F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias("member_ids"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2b — SimHash fingerprints
+
+
+#: Bit masks 1<<j as signed 64-bit literals (1<<63 wraps negative) —
+#: shiftleft/shiftright built-ins only accept literal shift amounts, so bit
+#: tests inside lambdas go through this constant array instead.
+_BIT_MASKS = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per token, xxhash64 → ±1 vote per bit position;
+    fingerprint bit j is set iff the summed vote is ≥ 0. Pure higher-order
+    expression, map-side only."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+    def bit_vote(mask: Column) -> Column:
+        votes = F.transform(
+            hashes,
+            lambda h: F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.aggregate(votes, F.lit(0), lambda acc, v: acc + v) >= 0
+
+    # OR together the masks of set bits (XOR of disjoint masks == OR).
+    return F.aggregate(
+        F.transform(masks, lambda m: F.when(bit_vote(m), m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2b — SimHash exact-bucket dedup groups (hamming-distance-0). Wider
+    hamming radii are served by banding the fingerprint into 4×16-bit keys
+    (pigeonhole: any pair within hamming ≤3 shares a band) — the same
+    bucket-join shape as MinHash-LSH. Rows-only; bit properties in pytest."""
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fp = docs.select("doc_id", simhash64(F.col("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2c — token-set Jaccard via inverted-index join (oracle-checked)
+
+
+@register(
+    "neardup_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.55
+    """,
+)
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2c — exact token-set Jaccard pairs ≥ 0.55 via an inverted-index
+    self-join: pairs materialize only for docs sharing a token. (At corpus
+    scale you additionally drop stop-tokens with document frequency above a
+    cutoff to bound the per-token fan-out — same plan shape; the LSH
+    operator above is the probabilistic fast path.) Bounded here to
+    doc_id<150 to keep the oracle's quadratic check cheap."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("ta"), toks.alias("tb")
+    common = (
+        a.join(b, (F.col("ta.tok") == F.col("tb.tok")) & (F.col("ta.doc_id") < F.col("tb.doc_id")))
+        .groupBy(F.col("ta.doc_id").alias("a"), F.col("tb.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    return (
+        common.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b"))
+        .filter(jac >= 0.55)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2d — embedding-cosine near-dup pairs (exact; LSH scale path in simsearch)
+
+
+@register(
+    "neardup_embedding",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label
+    ),
+    dots AS (
+        SELECT a, b,
+               (SELECT SUM(CAST(ea[g.i] AS DOUBLE) * CAST(eb[g.i] AS DOUBLE))
+                FROM GENERATE_SERIES(1, 64) g(i)) AS dot
+        FROM pairs
+    )
+    SELECT a, b, ROUND(dot, 5) AS cos_sim
+    FROM dots WHERE dot >= 0.30
+    """,
+)
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2d — cosine near-duplicate pairs among embeddings, blocked by the
+    label column (a coarse quantizer: only same-label pairs are compared —
+    the blocked-join shape used at scale, where the block key comes from
+    LSH/IVF instead of a given label). Unit-norm vectors ⇒ dot == cosine;
+    both engines fold float32→double products in index order, so the doubles
+    (and the 0.30 threshold decision) are bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("a") < F.col("b")) & (F.col("la") == F.col("lb")))
+        .withColumn("cos_sim", dot)
+        .filter(F.col("cos_sim") >= 0.30)
+        .select("a", "b", F.round("cos_sim", 5).alias("cos_sim"))
+    )

@@ -1,0 +1,144 @@
+"""Group H (multimodal) — typed multimodal records over Spark columns
+(SURVEY.md §2 H5 + the multimodal-columns mandate).
+
+Design: a multimodal record is a plain Spark row whose media payloads are
+``binary`` columns with typed metadata besides them — the Avro-record idea
+(named record with typed fields, SURVEY.md §1.1) extended to media. The
+modality-specific work (image decode, resize, frame sampling) runs as
+Arrow-batched ``mapInPandas`` so bytes never cross row-at-a-time.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT installed in this
+environment, so the decode kernel is a clearly-marked deterministic stub —
+the Spark-side contract (schema, binary handling, Arrow batch shape,
+partition behavior) is real and oracle-checked end-to-end, because the stub
+derives metadata from byte length, which the oracle reproduces in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT m.doc_id,
+           m.rec.lang AS lang,
+           m.rec.n_chars AS n_chars,
+           LEN(m.rec.embedding) AS dim,
+           ROUND(CAST(m.rec.embedding[1] AS DOUBLE), 6) AS e0
+    FROM (
+        SELECT d.doc_id,
+               STRUCT_PACK(text := d.text, lang := d.lang,
+                           n_chars := d.n_chars, embedding := e.embedding) AS rec
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ) m
+    WHERE m.rec.lang IN ('en', 'de')
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 — build multimodal records (text ⋈ embedding → one struct column),
+    then filter/project THROUGH the nested fields. Catalyst prunes nested
+    struct fields, so unused payloads aren't materialized."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.col("text"), F.col("lang"), F.col("n_chars"), F.col("embedding")
+        ).alias("rec"),
+    )
+    return joined.filter(F.col("rec.lang").isin("en", "de")).select(
+        "doc_id",
+        F.col("rec.lang").alias("lang"),
+        F.col("rec.n_chars").alias("n_chars"),
+        F.size("rec.embedding").alias("dim"),
+        F.round(F.element_at("rec.embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-column pipeline: synthesize payloads → mapInPandas decode kernel
+
+DECODE_SCHEMA = "doc_id long, n_bytes int, width int, height int, format string"
+
+
+def fake_decode_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB image decoder (no codec libraries in this environment).
+
+    Real deployments replace the body with PIL/turbojpeg over ``payload``
+    bytes; everything around it — Arrow batching, binary transfer, output
+    schema — is the production shape. The stub derives dimensions from the
+    payload deterministically so the whole pipeline stays oracle-checkable.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": (n_bytes % 640) + 1,
+                "height": (n_bytes % 480) + 1,
+                "format": "fake/raw",
+            }
+        )
+
+
+@register(
+    "multimodal_decode_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(STRLEN(text) AS INT) AS n_bytes,
+           CAST(STRLEN(text) % 640 + 1 AS INT) AS width,
+           CAST(STRLEN(text) % 480 + 1 AS INT) AS height,
+           'fake/raw' AS format
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def multimodal_decode_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hx — binary media pipeline: build a ``binary`` payload column, ship it
+    through Arrow to a ``mapInPandas`` decode kernel, get typed metadata
+    back. The oracle reproduces the stub's arithmetic from the text length
+    (payload == utf8(text), all-ASCII vocab ⇒ strlen == octet length)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return d.mapInPandas(fake_decode_image, schema=DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id, g.i AS frame_no,
+           CAST(STRLEN(d.text) AS INT) // 10 * CAST(g.i AS INT) AS frame_offset
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100) d,
+         GENERATE_SERIES(0, 4) g(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hx — frame-sampling shape for video payloads: explode each record
+    into k frame rows with computed offsets (the stub arithmetic stands in
+    for keyframe byte offsets). Generator expression — no shuffle, output
+    is k× input partition-local."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.array_repeat(F.length("text").cast("int"), 5)).alias(
+            "frame_no", "n_bytes"
+        ),
+    ).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        (F.floor(F.col("n_bytes") / 10) * F.col("frame_no")).cast("int").alias("frame_offset"),
+    )

@@ -1,0 +1,186 @@
+"""Group H (similarity search) — ANN over the embeddings table
+(SURVEY.md §2 H3/H4).
+
+Three tiers, same interface (query vector → top-k neighbors):
+
+  * brute-force — exact cosine top-k via JVM higher-order fold + Spark's
+    TakeOrderedAndProject (per-partition top-k heaps, driver merges k
+    rows — never a global sort). The correctness baseline and, at 100 TB,
+    still the right plan for one-off queries: a single pruned scan.
+  * IVF — inverted-file: a coarse quantizer (here the given ``label``
+    cluster id; at scale, k-means centroid ids) partitions vectors; search
+    touches only the query's cell → scan prunes to ~1/n_cells of the data.
+  * LSH — random-hyperplane signatures bucket vectors; candidates come from
+    the query's bucket only. Bucketing is map-side; the probe is a
+    broadcast-able filter. recall@k vs brute force asserted in tests.
+
+Unit-norm embeddings (FIXTURES.md) ⇒ dot product == cosine similarity.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+#: The checked queries search for neighbors of this vector (arbitrary, fixed).
+QUERY_VEC_ID = 0
+
+
+def dot_product(vec_a: Column, vec_b: Column) -> Column:
+    """Double-precision ordered fold — deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _query_vector(e: DataFrame) -> Column:
+    """The query embedding as a broadcast scalar subquery-style column:
+    a 1-row DF cross-joined in (broadcast: no shuffle, no collect)."""
+    return F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+
+
+# DuckDB twin of dot_product: fold float32→double products in index order
+# via a correlated sum over generate_series — bit-identical to the Spark fold.
+_DOT_SQL = """(SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qvec[g.i] AS DOUBLE))
+               FROM GENERATE_SERIES(1, 64) g(i))"""
+
+
+@register(
+    "simsearch_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, ROUND({_DOT_SQL}, 5) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_DOT_SQL} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — exact cosine top-10 for the query vector (self excluded)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(_query_vector(e))
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 5).alias("score"))
+    )
+
+
+@register(
+    "simsearch_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, ROUND({_DOT_SQL}, 5) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = q.qlabel
+    ORDER BY {_DOT_SQL} DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4a — IVF: search only the query's coarse-quantizer cell (label).
+    The cell id is a partition-prunable key: with the table written
+    ``partitionBy(label)``, 100 TB shrinks to one cell's worth of scan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .filter(F.col("label") == F.col("qlabel"))
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("score", 5).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H4b — random-hyperplane LSH, multi-table
+
+#: 8 independent hash tables × 4 sign bits: a neighbor is a candidate if it
+#: collides with the query in ANY table. For moderately-similar neighbors
+#: (cos ≈ 0.4 ⇒ per-bit agreement ≈ 0.63) per-table collision ≈ 0.63⁴ ≈ 0.16,
+#: so the 8-table union reaches recall ≈ 1-(1-0.16)⁸ ≈ 0.75 while scoring
+#: only ~L·n/2^k of the corpus.
+L_TABLES = 8
+K_BITS = 4
+
+
+def hyperplanes(
+    dim: int = 64, n_planes: int = L_TABLES * K_BITS, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed → the bucketing
+    is reproducible across runs and engines)."""
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_table_keys(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of L bucket keys, one per hash table: key_t encodes the table
+    id plus K sign bits of the vector against that table's hyperplanes.
+    Plane literals ride in the plan; computation is per-row folds — map-side
+    only, no shuffle to index the corpus."""
+    keys = []
+    for t in range(L_TABLES):
+        key = F.lit(t << 32).cast("long")
+        for j in range(K_BITS):
+            plane_col = F.array(*[F.lit(v) for v in planes[t * K_BITS + j]])
+            proj = F.aggregate(
+                F.zip_with(vec, plane_col, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = key + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0)
+        keys.append(key)
+    return F.array(*keys)
+
+
+@register("simsearch_lsh_topk")
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4b — approximate top-10 via multi-table random-hyperplane LSH:
+    candidates share ≥1 of 8 table buckets with the query, then exact cosine
+    ranks them. The corpus side explodes to L rows/vector and equi-joins the
+    query's L keys (broadcast) — at 100 TB this is one map-side-filtered
+    scan, never all-pairs. Rows-only driver check; recall@10 vs brute force
+    asserted in tests/test_simsearch.py."""
+    planes = hyperplanes()
+    e = load(spark, sf_dir, "embeddings")
+    signed = e.withColumn("keys", lsh_table_keys(F.col("embedding"), planes))
+    qkeys = F.broadcast(
+        signed.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.explode("keys").alias("key"))
+        .distinct()
+    )
+    qvec = _query_vector(e)
+    candidates = (
+        signed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "embedding", F.explode("keys").alias("key"))
+        .join(qkeys, "key")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        candidates.crossJoin(qvec)
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 5).alias("score"))
+    )

@@ -1,0 +1,251 @@
+"""Group H (text analysis) — corpus analytics for training-data pipelines
+(SURVEY.md §2 H6/H7 + text-analysis mandate): stats, TF-IDF, language ID,
+quality scoring, token counting, fingerprinting.
+
+Everything is built-in-function composition (split / explode / regexp /
+higher-order folds) — JVM-side, codegen'd, no Python on the hot path. Each
+operator is oracle-checked against the equivalent DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — per-language document statistics (counts, char/word totals)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_words"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT lang, term, score
+    FROM (SELECT lang, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 — top-5 terms per language by TF-IDF. Three shuffles total
+    (tf agg, df agg, rank window) — each on bounded keys; the doc-frequency
+    side is tiny post-aggregation so its join broadcasts. Scores are rounded
+    BEFORE ranking so ordering agrees across engines."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver scalar: one number, not data
+    scored = tf.join(F.broadcast(df), "term").select(
+        "lang",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID — marker-token heuristic
+
+_MARKERS = {
+    "en": ["the", "and", "of", "data", "query"],
+    "es": ["el", "la", "de", "los", "datos"],
+    "de": ["der", "die", "das", "und", "daten"],
+}
+
+
+def _hits(tokens: Column, markers: list[str]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(tokens, marker_arr))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['en']!r})) AS en_hits,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['es']!r})) AS es_hits,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['de']!r})) AS de_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, en_hits, es_hits, de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6b — marker-token language ID (n-gram-class heuristic): count hits
+    against small per-language marker sets, argmax with a fixed precedence
+    (en > es > de > und). Map-side only; marker lists ride in the plan."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _hits(toks, _MARKERS["en"]).alias("en_hits"),
+        _hits(toks, _MARKERS["es"]).alias("es_hits"),
+        _hits(toks, _MARKERS["de"]).alias("de_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("es_hits") >= F.col("de_hits")) & (F.col("es_hits") > 0), "es")
+        .when(F.col("de_hits") > 0, "de")
+        .otherwise("und")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               STRLEN(text) AS n_chars_m,
+               STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS n_punct,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               t -> STRLEN(t) >= 4)) AS n_long_words
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_punct,
+           ROUND(n_long_words * 1.0 / n_words, 6) AS long_word_ratio,
+           ROUND(n_chars_m * 1.0 / n_words, 6) AS avg_word_len,
+           (n_words BETWEEN 5 AND 2000) AND (n_punct * 1.0 / n_words < 0.5)
+             AS passes_quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6c — heuristic quality features (length, punctuation density, long-
+    word ratio) + a pass/fail gate, the pre-training-filter shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("n_chars_m"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 4)).alias("n_long_words"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "n_punct",
+        F.round(F.col("n_long_words") * 1.0 / F.col("n_words"), 6).alias(
+            "long_word_ratio"
+        ),
+        F.round(F.col("n_chars_m") * 1.0 / F.col("n_words"), 6).alias("avg_word_len"),
+        (
+            F.col("n_words").between(5, 2000)
+            & (F.col("n_punct") * 1.0 / F.col("n_words") < 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6d — token counting two ways: whitespace tokens and a BPE-ish
+    regex lexer (letter runs / digit runs / other) — the cheap token-budget
+    estimator used when a real tokenizer is too expensive for a first pass."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           LIST_MIN([MD5(SUBSTR(text, i, 8))
+                     FOR i IN RANGE(1, GREATEST(STRLEN(text) - 7, 1) + 1)]) AS fingerprint
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6e — winnowing-style document fingerprint: the minimum hash over all
+    8-char grams (rolling window). Per-row higher-order expression; at
+    corpus scale this is the cheap clustering key stored beside each doc."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(substring(text, i, 8)))"
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
