@@ -194,6 +194,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_agg",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY n DESC, user_id, event_type
+    LIMIT 20
+    """,
+)
+def events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1b (bench headline) — events grouped by user × type, top-20 by
+    count; one shuffle + TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"), F.asc("event_type"))
+        .limit(20)
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT l_returnflag,

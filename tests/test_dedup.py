@@ -1,0 +1,100 @@
+"""Property tests for the dedup operators over literal fixtures
+(FIXTURES.md §3): idempotence, near-dup recall, fingerprint locality,
+connected-components correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.dedup import (
+    connected_components,
+    minhash_candidate_pairs,
+    simhash64,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+
+
+def _neardup_docs(spark):
+    """6 docs: 0/1 differ by one token, 2/3 differ by two tokens, 4/5 unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),
+        (2, BASE.replace("lazy dog", "sleepy wolf")),
+        (3, BASE),
+        (4, "completely different content about distributed query engines and columnar storage formats for analytical workloads at petabyte scale with vectorized execution"),
+        (5, "unrelated text describing streaming watermarks state stores checkpoints and exactly once processing semantics in modern dataflow systems"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_idempotent(spark):
+    rows = [(i, t) for i, t in enumerate(["a b c", "A b C ", " a b c", "x y", "x y", "z"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    key = F.sha2(F.lower(F.trim("text")), 256)
+    dedup1 = df.withColumn("k", key).dropDuplicates(["k"]).drop("k")
+    dedup2 = dedup1.withColumn("k", key).dropDuplicates(["k"]).drop("k")
+    assert dedup1.count() == 3  # {a b c}, {x y}, {z}
+    assert sorted(r.doc_id for r in dedup1.collect()) == sorted(
+        r.doc_id for r in dedup2.collect()
+    )
+
+
+def test_minhash_pairs_find_neardups_not_unrelated(spark):
+    pairs = minhash_candidate_pairs(_neardup_docs(spark), sim_threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got  # 1-token edit
+    assert (0, 3) in got  # exact copy
+    assert (1, 3) in got
+    assert not any(4 in p or 5 in p for p in got)  # unrelated docs never pair
+
+
+def test_minhash_identical_docs_estimate_1(spark):
+    df = spark.createDataFrame([(0, BASE), (1, BASE)], ["doc_id", "text"])
+    [row] = minhash_candidate_pairs(df, sim_threshold=0.99).collect()
+    assert (row.a, row.b) == (0, 1)
+    assert row.est_jaccard == 1.0
+
+
+def test_shingles_and_simhash_locality(spark):
+    df = _neardup_docs(spark).select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"))).alias("n_shingles"),
+        simhash64(F.col("text")).alias("fp"),
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].n_shingles > 10
+    assert rows[0].fp == rows[3].fp  # identical text → identical fingerprint
+    # near-dup fingerprints are close in hamming distance, unrelated far
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(rows[0].fp, rows[1].fp) <= 12
+    assert hamming(rows[0].fp, rows[4].fp) > 12
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 plus island pair 10-11: one cluster each, min-id labels
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    labels = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_lsh_query_end_to_end(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    clusters = get_query("dedup_minhash_lsh").fn(spark, sf_dir).collect()
+    assert len(clusters) >= 40  # 50 injected duplicates → ≥40 surviving clusters
+    for row in clusters:
+        members = [int(m) for m in row.member_ids.split(",")]
+        # every injected duplicate (id ≥ 100000) clusters with its original
+        for m in members:
+            if m >= 100000:
+                assert (m - 100000) in members
+        assert row.cluster_id == min(members)

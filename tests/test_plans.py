@@ -1,0 +1,69 @@
+"""Explain-plan assertions (SURVEY.md §5 item 3): the physical plans must be
+the ones a 100 TB deployment needs — pruned scans, pushed filters, broadcast
+vs shuffle join choice, top-k heaps instead of global sorts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.plans.explain import (
+    formatted_plan,
+    physical_operators,
+    pushed_filters,
+    read_schema_columns,
+    uses_whole_stage_codegen,
+)
+from avro_parquet_spark_example_spark.registry import get_query
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    """A5 — the 2-column projection reads exactly 2 of lineitem's 16 columns
+    (the modern form of the reference's setRequestedProjection)."""
+    df = get_query("projection_pushdown_scan").fn(spark, sf_dir)
+    assert read_schema_columns(df) == {"l_orderkey", "l_extendedprice"}
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 24).select(
+        "l_orderkey", "l_quantity"
+    )
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "LessThan" in pf
+
+
+def test_flagship_prunes_and_pushes(spark, sf_dir):
+    df = get_query("agg_scan_group").fn(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and len(cols) <= 8
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = get_query("join_broadcast_equi").fn(spark, sf_dir)
+    ops = physical_operators(df)
+    assert "BroadcastHashJoin" in ops
+    assert "SortMergeJoin" not in ops
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = get_query("topk").fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_operators(df)
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    semi_plan = formatted_plan(get_query("join_semi").fn(spark, sf_dir))
+    anti_plan = formatted_plan(get_query("join_anti").fn(spark, sf_dir))
+    assert "LeftSemi" in semi_plan
+    assert "LeftAnti" in anti_plan
+
+
+def test_flagship_uses_codegen(spark, sf_dir):
+    assert uses_whole_stage_codegen(get_query("agg_scan_group").fn(spark, sf_dir))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """A3 — reading one partition of the hive layout scans only that dir."""
+    df = get_query("parquet_write_partitioned").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("\n")[0]

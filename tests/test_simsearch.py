@@ -1,0 +1,68 @@
+"""Similarity-search correctness: hand-computed cosine ranking on tiny
+vectors, and LSH recall vs the brute-force baseline (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.simsearch import dot_product
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def test_dot_product_known_values(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [1.0, 0.0, 0.0, 0.0]),   # cos 1.0
+        (2, [0.8, 0.6, 0.0, 0.0]),   # cos 0.8
+        (3, [0.0, 1.0, 0.0, 0.0]),   # cos 0.0
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # cos -1.0
+        (5, [0.6, -0.8, 0.0, 0.0]),  # cos 0.6
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    q = F.array(*[F.lit(x) for x in [1.0, 0.0, 0.0, 0.0]])
+    got = {
+        r.vec_id: r.score
+        for r in df.select(
+            "vec_id", dot_product(F.col("v"), q).alias("score")
+        ).collect()
+    }
+    expected = {1: 1.0, 2: 0.8, 3: 0.0, 4: -1.0, 5: 0.6}
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, abs_tol=1e-9)
+
+
+def test_bruteforce_ranking_order(spark):
+    rows = [(i, v) for i, v in enumerate(
+        [[1.0, 0.0], [0.9, math.sqrt(1 - 0.81)], [0.5, math.sqrt(0.75)], [0.0, 1.0]]
+    )]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    ranked = (
+        df.filter(F.col("vec_id") != 0)
+        .select("vec_id", dot_product(F.col("v"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .collect()
+    )
+    assert [r.vec_id for r in ranked] == [1, 2, 3]
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    brute = {
+        r.vec_id
+        for r in get_query("simsearch_bruteforce_topk").fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id for r in get_query("simsearch_lsh_topk").fn(spark, sf_dir).collect()
+    }
+    assert len(brute) == 10
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.6, f"LSH recall@10 degraded: {recall}"
+
+
+def test_ivf_subset_of_cell(spark, sf_dir):
+    res = get_query("simsearch_ivf_topk").fn(spark, sf_dir).collect()
+    assert 0 < len(res) <= 5
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,73 @@
+"""Streaming semantics over literal fixtures (FIXTURES.md §3 late_events):
+dedup drops duplicate ids, stream final state equals batch aggregate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import get_query
+from avro_parquet_spark_example_spark.streaming.stateful import run_to_table
+
+FIXTURE_DIR = "/tmp/avro_parquet_spark_example_spark_test_stream"
+
+
+def _write_fixture(spark):
+    rows = [
+        # (event_id, ts, user_id, value) — includes one duplicated event_id
+        (1, "2024-01-01 10:00:00", 1, 10.0),
+        (2, "2024-01-01 10:05:00", 1, 20.0),
+        (2, "2024-01-01 10:05:00", 1, 20.0),  # duplicate
+        (3, "2024-01-01 10:20:00", 2, 5.0),
+        (4, "2024-01-01 11:00:00", 2, 7.0),
+        (5, "2024-01-01 09:00:00", 1, 1.0),  # late arrival (in-batch)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "value"]).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    path = os.path.join(FIXTURE_DIR, "events")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark):
+    path, _ = _write_fixture(spark)
+    stream = _read_stream(spark, path)
+    out = run_to_table(
+        stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"]),
+        "append",
+    )
+    rows = out.collect()
+    assert len(rows) == 5  # 6 input rows, one duplicate id dropped
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_stream_final_state_equals_batch(spark):
+    path, batch_df = _write_fixture(spark)
+    stream = _read_stream(spark, path)
+    streamed = run_to_table(
+        stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
+        ),
+        "complete",
+    ).collect()
+    batch = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
+    ).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_queries_run_on_testdata(spark, sf_dir):
+    out = get_query("stream_watermark_dedup").fn(spark, sf_dir)
+    n = out.count()
+    # event_id is unique in the driver data → dedup preserves every row
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == batch_n
