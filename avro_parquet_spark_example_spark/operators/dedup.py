@@ -181,6 +181,7 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    prev_sum: int | None = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -197,16 +198,13 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # Labels only ever decrease, so an unchanged sum ⟺ a fixpoint —
+        # one cheap aggregate instead of a join-based diff per round.
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -244,6 +244,102 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — bucketed co-located join: both fact tables are written
+    ``bucketBy(8, key).sortBy(key)``, so the join needs NO exchange and NO
+    sort (asserted in tests/test_plans.py) — the pre-shuffle pattern that
+    turns every subsequent fact⋈fact join at 100 TB into a zero-shuffle
+    merge. The one-time bucketed write is the amortized cost."""
+    import re
+
+    scratch = "/tmp/avro_parquet_spark_example_spark_scratch"
+    suffix = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    names = {}
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{table}_{suffix}"
+        names[table] = name
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, table)
+                # repartition by the bucket hash first → exactly one file per
+                # bucket, which is what lets the read side skip the Sort too
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{scratch}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_returnflag, f.flag_desc,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('A', 'returned'), ('N', 'active'), ('R', 'refunded'))
+         f(flag, flag_desc)
+      ON l.l_returnflag = f.flag
+    GROUP BY l.l_returnflag, f.flag_desc
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — manual salting for skewed keys: l_returnflag has 3 values
+    (~200k rows each at sf0.1 — pathological shuffle skew). The fact side
+    appends salt = hash(row) % 16; the dim side explodes ×16; the join key
+    becomes (flag, salt), spreading each hot key over 16 reducers. AQE skew
+    splitting handles sort-merge cases automatically; explicit salting is
+    the pattern for aggregations and broadcast-ineligible skews."""
+    n_salts = 16
+    li = load(spark, sf_dir, "lineitem")
+    flags = spark.createDataFrame(
+        [("A", "returned"), ("N", "active"), ("R", "refunded")],
+        ["flag", "flag_desc"],
+    )
+    salted_dim = flags.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.l_returnflag == salted_dim.flag)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("l_returnflag", "flag_desc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
     "join_asof_event",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_click_ts

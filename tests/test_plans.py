@@ -62,6 +62,26 @@ def test_flagship_uses_codegen(spark, sf_dir):
     assert uses_whole_stage_codegen(get_query("agg_scan_group").fn(spark, sf_dir))
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """C9 — co-located bucketed join: no shuffle (and no sort) on either
+    side. Broadcast is disabled so the merge path shows — at test scale the
+    dim side otherwise broadcasts, which hides the bucketing."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = get_query("join_bucketed_colocated").fn(spark, sf_dir)
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    tree = plan.split("\n\n")[0].splitlines()  # the operator tree rendering
+    join_line = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    subtree = tree[join_line + 1 :]  # children of the join (scans, sorts)
+    assert "Bucketed: true" in plan
+    # the point: NO shuffle feeds the join (modern Spark keeps an in-partition
+    # Sort node — cheap — since sortBy ordering exposure is legacy-gated)
+    assert not any("Exchange" in l for l in subtree), subtree
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir):
     """A3 — reading one partition of the hive layout scans only that dir."""
     df = get_query("parquet_write_partitioned").fn(spark, sf_dir)
