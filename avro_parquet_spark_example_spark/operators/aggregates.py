@@ -182,6 +182,44 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                         AS DECIMAL(30,4))) AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                         AS DECIMAL(30,4))) AS DOUBLE) AS qty_o,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — pivot: one column per l_linestatus value. Pivot values are
+    declared explicitly (['F','O']) — at scale an undeclared pivot needs an
+    extra distinct-values job before planning; declared pivots are a single
+    pass. Spark rewrites to the same conditional aggregation the oracle
+    spells out."""
+    li = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
 @register("agg_approx_distinct")  # approx → rows-only check (no oracle)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — HyperLogLog++ distinct users per event type. Approximate by

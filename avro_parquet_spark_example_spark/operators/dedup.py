@@ -97,12 +97,37 @@ def word_shingles(text: Column, w: int = SHINGLE_W) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """n_hashes-element MinHash signature, entirely map-side: the i-th hash
-    family is xxhash64(i, shingle); the signature entry is the min over the
-    shingle set. O(|shingles| × n_hashes) per row, zero shuffles."""
+    """n_hashes-element MinHash signature as a single per-row expression.
+
+    NOTE: higher-order functions run interpreted (not codegen'd) in Spark,
+    so this form costs ~3 µs per hash eval — fine for small inputs and unit
+    tests, but the corpus-scale path is :func:`minhash_signatures_df`, which
+    keeps every hash inside WholeStageCodegen (~100× faster per eval).
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_signatures_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(id, sig) with the MinHash signature computed on the codegen path:
+    explode shingles → n_hashes flat ``min(xxhash64(i, s))`` aggregates →
+    re-assemble the array. The min() partials combine map-side, so the
+    groupBy shuffles just n_hashes longs per doc — this is the 100 TB shape
+    (one shuffle, all hashing inside WholeStageCodegen)."""
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col))).alias("s"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return exploded.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -127,10 +152,10 @@ def minhash_candidate_pairs(
     (band_id, band_hash) — pairs are generated per shared bucket, never
     by a cartesian product. Returns (a, b, est_jaccard) with a < b.
     """
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col))).alias("sig"),
-    )
+    # localCheckpoint: the signature table feeds both sides of the self-join
+    # below — materialize once instead of recomputing the hash pipeline twice
+    # (at full scale this would be a persisted/bucketed signature table).
+    sig = minhash_signatures_df(docs, id_col, text_col).localCheckpoint(eager=True)
     bands = sig.select(
         "id",
         "sig",

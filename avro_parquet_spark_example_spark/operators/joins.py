@@ -244,6 +244,57 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_multiway_q5",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — TPC-H Q5 shape: six-table join (two fact⋈fact shuffles, four
+    broadcast dims) with local-supplier correlation, grouped revenue per
+    nation. The integration query: Catalyst must order the joins so the
+    region/nation filter prunes customers before the fact joins."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderpriority,

@@ -118,6 +118,34 @@ def projection_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_text_query",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 — the reference's SQL entry point: register tables as temp views,
+    run ANSI SQL text through the same Catalyst pipeline as the DataFrame
+    API (SURVEY.md §3.1: ``registerTempTable`` + ``sqlContext.sql``)."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
     "csv_scan_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )

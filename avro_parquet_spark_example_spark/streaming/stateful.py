@@ -115,6 +115,60 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — arbitrary stateful processing via ``applyInPandasWithState``:
+    a hand-rolled per-user accumulator (count + running max) kept in the
+    state store across micro-batches — the extension point for operators
+    Spark's built-in aggregates can't express (custom sessionization,
+    CEP-style patterns, decaying counters). Emits final state at
+    end-of-stream; oracle-checked equal to the batch aggregate."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def accumulate(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        accumulate,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(result, "update")
+    # In update mode each micro-batch emits a row per touched key; the final
+    # state per user is the last emission (AvailableNow ⇒ one batch here,
+    # but the dedup-by-latest keeps the contract under any batching).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
+
+
+@register(
     "stream_windowed_watermark",
     oracle="""
     SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS win_start,
