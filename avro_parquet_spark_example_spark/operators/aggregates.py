@@ -23,15 +23,35 @@ from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
 
-def dsum(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent double SUM via an exact decimal accumulator."""
+def dsum(col: Column | str, scale: int = 4, round_to: int | None = None) -> Column:
+    """Order-independent double SUM via an exact decimal accumulator.
+
+    Two cross-engine hazards dictate the parameters (verified at sf0.1):
+
+    * per-row double→decimal casts tie-break differently between engines
+      when the data has exactly ``scale`` decimal digits (the cast lands on
+      a midpoint ± 1 ulp) — so ``scale`` must exceed the data's true decimal
+      precision. Raw 2-decimal columns are safe at 4; price *products*
+      (4 decimals) use 8.
+    * decimal→double conversion diverges once the unscaled value exceeds
+      2^53 (DuckDB divides in floating point; the JVM rounds exactly). A
+      high-scale sum crosses that at ~10^8 rows, so product sums are rounded
+      (exact decimal op, same half-away-from-zero tie rule in both engines,
+      verified) down to ``round_to=2`` before the final cast.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    total = F.sum(c.cast(f"decimal(30,{scale})"))
+    if round_to is not None:
+        total = F.round(total, round_to)
+    return total.cast("double")
 
 
-def dsum_sql(expr: str, scale: int = 4) -> str:
+def dsum_sql(expr: str, scale: int = 4, round_to: int | None = None) -> str:
     """DuckDB-side twin of :func:`dsum` (same decimal width → same value)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    inner = f"SUM(CAST({expr} AS DECIMAL(30,{scale})))"
+    if round_to is not None:
+        inner = f"ROUND({inner}, {round_to})"
+    return f"CAST({inner} AS DOUBLE)"
 
 
 @register(
@@ -40,8 +60,8 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -67,8 +87,8 @@ def agg_scan_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 8).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax")), 8).alias("sum_charge"),
+            dsum(disc_price, 8, round_to=2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 8, round_to=2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

@@ -56,7 +56,7 @@ def join_broadcast_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_equi",
     oracle="""
     SELECT l.l_orderkey, o.o_orderdate,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -85,7 +85,7 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8, round_to=2).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -247,7 +247,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_q5",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -286,7 +286,7 @@ def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8, round_to=2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -347,7 +347,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_returnflag, f.flag_desc,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN (VALUES ('A', 'returned'), ('N', 'active'), ('R', 'refunded'))
          f(flag, flag_desc)
@@ -383,7 +383,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "flag_desc")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8, round_to=2).alias(
                 "revenue"
             ),
         )

@@ -118,6 +118,35 @@ def projection_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_partitioned_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def events_partitioned_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b — the event-log layout rule at 100 TB: land the stream
+    partitioned by event date, so any time-bounded query prunes to the
+    matching directories before a single byte is read. Writes the events
+    table ``partitionBy(event_date)``, reads back one day."""
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    out = _scratch("events_by_day.parquet")
+    src = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    src.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == F.lit("2024-01-05").cast("date"))
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "sql_text_query",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
