@@ -117,6 +117,58 @@ def multimodal_decode_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(fake_decode_image, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, scale_pct int"
+
+
+def fake_resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize kernel (see :func:`fake_decode_image`): a real deployment
+    does the pixel work here (PIL.thumbnail / cv2.resize on ``payload``);
+    the stub scales the fake dimensions to fit a 256×256 box, preserving
+    the Spark-side contract (Arrow batches in, typed metadata out)."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        w = (n_bytes % 640) + 1
+        h = (n_bytes % 480) + 1
+        scale = (256 * 100 // w.combine(h, max)).clip(upper=100)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": w * scale // 100,
+                "out_h": h * scale // 100,
+                "scale_pct": scale,
+            }
+        )
+
+
+@register(
+    "multimodal_resize_binary",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(STRLEN(text) % 640 + 1 AS INT) AS w,
+               CAST(STRLEN(text) % 480 + 1 AS INT) AS h
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w * LEAST(25600 // GREATEST(w, h), 100) // 100 AS INT) AS out_w,
+           CAST(h * LEAST(25600 // GREATEST(w, h), 100) // 100 AS INT) AS out_h,
+           CAST(LEAST(25600 // GREATEST(w, h), 100) AS INT) AS scale_pct
+    FROM dims
+    """,
+)
+def multimodal_resize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hx — resize/feature-extract stage of the media pipeline: binary
+    payloads → Arrow → pandas kernel → scaled dimensions. Chains after
+    :func:`multimodal_decode_binary` in a real pipeline; here driven
+    standalone so the oracle can replay the stub arithmetic."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return d.mapInPandas(fake_resize_image, schema=RESIZE_SCHEMA)
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""

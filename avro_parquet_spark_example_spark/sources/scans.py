@@ -118,6 +118,36 @@ def projection_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS n_comment_v2 FROM nation
+    UNION ALL
+    SELECT n_nationkey + 1000 AS n_nationkey, n_name,
+           'v2:' || n_name AS n_comment_v2
+    FROM nation
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b — schema evolution, the Avro reader/writer-schema story on
+    Parquet: two file generations with different columns land in one
+    directory; ``mergeSchema`` reconciles them (old rows read NULL for the
+    added column). The reference's Avro schemas made this contract explicit;
+    Spark's Parquet source honors the same additive-evolution rules."""
+    out = _scratch("nation_evolving.parquet")
+    v1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v2 = load(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        "n_name",
+        F.concat(F.lit("v2:"), F.col("n_name")).alias("n_comment_v2"),
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "n_nationkey", "n_name", "n_comment_v2"
+    )
+
+
+@register(
     "events_partitioned_by_day",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n

@@ -115,6 +115,44 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'error' AND value > 100
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — ``foreachBatch`` sink: each micro-batch lands as Parquet via
+    arbitrary batch logic (the productionized sink pattern — upserts,
+    multi-table writes, external systems). Oracle-checked: the landed data
+    equals the batch filter."""
+    out_dir = os.path.join(SCRATCH, "foreach_batch_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col("value") > 100)
+            .select("event_id", "user_id", "value")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    name = f"fb_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(SCRATCH, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "stream_custom_stateful",
     oracle="""
     SELECT user_id,
