@@ -1,0 +1,133 @@
+"""User-facing engine facade.
+
+The reference was a program you edited; this engine is a library you call.
+``Engine`` wires the pieces — configured session, table catalog, SQL entry
+point, Avro-schema'd reads, format sinks, and the LLM-pipeline operators —
+behind one object, so a user of the reference's workflow (define schema →
+write Parquet → register → query) maps each step 1:1:
+
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.01")
+    eng.table("lineitem").groupBy("l_returnflag").count().show()
+    eng.sql("SELECT COUNT(*) FROM orders").show()
+    users = eng.read_with_avro_schema(schema_json, "/data/users.parquet")
+    clusters = eng.dedup_near(eng.table("documents"))
+    hits = eng.search_topk(eng.table("embeddings"), query_vec, k=10)
+
+Every method returns a plain DataFrame — compose freely with the DataFrame
+API; nothing here materializes data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.dedup import (
+    connected_components,
+    minhash_candidate_pairs,
+    simhash64,
+)
+from avro_parquet_spark_example_spark.operators.simsearch import dot_product
+from avro_parquet_spark_example_spark.session import configure, get_session
+from avro_parquet_spark_example_spark.sources import catalog
+from avro_parquet_spark_example_spark.sources.avro_schema import parse_avro_schema
+
+
+class Engine:
+    """A configured session + catalog + operator library."""
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = configure(spark) if spark is not None else get_session()
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    # -- catalog / entry points ------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        """A catalog table (events arrives time-normalized)."""
+        if self.sf_dir is None:
+            raise ValueError("Engine(sf_dir=...) required for table access")
+        return catalog.load(self.spark, self.sf_dir, name)
+
+    def sql(self, text: str) -> DataFrame:
+        """ANSI SQL over the catalog tables (views registered on first use)."""
+        if self.sf_dir is not None and not self._views_registered:
+            catalog.register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(text)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_with_avro_schema(self, avro_schema: str | dict, path: str) -> DataFrame:
+        """Declared-schema Parquet read: the Avro document is the contract,
+        the file footer is not consulted (the reference's core pattern)."""
+        return self.spark.read.schema(parse_avro_schema(avro_schema)).parquet(path)
+
+    def write_parquet(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: str | list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else partition_by
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
+
+    # -- LLM-pipeline operators ------------------------------------------
+
+    def dedup_exact(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Keep the lowest-id row per normalized-text group."""
+        from pyspark.sql import Window
+
+        key = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+        w = Window.partitionBy(key).orderBy(id_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def dedup_near(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.7,
+    ) -> DataFrame:
+        """(id, cluster_id) for near-duplicate documents via MinHash+LSH +
+        connected components. Rows not in any cluster are absent (keep them
+        all); drop every id whose cluster_id != id to dedup."""
+        pairs = minhash_candidate_pairs(
+            df, id_col=id_col, text_col=text_col, sim_threshold=threshold
+        )
+        return connected_components(pairs)
+
+    def simhash(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Append a 64-bit SimHash ``fingerprint`` column."""
+        return df.withColumn("fingerprint", simhash64(F.col(text_col)))
+
+    def search_topk(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Exact cosine top-k against a literal query vector (unit-norm
+        corpus ⇒ dot == cosine). Plans TakeOrderedAndProject — per-partition
+        heaps, no global sort."""
+        q: Column = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            df.withColumn("score", dot_product(F.col(vec_col), q))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )

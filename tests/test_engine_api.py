@@ -1,0 +1,54 @@
+"""The user-facing Engine facade: each reference workflow step through the
+public API (SURVEY.md §0 steps 1-4 mapped to library calls)."""
+
+from __future__ import annotations
+
+from avro_parquet_spark_example_spark.engine import Engine
+
+
+def _engine(spark, sf_dir):
+    return Engine(spark=spark, sf_dir=sf_dir)
+
+
+def test_table_and_sql(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    assert eng.table("nation").count() == 25
+    [row] = eng.sql("SELECT COUNT(*) AS n FROM region").collect()
+    assert row.n == 5
+
+
+def test_avro_schema_read_and_write_roundtrip(spark, sf_dir, tmp_path):
+    eng = _engine(spark, sf_dir)
+    out = str(tmp_path / "docs.parquet")
+    eng.write_parquet(eng.table("documents"), out, partition_by="lang")
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "n_chars", "type": ["long", "null"]},
+        ],
+    }
+    back = eng.read_with_avro_schema(schema, out)
+    assert back.count() == eng.table("documents").count()
+    # declared Avro fields + the hive partition column discovery appends
+    assert set(back.columns) == {"doc_id", "n_chars", "lang"}
+
+
+def test_dedup_and_search(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "A b c d e f g "), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    assert eng.dedup_exact(docs).count() == 2
+    fp = {r.doc_id: r.fingerprint for r in eng.simhash(docs).collect()}
+    assert fp[1] == fp[2]  # same tokens after normalization → same fingerprint
+    assert fp[1] != fp[3]
+    emb = eng.table("embeddings")
+    [qrow] = emb.filter("vec_id = 0").select("embedding").collect()
+    hits = eng.search_topk(emb.filter("vec_id <> 0"), [float(x) for x in qrow.embedding], k=5)
+    rows = hits.collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
