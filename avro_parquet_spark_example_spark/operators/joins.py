@@ -244,6 +244,55 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c_acctbal > 9000
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12a — correlated scalar subquery; Catalyst decorrelates it into a
+    left outer aggregate join (RewriteCorrelatedScalarSubquery) — no
+    per-row re-execution, one shuffle at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE c_acctbal > 9000
+        """
+    )
+
+
+@register(
+    "subquery_uncorrelated_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_uncorrelated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12b — uncorrelated scalar subquery in a predicate: computed once,
+    broadcast into the filter (both engines compute the same double AVG in
+    their own order; the 1.5× margin keeps the threshold decision stable)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
     "join_multiway_q5",
     oracle="""
     SELECT n.n_name AS nation,
