@@ -251,6 +251,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_sketch_merge_rollup")  # sketch estimates → rows-only check
+def agg_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b — mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark ≥3.5): build one sketch per (event_type, day), then UNION-MERGE
+    the daily sketches into per-type totals WITHOUT rescanning events.
+
+    This is the 100 TB pattern for incremental distincts: the expensive scan
+    happens once per day-partition (map-side sketch build, ~KB of state per
+    group); every later rollup — per week, per type, overall — is sketch
+    algebra over kilobytes. Estimates are deterministic for fixed input, but
+    approximate — rows-only driver check; the pytest suite asserts the
+    estimate lands within 2% of the exact distinct count."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 @register(
     "events_agg",
     oracle="""
