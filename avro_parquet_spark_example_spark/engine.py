@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.operators.dedup import (
     connected_components,
+    keep_first_per_text,
     minhash_candidate_pairs,
     simhash64,
 )
@@ -41,7 +42,6 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = configure(spark) if spark is not None else get_session()
         self.sf_dir = sf_dir
-        self._views_registered = False
 
     # -- catalog / entry points ------------------------------------------
 
@@ -52,10 +52,15 @@ class Engine:
         return catalog.load(self.spark, self.sf_dir, name)
 
     def sql(self, text: str) -> DataFrame:
-        """ANSI SQL over the catalog tables (views registered on first use)."""
-        if self.sf_dir is not None and not self._views_registered:
+        """ANSI SQL over the catalog tables.
+
+        Views are (re-)registered on every call: temp views are
+        session-global, so two Engines with different ``sf_dir`` sharing one
+        session would otherwise read each other's registrations. Re-pointing
+        a view is metadata-only (the underlying DataFrames are cached).
+        """
+        if self.sf_dir is not None:
             catalog.register_views(self.spark, self.sf_dir)
-            self._views_registered = True
         return self.spark.sql(text)
 
     def read_parquet(self, path: str) -> DataFrame:
@@ -84,16 +89,9 @@ class Engine:
     def dedup_exact(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """Keep the lowest-id row per normalized-text group."""
-        from pyspark.sql import Window
-
-        key = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-        w = Window.partitionBy(key).orderBy(id_col)
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        """Keep the lowest-id row per normalized-text group (shared
+        implementation with the oracle-checked ``dedup_exact`` operator)."""
+        return keep_first_per_text(df, text_col=text_col, id_col=id_col)
 
     def dedup_near(
         self,

@@ -29,7 +29,7 @@ from avro_parquet_spark_example_spark.sources.catalog import load
     SELECT doc_id,
            UPPER(SUBSTR(text, 1, 10)) AS head_upper,
            LOWER(source) AS src_lower,
-           CONCAT(lang, ':', source) AS lang_src,
+           lang || ':' || source AS lang_src,
            TRIM('  ' || lang || ' ') AS lang_trim,
            LENGTH(text) AS text_len,
            REGEXP_EXTRACT(source, '([0-9]+)', 1) AS src_num,
@@ -44,7 +44,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.upper(F.substring("text", 1, 10)).alias("head_upper"),
         F.lower("source").alias("src_lower"),
-        F.concat_ws(":", "lang", "source").alias("lang_src"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_src"),
         F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
         F.length("text").alias("text_len"),
         F.regexp_extract("source", "([0-9]+)", 1).alias("src_num"),

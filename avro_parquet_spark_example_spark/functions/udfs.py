@@ -30,7 +30,7 @@ from avro_parquet_spark_example_spark.sources.catalog import load
     oracle="""
     SELECT doc_id,
            LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> STRLEN(t) > 0)) AS n_tokens,
-           STRING_SPLIT(LOWER(text), ' ')[1] AS first_token
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> STRLEN(t) > 0)[1] AS first_token
     FROM documents WHERE doc_id < 100
     """,
 )

@@ -29,6 +29,28 @@ from avro_parquet_spark_example_spark.sources.catalog import load
 # H1 — exact dedup
 
 
+def normalized_text_key(text_col: str | Column = "text") -> Column:
+    """THE canonical exact-dedup group key: sha2-256 of lowercased, trimmed
+    text. Single definition shared by the oracle-checked operator and the
+    Engine facade so the normalization rule can never drift between them.
+    32-byte keys shuffle instead of document bodies."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.sha2(F.lower(F.trim(c)), 256)
+
+
+def keep_first_per_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the lowest-id row per normalized-text
+    group (deterministic winner)."""
+    w = Window.partitionBy(normalized_text_key(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def with_injected_duplicates(d: DataFrame) -> DataFrame:
     """The driver corpus is duplicate-free (FIXTURES.md §1), so the checked
     queries first inject copies (doc_id+100000 for doc_id<50) — the oracle
@@ -63,8 +85,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_injected_duplicates(
         load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
-    key = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    w = Window.partitionBy(key)
+    w = Window.partitionBy(normalized_text_key("text"))
     return (
         docs.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
         .withColumn("n_copies", F.count(F.lit(1)).over(w))

@@ -40,8 +40,6 @@ def read_schema_columns(df: DataFrame) -> set[str]:
                     continue
                 depth += ch in "<(" or -(ch in ">)")
                 field += ch
-        if line.startswith("Output") and "PushedFilters" in plan:
-            pass
     return cols
 
 

@@ -79,17 +79,24 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-#: (session id, sf_dir, query name) → built DataFrame. A DataFrame is an
+#: (application id, sf_dir, query name) → built DataFrame. A DataFrame is an
 #: immutable analyzed-plan handle: caching it skips re-running Catalyst
 #: analysis/optimization on repeated invocations (the dominant cost of small
 #: warm queries — ~1 s vs ~0.1 s execution) while every ``collect`` still
 #: re-executes the physical plan against the data. The classic plan cache.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable cache-key component for a live session: the Spark application
+    id (unique per context; ``id()`` of the JVM handle could alias a new
+    session after the old object's address is reused)."""
+    return spark.sparkContext.applicationId
 
 
 def _wrap(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark._jsparkSession), sf_dir, q.name)
+        key = (session_key(spark), sf_dir, q.name)
         df = _PLAN_CACHE.get(key)
         if df is None:
             configure(spark)

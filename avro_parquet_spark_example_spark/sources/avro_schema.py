@@ -107,9 +107,7 @@ def _translate(node: Any, named: dict[str, T.DataType]) -> T.DataType:
         # Unknown logical types fall back to the underlying Avro type.
 
     kind = node.get("type")
-    if kind in _PRIMITIVES and not logical:
-        return _PRIMITIVES[kind]
-    if kind in _PRIMITIVES:
+    if kind in _PRIMITIVES:  # unknown logical types fall back to base type
         return _PRIMITIVES[kind]
 
     if kind == "record":

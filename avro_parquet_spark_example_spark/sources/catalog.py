@@ -39,16 +39,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: (session id, sf_dir, table) → DataFrame. DataFrames are immutable plan
-#: handles, so sharing one per table is safe and mirrors registering a view
-#: once: the file listing, footer schema, and analyzed relation are reused
-#: instead of being rebuilt on every query invocation.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: (application id, sf_dir, table) → DataFrame. DataFrames are immutable
+#: plan handles, so sharing one per table is safe and mirrors registering a
+#: view once: the file listing, footer schema, and analyzed relation are
+#: reused instead of being rebuilt on every query invocation. Keyed by the
+#: Spark application id — unique per context, unlike ``id()`` of a handle.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. ``events`` gets its ``ts`` normalized to TimestampType."""
-    key = (id(spark._jsparkSession), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -23,9 +23,17 @@ from avro_parquet_spark_example_spark.sources.catalog import load, table_path
 SCRATCH = "/tmp/avro_parquet_spark_example_spark_scratch"
 
 
-def _scratch(name: str) -> str:
-    os.makedirs(SCRATCH, exist_ok=True)
-    return os.path.join(SCRATCH, name)
+def _scratch(name: str, sf_dir: str) -> str:
+    """Per-(sf_dir, name) scratch path: outputs from different scale factors
+    must never alias (queries are plan-cached per sf_dir and re-read their
+    output lazily, so a shared path would serve one sf_dir's data to
+    another's cached plan)."""
+    import re as _re
+
+    suffix = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    path = os.path.join(SCRATCH, suffix)
+    os.makedirs(path, exist_ok=True)
+    return os.path.join(path, name)
 
 
 @register(
@@ -44,7 +52,7 @@ def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parquet_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — write snappy Parquet, read it back; oracle-equality with the
     source table proves the round trip is lossless."""
-    out = _scratch("supplier_roundtrip.parquet")
+    out = _scratch("supplier_roundtrip.parquet", sf_dir)
     src = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -63,7 +71,7 @@ def parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — hive-style ``partitionBy`` layout; the read filter prunes to the
     single ``l_returnflag=R`` directory (partition pruning — at 100 TB the
     other partitions are never opened)."""
-    out = _scratch("lineitem_by_flag.parquet")
+    out = _scratch("lineitem_by_flag.parquet", sf_dir)
     src = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -133,7 +141,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory; ``mergeSchema`` reconciles them (old rows read NULL for the
     added column). The reference's Avro schemas made this contract explicit;
     Spark's Parquet source honors the same additive-evolution rules."""
-    out = _scratch("nation_evolving.parquet")
+    out = _scratch("nation_evolving.parquet", sf_dir)
     v1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     v2 = load(spark, sf_dir, "nation").select(
         (F.col("n_nationkey") + 1000).alias("n_nationkey"),
@@ -163,7 +171,7 @@ def events_partitioned_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     table ``partitionBy(event_date)``, reads back one day."""
     from avro_parquet_spark_example_spark.sources.catalog import load
 
-    out = _scratch("events_by_day.parquet")
+    out = _scratch("events_by_day.parquet", sf_dir)
     src = load(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
@@ -211,7 +219,7 @@ def sql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6a — CSV sink + source with explicit schema (header, no inference —
     schema inference is a full extra pass at scale)."""
-    out = _scratch("nation_csv")
+    out = _scratch("nation_csv", sf_dir)
     load(spark, sf_dir, "nation").write.mode("overwrite").option(
         "header", "true"
     ).csv(out)
@@ -226,6 +234,6 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6b — JSON-lines sink + source with explicit schema."""
-    out = _scratch("region_json")
+    out = _scratch("region_json", sf_dir)
     load(spark, sf_dir, "region").write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey INT, r_name STRING").json(out)

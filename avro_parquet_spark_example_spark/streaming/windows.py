@@ -75,7 +75,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         <= INTERVAL '30 minutes'
+                         < INTERVAL '30 minutes'
                     THEN 0 ELSE 1 END AS new_session
         FROM events
     ),

@@ -70,8 +70,12 @@ def main(names: list[str]) -> int:
                 else:
                     flags.append(f"{op} UNEXPECTED")
                     unexpected += 1
-        if "Window" in ops and "PartitionBy" not in plan and "partition" not in plan.lower():
-            flags.append("Window without PARTITION BY UNEXPECTED")
+        # A window with no PARTITION BY funnels all rows to one task: its
+        # required distribution plans as `Exchange SinglePartition` feeding
+        # the Window/Sort. (Scan PartitionFilters lines contain the word
+        # "partition" too, so grep the exchange, not the keyword.)
+        if "Window" in ops and "SinglePartition" in plan:
+            flags.append("Window over Exchange SinglePartition UNEXPECTED")
             unexpected += 1
         cols = read_schema_columns(df)
         print(f"{name}: ops={sorted(ops & {'BroadcastHashJoin','SortMergeJoin','ShuffledHashJoin','HashAggregate','Window','TakeOrderedAndProject','Exchange'})} read={len(cols)} cols")
