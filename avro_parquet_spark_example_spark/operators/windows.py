@@ -170,6 +170,41 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repartition_sort_within",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 40
+    """,
+)
+def repartition_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — DISTRIBUTE BY + SORT BY: hash-repartition on a key and sort
+    within each partition (no global order). This is the layout-control
+    primitive for preparing co-located, locally-ordered data — the write-
+    side half of bucketing, and the shape merge-friendly consumers want.
+    Values are unchanged, so the order-insensitive oracle checks equality
+    while the plan carries the exchange + in-partition sort."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(8, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+
+
+@register("sample_scan")  # sampling is engine-specific → rows-only check
+def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — seeded Bernoulli sample (~10%): per-row coin flips during the
+    scan, no shuffle, reproducible for a fixed seed. Sample membership is
+    engine-specific (Spark's XORShift vs DuckDB's RNG) so the driver check
+    is rows-only; tests bound the sampled fraction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
     "set_union_all",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5

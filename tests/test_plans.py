@@ -87,3 +87,12 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     df = get_query("parquet_write_partitioned").fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    """E10 — the seeded sample lands near its 10% target and is stable."""
+    df = get_query("sample_scan").fn(spark, sf_dir)
+    total = load(spark, sf_dir, "lineitem").count()
+    n1, n2 = df.count(), get_query("sample_scan").fn(spark, sf_dir).count()
+    assert n1 == n2  # same seed → same sample
+    assert 0.05 * total < n1 < 0.15 * total
