@@ -237,3 +237,39 @@ def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("region_json", sf_dir)
     load(spark, sf_dir, "region").write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey INT, r_name STRING").json(out)
+
+
+@register(
+    "orc_scan_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6c — ORC sink + source: the other columnar format Spark ships a
+    vectorized reader for; same pushdown/pruning machinery as Parquet."""
+    out = _scratch("nation_orc", sf_dir)
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "text_scan_lines",
+    oracle="""
+    SELECT lang || '|' || CAST(doc_id AS VARCHAR) AS value
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_scan_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6d — line-oriented text sink + source (``spark.read.text``): the
+    raw-corpus entry format for LLM pipelines (one document per line, parse
+    downstream)."""
+    out = _scratch("doc_lines_text", sf_dir)
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.concat_ws("|", "lang", F.col("doc_id").cast("string")).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return spark.read.text(out)
