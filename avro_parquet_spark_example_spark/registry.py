@@ -25,7 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from avro_parquet_spark_example_spark.session import configure
+from avro_parquet_spark_example_spark.session import configure, session_key
 
 
 @dataclass(frozen=True)
@@ -84,14 +84,7 @@ def register(name: str, oracle: str | None = None):
 #: analysis/optimization on repeated invocations (the dominant cost of small
 #: warm queries — ~1 s vs ~0.1 s execution) while every ``collect`` still
 #: re-executes the physical plan against the data. The classic plan cache.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def session_key(spark: SparkSession) -> str:
-    """Stable cache-key component for a live session: the Spark application
-    id (unique per context; ``id()`` of the JVM handle could alias a new
-    session after the old object's address is reused)."""
-    return spark.sparkContext.applicationId
+_PLAN_CACHE: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
 
 
 def _wrap(q: Query) -> Callable[[SparkSession, str], DataFrame]:

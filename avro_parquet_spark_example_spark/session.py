@@ -51,6 +51,16 @@ BUILD_CONFIGS: dict[str, str] = {
 }
 
 
+def session_key(spark: SparkSession) -> tuple[str, int]:
+    """Stable cache-key component for a live session, used by the catalog
+    and plan caches. Composite of the Spark application id (unique per
+    context — survives CPython address reuse after a context restart) and
+    the JVM session handle's id (distinguishes sibling sessions from
+    ``spark.newSession()``, which share one application id but must not
+    share session-scoped state)."""
+    return (spark.sparkContext.applicationId, id(spark._jsparkSession))
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine configs to an existing session.
 

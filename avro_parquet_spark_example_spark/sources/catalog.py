@@ -16,8 +16,13 @@ from __future__ import annotations
 
 import os
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.session import session_key
 
 #: All driver-generated tables (TESTDATA.md): TPC-H-ish star schema +
 #: events stream + LLM-pipeline tables.
@@ -39,17 +44,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: (application id, sf_dir, table) → DataFrame. DataFrames are immutable
-#: plan handles, so sharing one per table is safe and mirrors registering a
-#: view once: the file listing, footer schema, and analyzed relation are
-#: reused instead of being rebuilt on every query invocation. Keyed by the
-#: Spark application id — unique per context, unlike ``id()`` of a handle.
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: (session key, sf_dir, table) → DataFrame. DataFrames are immutable plan
+#: handles, so sharing one per table is safe and mirrors registering a view
+#: once: the file listing, footer schema, and analyzed relation are reused
+#: instead of being rebuilt on every query invocation. Keyed by
+#: ``session.session_key`` (see its docstring for the aliasing rationale).
+_CACHE: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
+
+
+def scratch_suffix(sf_dir: str) -> str:
+    """Injective filesystem-safe token for an sf_dir, shared by every
+    scratch-writing operator (batch sinks and streaming landing dirs must
+    apply the SAME isolation rule). Sanitized name for readability + a short
+    content hash so two sf_dirs can never collide after sanitization."""
+    safe = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    return f"{safe}_{digest}"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. ``events`` gets its ``ts`` normalized to TimestampType."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.avro_schema import parse_avro_schema
-from avro_parquet_spark_example_spark.sources.catalog import load, table_path
+from avro_parquet_spark_example_spark.sources.catalog import (
+    load,
+    scratch_suffix,
+    table_path,
+)
 
 SCRATCH = "/tmp/avro_parquet_spark_example_spark_scratch"
 
@@ -27,11 +31,9 @@ def _scratch(name: str, sf_dir: str) -> str:
     """Per-(sf_dir, name) scratch path: outputs from different scale factors
     must never alias (queries are plan-cached per sf_dir and re-read their
     output lazily, so a shared path would serve one sf_dir's data to
-    another's cached plan)."""
-    import re as _re
-
-    suffix = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
-    path = os.path.join(SCRATCH, suffix)
+    another's cached plan). Isolation token shared with the streaming
+    sinks via :func:`catalog.scratch_suffix`."""
+    path = os.path.join(SCRATCH, scratch_suffix(sf_dir))
     os.makedirs(path, exist_ok=True)
     return os.path.join(path, name)
 
@@ -267,7 +269,10 @@ def text_scan_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select(
-            F.concat_ws("|", "lang", F.col("doc_id").cast("string")).alias("value")
+            # null-propagating concat to match the oracle's `||` semantics
+            F.concat(
+                F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")
+            ).alias("value")
         )
         .write.mode("overwrite")
         .text(out)

@@ -127,9 +127,9 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary batch logic (the productionized sink pattern — upserts,
     multi-table writes, external systems). Oracle-checked: the landed data
     equals the batch filter."""
-    out_dir = os.path.join(
-        SCRATCH, "foreach_batch_out_" + sf_dir.strip("/").replace("/", "_")
-    )
+    from avro_parquet_spark_example_spark.sources.catalog import scratch_suffix
+
+    out_dir = os.path.join(SCRATCH, "foreach_batch_out_" + scratch_suffix(sf_dir))
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -41,6 +41,45 @@ EXPECTED = {
 WIDE_TABLES = {"lineitem": 16, "orders": 6, "events": 6}
 
 
+def _tree_indent(line: str) -> int:
+    """Depth marker of an operator-tree line: column of its '+-'/':-'
+    connector (-1 for the root operator)."""
+    import re
+
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _window_over_single_partition(plan: str) -> bool:
+    """True iff some Window operator's subtree contains a SinglePartition
+    Exchange. The tree rendering carries only operator names + ids; the
+    partitioning argument lives in the per-operator detail block, so scope
+    by subtree ids and join against the details."""
+    import re
+
+    blocks = plan.split("\n\n")
+    tree = blocks[0].splitlines()
+    # ids of Exchange operators whose own detail block says SinglePartition
+    single_ids = set()
+    for block in blocks[1:]:
+        m = re.match(r"\((\d+)\) Exchange", block.strip())
+        if m and "SinglePartition" in block:
+            single_ids.add(m.group(1))
+    if not single_ids:
+        return False
+    for i, line in enumerate(tree):
+        if not re.search(r"\bWindow", line):
+            continue
+        depth = _tree_indent(line)
+        for child in tree[i + 1 :]:
+            if child.strip() and _tree_indent(child) <= depth:
+                break
+            m = re.search(r"\((\d+)\)\s*$", child)
+            if m and m.group(1) in single_ids:
+                return True
+    return False
+
+
 def main(names: list[str]) -> int:
     from avro_parquet_spark_example_spark.plans.explain import (
         formatted_plan,
@@ -72,9 +111,9 @@ def main(names: list[str]) -> int:
                     unexpected += 1
         # A window with no PARTITION BY funnels all rows to one task: its
         # required distribution plans as `Exchange SinglePartition` feeding
-        # the Window/Sort. (Scan PartitionFilters lines contain the word
-        # "partition" too, so grep the exchange, not the keyword.)
-        if "Window" in ops and "SinglePartition" in plan:
+        # the Window (must be in the Window's SUBTREE — an unrelated
+        # single-partition exchange elsewhere, e.g. a global limit, is fine).
+        if _window_over_single_partition(plan):
             flags.append("Window over Exchange SinglePartition UNEXPECTED")
             unexpected += 1
         cols = read_schema_columns(df)
