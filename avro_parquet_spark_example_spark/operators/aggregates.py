@@ -240,6 +240,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    )
+    WHERE c_custkey < 300
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7b — unpivot/melt (wide → long): the inverse of pivot, a generator
+    expression (Expand) — no shuffle, output is n_metrics × input rows."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 @register("agg_approx_distinct")  # approx → rows-only check (no oracle)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — HyperLogLog++ distinct users per event type. Approximate by
