@@ -42,7 +42,7 @@ def avro_records(draw):
 
 
 @given(avro_records())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_translator_total_on_valid_schemas(schema):
     """Any well-formed record translates; field count, order, and
     nullability (union-with-null ⟺ nullable) are preserved."""
@@ -64,6 +64,7 @@ def test_translator_total_on_valid_schemas(schema):
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_exact_dedup_idempotent_and_canonical(spark, texts):
