@@ -187,6 +187,43 @@ def events_partitioned_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsert_partition_overwrite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN l_returnflag = 'R' THEN ROUND(l_discount + 0.01, 4)
+                ELSE l_discount END AS l_discount
+    FROM lineitem
+    """,
+)
+def upsert_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — upsert via dynamic partition overwrite (the pre-lakehouse
+    MERGE): updated rows are written back and ONLY the partitions they touch
+    are replaced (``partitionOverwriteMode=dynamic``) — at 100 TB an update
+    confined to one day/flag rewrites gigabytes, not the table. The oracle
+    replays the update logically over the source."""
+    out = _scratch("lineitem_upsert.parquet", sf_dir)
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_discount"]
+    src = load(spark, sf_dir, "lineitem").select(*cols)
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+
+    updates = (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .withColumn("l_discount", F.round(F.col("l_discount") + 0.01, 4))
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # overwrite mode + dynamic → replaces ONLY the l_returnflag=R dir
+        updates.select(*cols).write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return spark.read.parquet(out).select(*cols)
+
+
+@register(
     "sql_text_query",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
