@@ -150,6 +150,42 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_array_setops",
+    oracle="""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           LEN(LIST_DISTINCT(LIST_CAT(a.toks, b.toks))) AS union_size,
+           LEN(LIST_INTERSECT(a.toks, b.toks)) AS intersect_size,
+           LEN(LIST_FILTER(LIST_DISTINCT(a.toks), t -> NOT LIST_CONTAINS(b.toks, t))) AS except_size
+    FROM (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 20) a
+    JOIN (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 20) b
+      ON a.doc_id < b.doc_id
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4c — array set algebra (union/intersect/except sizes) over token
+    sets — the per-pair primitive under Jaccard-style similarity, all
+    JVM-side."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    return a.join(b, F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.size(F.array_union("ta", "tb")).alias("union_size"),
+        F.size(F.array_intersect("ta", "tb")).alias("intersect_size"),
+        F.size(F.array_except("ta", "tb")).alias("except_size"),
+    )
+
+
+@register(
     "fn_explode",
     oracle="""
     SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word

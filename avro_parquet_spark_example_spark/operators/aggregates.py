@@ -332,6 +332,59 @@ def events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_s,
+           ROUND(COVAR_POP(l_discount, l_tax), 8) AS covar_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — bivariate statistics (Pearson correlation, covariance): single-
+    pass streaming-moment aggregates, map-side combinable like any sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("covar_p"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1, 21) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — equi-width histogram via width_bucket + count: the profiling
+    primitive (one scan, one tiny shuffle of 22 buckets at any data size).
+    DuckDB 1.0 has no width_bucket, so the oracle spells out the same
+    bucket arithmetic (floor(v / width) + 1, clamped to n+1)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT l_returnflag,
