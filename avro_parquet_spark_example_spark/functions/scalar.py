@@ -229,6 +229,66 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT doc_id,
+           'chars:' || CAST(n_chars * 2 AS VARCHAR) ||
+           ',words:' || CAST(LEN(STRING_SPLIT(text, ' ')) * 2 AS VARCHAR)
+             AS doubled_entries,
+           'chars,words' AS key_list
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b — map higher-order functions: build a metrics map per row,
+    transform_values over it, then render entries deterministically (sorted,
+    joined) since raw map renderings differ across clients. The oracle
+    computes the same entries directly."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    metrics = F.create_map(
+        F.lit("chars"), F.col("n_chars"),
+        F.lit("words"), F.size(F.split("text", " ")).cast("long"),
+    )
+    doubled = F.transform_values(metrics, lambda k, v: v * 2)
+    rendered = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(doubled),
+                lambda e: F.concat(e.key, F.lit(":"), e.value.cast("string")),
+            )
+        ),
+        ",",
+    )
+    return d.select(
+        "doc_id",
+        rendered.alias("doubled_entries"),
+        F.array_join(F.sort_array(F.map_keys(metrics)), ",").alias("key_list"),
+    )
+
+
+@register(
+    "fn_regexp_extended",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, 'data[a-z]*')) AS n_data_words,
+           REGEXP_EXTRACT(text, '[a-z]+ing') AS first_ing,
+           CASE WHEN REGEXP_MATCHES(text, '^[a-z]') THEN 1 ELSE 0 END AS starts_lower
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1b — extended regexp surface: match counting, first-match
+    extraction, anchored boolean matching."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"data[a-z]*")).alias("n_data_words"),
+        F.regexp_extract("text", r"([a-z]+ing)", 1).alias("first_ing"),
+        F.when(F.col("text").rlike(r"^[a-z]"), 1).otherwise(0).alias("starts_lower"),
+    )
+
+
+@register(
     "fn_json",
     oracle="""
     SELECT event_id,
