@@ -230,6 +230,66 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, n_chars FROM documents WHERE doc_id < 50
+    ),
+    quality AS (
+        SELECT *, LEN(STRING_SPLIT(text, ' ')) AS n_words
+        FROM all_docs
+        WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 5 AND 2000
+          AND (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')))
+              * 1.0 / LEN(STRING_SPLIT(text, ' ')) < 0.5
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text))
+                                         ORDER BY doc_id) AS rn
+            FROM quality)
+        WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-pipeline — the end-to-end curation flow composed from this module's
+    verified pieces, as one lazy plan: ingest (+injected duplicates) →
+    quality gate (length + punctuation density) → exact dedup (keep min id
+    per normalized text) → per-language corpus stats. One Catalyst plan:
+    the gate's filter pushes below the dedup window, the window shuffles
+    once on the 32-byte text hash, the final agg is map-side combined —
+    the same shape at 100 TB."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        keep_first_per_text,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    )
+    toks = F.split("text", " ")
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    quality = docs.withColumn("n_words", F.size(toks)).filter(
+        F.col("n_words").between(5, 2000)
+        & (punct * 1.0 / F.col("n_words") < 0.5)
+    )
+    deduped = keep_first_per_text(quality)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
