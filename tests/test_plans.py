@@ -96,3 +96,33 @@ def test_sample_fraction_bounds(spark, sf_dir):
     n1, n2 = df.count(), get_query("sample_scan").fn(spark, sf_dir).count()
     assert n1 == n2  # same seed → same sample
     assert 0.05 * total < n1 < 0.15 * total
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """C11 — the six-table join broadcasts every dimension; only the two
+    fact joins may shuffle."""
+    plan = formatted_plan(get_query("join_multiway_q5").fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_plans_single_expand(spark, sf_dir):
+    """D4 — rollup is one Expand + one aggregate, not one pass per level."""
+    plan = formatted_plan(get_query("agg_rollup").fn(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1  # single pass over the fact table
+
+
+def test_asof_join_is_window_not_range_join(spark, sf_dir):
+    """C8 — the as-of join must be the union+window plan (one exchange per
+    side max), never a nested-loop range join."""
+    plan = formatted_plan(get_query("join_asof_event").fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_docfreq(spark, sf_dir):
+    """H7 — the document-frequency side joins broadcast (tiny post-agg)."""
+    plan = formatted_plan(get_query("text_tfidf_topterms").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
