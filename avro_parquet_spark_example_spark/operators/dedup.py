@@ -384,6 +384,40 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_levenshtein",
+    oracle="""
+    WITH pool AS (
+        SELECT doc_id, SUBSTR(text, 1, 40) AS head FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           LEVENSHTEIN(a.head, b.head) AS edit_dist
+    FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+    WHERE LEVENSHTEIN(a.head, b.head) <= 20
+    """,
+)
+def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2e — edit-distance near-dup pairs (Levenshtein ≤ threshold on
+    fixed-length prefixes). Both engines implement the standard DP metric,
+    so values hash-match exactly. Quadratic in the candidate pool by nature
+    — at corpus scale this runs INSIDE LSH/fingerprint buckets (same
+    blocked-join shape as every pair operator here), never corpus-wide;
+    bounded to 60 docs × 40-char heads for the demo."""
+    pool = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.substring("text", 1, 40).alias("head"))
+    )
+    a = pool.select(F.col("doc_id").alias("a"), F.col("head").alias("ha"))
+    b = pool.select(F.col("doc_id").alias("b"), F.col("head").alias("hb"))
+    dist = F.levenshtein("ha", "hb")
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # H2d — embedding-cosine near-dup pairs (exact; LSH scale path in simsearch)
 

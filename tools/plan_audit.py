@@ -31,6 +31,7 @@ EXPECTED = {
         "simsearch_lsh_topk": "broadcast 1-row query vector",
         "neardup_embedding": "label-blocked pair join (non-equi id bound)",
         "fn_array_setops": "pair demo on 20 docs (id< theta join, bounded)",
+        "neardup_levenshtein": "pair demo on 60 doc heads (id< theta join, bounded)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
