@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.sources.scans",
     "avro_parquet_spark_example_spark.operators.projection",
     "avro_parquet_spark_example_spark.operators.joins",
+    "avro_parquet_spark_example_spark.operators.tpch",
     "avro_parquet_spark_example_spark.operators.aggregates",
     "avro_parquet_spark_example_spark.operators.windows",
     "avro_parquet_spark_example_spark.functions.scalar",

@@ -126,3 +126,37 @@ def test_tfidf_broadcasts_docfreq(spark, sf_dir):
     """H7 — the document-frequency side joins broadcast (tiny post-agg)."""
     plan = formatted_plan(get_query("text_tfidf_topterms").fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    """Q6 — the canonical pushdown benchmark: all three predicates reach
+    the Parquet scan and the read schema is pruned to the 4 used columns."""
+    df = get_query("tpch_q6").fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    assert read_schema_columns(df) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_q10_top20_is_heap_not_sort(spark, sf_dir):
+    """Q10 — ORDER BY ... LIMIT 20 must plan a TakeOrderedAndProject heap
+    (O(n) per partition, 20-row exchange), never a global sort."""
+    plan = formatted_plan(get_query("tpch_q10").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan and "\n+- Sort " not in plan
+
+
+def test_q8_single_aggregation_pass(spark, sf_dir):
+    """Q8 — the market-share ratio is conditional aggregation in ONE pass:
+    one scan of lineitem, no self-join of the aggregate."""
+    plan = formatted_plan(get_query("tpch_q8").fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # 8 scans = one per joined table instance (nation twice); a second
+    # lineitem scan would mean the ratio was planned as a self-join.
+    assert tree.count("Scan parquet") == 8
+    assert plan.count("BroadcastHashJoin") >= 5

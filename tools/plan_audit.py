@@ -32,6 +32,7 @@ EXPECTED = {
         "neardup_embedding": "label-blocked pair join (non-equi id bound)",
         "fn_array_setops": "pair demo on 20 docs (id< theta join, bounded)",
         "neardup_levenshtein": "pair demo on 60 doc heads (id< theta join, bounded)",
+        "tpch_q22": "broadcast 1-row scalar threshold (avg_bal) cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
