@@ -1,0 +1,121 @@
+"""Time-series operators over the ``events`` stream table.
+
+The reference demonstrated SQL over Parquet-backed tables (SURVEY.md §0);
+the driver extends the surface to stream/event data (TESTDATA.md "events
+stream table"). Group G covers windowed/sessionized aggregation; this
+module adds the two classic time-series reshaping operators a training-data
+pipeline needs on event logs: downsampling (OHLC per key per bucket) and
+regular-grid resampling with forward fill.
+
+Determinism (SURVEY.md §5): the synthetic events have no duplicate
+(user_id, ts) pairs, so ``max_by(value, ts)`` / ``ARG_MAX(value, ts)`` pick
+the same row in both engines; all output values are raw stored doubles (no
+float arithmetic), so hash checks are exact.
+
+Scale notes (100 TB): both operators are single-shuffle per aggregation,
+keyed on (user_id[, day]) — no global window anywhere. The grid explode in
+the resampler is bounded per key by the key's own date span (here ≤30
+days; in production the resample range is a query parameter), and the
+forward-fill window partitions by key, so state per task is one key's
+grid. At 1000 executors this is embarrassingly key-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+@register(
+    "ts_ohlc_daily",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's event stream to daily OHLC bars: first/max/
+    min/last value per (user, day). ``min_by``/``max_by`` are Tungsten-native
+    single-pass aggregates — one shuffle keyed (user_id, day), map-side
+    partials, no window function and no self-join."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    day = F.col("ts").cast("date").alias("day")
+    return ev.groupBy("user_id", day).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ARG_MAX(value, ts) AS close
+        FROM events WHERE user_id < 30
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(UNNEST([d0 + INTERVAL (i) DAY
+                            FOR i IN RANGE(0, DATEDIFF('day', d0, d1) + 1)])
+                    AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY user_id)
+    )
+    SELECT g.user_id, g.day,
+           LAST_VALUE(d.close IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           d.close IS NOT NULL AS observed
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's stream onto a regular daily grid over the key's
+    own [first, last] span, forward-filling days with no events from the
+    last observed daily close (pandas ``resample('D').ffill()`` semantics,
+    expressed distributed). The grid is ``sequence()`` + ``explode`` — per
+    key, never a global calendar cross join; the fill is a per-key running
+    ``last(ignorenulls)`` window. The first grid day is by construction
+    observed, so no leading NULLs."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("close", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("close").isNotNull().alias("observed"),
+        )
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.projection",
     "avro_parquet_spark_example_spark.operators.joins",
     "avro_parquet_spark_example_spark.operators.tpch",
+    "avro_parquet_spark_example_spark.operators.timeseries",
     "avro_parquet_spark_example_spark.operators.aggregates",
     "avro_parquet_spark_example_spark.operators.windows",
     "avro_parquet_spark_example_spark.functions.scalar",
