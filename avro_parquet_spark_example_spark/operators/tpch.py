@@ -36,7 +36,13 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-REV_SQL = "l_extendedprice * (1 - l_discount)"
+def rev_sql(alias: str = "") -> str:
+    """SQL twin of :func:`_rev`; ``alias`` prefixes both column refs
+    (e.g. ``'l.'``) so multi-table oracles share one source of truth."""
+    return f"{alias}l_extendedprice * (1 - {alias}l_discount)"
+
+
+REV_SQL = rev_sql()
 
 
 @register(
@@ -77,7 +83,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
-           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 8, 2)} AS revenue
+           {dsum_sql(rev_sql('l.'), 8, 2)} AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -129,8 +135,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     oracle=f"""
     SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           {dsum_sql("CASE WHEN n2.n_name = 'NATION_5' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 8, 2)}
-             / {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 8, 2)} AS mkt_share
+           {dsum_sql(f"CASE WHEN n2.n_name = 'NATION_5' THEN {rev_sql('l.')} ELSE 0 END", 8, 2)}
+             / {dsum_sql(rev_sql('l.'), 8, 2)} AS mkt_share
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -182,7 +188,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 8, 2)} AS revenue,
+           {dsum_sql(rev_sql('l.'), 8, 2)} AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -253,8 +259,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     oracle=f"""
-    SELECT 100.0 * {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 8, 2)}
-                 / {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 8, 2)} AS promo_revenue
+    SELECT 100.0 * {dsum_sql(f"CASE WHEN p.p_type = 'PROMO' THEN {rev_sql('l.')} ELSE 0 END", 8, 2)}
+                 / {dsum_sql(rev_sql('l.'), 8, 2)} AS promo_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
@@ -301,16 +307,21 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 — top supplier by quarterly revenue (scalar-subquery max). The
-    per-supplier revenue aggregate is computed once and reused for both the
-    max and the final filter; equality on the exact-decimal-derived double
-    is safe cross-engine. The 1-row max side is broadcast."""
+    """Q15 — top supplier by quarterly revenue (scalar-subquery max).
+    Catalyst does NOT dedupe a shared aggregate subtree, so without
+    materialization the lineitem scan+shuffle+agg would run twice (once
+    under max, once for the filter); ``localCheckpoint`` pins the
+    supplier-cardinality aggregate (small at any scale) so both consumers
+    reuse it. Equality on the exact-decimal-derived double is safe
+    cross-engine. The 1-row max side is broadcast."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(_rev(), 8, round_to=2).alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev(), 8, round_to=2).alias("total_revenue"))
+        .localCheckpoint(eager=True)
     )
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = load(spark, sf_dir, "supplier")

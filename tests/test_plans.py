@@ -146,9 +146,9 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
 def test_q10_top20_is_heap_not_sort(spark, sf_dir):
     """Q10 — ORDER BY ... LIMIT 20 must plan a TakeOrderedAndProject heap
     (O(n) per partition, 20-row exchange), never a global sort."""
-    plan = formatted_plan(get_query("tpch_q10").fn(spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
-    assert "GlobalSort" not in plan and "\n+- Sort " not in plan
+    df = get_query("tpch_q10").fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    assert "Sort" not in physical_operators(df)
 
 
 def test_q8_single_aggregation_pass(spark, sf_dir):
