@@ -309,3 +309,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> md5(substring(text, i, 8)))"
     )
     return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+@register(
+    "text_ngram_bigrams",
+    oracle="""
+    WITH tokens AS (
+        SELECT lang, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT lang,
+               UNNEST([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                       FOR i IN RANGE(1, LEN(w))]) AS bigram
+        FROM tokens
+    ),
+    counted AS (
+        SELECT lang, bigram, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2
+    )
+    SELECT lang, bigram, cnt FROM (
+        SELECT lang, bigram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+        FROM counted
+    ) WHERE rn <= 5
+    """,
+)
+def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6f — top-5 word bigrams per language. The bigram expansion is a
+    per-row indexed ``transform`` over the token array (JVM-side, no
+    Python), so the only shuffles are the (lang, bigram) count and the
+    tiny per-lang top-k window — both key-partitioned and
+    skew-resistant at corpus scale. Tiebreak on the bigram text keeps
+    the LIMIT deterministic cross-engine."""
+    d = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    bigram = F.explode(
+        F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+    ).alias("bigram")
+    counted = d.select("lang", bigram).groupBy("lang", "bigram").count()
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", F.col("count").alias("cnt"))
+    )

@@ -271,3 +271,17 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nk"))
     )
     return c.subtract(s)
+
+
+@register("sample_stratified")  # sampling is engine-specific → rows-only check
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b — seeded stratified sample over documents: a different keep
+    probability per language stratum (the training-data mixing knob —
+    e.g. downsample the dominant language, keep the rest). ``sampleBy``
+    is per-row coin flips keyed by the stratum column during the scan:
+    no shuffle, no stratum-size driver lookup, reproducible for a fixed
+    seed. Membership is engine-specific so the driver check is
+    rows-only; tests bound each stratum's realized fraction."""
+    fractions = {"en": 0.2, "es": 0.5, "zh": 0.5, "de": 0.8, "fr": 0.8}
+    d = load(spark, sf_dir, "documents")
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

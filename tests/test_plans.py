@@ -98,6 +98,23 @@ def test_sample_fraction_bounds(spark, sf_dir):
     assert 0.05 * total < n1 < 0.15 * total
 
 
+def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
+    """E10b — each language stratum lands near its own target fraction and
+    the whole sample is seed-stable."""
+    df = get_query("sample_stratified").fn(spark, sf_dir)
+    targets = {"en": 0.2, "es": 0.5, "zh": 0.5, "de": 0.8, "fr": 0.8}
+    totals = {
+        r["lang"]: r["count"]
+        for r in load(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    got = {r["lang"]: r["count"] for r in df.groupBy("lang").count().collect()}
+    for lang, frac in targets.items():
+        realized = got.get(lang, 0) / totals[lang]
+        assert abs(realized - frac) < 0.2, f"{lang}: {realized} vs {frac}"
+    n1, n2 = df.count(), get_query("sample_stratified").fn(spark, sf_dir).count()
+    assert n1 == n2  # same seed → same sample
+
+
 def test_q5_broadcasts_all_dims(spark, sf_dir):
     """C11 — the six-table join broadcasts every dimension; only the two
     fact joins may shuffle."""
