@@ -166,3 +166,74 @@ def _fullname(node: dict) -> str | None:
         return None
     ns = node.get("namespace")
     return f"{ns}.{name}" if ns else name
+
+
+_TO_AVRO_PRIMITIVES: dict[type, str] = {
+    T.StringType: "string",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def struct_to_avro_schema(st: T.StructType, name: str = "record") -> dict:
+    """Inverse bridge: Spark ``StructType`` → Avro record schema dict.
+
+    Completes the reference's round trip (its write path derived the Parquet
+    file schema *from* the Avro schema via AvroSchemaConverter — SURVEY.md
+    §0 step 2): an engine table's schema can be exported as the Avro contract
+    a producer writes against. ``parse_avro_schema(struct_to_avro_schema(s))
+    == s`` for every type both sides support; the lossy edges are narrow
+    integers (Byte/Short widen to Avro ``int``) and char/varchar (→
+    ``string``).
+    """
+    return _to_avro_record(st, name)
+
+
+def _to_avro_record(st: T.StructType, name: str) -> dict:
+    fields = []
+    for f in st.fields:
+        ftype = _to_avro(f.dataType, f"{name}_{f.name}")
+        if f.nullable:
+            ftype = ["null", ftype]
+        fields.append({"name": f.name, "type": ftype})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _to_avro(dt: T.DataType, name: str) -> Any:
+    if type(dt) in _TO_AVRO_PRIMITIVES:
+        return _TO_AVRO_PRIMITIVES[type(dt)]
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return "int"  # Avro has no narrow ints — widen
+    if isinstance(dt, (T.CharType, T.VarcharType)):
+        return "string"
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.StructType):
+        return _to_avro_record(dt, name)
+    if isinstance(dt, T.ArrayType):
+        items = _to_avro(dt.elementType, f"{name}_item")
+        return {"type": "array", "items": ["null", items] if dt.containsNull else items}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise AvroSchemaError(f"Avro map keys must be strings, got {dt.keyType}")
+        values = _to_avro(dt.valueType, f"{name}_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dt.valueContainsNull else values,
+        }
+    raise AvroSchemaError(f"no Avro mapping for Spark type: {dt}")

@@ -137,3 +137,66 @@ def test_declared_schema_read_applies(spark, sf_dir):
     df = spark.read.schema(st).parquet(f"{sf_dir}/documents.parquet")
     assert df.schema["doc_id"].dataType == T.LongType()
     assert df.count() > 0
+
+
+def test_struct_to_avro_round_trip_rich():
+    """struct → Avro → struct is the identity over the full supported
+    surface (nested record, array, map, decimal/date/timestamp logicals,
+    nullability at every level)."""
+    from avro_parquet_spark_example_spark.sources.avro_schema import (
+        struct_to_avro_schema,
+    )
+
+    original = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("name", T.StringType(), nullable=True),
+            T.StructField("price", T.DecimalType(12, 2), nullable=True),
+            T.StructField("day", T.DateType(), nullable=False),
+            T.StructField("at", T.TimestampType(), nullable=True),
+            T.StructField(
+                "tags", T.ArrayType(T.StringType(), containsNull=True), nullable=False
+            ),
+            T.StructField(
+                "props",
+                T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=False),
+                nullable=True,
+            ),
+            T.StructField(
+                "address",
+                T.StructType(
+                    [
+                        T.StructField("city", T.StringType(), nullable=False),
+                        T.StructField("zip", T.IntegerType(), nullable=True),
+                    ]
+                ),
+                nullable=True,
+            ),
+        ]
+    )
+    assert parse_avro_schema(struct_to_avro_schema(original, "Rich")) == original
+
+
+def test_struct_to_avro_widens_and_rejects():
+    from avro_parquet_spark_example_spark.sources.avro_schema import (
+        AvroSchemaError,
+        struct_to_avro_schema,
+    )
+
+    widened = struct_to_avro_schema(
+        T.StructType([T.StructField("b", T.ShortType(), nullable=False)])
+    )
+    assert widened["fields"][0]["type"] == "int"
+    try:
+        struct_to_avro_schema(
+            T.StructType(
+                [
+                    T.StructField(
+                        "m", T.MapType(T.IntegerType(), T.StringType()), nullable=False
+                    )
+                ]
+            )
+        )
+        raise AssertionError("int map keys must be rejected")
+    except AvroSchemaError:
+        pass

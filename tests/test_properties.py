@@ -91,3 +91,16 @@ def test_exact_dedup_idempotent_and_canonical(spark, texts):
     for i, t in rows:
         expected_groups.setdefault(t.lower().strip(), i)
     assert sorted(r.doc_id for r in once) == sorted(expected_groups.values())
+
+
+@given(avro_records())
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_struct_avro_struct_round_trip(schema):
+    """parse → export → parse is a fixpoint: the exported Avro schema
+    denotes exactly the StructType it was exported from."""
+    from avro_parquet_spark_example_spark.sources.avro_schema import (
+        struct_to_avro_schema,
+    )
+
+    first = parse_avro_schema(schema)
+    assert parse_avro_schema(struct_to_avro_schema(first, "Gen")) == first
