@@ -315,3 +315,51 @@ def text_scan_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out)
     )
     return spark.read.text(out)
+
+
+@register(
+    "layout_zorder_write",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 5000 AND l_partkey BETWEEN 100 AND 900
+    """,
+)
+def layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — Z-order clustered layout: interleave the bits of two filter
+    dimensions into one clustering key, then range-partition and sort the
+    files by it, so each file's parquet min/max stats cover a small
+    rectangle in (l_orderkey, l_partkey) space and a two-dimensional
+    filter skips row groups on BOTH dimensions — the OPTIMIZE ZORDER
+    technique from the lakehouse engines, expressed entirely with
+    built-ins (the 21-step interleave fold is whole-stage-codegen'd JVM
+    arithmetic, no Python). At 100 TB the write is one range-partition
+    shuffle sized by target file count, and the read opens only files
+    whose rectangle intersects the query box. The oracle checks the
+    filtered round-trip contents; the plan test asserts both predicates
+    reach the reader."""
+    out = _scratch("lineitem_zorder.parquet", sf_dir)
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z = F.expr(
+        """
+        aggregate(sequence(0, 20), 0L, (acc, i) ->
+            acc
+            | shiftleft(shiftright(l_orderkey, i) & 1L, 2 * i)
+            | shiftleft(shiftright(l_partkey, i) & 1L, 2 * i + 1))
+        """
+    )
+    (
+        src.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_orderkey").between(1000, 5000))
+        .filter(F.col("l_partkey").between(100, 900))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )

@@ -98,6 +98,14 @@ def test_sample_fraction_bounds(spark, sf_dir):
     assert 0.05 * total < n1 < 0.15 * total
 
 
+def test_zorder_read_pushes_both_dimensions(spark, sf_dir):
+    """A8 — both dimensions of the box filter reach the parquet reader of
+    the z-ordered layout (row-group skipping needs them in PushedFilters)."""
+    df = get_query("layout_zorder_write").fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_orderkey" in pf and "l_partkey" in pf, pf
+
+
 def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
     """E10b — each language stratum lands near its own target fraction and
     the whole sample is seed-stable."""
