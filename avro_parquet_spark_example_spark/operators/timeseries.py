@@ -119,3 +119,62 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("close").isNotNull().alias("observed"),
         )
     )
+
+
+@register(
+    "ts_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT s.user_id,
+               MAX(CASE WHEN e.ts > s.signup_ts
+                         AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS converted
+        FROM s
+        LEFT JOIN events e
+               ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        GROUP BY s.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 4) AS conversion_rate
+    FROM c
+    """,
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over the event stream: of the users who signed up,
+    how many purchased within 7 days AFTER their first signup. One shuffle
+    for the per-user first-signup aggregate, one key-partitioned join
+    against the purchase sub-stream (filter pushed to the scan), one
+    per-user flag aggregate, then a 1-row combine — every stage keyed on
+    user_id, so at 100 TB the funnel is embarrassingly key-parallel with
+    map-side partials. The integer flag sum and a rounded ratio keep the
+    hash check exact cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    flags = (
+        signup.join(
+            purchase,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("int")).alias("converted"))
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
+    )
