@@ -178,3 +178,48 @@ def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("n_converted"),
         F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
     )
+
+
+@register(
+    "ts_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(DATE_DIFF('day', f.cohort_week,
+                          CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7 AS INT)
+             AS week_n,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their first
+    event, counted distinct in each subsequent activity week. The per-user
+    first-event aggregate and the cohort⋈activity join are both keyed on
+    user_id (one shuffle each, map-side partials); the final
+    (cohort, week) distinct-count re-keys onto the small cohort-grid
+    domain. Both engines truncate weeks to Monday, so the day-difference
+    is exactly divisible by 7 and the integer week index is exact."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first, F.col("f_user") == F.col("user_id"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
