@@ -273,6 +273,11 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+#: Per-language keep probabilities for ``sample_stratified`` — the single
+#: source of truth the fraction-bound test imports.
+STRATIFIED_FRACTIONS = {"en": 0.2, "es": 0.5, "zh": 0.5, "de": 0.8, "fr": 0.8}
+
+
 @register("sample_stratified")  # sampling is engine-specific → rows-only check
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10b — seeded stratified sample over documents: a different keep
@@ -282,6 +287,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no stratum-size driver lookup, reproducible for a fixed
     seed. Membership is engine-specific so the driver check is
     rows-only; tests bound each stratum's realized fraction."""
-    fractions = {"en": 0.2, "es": 0.5, "zh": 0.5, "de": 0.8, "fr": 0.8}
     d = load(spark, sf_dir, "documents")
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    return d.sampleBy("lang", STRATIFIED_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "source"
+    )

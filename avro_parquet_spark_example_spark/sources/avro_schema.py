@@ -31,6 +31,7 @@ and ``spark.read.format("avro")`` composes with everything here.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import types as T
@@ -179,31 +180,56 @@ _TO_AVRO_PRIMITIVES: dict[type, str] = {
 }
 
 
+_AVRO_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def struct_to_avro_schema(st: T.StructType, name: str = "record") -> dict:
     """Inverse bridge: Spark ``StructType`` → Avro record schema dict.
 
     Completes the reference's round trip (its write path derived the Parquet
     file schema *from* the Avro schema via AvroSchemaConverter — SURVEY.md
     §0 step 2): an engine table's schema can be exported as the Avro contract
-    a producer writes against. ``parse_avro_schema(struct_to_avro_schema(s))
-    == s`` for every type both sides support; the lossy edges are narrow
-    integers (Byte/Short widen to Avro ``int``) and char/varchar (→
-    ``string``).
+    a producer writes against, so the output must be Avro-spec valid:
+    nested record names are sanitized and de-duplicated (a counter suffix
+    on collision — Avro forbids redefining a named type), and field names
+    that are not valid Avro identifiers are rejected rather than silently
+    mangled (mangling would break the round trip).
+
+    ``parse_avro_schema(struct_to_avro_schema(s)) == s`` for every type both
+    sides support; the lossy edges are narrow integers (Byte/Short widen to
+    Avro ``int``), char/varchar (→ ``string``), and ``NullType`` (exports as
+    the ``"null"`` primitive, whose field nullability flag does not survive).
     """
-    return _to_avro_record(st, name)
+    return _to_avro_record(st, name, set())
 
 
-def _to_avro_record(st: T.StructType, name: str) -> dict:
+def _record_name(candidate: str, seen: set) -> str:
+    name = re.sub(r"[^A-Za-z0-9_]", "_", candidate)
+    if not _AVRO_NAME_RE.match(name):
+        name = f"r_{name}"
+    base, n = name, 2
+    while name in seen:
+        name = f"{base}_{n}"
+        n += 1
+    seen.add(name)
+    return name
+
+
+def _to_avro_record(st: T.StructType, name: str, seen: set) -> dict:
     fields = []
     for f in st.fields:
-        ftype = _to_avro(f.dataType, f"{name}_{f.name}")
-        if f.nullable:
+        if not _AVRO_NAME_RE.match(f.name):
+            raise AvroSchemaError(f"field name is not a valid Avro name: {f.name!r}")
+        ftype = _to_avro(f.dataType, f"{name}_{f.name}", seen)
+        if f.nullable and ftype != "null":  # ["null","null"] is an invalid union
             ftype = ["null", ftype]
         fields.append({"name": f.name, "type": ftype})
-    return {"type": "record", "name": name, "fields": fields}
+    return {"type": "record", "name": _record_name(name, seen), "fields": fields}
 
 
-def _to_avro(dt: T.DataType, name: str) -> Any:
+def _to_avro(dt: T.DataType, name: str, seen: set) -> Any:
+    if isinstance(dt, T.NullType):
+        return "null"
     if type(dt) in _TO_AVRO_PRIMITIVES:
         return _TO_AVRO_PRIMITIVES[type(dt)]
     if isinstance(dt, (T.ByteType, T.ShortType)):
@@ -224,14 +250,14 @@ def _to_avro(dt: T.DataType, name: str) -> Any:
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if isinstance(dt, T.StructType):
-        return _to_avro_record(dt, name)
+        return _to_avro_record(dt, name, seen)
     if isinstance(dt, T.ArrayType):
-        items = _to_avro(dt.elementType, f"{name}_item")
+        items = _to_avro(dt.elementType, f"{name}_item", seen)
         return {"type": "array", "items": ["null", items] if dt.containsNull else items}
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise AvroSchemaError(f"Avro map keys must be strings, got {dt.keyType}")
-        values = _to_avro(dt.valueType, f"{name}_value")
+        values = _to_avro(dt.valueType, f"{name}_value", seen)
         return {
             "type": "map",
             "values": ["null", values] if dt.valueContainsNull else values,

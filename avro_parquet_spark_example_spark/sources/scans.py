@@ -331,25 +331,28 @@ def layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     files by it, so each file's parquet min/max stats cover a small
     rectangle in (l_orderkey, l_partkey) space and a two-dimensional
     filter skips row groups on BOTH dimensions — the OPTIMIZE ZORDER
-    technique from the lakehouse engines, expressed entirely with
-    built-ins (the 21-step interleave fold is whole-stage-codegen'd JVM
-    arithmetic, no Python). At 100 TB the write is one range-partition
-    shuffle sized by target file count, and the read opens only files
-    whose rectangle intersects the query box. The oracle checks the
-    filtered round-trip contents; the plan test asserts both predicates
-    reach the reader."""
+    technique from the lakehouse engines. The interleave is a flat
+    bitwise-OR of 62 shift terms built by a Python loop over Column
+    expressions (codegen-eligible — a higher-order ``aggregate`` fold
+    would run interpreted per row); 31 bits per key covers the full
+    int32 domain so the clustering never silently collapses at large
+    key ranges. At 100 TB the write is one range-partition shuffle
+    whose partition count is chosen from target file size (the constant
+    here stands in at test scale), and the read opens only files whose
+    rectangle intersects the query box. The oracle checks the filtered
+    round-trip contents; the plan test asserts both predicates reach
+    the reader."""
     out = _scratch("lineitem_zorder.parquet", sf_dir)
     src = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    z = F.expr(
-        """
-        aggregate(sequence(0, 20), 0L, (acc, i) ->
-            acc
-            | shiftleft(shiftright(l_orderkey, i) & 1L, 2 * i)
-            | shiftleft(shiftright(l_partkey, i) & 1L, 2 * i + 1))
-        """
-    )
+    z = F.lit(0).cast("long")
+    for i in range(31):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("l_orderkey"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("l_partkey"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
     (
         src.withColumn("z", z)
         .repartitionByRange(8, "z")

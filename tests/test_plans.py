@@ -109,8 +109,11 @@ def test_zorder_read_pushes_both_dimensions(spark, sf_dir):
 def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
     """E10b — each language stratum lands near its own target fraction and
     the whole sample is seed-stable."""
+    from avro_parquet_spark_example_spark.operators.windows import (
+        STRATIFIED_FRACTIONS as targets,
+    )
+
     df = get_query("sample_stratified").fn(spark, sf_dir)
-    targets = {"en": 0.2, "es": 0.5, "zh": 0.5, "de": 0.8, "fr": 0.8}
     totals = {
         r["lang"]: r["count"]
         for r in load(spark, sf_dir, "documents").groupBy("lang").count().collect()
