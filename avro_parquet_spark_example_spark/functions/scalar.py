@@ -92,12 +92,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * 0.123456, 2) AS scaled,
            ABS(l_discount - 0.05) AS abs_diff,
-           CEIL(l_quantity / 7.0) AS ceil_q,
-           FLOOR(l_quantity / 7.0) AS floor_q,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS floor_q,
            ROUND(LN(l_extendedprice), 6) AS ln_price,
            ROUND(POW(l_quantity, 1.5), 6) AS pow_q,
            ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
-           SIGN(l_discount - 0.05) AS sign_disc
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_disc
     FROM lineitem
     """,
 )

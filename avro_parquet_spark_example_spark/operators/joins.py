@@ -359,10 +359,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (asserted in tests/test_plans.py) — the pre-shuffle pattern that
     turns every subsequent fact⋈fact join at 100 TB into a zero-shuffle
     merge. The one-time bucketed write is the amortized cost."""
-    import re
+    from avro_parquet_spark_example_spark.sources.catalog import scratch_suffix
 
     scratch = "/tmp/avro_parquet_spark_example_spark_scratch"
-    suffix = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+    # injective per-sf_dir token — plain sanitization would alias e.g.
+    # '/data/sf0.01' and '/data/sf0_01' onto one bucketed table
+    suffix = scratch_suffix(sf_dir)
     names = {}
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bkt_{table}_{suffix}"

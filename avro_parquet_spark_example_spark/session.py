@@ -27,7 +27,9 @@ Config rationale:
 
 from __future__ import annotations
 
+import itertools
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -51,14 +53,27 @@ BUILD_CONFIGS: dict[str, str] = {
 }
 
 
+#: session wrapper → monotonic token. A WeakKeyDictionary (not ``id()``)
+#: so a dead session's token can never be reissued to a new session after
+#: CPython reuses the address — each wrapper gets a token exactly once,
+#: for life, and the entry vanishes with the wrapper.
+_SESSION_TOKENS: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+    weakref.WeakKeyDictionary()
+)
+_TOKEN_COUNTER = itertools.count()
+
+
 def session_key(spark: SparkSession) -> tuple[str, int]:
     """Stable cache-key component for a live session, used by the catalog
     and plan caches. Composite of the Spark application id (unique per
-    context — survives CPython address reuse after a context restart) and
-    the JVM session handle's id (distinguishes sibling sessions from
-    ``spark.newSession()``, which share one application id but must not
-    share session-scoped state)."""
-    return (spark.sparkContext.applicationId, id(spark._jsparkSession))
+    context — survives a context restart) and a monotonic per-wrapper token
+    (distinguishes sibling sessions from ``spark.newSession()``, which share
+    one application id but must not share session-scoped state)."""
+    token = _SESSION_TOKENS.get(spark)
+    if token is None:
+        token = next(_TOKEN_COUNTER)
+        _SESSION_TOKENS[spark] = token
+    return (spark.sparkContext.applicationId, token)
 
 
 def configure(spark: SparkSession) -> SparkSession:

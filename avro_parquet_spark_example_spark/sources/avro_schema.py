@@ -72,19 +72,37 @@ def parse_avro_schema(schema: str | dict | list) -> T.StructType:
     if isinstance(schema, str):
         schema = json.loads(schema)
     named: dict[str, T.DataType] = {}
-    dt = _translate(schema, named)
+    dt = _translate(schema, named, None)
     if not isinstance(dt, T.StructType):
         raise AvroSchemaError(f"top-level Avro schema must be a record, got {dt}")
     return dt
 
 
-def _translate(node: Any, named: dict[str, T.DataType]) -> T.DataType:
+def _resolve_ref(ref: str, named: dict[str, T.DataType], ns: str | None) -> T.DataType:
+    """Resolve a named-type reference per the Avro spec: a dotted name is a
+    fullname looked up as-is; a bare name resolves relative to the enclosing
+    namespace first, then the null namespace. Named types are registered
+    under fullname ONLY — two records sharing a simple name in different
+    namespaces stay distinct instead of the later silently shadowing the
+    earlier."""
+    if "." in ref:
+        if ref in named:
+            return named[ref]
+    else:
+        if ns and f"{ns}.{ref}" in named:
+            return named[f"{ns}.{ref}"]
+        if ref in named:  # null-namespace definition
+            return named[ref]
+    raise AvroSchemaError(f"unknown Avro type reference: {ref!r} (namespace {ns!r})")
+
+
+def _translate(
+    node: Any, named: dict[str, T.DataType], ns: str | None
+) -> T.DataType:
     if isinstance(node, str):
         if node in _PRIMITIVES:
             return _PRIMITIVES[node]
-        if node in named:  # reference to a previously defined named type
-            return named[node]
-        raise AvroSchemaError(f"unknown Avro type reference: {node!r}")
+        return _resolve_ref(node, named, ns)
 
     if isinstance(node, list):  # union
         non_null = [b for b in node if b != "null"]
@@ -92,7 +110,7 @@ def _translate(node: Any, named: dict[str, T.DataType]) -> T.DataType:
             raise AvroSchemaError(
                 f"only unions of one type with null are translatable, got {node!r}"
             )
-        return _translate(non_null[0], named)
+        return _translate(non_null[0], named, ns)
 
     if not isinstance(node, dict):
         raise AvroSchemaError(f"malformed Avro schema node: {node!r}")
@@ -112,48 +130,58 @@ def _translate(node: Any, named: dict[str, T.DataType]) -> T.DataType:
         return _PRIMITIVES[kind]
 
     if kind == "record":
+        fullname, inner_ns = _fullname_and_ns(node, ns)
         fields = []
-        fullname = _fullname(node)
         for f in node.get("fields", []):
             ftype = f["type"]
             nullable = _is_nullable(ftype)
             fields.append(
                 T.StructField(
                     f["name"],
-                    _translate(ftype, named),
+                    _translate(ftype, named, inner_ns),
                     nullable=nullable,
                     metadata={"doc": f["doc"]} if "doc" in f else None,
                 )
             )
         st = T.StructType(fields)
         if fullname:
-            named[fullname] = st
-            named[node["name"]] = st
+            _define(named, fullname, st)
         return st
 
     if kind == "array":
         items = node["items"]
-        return T.ArrayType(_translate(items, named), containsNull=_is_nullable(items))
+        return T.ArrayType(
+            _translate(items, named, ns), containsNull=_is_nullable(items)
+        )
 
     if kind == "map":
         values = node["values"]
         return T.MapType(
-            T.StringType(), _translate(values, named), valueContainsNull=_is_nullable(values)
+            T.StringType(),
+            _translate(values, named, ns),
+            valueContainsNull=_is_nullable(values),
         )
 
     if kind == "enum":
-        if fullname := _fullname(node):
-            named[fullname] = T.StringType()
-            named[node["name"]] = T.StringType()
+        fullname, _ = _fullname_and_ns(node, ns)
+        if fullname:
+            _define(named, fullname, T.StringType())
         return T.StringType()
 
     if kind == "fixed":
-        if fullname := _fullname(node):
-            named[fullname] = T.BinaryType()
-            named[node["name"]] = T.BinaryType()
+        fullname, _ = _fullname_and_ns(node, ns)
+        if fullname:
+            _define(named, fullname, T.BinaryType())
         return T.BinaryType()
 
     raise AvroSchemaError(f"untranslatable Avro type: {node!r}")
+
+
+def _define(named: dict[str, T.DataType], fullname: str, dt: T.DataType) -> None:
+    """Register a named type under its fullname; Avro forbids redefinition."""
+    if fullname in named:
+        raise AvroSchemaError(f"named type defined twice: {fullname!r}")
+    named[fullname] = dt
 
 
 def _is_nullable(node: Any) -> bool:
@@ -161,12 +189,21 @@ def _is_nullable(node: Any) -> bool:
     return isinstance(node, list) and "null" in node
 
 
-def _fullname(node: dict) -> str | None:
+def _fullname_and_ns(
+    node: dict, enclosing_ns: str | None
+) -> tuple[str | None, str | None]:
+    """Avro-spec naming: a dotted ``name`` is already a fullname (its own
+    ``namespace`` attribute is ignored); otherwise the effective namespace is
+    the node's ``namespace`` attribute if present, else the enclosing one.
+    Returns (fullname, namespace-for-children)."""
     name = node.get("name")
     if not name:
-        return None
-    ns = node.get("namespace")
-    return f"{ns}.{name}" if ns else name
+        return None, enclosing_ns
+    if "." in name:
+        ns = name.rsplit(".", 1)[0]
+        return name, ns
+    ns = node.get("namespace", enclosing_ns)
+    return (f"{ns}.{name}" if ns else name), ns
 
 
 _TO_AVRO_PRIMITIVES: dict[type, str] = {

@@ -200,3 +200,99 @@ def test_struct_to_avro_widens_and_rejects():
         raise AssertionError("int map keys must be rejected")
     except AvroSchemaError:
         pass
+
+
+def test_namespace_relative_resolution():
+    """Two records sharing a simple name in different namespaces stay
+    distinct; an unqualified reference resolves against the ENCLOSING
+    namespace (Avro spec), not a last-writer-wins bare-name table."""
+    import pytest
+
+    from avro_parquet_spark_example_spark.sources.avro_schema import (
+        AvroSchemaError,
+        parse_avro_schema,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "a",
+        "fields": [
+            {
+                "name": "first",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",  # a.Inner
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+            {
+                "name": "second",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",  # b.Inner — same simple name, other ns
+                    "namespace": "b",
+                    "fields": [{"name": "y", "type": "string"}],
+                },
+            },
+            # unqualified ref from namespace 'a' → must be a.Inner (x:int)
+            {"name": "ref_unqualified", "type": "Inner"},
+            # fullname refs hit either one explicitly
+            {"name": "ref_a", "type": "a.Inner"},
+            {"name": "ref_b", "type": "b.Inner"},
+        ],
+    }
+    st = parse_avro_schema(schema)
+    by_name = {f.name: f.dataType for f in st.fields}
+    assert by_name["ref_unqualified"] == by_name["first"]
+    assert by_name["ref_a"] == by_name["first"]
+    assert by_name["ref_b"] == by_name["second"]
+    assert by_name["ref_a"] != by_name["ref_b"]
+
+    # redefining a named type is an error, not a silent overwrite
+    dup = {
+        "type": "record",
+        "name": "Top2",
+        "fields": [
+            {
+                "name": "p",
+                "type": {"type": "record", "name": "Same", "fields": []},
+            },
+            {
+                "name": "q",
+                "type": {"type": "record", "name": "Same", "fields": []},
+            },
+        ],
+    }
+    with pytest.raises(AvroSchemaError):
+        parse_avro_schema(dup)
+
+
+def test_dotted_name_is_fullname():
+    """A dotted name attribute IS the fullname; children inherit its
+    namespace part (Avro spec: namespace attribute is ignored then)."""
+    from avro_parquet_spark_example_spark.sources.avro_schema import (
+        parse_avro_schema,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "com.example.Outer",
+        "namespace": "ignored.ns",
+        "fields": [
+            {
+                "name": "child",
+                "type": {
+                    "type": "record",
+                    "name": "Child",  # com.example.Child
+                    "fields": [{"name": "v", "type": "long"}],
+                },
+            },
+            {"name": "again", "type": "com.example.Child"},
+            {"name": "rel", "type": "Child"},
+        ],
+    }
+    st = parse_avro_schema(schema)
+    by_name = {f.name: f.dataType for f in st.fields}
+    assert by_name["again"] == by_name["child"]
+    assert by_name["rel"] == by_name["child"]

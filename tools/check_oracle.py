@@ -39,8 +39,10 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 == 3
+        # deliberately NOT collapsing 3.0 == 3: the driver's value hash is
+        # type-sensitive (round-1 fn_math failed on BIGINT-vs-DOUBLE render),
+        # so a local int/float divergence must surface as a failure here and
+        # be fixed by aligning output types on both engines.
         return repr(v)
     if isinstance(v, Decimal):
         f = float(v)
