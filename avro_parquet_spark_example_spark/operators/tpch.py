@@ -4,9 +4,13 @@ The reference's whole query surface is "SQL over Avro/Parquet tables"
 (SURVEY.md §0 step 4); Q1/Q3/Q5 shapes already anchor groups D and C. This
 module widens the integration surface with the remaining classic TPC-H
 query shapes expressible over the driver's star schema (no ``partsupp``
-table and no ``l_shipmode/l_commitdate`` columns exist, so Q2/Q4/Q9/Q11/
-Q12/Q16/Q19/Q20/Q21 are out of scope by data, not by engine capability —
-each would use the same join/agg/subquery primitives shown here).
+table and no ``l_shipmode/l_commitdate`` columns exist, so Q2/Q9/Q11/Q16/
+Q20 are out of scope by data, not by engine capability — each would use the
+same join/agg/subquery primitives shown here). Q4/Q19/Q21 carry query
+*shapes* the rest of the suite doesn't (EXISTS-then-aggregate, disjunctive
+OR-of-ANDs pushdown, multi-EXISTS self-join), so they appear as
+``tpch_q{4,19,21}_shape`` — the official predicate columns are swapped for
+ones the synthetic schema has, the plan shape is preserved.
 
 Date literals are adapted to the synthetic data's 1995–2001 range
 (FIXTURES.md). Every revenue SUM uses the exact-decimal ``dsum`` pattern
@@ -462,4 +466,160 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal", 4).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — order-priority checking: orders in one quarter with at
+    least one slow line, counted per priority. Official Q4's correlated
+    EXISTS compares l_commitdate < l_receiptdate (columns the synthetic
+    schema lacks); the adapted predicate "shipped >60 days after order"
+    keeps the exact plan shape: correlated EXISTS decorrelated to a
+    left-semi join on the order key, then aggregate. The semi-join's
+    correlated non-equi condition rides the equi-join (sort-merge/shuffle
+    on l_orderkey, the non-equi part evaluated post-match), so at 100 TB
+    this is one key-partitioned shuffle, never a nested loop."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle=f"""
+    SELECT {dsum_sql(rev_sql('l.'), 8, 2)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — discounted revenue, disjunctive predicates: three
+    brand/size/quantity bands OR-ed together across the join (official Q19
+    uses p_container and l_shipmode, absent here; bands preserved). The
+    planner splits the disjunction: common conjuncts per side are extracted
+    and pushed below the join (Catalyst's CNF conversion derives
+    ``p_brand IN (...)`` on the part scan and a quantity range on the
+    lineitem scan), so the broadcast-hash join sees pre-filtered inputs
+    instead of evaluating the full OR on the cross of both tables."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(band).agg(
+        dsum(_rev(), 8, round_to=2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers who kept orders waiting: the ONLY supplier on a
+    finished multi-supplier order whose line shipped late (official Q21's
+    "late" is l_receiptdate > l_commitdate; adapted to >90 days after the
+    order date). Both correlated EXISTS / NOT EXISTS self-joins on lineitem
+    collapse into ONE per-order aggregate pass — count distinct suppliers
+    and distinct LATE suppliers per order, then filter — replacing two
+    O(lines²) semi/anti self-joins with a single key-partitioned shuffle
+    that stays linear at 100 TB. Top-k with name tiebreak."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load(spark, sf_dir, "supplier")
+    lines = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn("is_late", (li.l_shipdate > F.date_add(F.col("o_orderdate"), 90)))
+    per_order = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late"),
+        # the oracle's COUNT(*) is over l1 LINES, so a supplier with several
+        # late lines on one order counts once per line — carry the count
+        F.sum(F.col("is_late").cast("int")).alias("n_late_lines"),
+    )
+    order_stats = per_order.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supps"),
+    )
+    # the waiting supplier: late itself, ≥2 suppliers on the order, and the
+    # only late one
+    culprit = (
+        per_order.filter(F.col("supp_late"))
+        .join(
+            order_stats,
+            (F.col("ok") == F.col("l_orderkey"))
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1),
+        )
+        .select("l_suppkey", "n_late_lines")
+    )
+    return (
+        culprit.join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
     )
