@@ -465,3 +465,54 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.30)
         .select("a", "b", F.round("cos_sim", 5).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, ARRAY_TO_STRING(w[i:i+3], ' ') AS g
+        FROM toks, UNNEST(RANGE(1, LEN(w) - 2)) AS t(i)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+    SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams
+    FROM grams
+    WHERE doc_id >= 20 AND g IN (SELECT g FROM eval_grams)
+    GROUP BY doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2e — benchmark-contamination detection: which corpus documents share
+    a 4-word n-gram with the held-out eval set (here: doc_id < 20 plays the
+    benchmark; in production it is the eval suite's text). The standard
+    decontamination pass before training.
+
+    Shape: shingle both sides (sequence + slice, JVM-side), explode, and
+    semi-join corpus grams against distinct eval grams. The eval side is
+    tiny by construction (benchmarks are ~MBs), so the join broadcasts and
+    the corpus side never shuffles its full shingle stream — per-doc
+    matches aggregate with map-side combine. At 100 TB the corpus leg is a
+    scan + broadcast-probe, linear and shuffle-light; only the matched
+    (doc, gram) pairs reach the exchange."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    # guard: Spark sequence(1, n) with n < 1 counts DOWN, not empty — short
+    # docs (<4 words) must yield zero shingles like DuckDB's RANGE does
+    shingles = F.when(
+        F.size(w) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 3),
+            lambda i: F.array_join(F.slice(w, i, 4), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(shingles).alias("g"))
+    eval_grams = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )

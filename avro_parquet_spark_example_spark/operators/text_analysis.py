@@ -351,3 +351,102 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "bigram", F.col("count").alias("cnt"))
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\d{3}[-.]?\d{3}[-.]?\d{4}', '[PHONE]', 'g'),
+             '\bcustomer\b', '[ENTITY]', 'g') AS redacted,
+           LEN(REGEXP_EXTRACT_ALL(text, '\bcustomer\b')) AS n_entity,
+           LEN(REGEXP_EXTRACT_ALL(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6f — PII scrubbing, the pre-release redaction pass every training
+    corpus needs: regex-mask emails, phone numbers, and a configurable
+    entity list (here the literal ``customer``, the one pattern the
+    synthetic corpus actually contains, so the op is exercised with real
+    hits). Pure ``regexp_replace`` chains — JVM regex, codegen'd, no Python;
+    at 100 TB this is an embarrassingly parallel map with zero shuffle.
+    Patterns stay in the RE2/Java common dialect so the DuckDB oracle
+    applies the identical semantics."""
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}[-.]?\d{3}[-.]?\d{4}"
+    entity = r"\bcustomer\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+        ),
+        entity,
+        "[ENTITY]",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(entity), 0)).alias("n_entity"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_email"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_freq
+        FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+           ROUND(top_freq * 1.0 / n_words, 6) AS top_word_frac,
+           (n_distinct * 1.0 / n_words < 0.3 OR top_freq * 1.0 / n_words > 0.2)
+             AS is_repetitive
+    FROM per_doc
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6g — repetition-based quality gate (the Gopher-rules shape):
+    distinct-word ratio and the most-frequent-word share flag boilerplate /
+    degenerate documents. explode → per-(doc, word) counts → per-doc
+    roll-up: two key-partitioned aggregations whose first shuffle is
+    map-side-combined, so rows entering the exchange are (doc, word)
+    partials, not raw tokens — at 100 TB that is the difference between
+    shuffling the corpus and shuffling its vocabulary profile."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_freq"),
+    )
+    distinct_ratio = F.col("n_distinct") * 1.0 / F.col("n_words")
+    top_frac = F.col("top_freq") * 1.0 / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        ((distinct_ratio < 0.3) | (top_frac > 0.2)).alias("is_repetitive"),
+    )

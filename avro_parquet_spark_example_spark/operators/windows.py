@@ -291,3 +291,48 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", STRATIFIED_FRACTIONS, seed=42).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "sample_train_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CASE
+                 WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+                   THEN 'train'
+                 WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM assigned GROUP BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (12:2:2 over the md5
+    hex space of the primary key) — the reproducible assignment every
+    training pipeline needs: stable under reruns, re-partitioning, and
+    incremental ingestion (a document's split NEVER changes when other rows
+    arrive, unlike fraction sampling). md5 renders identical hex in Spark
+    and DuckDB, so assignment is verified cross-engine. Pure per-row hash:
+    no shuffle for the assignment itself; the summary here is one
+    map-side-combined aggregate."""
+    d = load(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
