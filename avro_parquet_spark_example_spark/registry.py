@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.simsearch",
     "avro_parquet_spark_example_spark.operators.multimodal",
     "avro_parquet_spark_example_spark.operators.text_analysis",
+    "avro_parquet_spark_example_spark.operators.clustering",
 ]
 
 _LOADED = False

@@ -232,3 +232,61 @@ def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("win_start"), "n")
     )
     return run_to_table(agg, "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           EPOCH_US(p.ts) - EPOCH_US(v.ts) AS us_between
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — watermarked stream⋈stream inner join: every purchase within 30
+    minutes after a view by the same user, both sides live streams. The
+    time-band condition plus 1-hour watermarks lets Structured Streaming
+    EVICT state: a buffered view can stop waiting once the purchase-side
+    watermark passes view.ts + 30 min, so state is bounded by (rate ×
+    window), not by history — the property that makes an unbounded
+    100 TB/day join feasible. On the bounded replay the emitted pairs must
+    equal the batch join, which is what the oracle checks."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("us_between"),
+    )
+    return run_to_table(joined, "append")
