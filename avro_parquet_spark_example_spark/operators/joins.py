@@ -484,3 +484,48 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "asof_click_ts")
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — runtime bloom-filter join pruning: a selective dimension-side
+    filter (urgent 1997+ orders) is turned by Spark's InjectRuntimeFilter
+    rule into a ``bloom_filter_agg`` over the build keys and a
+    ``might_contain`` predicate ON THE FACT SCAN, so lineitem rows for
+    non-qualifying orders die at the reader instead of crossing the
+    shuffle — at 100 TB the difference between shuffling the whole fact
+    table and shuffling ~the matching fraction. The MERGE hint keeps the
+    join a sort-merge (broadcast joins don't need the bloom path; at real
+    scale the filtered orders side exceeds any broadcast threshold).
+    Injection fires when the probe scan crosses
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold`` (10 GiB
+    default — always true at target scale; asserted with a lowered
+    threshold in tests/test_plans.py since local data is small). Results
+    are plan-invariant, so the oracle checks this like any join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.hint("merge")
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -188,3 +188,33 @@ def test_q8_single_aggregation_pass(spark, sf_dir):
     # lineitem scan would mean the ratio was planned as a self-join.
     assert tree.count("Scan parquet") == 8
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_bloom_filter_injects_on_fact_scan(spark, sf_dir):
+    """C11 — with scale-representative thresholds (the probe side of a real
+    deployment always exceeds 10 GiB) Spark's InjectRuntimeFilter must turn
+    the selective orders filter into a might_contain() pruning predicate on
+    the lineitem side. Thresholds are lowered only inside this test because
+    local test data is tiny; plan shape is what's asserted."""
+    conf = spark.conf
+    prev_scan = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = get_query("join_bloom_pruned").fn(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        assert "bloom_filter_agg" in optimized
+        assert "SortMergeJoin" in physical_operators(df)
+    finally:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
