@@ -85,6 +85,11 @@ def kmeans_fit(
     smallest ids (stable across runs and partitionings). Returns
     (centroids, iterations_run)."""
     first = vectors.orderBy("vec_id").limit(k).collect()
+    if not first:
+        raise ValueError("kmeans_fit: input has no rows")
+    # fewer rows than k → fit the clusters the data can support (keeps
+    # _recompute's k-sized slot math consistent with len(centroids))
+    k = min(k, len(first))
     dim = len(first[0]["embedding"])
     centroids = [[round(float(x), 9) for x in r["embedding"]] for r in first]
     iters = 0

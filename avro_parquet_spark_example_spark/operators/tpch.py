@@ -501,7 +501,9 @@ def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(
             li,
             (li.l_orderkey == o.o_orderkey)
-            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            # timestamp + interval (NOT date_add, which truncates to date and
+            # would diverge from the oracle on non-midnight timestamps)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -593,7 +595,10 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(
         o.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
-    ).withColumn("is_late", (li.l_shipdate > F.date_add(F.col("o_orderdate"), 90)))
+    ).withColumn(
+        "is_late",
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
     per_order = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("supp_late"),
         # the oracle's COUNT(*) is over l1 LINES, so a supplier with several

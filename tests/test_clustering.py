@@ -82,3 +82,14 @@ def test_cluster_kmeans_query_shape(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= K
     assert df.columns == ["cluster", "n_vectors", "mean_sq_dist"]
+
+
+def test_kmeans_fewer_rows_than_k(spark, vectors):
+    """k shrinks to the row count instead of crashing; empty input raises."""
+    import pytest
+
+    small = vectors.limit(3)
+    centroids, _ = kmeans_fit(small, k=8, max_iters=2)
+    assert len(centroids) == 3
+    with pytest.raises(ValueError):
+        kmeans_fit(vectors.limit(0))
