@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+)
 from avro_parquet_spark_example_spark.operators.dedup import (
     connected_components,
     keep_first_per_text,
@@ -129,3 +133,58 @@ class Engine:
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
+
+    def cluster(
+        self,
+        df: DataFrame,
+        k: int = 8,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """(id, cluster, sq_dist) via iterative k-means; only the k×dim
+        centroids ever reach the driver (operators/clustering.py)."""
+        vectors = df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        centroids, _ = kmeans_fit(vectors, k=k)
+        return assign_clusters(vectors, centroids).select(
+            F.col("vec_id").alias(id_col), "cluster", "sq_dist"
+        )
+
+    def redact_pii(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        extra_patterns: list[str] | None = None,
+    ) -> DataFrame:
+        """Mask emails/phones (plus caller-supplied regexes) in ``text_col``
+        — zero-shuffle regex map, the pre-release scrub pass."""
+        email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        phone = r"\d{3}[-.]?\d{3}[-.]?\d{4}"
+        out = F.regexp_replace(
+            F.regexp_replace(F.col(text_col), email, "[EMAIL]"), phone, "[PHONE]"
+        )
+        for pat in extra_patterns or []:
+            out = F.regexp_replace(out, pat, "[REDACTED]")
+        return df.withColumn(text_col, out)
+
+    def split(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        weights: tuple[int, int, int] = (12, 2, 2),
+    ) -> DataFrame:
+        """Append a deterministic ``split`` column (train/val/test) from the
+        md5 hex space of ``id_col`` — stable under reruns and ingestion,
+        unlike fraction sampling. ``weights`` partition the 16 hex buckets."""
+        t, v, s = weights
+        if t + v + s != 16 or min(t, v, s) < 1:
+            raise ValueError("weights must be ≥1 each and sum to 16")
+        hexchars = "0123456789abcdef"
+        first_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+        split = (
+            F.when(first_hex.isin(*hexchars[:t]), "train")
+            .when(first_hex.isin(*hexchars[t : t + v]), "val")
+            .otherwise("test")
+        )
+        return df.withColumn("split", split)

@@ -52,3 +52,35 @@ def test_dedup_and_search(spark, sf_dir):
     assert len(rows) == 5
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cluster_redact_split(spark, sf_dir):
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    clustered = eng.cluster(eng.table("embeddings"), k=4)
+    assert clustered.columns == ["vec_id", "cluster", "sq_dist"]
+    n_clusters = clustered.select("cluster").distinct().count()
+    assert 1 <= n_clusters <= 4
+    assert clustered.count() == eng.table("embeddings").count()
+
+    docs = eng.table("documents")
+    red = eng.redact_pii(docs, extra_patterns=[r"\bcustomer\b"])
+    assert red.filter(red.text.contains("[REDACTED]")).count() > 0
+    # default patterns leave PII-free text unchanged
+    assert eng.redact_pii(docs).selectExpr("sum(length(text))").collect()[0][
+        0
+    ] == docs.selectExpr("sum(length(text))").collect()[0][0]
+
+    sp = eng.split(docs)
+    counts = dict(sp.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    # deterministic: same assignment on recompute
+    assert sp.exceptAll(eng.split(docs)).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.split(docs, weights=(10, 3, 2))
