@@ -336,3 +336,39 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS biggest,
+           LAST_VALUE(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS smallest,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b — value window functions: first_value / last_value / nth_value /
+    cume_dist per customer by order size. last_value needs the explicit
+    unbounded-following frame on BOTH engines (the default frame stops at
+    CURRENT ROW, where last_value degenerates to the current row); the
+    ordering carries the PK tiebreak like every window in the engine."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("biggest"),
+        F.last("o_totalprice").over(w_full).alias("smallest"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

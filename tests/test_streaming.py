@@ -71,3 +71,37 @@ def test_stream_queries_run_on_testdata(spark, sf_dir):
     # event_id is unique in the driver data → dedup preserves every row
     batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == batch_n
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The 100 TB/day state-store provider (SCALING.md §Streaming): the same
+    stateful plan over RocksDB must produce the identical final state as
+    the default HDFS-backed provider. RocksDB keeps state off-heap+on-disk,
+    so executor memory stops bounding watermark horizons at scale; this
+    asserts the swap is semantics-free (and that the provider actually
+    loads in this Spark build)."""
+    from avro_parquet_spark_example_spark.streaming.stateful import (
+        read_events_stream,
+        run_to_table,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    agg = lambda: run_to_table(  # noqa: E731
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    ).collect()
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(tuple, agg()))
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    default = sorted(map(tuple, agg()))
+    assert rocks == default and len(rocks) == 5
