@@ -1,0 +1,96 @@
+"""10× scale-up measurement harness (SCALING.md §Measured scale-up).
+
+Synthesizes a 10× copy of the sf0.1 `documents` and `embeddings` tables in
+scratch (key-shifted unions — same value distributions, 10× rows), then
+times the round-2 curation/clustering operators at 1× vs 10× to verify the
+linear-scaling claims. Timings are warm (2nd run); output is one line per
+(operator, scale).
+
+Usage: python tools/scaleup_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SCALEUP_BASE", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/avro_parquet_spark_example_spark_scaleup"
+FACTOR = 10
+
+#: operators to time (all read only documents/embeddings)
+OPS = [
+    "text_pii_redact",
+    "text_repetition_filter",
+    "dedup_contamination",
+    "sample_train_test_split",
+    "cluster_kmeans",
+]
+
+
+def synthesize(spark) -> str:
+    """Write key-shifted ×FACTOR unions of documents/embeddings; link the
+    rest of the tables unchanged (the ops above don't read them)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"x{FACTOR}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+
+    big_docs = None
+    big_emb = None
+    for i in range(FACTOR):
+        d = docs.withColumn("doc_id", (F.col("doc_id") + F.lit(i * n_docs)))
+        e = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(i * n_emb)))
+        big_docs = d if big_docs is None else big_docs.unionByName(d)
+        big_emb = e if big_emb is None else big_emb.unionByName(e)
+    big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    open(marker, "w").close()
+    return out
+
+
+def time_op(fn, spark, sf_dir: str) -> tuple[float, int]:
+    fn(spark, sf_dir).collect()  # warm (plan cache + JIT + page cache)
+    t0 = time.time()
+    rows = fn(spark, sf_dir).collect()
+    return time.time() - t0, len(rows)
+
+
+def main() -> int:
+    from avro_parquet_spark_example_spark.registry import all_queries
+    from avro_parquet_spark_example_spark.session import get_session
+
+    spark = get_session(shuffle_partitions=32)
+    big = synthesize(spark)
+    qs = all_queries()
+    for name in OPS:
+        t1, r1 = time_op(qs[name], spark, BASE)
+        t10, r10 = time_op(qs[name], spark, big)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {FACTOR}x {t10:.2f}s "
+            f"({r10} rows) | ratio {t10 / max(t1, 1e-9):.1f}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
