@@ -185,3 +185,180 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("score", 5).alias("score"))
     )
+
+
+# -- Product quantization (PQ) ------------------------------------------
+
+PQ_M = 8  #: subspaces (64 dims → 8 × 8-dim)
+PQ_SUBDIM = 8
+PQ_K = 16  #: centroids per subspace → 4-bit codes, 32× memory vs float32
+PQ_RERANK = 100  #: exact-rerank candidate pool
+
+
+def pq_train_codebooks(
+    e: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = 3,
+    sample_rows: int = 4096,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (FAISS-style PQ training). All m
+    subspaces train JOINTLY: rows explode to (vec_id, j, subvector) once,
+    each Lloyd's iteration is ONE distributed job (assignment via per-j
+    literal-centroid distance expressions, update via a single
+    (j, cluster, dim) mean aggregate), so the loop costs iterations × 2
+    jobs — not m × iterations — and driver traffic stays m × k × subdim
+    doubles (4 KB) per round regardless of corpus size. Few iterations
+    suffice: codebooks need to cover the subspace, not converge."""
+    # bounded deterministic training sample (TakeOrdered — k rows cross the
+    # cluster, not the corpus); codebook quality needs coverage, not volume
+    e = e.orderBy("vec_id").limit(sample_rows)
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("embedding", j * subdim + 1, subdim).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sub").alias("sub"))
+
+    # deterministic init: subspace slices of the k lowest-id vectors
+    first = e.orderBy("vec_id").limit(k).collect()
+    if len(first) < k:
+        raise ValueError(f"PQ training needs ≥{k} vectors")
+    books = [
+        [
+            [round(float(x), 9) for x in r["embedding"][j * subdim : (j + 1) * subdim]]
+            for r in first
+        ]
+        for j in range(m)
+    ]
+
+    for _ in range(iters):
+        # the m codebooks as ONE nested literal; each row indexes its
+        # subspace's 16 centroids with element_at and folds distances via
+        # transform/aggregate. The expression tree stays tiny (fast Janino
+        # compile each round); the folds run interpreted, which is fine
+        # because training reads a bounded sample by design (codebooks need
+        # coverage, not the corpus — the FAISS convention).
+        books_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+                for book in books
+            ]
+        )
+        cents = F.element_at(books_lit, F.col("j") + 1)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("sub"), c, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        assigned = subs.select(
+            "j",
+            "sub",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("c"),
+        )
+        rows = (
+            assigned.select("j", "c", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("j", "c", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = [[list(books[j][c]) for c in range(k)] for j in range(m)]
+        for r in rows:
+            new[r["j"]][r["c"]][r["dim"]] = round(r["mean"], 9)
+        books = new
+    return books
+
+
+def _sq_dist_flat(vec_col: Column, offset: int, centroid: list[float]) -> Column:
+    """Flat (HOF-free) squared distance from ``vec_col[offset:offset+len]``
+    to a literal centroid — pure arithmetic that stays inside whole-stage
+    codegen, for the full-corpus encode path (interpreted HOF folds would
+    cost ~100× on billions of rows; see the MinHash note in SCALING.md)."""
+    terms = [
+        (F.element_at(vec_col, offset + d + 1).cast("double") - c) ** 2
+        for d, c in enumerate(centroid)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def pq_encode(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """vectors → (vec_id, embedding, codes array<int>): per subspace, the id
+    of the nearest codebook centroid. All m × k distances are FLAT codegen
+    arithmetic in ONE projection — a single scan encodes the corpus; at
+    100 TB the 8-byte codes are what you persist and serve from."""
+    code_cols = []
+    for j, book in enumerate(books):
+        dists = F.array(
+            *[_sq_dist_flat(F.col("embedding"), j * PQ_SUBDIM, c) for c in book]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return e.select("vec_id", "embedding", F.array(*code_cols).alias("codes"))
+
+
+@register("simsearch_pq_topk")
+def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4b — PQ + asymmetric distance + exact re-rank: the memory-bound ANN
+    tier. Vectors are compressed to m=8 4-bit codes (32× smaller than
+    float32); the query builds an m × k lookup table of subspace distances
+    driver-side (512 doubles), approximate distance is a sum of m
+    element_at lookups (no float math per dimension), the top-100 by ADC
+    re-rank with the exact dot product, and the top-10 of those return.
+    At 100 TB: codes for 10⁹ vectors fit in ~8 GB (memory-resident where
+    raw vectors never could be), the table is a broadcast literal, and the
+    scan+lookup is codegen'd — recall governed by (m, k, rerank pool),
+    asserted vs brute force in tests/test_simsearch.py."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train_codebooks(e)
+    encoded = pq_encode(e, books)
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    # ADC table: exact distance from the query's j-th slice to every centroid
+    table = [
+        [
+            sum(
+                (q[j * PQ_SUBDIM + d] - c[d]) ** 2 for d in range(PQ_SUBDIM)
+            )
+            for c in book
+        ]
+        for j, book in enumerate(books)
+    ]
+    lit_table = [F.array(*[F.lit(x) for x in row]) for row in table]
+    adc = sum(
+        (F.element_at(lit_table[j], F.element_at("codes", j + 1) + 1))
+        for j in range(PQ_M)
+    )
+    candidates = (
+        encoded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("approx_dist", adc)
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    qvec = F.array(*[F.lit(x) for x in q])
+    return (
+        candidates.withColumn(
+            "score", F.round(dot_product(F.col("embedding"), qvec), 5)
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "score")
+    )

@@ -66,3 +66,35 @@ def test_ivf_subset_of_cell(spark, sf_dir):
     assert 0 < len(res) <= 5
     scores = [r.score for r in res]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """H4b — PQ+ADC with exact re-rank must recover ≥0.8 of the true
+    top-10 (the re-rank pool makes the quantization error recoverable)."""
+    pq = {
+        r.vec_id
+        for r in get_query("simsearch_pq_topk").fn(spark, sf_dir).collect()
+    }
+    bf = [
+        r.vec_id
+        for r in get_query("simsearch_bruteforce_topk").fn(spark, sf_dir).collect()
+    ][:10]
+    assert len(pq & set(bf)) / 10 >= 0.8
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    """Codes are m small ints in [0, k)."""
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train_codebooks(e, iters=1, sample_rows=256)
+    rows = pq_encode(e, books).select("codes").limit(50).collect()
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
