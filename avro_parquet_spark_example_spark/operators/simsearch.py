@@ -1,18 +1,22 @@
 """Group H (similarity search) — ANN over the embeddings table
 (SURVEY.md §2 H3/H4).
 
-Three tiers, same interface (query vector → top-k neighbors):
+Five tiers, same interface (query vector → top-k neighbors):
 
   * brute-force — exact cosine top-k via JVM higher-order fold + Spark's
     TakeOrderedAndProject (per-partition top-k heaps, driver merges k
     rows — never a global sort). The correctness baseline and, at 100 TB,
     still the right plan for one-off queries: a single pruned scan.
-  * IVF — inverted-file: a coarse quantizer (here the given ``label``
-    cluster id; at scale, k-means centroid ids) partitions vectors; search
-    touches only the query's cell → scan prunes to ~1/n_cells of the data.
+  * IVF — inverted-file: a coarse quantizer (the given ``label`` cluster
+    id) partitions vectors; search touches only the query's cell → scan
+    prunes to ~1/n_cells of the data.
+  * IVF-kmeans — same, with a TRAINED coarse quantizer (the engine's
+    k-means) and nprobe>1 cells: the production IVF layout.
   * LSH — random-hyperplane signatures bucket vectors; candidates come from
     the query's bucket only. Bucketing is map-side; the probe is a
     broadcast-able filter. recall@k vs brute force asserted in tests.
+  * PQ — 4-bit × 8-subspace codes (32× memory), asymmetric-distance lookup
+    + exact re-rank: the memory-bound tier.
 
 Unit-norm embeddings (FIXTURES.md) ⇒ dot product == cosine similarity.
 """
@@ -358,6 +362,48 @@ def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.withColumn(
             "score", F.round(dot_product(F.col("embedding"), qvec), 5)
         )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "score")
+    )
+
+
+@register("simsearch_ivf_kmeans_topk")
+def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4c — IVF with a TRAINED coarse quantizer: k-means centroids (not the
+    given label column) define the inverted cells, the production IVF
+    layout. nprobe=2: the query scores only vectors whose cell is one of
+    its 2 nearest centroids — recall beyond a single cell at 2/k of the
+    corpus cost (dial: nprobe up for recall, k up for pruning). At 100 TB
+    the cell id is the partition key of the lake layout, so nprobe cells ==
+    partition-pruned scans; centroids train on a bounded sample with the
+    engine's centroids-only loop. Exact re-rank inside the probed cells.
+    Iterative training ⇒ rows-only check; recall vs brute force asserted in
+    tests/test_simsearch.py."""
+    from avro_parquet_spark_example_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    nprobe = 2
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, _ = kmeans_fit(e, k=8, max_iters=6)
+    assigned = assign_clusters(e, centroids).select("vec_id", "embedding", "cluster")
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    # driver-side: the query's nprobe nearest cells (k tiny distances)
+    by_dist = sorted(
+        range(len(centroids)),
+        key=lambda c: sum((q[d] - centroids[c][d]) ** 2 for d in range(len(q))),
+    )
+    probe = by_dist[:nprobe]
+
+    qvec = F.array(*[F.lit(x) for x in q])
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("score", F.round(dot_product(F.col("embedding"), qvec), 5))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "score")

@@ -98,3 +98,17 @@ def test_pq_codes_shape(spark, sf_dir):
     for r in rows:
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """H4c — trained-quantizer IVF with nprobe=2 of 8 cells must recover
+    ≥0.6 of the true top-10 while scanning ~1/4 of the corpus."""
+    ivf = {
+        r.vec_id
+        for r in get_query("simsearch_ivf_kmeans_topk").fn(spark, sf_dir).collect()
+    }
+    bf = [
+        r.vec_id
+        for r in get_query("simsearch_bruteforce_topk").fn(spark, sf_dir).collect()
+    ][:10]
+    assert len(ivf & set(bf)) / 10 >= 0.6
