@@ -402,3 +402,34 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b — exact grouped percentiles (linear interpolation, the
+    quantile_cont / percentile_cont semantics both engines share). Exact
+    percentile is a sort-based aggregate: fine per group here, but at
+    100 TB the scale path is ``approx_percentile`` (t-digest-style
+    mergeable sketch, map-side combinable, no per-group sort) — the same
+    trade already made by agg_approx_distinct vs agg_distinct; this
+    operator is the exact twin the sketch is validated against."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ],
+    )

@@ -1,0 +1,316 @@
+"""Training-corpus curation operators, part 2 — the export-side half of the
+pipeline (SURVEY.md §2 H6/H7 extensions).
+
+Round 1 covered the *filtering* half (quality gates, PII, dedup); this
+module adds the *assembly* half a 100 TB training-data pipeline needs once
+the corpus is clean: chunking long documents into model-window pieces,
+packing short ones into fixed token budgets, deterministic seeded global
+shuffle + sharding for the final export, domain/language mixture
+downsampling, and resolving near-dup candidate PAIRS into connected
+components so exactly one canonical doc per cluster survives.
+
+Every operator here is deterministic and SQL-expressible, so each carries a
+DuckDB oracle — including the connected-components op, whose oracle is a
+recursive CTE computing the transitive closure that the Spark side reaches
+by iterative min-label propagation.
+
+Scale notes are per-operator; the common theme is that nothing here needs a
+global single-partition stage: chunking/packing/mixture are per-key window
+or map-only plans, the shuffle-shard op partitions BY the shard key it
+derives, and CC propagates labels via key-partitioned joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.dedup import (
+    connected_components,
+    neardup_jaccard,
+)
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+#: Chunking geometry: model-window-sized pieces with overlap so no span of
+#: CHUNK - STRIDE chars is ever split across a boundary without context.
+CHUNK = 200
+STRIDE = 150
+
+#: Sequence-packing token budget (a stand-in for the model context length).
+PACK_BUDGET = 512
+
+#: Seed baked into the deterministic shuffle key.
+SHUFFLE_SEED = 42
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CASE WHEN LEN(text) <= {CHUNK} THEN 1
+                    ELSE 1 + CAST(CEIL((LEN(text) - {CHUNK}) / {STRIDE}.0) AS BIGINT)
+               END AS n_chunks
+        FROM documents
+    )
+    SELECT d.doc_id,
+           r.range AS chunk_id,
+           SUBSTR(d.text, 1 + CAST(r.range AS INT) * {STRIDE}, {CHUNK}) AS chunk,
+           CAST(LEN(SUBSTR(d.text, 1 + CAST(r.range AS INT) * {STRIDE}, {CHUNK}))
+                AS BIGINT) AS chunk_len
+    FROM d, RANGE(0, 64) r
+    WHERE r.range < d.n_chunks
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6h — sliding-window document chunking (CHUNK=200 chars, STRIDE=150,
+    so consecutive chunks overlap by 50): the standard long-document →
+    model-window split. Implemented as ``explode(sequence(0, n_chunks-1))``
+    + ``substring`` — all JVM builtins, whole-stage codegen, and a map-only
+    plan: zero shuffles, so at 100 TB it scales with scan bandwidth alone
+    and chunk counts per task stay bounded by the row's own length.
+    ``sequence`` end is ``n_chunks-1 >= 0`` by construction (Spark's
+    sequence counts DOWN for end < start — guarded here by the CASE).
+    The oracle cross-joins a bounded RANGE table and filters to the same
+    per-row chunk count."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - CHUNK) / F.lit(float(STRIDE)))
+    )
+    return (
+        d.select("doc_id", "text", n_chunks.cast("bigint").alias("n_chunks"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"substring(text, CAST(1 + chunk_id * {STRIDE} AS INT), {CHUNK})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens
+    FROM placed
+    GROUP BY lang, CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6i — sequence packing by concatenation: within each language stream,
+    documents are laid end-to-end in doc_id order and each doc is assigned
+    to the PACK_BUDGET-token bin its start offset falls in (the
+    concatenate-then-cut packing used to fill model context windows without
+    padding waste). One running-sum window per lang partition (map-side
+    running state, no extra shuffle beyond the partitionBy) feeds one
+    map-side-combined aggregation. At 100 TB the lang partition is too
+    coarse for full parallelism — production subpartitions by
+    (lang, shard = hash(doc_id) % K) and packs per shard, the identical
+    plan shape; the window itself never needs a global order."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("cum", F.sum("n_tok").over(w))
+    bin_ = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(PACK_BUDGET)))
+    return (
+        placed.select("lang", bin_.cast("bigint").alias("bin"), "n_tok")
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@register(
+    "shuffle_seeded_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               MD5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id,
+           SUBSTR(shuffle_key, 1, 1) AS shard,
+           shuffle_key,
+           ROW_NUMBER() OVER (PARTITION BY SUBSTR(shuffle_key, 1, 1)
+                              ORDER BY shuffle_key, doc_id) AS rank_in_shard
+    FROM keyed
+    """,
+)
+def shuffle_seeded_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6j — deterministic seeded global shuffle + sharding, the final
+    export step of a training pipeline: key every doc with
+    ``md5(doc_id:seed)``, shard on the key's first hex digit (16 shards
+    here; production widens the prefix), and order within each shard by the
+    key. Re-running with the same seed reproduces the exact byte order —
+    the property that makes training runs resumable and ablations
+    comparable. Deliberately NO global row_number: ordering is
+    (shard, rank_in_shard), so the only shuffle is the hash partition by
+    shard and every shard sorts independently — at 100 TB this is
+    ``repartition(shard).sortWithinPartitions(key)`` feeding the writer,
+    with no single-partition stage anywhere."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
+    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", F.substring("shuffle_key", 1, 1)
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("rank_in_shard"),
+    )
+
+
+@register(
+    "mixture_downsample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang,
+               SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}'), 1, 1)
+                 < CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4'
+                             WHEN 'fr' THEN '4' ELSE '2' END AS kept
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS keep_ratio
+    FROM keyed
+    GROUP BY lang
+    """,
+)
+def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6k — deterministic data-mixture downsampling: each language gets a
+    target keep-fraction (en 8/16, de 4/16, fr 4/16, rest 2/16) applied by
+    comparing the doc's seeded md5 hex prefix against a per-lang cutoff
+    digit. Hash-threshold sampling instead of per-group row_number: the
+    keep/drop decision is a pure map on each row — no window, no shuffle,
+    no skew sensitivity when one domain holds 90% of the corpus — yet the
+    selected SET is exactly reproducible from (seed, cutoffs), which
+    row_number-based sampling only achieves after a per-group sort. The
+    aggregate here audits realized ratios against targets; the production
+    path keeps the filtered rows and writes them."""
+    d = load(spark, sf_dir, "documents")
+    digit = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))), 1, 1
+    )
+    cutoff = (
+        F.when(F.col("lang") == "en", "8")
+        .when(F.col("lang") == "de", "4")
+        .when(F.col("lang") == "fr", "4")
+        .otherwise("2")
+    )
+    keyed = d.select("lang", (digit < cutoff).alias("kept"))
+    return keyed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("keep_ratio"),
+    )
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.55
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 150),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS component,
+           (MIN(r) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2f — near-dup cluster resolution: the Jaccard candidate PAIRS from
+    ``neardup_jaccard`` become an undirected graph and each doc is labeled
+    with its connected component's minimum doc_id, so dedup can keep
+    exactly one canonical doc per cluster (pairwise output alone can't —
+    a~b, b~c must collapse to one survivor, not two). Spark side: the
+    shared ``connected_components`` min-label propagation (the same loop
+    dedup_minhash_lsh resolves its clusters with) — each round every node
+    takes
+    ``min(own label, neighbors' labels)`` via one key-partitioned
+    join + aggregate, with ``localCheckpoint`` truncating the growing
+    lineage per round; rounds needed = graph diameter. At 100 TB-scale
+    graphs the same loop runs with the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce") to collapse
+    long paths in O(log n) rounds — identical join shape per round. The
+    oracle computes the same fixpoint as a recursive-CTE transitive
+    closure."""
+    pairs = neardup_jaccard(spark, sf_dir).select("a", "b")
+    labeled = connected_components(pairs, max_iter=25)
+    nodes = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id"))
+    )
+    return nodes.join(
+        labeled, nodes["doc_id"] == labeled["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("component"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.multimodal",
     "avro_parquet_spark_example_spark.operators.text_analysis",
     "avro_parquet_spark_example_spark.operators.clustering",
+    "avro_parquet_spark_example_spark.operators.curation",
 ]
 
 _LOADED = False

@@ -1,0 +1,129 @@
+"""Property tests for the export-side curation operators
+(operators/curation.py): chunking reassembly, packing bin bounds, shuffle
+determinism/coverage, mixture ratio targets, and CC fixpoint validity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators import curation
+from avro_parquet_spark_example_spark.registry import get_query
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+
+def _run(name, spark, sf_dir):
+    return get_query(name).fn(spark, sf_dir)
+
+
+def test_chunks_reassemble_to_original(spark, sf_dir):
+    # Dropping each chunk's overlap tail and concatenating in chunk_id order
+    # must reproduce the original text exactly — no chars lost or duplicated.
+    chunks = _run("text_chunk_overlap", spark, sf_dir)
+    rebuilt = (
+        chunks.withColumn(
+            "piece",
+            F.expr(f"substring(chunk, 1, {curation.STRIDE})"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "piece"))).piece
+            ).alias("rebuilt")
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # The final chunk keeps its full tail (it is shorter than CHUNK), so the
+    # reassembly above can only differ if a middle chunk was misplaced;
+    # compare via startswith + length accounting.
+    joined = docs.join(rebuilt, "doc_id").select(
+        "doc_id",
+        (F.col("text") == F.col("rebuilt"))
+        | F.col("text").startswith(F.col("rebuilt")).alias("prefix_ok"),
+        (F.length("text") - F.length("rebuilt")).alias("tail_missing"),
+    )
+    bad = joined.filter(
+        ~F.col("text").startswith(F.col("rebuilt"))
+        | (F.length("rebuilt") > F.length("text"))
+    ).count()
+    assert bad == 0
+    # Tail shortfall is bounded by CHUNK - STRIDE (the last chunk's overlap
+    # has already been emitted by the previous chunk's stride window).
+    max_missing = (
+        docs.join(rebuilt, "doc_id")
+        .agg(F.max(F.length("text") - F.length("rebuilt")))
+        .collect()[0][0]
+    )
+    assert max_missing <= curation.CHUNK - curation.STRIDE
+
+
+def test_chunk_geometry(spark, sf_dir):
+    chunks = _run("text_chunk_overlap", spark, sf_dir)
+    # Every chunk ≤ CHUNK chars; every non-final chunk exactly CHUNK chars.
+    assert chunks.filter(F.col("chunk_len") > curation.CHUNK).count() == 0
+    w_max = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last"))
+    nonfinal = chunks.join(w_max, "doc_id").filter(F.col("chunk_id") < F.col("last"))
+    assert nonfinal.filter(F.col("chunk_len") != curation.CHUNK).count() == 0
+
+
+def test_pack_bins_cover_all_docs_and_respect_start_budget(spark, sf_dir):
+    packed = _run("pack_sequences", spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    # Every doc lands in exactly one bin: totals match the corpus.
+    total_docs = docs.count()
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == total_docs
+    tok_total = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("t")
+    ).collect()[0][0]
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == tok_total
+    # Bins are dense per lang: ids 0..max with no gaps (concatenation packing
+    # never skips a bin).
+    per_lang = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"), F.max("bin").alias("max_bin")
+    )
+    assert per_lang.filter(F.col("n_bins") != F.col("max_bin") + 1).count() == 0
+
+
+def test_shuffle_shards_deterministic_and_complete(spark, sf_dir):
+    a = _run("shuffle_seeded_shards", spark, sf_dir)
+    b = _run("shuffle_seeded_shards", spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    docs = load(spark, sf_dir, "documents")
+    assert a.count() == docs.count()
+    assert a.select("doc_id").distinct().count() == docs.count()
+    # Shards are hex digits; rank_in_shard is 1..shard_size per shard.
+    per_shard = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank_in_shard").alias("lo"),
+        F.max("rank_in_shard").alias("hi"),
+    )
+    assert per_shard.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_mixture_ratios_near_targets(spark):
+    # At sf0.01 (500 docs) realized hash-threshold ratios should sit near the
+    # configured per-lang targets (binomial noise bounds the gap); the fixture
+    # sf_dir is sf0.001 where per-lang counts are too small to test ratios.
+    rows = {
+        r["lang"]: r
+        for r in _run("mixture_downsample", spark, "/root/testdata/sf0.01").collect()
+    }
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.125}
+    for lang, tgt in targets.items():
+        got = rows[lang]["keep_ratio"]
+        assert abs(got - tgt) < 0.2, (lang, got, tgt)
+
+
+def test_cc_labels_are_a_valid_fixpoint(spark, sf_dir):
+    labels = _run("dedup_cluster_cc", spark, sf_dir)
+    pairs = get_query("neardup_jaccard").fn(spark, sf_dir).select("a", "b")
+    la = labels.select(F.col("doc_id").alias("a"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("component").alias("cb"))
+    # Fixpoint: every edge joins two nodes with the SAME component label.
+    mismatched = pairs.join(la, "a").join(lb, "b").filter(F.col("ca") != F.col("cb"))
+    assert mismatched.count() == 0
+    # Canonical member: each component's label equals its minimum doc_id and
+    # that doc is flagged is_canonical.
+    mins = labels.groupBy("component").agg(F.min("doc_id").alias("min_id"))
+    assert mins.filter(F.col("component") != F.col("min_id")).count() == 0
+    canon = labels.filter(F.col("is_canonical"))
+    assert canon.count() == labels.select("component").distinct().count()
