@@ -433,3 +433,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
         ],
     )
+
+
+@register("agg_approx_percentile")  # sketch estimates → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b — approx_percentile (Greenwald-Khanna sketch, accuracy 10000):
+    the 100 TB path for quantiles. The sketch is mergeable, so the
+    aggregation is map-side combinable and never sorts a group: partial
+    sketches stream out of each scan task and merge on the reduce side,
+    exactly like the HLL pair agg_approx_distinct/agg_distinct. Accuracy vs
+    the exact twin ``agg_percentiles`` is pinned by a pytest property
+    (relative error < 1e-3 at accuracy=10000)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(
+                F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)"), 4
+            ).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ],
+    )

@@ -450,3 +450,54 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_frac, 6).alias("top_word_frac"),
         ((distinct_ratio < 0.3) | (top_frac > 0.2)).alias("is_repetitive"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    scored AS (
+        SELECT toks.doc_id,
+               CAST(ROUND(LN(vocab.c * 1.0 / tot.t), 9) AS DECIMAL(18, 9)) AS lp
+        FROM toks JOIN vocab USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6l — corpus-trained unigram log-probability scoring, the shape of
+    perplexity-based quality filtering (CCNet-style: score each doc by its
+    average token log-likelihood under a language model; docs in the bad
+    tail get dropped or down-mixed). The "model" here is the corpus's own
+    unigram distribution so the op is closed over the test tables: one
+    map-side-combined vocab aggregation, a broadcast-sized vocab joined
+    back to the exploded token stream, one per-doc roll-up. At 100 TB the
+    vocab (vocabulary, not corpus, cardinality) still broadcasts, so the
+    scoring pass is scan-bound with a single doc-key shuffle. Per-token
+    log-probs are rounded to 9 decimals and summed as DECIMAL(18,9) so the
+    sum is order-independent and hash-identical across engines (the dsum
+    rule, see operators/aggregates.dsum)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lp = F.round(F.log(F.col("c") * 1.0 / F.col("t")), 9).cast("decimal(18,9)")
+    scored = toks.join(F.broadcast(vocab), "w").crossJoin(F.broadcast(total)).select(
+        "doc_id", lp.alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

@@ -127,3 +127,21 @@ def test_cc_labels_are_a_valid_fixpoint(spark, sf_dir):
     assert mins.filter(F.col("component") != F.col("min_id")).count() == 0
     canon = labels.filter(F.col("is_canonical"))
     assert canon.count() == labels.select("component").distinct().count()
+
+
+def test_approx_percentile_tracks_exact(spark):
+    # Sketch vs exact twin at sf0.01: relative error bounded by the sketch
+    # accuracy parameter (1/10000), far below 0.1% on 20k-row groups.
+    exact = {
+        r["l_returnflag"]: r
+        for r in _run("agg_percentiles", spark, "/root/testdata/sf0.01").collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in _run("agg_approx_percentile", spark, "/root/testdata/sf0.01").collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag in exact:
+        for col in ("p25", "p50", "p75", "p95"):
+            e, a = exact[flag][col], approx[flag][col]
+            assert abs(a - e) / e < 1e-3, (flag, col, e, a)

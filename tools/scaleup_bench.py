@@ -29,6 +29,10 @@ OPS = [
     "dedup_contamination",
     "sample_train_test_split",
     "cluster_kmeans",
+    "text_chunk_overlap",
+    "pack_sequences",
+    "shuffle_seeded_shards",
+    "mixture_downsample",
 ]
 
 
