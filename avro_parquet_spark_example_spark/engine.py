@@ -188,3 +188,37 @@ class Engine:
             .otherwise("test")
         )
         return df.withColumn("split", split)
+
+    def chunk(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        chunk: int = 200,
+        stride: int = 150,
+    ) -> DataFrame:
+        """(id, chunk_id, chunk, chunk_len) sliding-window pieces of each
+        document — map-only, zero shuffle (operators/curation.py)."""
+        from avro_parquet_spark_example_spark.operators.curation import (
+            chunk_documents,
+        )
+
+        return chunk_documents(
+            df, text_col=text_col, id_col=id_col, chunk=chunk, stride=stride
+        )
+
+    def shuffle_export(
+        self, df: DataFrame, id_col: str = "doc_id", seed: int = 42
+    ) -> DataFrame:
+        """Key rows with the deterministic seeded ``shuffle_key`` + 16-way
+        ``shard`` and return them repartitioned by shard, sorted by key
+        within each shard — ready for a sharded training-set write; re-runs
+        with the same seed reproduce the byte order exactly."""
+        from avro_parquet_spark_example_spark.operators.curation import (
+            shard_for_export,
+        )
+
+        keyed = shard_for_export(df, id_col=id_col, seed=seed)
+        return keyed.repartition("shard").sortWithinPartitions(
+            "shuffle_key", id_col
+        )

@@ -44,6 +44,52 @@ PACK_BUDGET = 512
 SHUFFLE_SEED = 42
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = CHUNK,
+    stride: int = STRIDE,
+) -> DataFrame:
+    """(id, chunk_id, chunk, chunk_len) sliding-window pieces of
+    ``text_col`` — map-only explode+substring, reused by the
+    ``text_chunk_overlap`` query and ``Engine.chunk``."""
+    n = F.length(text_col)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk) / F.lit(float(stride)))
+    )
+    return (
+        df.select(id_col, text_col, n_chunks.cast("bigint").alias("n_chunks"))
+        .select(
+            id_col,
+            text_col,
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(
+                f"substring({text_col}, CAST(1 + chunk_id * {stride} AS INT), {chunk})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
+    )
+
+
+def shard_for_export(
+    df: DataFrame, id_col: str = "doc_id", seed: int = SHUFFLE_SEED
+) -> DataFrame:
+    """Append the deterministic ``shuffle_key`` (md5 of id:seed) and its
+    16-way hex ``shard`` — the seeded-global-shuffle export keying, reused
+    by ``shuffle_seeded_shards`` and ``Engine.shuffle_export``."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.substring("shuffle_key", 1, 1)
+    )
+
+
 @register(
     "text_chunk_overlap",
     oracle=f"""
@@ -74,29 +120,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence counts DOWN for end < start — guarded here by the CASE).
     The oracle cross-joins a bounded RANGE table and filters to the same
     per-row chunk count."""
-    d = load(spark, sf_dir, "documents")
-    n = F.length("text")
-    n_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
-        F.lit(1) + F.ceil((n - CHUNK) / F.lit(float(STRIDE)))
-    )
-    return (
-        d.select("doc_id", "text", n_chunks.cast("bigint").alias("n_chunks"))
-        .select(
-            "doc_id",
-            "text",
-            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
-                "chunk_id"
-            ),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.expr(
-                f"substring(text, CAST(1 + chunk_id * {STRIDE} AS INT), {CHUNK})"
-            ).alias("chunk"),
-        )
-        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
-    )
+    return chunk_documents(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -181,12 +205,10 @@ def shuffle_seeded_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard and every shard sorts independently — at 100 TB this is
     ``repartition(shard).sortWithinPartitions(key)`` feeding the writer,
     with no single-partition stage anywhere."""
-    d = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
-    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
-        "shard", F.substring("shuffle_key", 1, 1)
+    keyed = shard_for_export(
+        load(spark, sf_dir, "documents").select("doc_id")
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return keyed.select(

@@ -84,3 +84,27 @@ def test_cluster_redact_split(spark, sf_dir):
 
     with pytest.raises(ValueError):
         eng.split(docs, weights=(10, 3, 2))
+
+
+def test_chunk_and_shuffle_export(spark, sf_dir):
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    docs = eng.table("documents")
+
+    chunks = eng.chunk(docs, chunk=100, stride=80)
+    assert chunks.columns == ["doc_id", "chunk_id", "chunk", "chunk_len"]
+    assert chunks.filter(chunks.chunk_len > 100).count() == 0
+    # every doc contributes at least its first chunk
+    assert chunks.select("doc_id").distinct().count() == docs.count()
+
+    out = eng.shuffle_export(docs.select("doc_id", "lang"))
+    assert {"shuffle_key", "shard"} <= set(out.columns)
+    assert out.count() == docs.count()
+    # same seed → identical keying; different seed → different order
+    again = eng.shuffle_export(docs.select("doc_id", "lang"))
+    assert out.exceptAll(again).count() == 0
+    other = eng.shuffle_export(docs.select("doc_id", "lang"), seed=7)
+    assert out.select("doc_id", "shuffle_key").exceptAll(
+        other.select("doc_id", "shuffle_key")
+    ).count() > 0
