@@ -366,3 +366,75 @@ def layout_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey").between(100, 900))
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     )
+
+
+@register(
+    "upsert_merge_keyed",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    upd AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                 AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 500 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                  THEN 'update'
+                WHEN b.o_orderkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def upsert_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — row-level MERGE semantics (the lakehouse ``MERGE INTO`` shape:
+    WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT), expressed as a
+    full-outer join on the key with per-column COALESCE and an action tag.
+    The update set mixes matched updates (keys % 100, repriced) and fresh
+    inserts (shifted keys). Physically this is one key-partitioned shuffle
+    join — broadcast when the update batch is small, sort-merge with AQE
+    skew handling otherwise; at 100 TB the production version prunes to the
+    partitions the update keys touch (join the update keys' partition values
+    first — dynamic file pruning) and rewrites only those files, which is
+    exactly what upsert_partition_overwrite demonstrates on the write side.
+    Repricing is computed in DECIMAL and rounded half-up before the double
+    cast so both engines render identical values."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    reprice = F.expr(
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))"
+        " * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)"
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", reprice.alias("o_totalprice"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    action = (
+        F.when(
+            F.col("u.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull(),
+            "update",
+        )
+        .when(F.col("b.o_orderkey").isNull(), "insert")
+        .otherwise("keep")
+    )
+    return b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        action.alias("action"),
+    )

@@ -290,3 +290,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("us_between"),
     )
     return run_to_table(joined, "append")
+
+
+@register(
+    "stream_incremental_resume",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — checkpoint-resume incremental ingest, the exactly-once contract
+    that makes streaming ETL restartable: half the events land in the source
+    directory and an AvailableNow run drains them into a Parquet sink; the
+    OTHER half lands and a SECOND run with the SAME checkpoint processes
+    only the new files. The sink must hold every event exactly once — the
+    checkpoint's file log is what prevents both reprocessing (duplicates)
+    and gaps. Oracle: the plain batch SELECT of the whole table. At 100 TB/
+    day this is the production ingest loop — each trigger processes the
+    file-log delta, so cost tracks arrival rate, not table size; idempotent
+    sink + checkpoint = end-to-end exactly-once."""
+    from avro_parquet_spark_example_spark.sources.catalog import scratch_suffix
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    base = os.path.join(SCRATCH, f"incr_{scratch_suffix(sf_dir)}")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    done = os.path.join(base, "_BOTH_BATCHES_DONE")
+
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        events = spark.read.parquet(table_path(sf_dir, "events")).select(*cols)
+        schema = events.schema
+
+        def stage(batch_df, tag: str) -> None:
+            tmp = os.path.join(base, f"tmp_{tag}")
+            batch_df.write.mode("overwrite").parquet(tmp)
+            for i, f in enumerate(sorted(os.listdir(tmp))):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, f), os.path.join(src, f"{tag}_{i}.parquet")
+                    )
+            shutil.rmtree(tmp)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        stage(events.filter(F.col("event_id") % 2 == 0), "batch1")
+        drain()
+        stage(events.filter(F.col("event_id") % 2 == 1), "batch2")
+        drain()  # same checkpoint → processes ONLY batch2's files
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).select(*cols)

@@ -105,3 +105,19 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     default = sorted(map(tuple, agg()))
     assert rocks == default and len(rocks) == 5
+
+
+def test_incremental_resume_exactly_once(spark, sf_dir):
+    # Run the op twice in-session: the second invocation finds the _DONE
+    # marker and must return the identical exactly-once sink — no dup rows,
+    # no gaps, all events present exactly once.
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    q = get_query("stream_incremental_resume").fn
+    first = q(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    assert first.count() == events.count()
+    assert first.select("event_id").distinct().count() == events.count()
+    again = q(spark, sf_dir)
+    assert again.count() == first.count()
