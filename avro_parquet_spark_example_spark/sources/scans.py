@@ -438,3 +438,61 @@ def upsert_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
         action.alias("action"),
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH dim AS (
+        SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+          AND EXTRACT(QUARTER FROM o_orderdate) = 1
+        GROUP BY 1
+    )
+    SELECT f.ship_month,
+           dim.n_orders,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+    FROM (SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month, l_quantity
+          FROM lineitem) f
+    JOIN dim ON f.ship_month = dim.month
+    GROUP BY f.ship_month, dim.n_orders
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — dynamic partition pruning: the fact table lands in scratch
+    partitioned by ship month (~83 directories), and the dim side is an
+    AGGREGATED month list (1997-Q1) whose filter can't be statically pushed
+    into the fact scan. Catalyst's DPP inserts a runtime subquery filter on
+    the partition column, so the fact scan reads 3 of 83 directories — the
+    star-schema pattern that at 100 TB turns a full-table scan into a
+    touched-partitions scan. tests/test_plans.py asserts ``dynamicpruning``
+    in the optimized plan and that the pruned scan reads fewer files than
+    the table holds."""
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    out = _scratch("lineitem_by_month.parquet", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "lineitem").select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"), "l_quantity"
+        ).write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") == 1)
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        fact.join(dim, fact["ship_month"] == dim["month"])
+        .groupBy("ship_month", "n_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -218,3 +218,14 @@ def test_bloom_filter_injects_on_fact_scan(spark, sf_dir):
             prev_scan,
         )
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """A10 — the dim-side runtime filter must reach the partitioned fact
+    scan as a dynamicpruning subquery, and the pruned scan must read only
+    the matching month directories."""
+    df = get_query("join_dpp_partitioned").fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    # the pruned scan must carry the partition filter on ship_month
+    assert "ship_month" in plan
