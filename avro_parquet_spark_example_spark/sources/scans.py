@@ -496,3 +496,58 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "matview_incremental_update",
+    oracle="""
+    SELECT event_type,
+           user_id % 10 AS cohort,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, user_id % 10
+    """,
+)
+def matview_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — incremental materialized-view maintenance by partial-aggregate
+    merge: a base aggregate over ~80% of events is materialized to scratch,
+    then the remaining ~20% arrive as a delta and the view is refreshed by
+    aggregating ONLY the delta and merging the two partials
+    (sum-of-counts / sum-of-sums) — the base rows are never rescanned. This
+    is the mergeability property every incremental ETL pipeline at 100 TB
+    relies on: refresh cost tracks the delta, not the table. Sums stay in
+    DECIMAL(30,4) through materialization and merge, so the refreshed view
+    is bit-identical to the full recompute the oracle runs (associativity
+    holds exactly in decimal, which double sums can't promise)."""
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    out = _scratch("events_matview.parquet", sf_dir)
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        F.col("value").cast("decimal(30,4)").alias("value"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "cohort").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        )
+
+    partial(events.filter(F.col("event_id") % 10 < 8)).write.mode(
+        "overwrite"
+    ).parquet(out)
+    base = spark.read.parquet(out)
+    delta = partial(events.filter(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "cohort")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sv"))
+        .select(
+            "event_type",
+            "cohort",
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )

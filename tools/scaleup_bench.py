@@ -33,6 +33,7 @@ OPS = [
     "pack_sequences",
     "shuffle_seeded_shards",
     "mixture_downsample",
+    "text_unigram_logprob",
 ]
 
 
