@@ -307,3 +307,37 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         (k % 10).alias("k_mod"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 1024 AS with_flag,
+           xor(event_id, user_id) AS id_xor,
+           (event_id & 1023) << 2 AS shifted_left,
+           event_id >> 3 AS shifted_right,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3b — bitwise scalar functions (AND/OR/XOR masks, shifts, popcount):
+    the flag-field and hash-manipulation toolkit (shard masks, bloom bit
+    probes, simhash distances all reduce to these). PySpark Column ``&``/
+    ``|`` are LOGICAL operators — bit math needs ``bitwiseAND``/
+    ``bitwiseOR``/``bitwiseXOR`` and the shift/bit_count functions (the
+    z-order interleave bug from round 1, now a registered demonstration).
+    All JVM-codegen'd scalar maps: zero shuffle at any scale."""
+    e = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(1024)).alias("with_flag"),
+        eid.bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.shiftleft(eid.bitwiseAND(F.lit(1023)), 2).alias("shifted_left"),
+        F.shiftright(eid, 3).alias("shifted_right"),
+        F.bit_count(eid).cast("bigint").alias("popcount"),
+    )

@@ -372,3 +372,47 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+           CAST(SUM(CAST(value AS DECIMAL(30,4)))
+                OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_1h_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS trailing_1h_n
+    FROM events
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — TIME-based window frames (RANGE BETWEEN over event-time
+    seconds, not ROWS): each event's trailing-1-hour sum and count per user
+    — the sliding-metric shape (rate limits, rolling spend) that row-count
+    frames can't express because event density varies. RANGE frames include
+    all peers at the same order value, so ties are deterministic without a
+    tiebreaker. Order key is epoch seconds floored identically in both
+    engines; the sum rides the DECIMAL(30,4) accumulator so frame-partial
+    sums are engine-identical. Same scale shape as every window here: one
+    hash partition by user, per-partition sort — at 100 TB user_id
+    cardinality gives full parallelism and AQE handles hot users."""
+    e = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", sec.alias("sec"), F.col("value").cast("decimal(30,4)").alias("v")
+    ).select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.sum("v").over(w).cast("double").alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
