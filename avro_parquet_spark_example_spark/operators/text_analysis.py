@@ -501,3 +501,46 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tok"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents
+    ),
+    postings AS (
+        SELECT tok,
+               COUNT(*) AS df,
+               ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:20], ',') AS posting_head
+        FROM toks GROUP BY tok
+    )
+    SELECT tok, df, posting_head FROM postings
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7b — inverted-index construction (token → sorted posting list +
+    document frequency), the index-build batch job behind corpus search and
+    the exact-match leg of dedup: explode to (doc, token), distinct, one
+    map-side-combined aggregation per token. Each token carries its df and
+    the FIRST SEGMENT of its sorted posting list (20 ids) — production
+    indexes store postings as chunked segments precisely because a high-df
+    token's full list is unbounded (a stop-token's posting list is the
+    corpus itself); truncating the sorted list is deterministic, unlike
+    sampling. At 100 TB the same plan emits (token, segment_no, ids) with
+    a secondary segment key — identical shuffle shape. Posting heads are
+    sorted and string-joined for deterministic cross-engine hashing."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+        ).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("posting_head"),
+    )
