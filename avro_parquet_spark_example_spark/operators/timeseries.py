@@ -223,3 +223,92 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_n")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "cdc_latest_compaction",
+    oracle="""
+    SELECT user_id, ts_us, value AS latest_value, n_changes
+    FROM (
+        SELECT user_id,
+               EPOCH_US(ts) AS ts_us,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts) DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5 — CDC log compaction (latest-wins): the events table read as a
+    changelog keyed by user, collapsed to each key's most recent record
+    (ts desc, event_id desc as the deterministic tiebreaker) plus its
+    change count — the read-side of upsert_merge_keyed, and the compaction
+    every CDC-fed lakehouse table needs periodically so read amplification
+    doesn't grow with the changelog. One window per key partition, no
+    global stage; at 100 TB the same rank-and-filter runs per partition of
+    the changelog (typically per day) and only touched keys rewrite.
+    Timestamps are compared as epoch microseconds — both engines truncate
+    the Parquet nanos to µs identically."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts_us", F.col("value").alias("latest_value"), "n_changes")
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           EPOCH_US(ts) AS valid_from_us,
+           LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY EPOCH_US(ts), event_id) AS valid_to_us,
+           value,
+           (LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY EPOCH_US(ts), event_id) IS NULL)
+             AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6 — slowly-changing-dimension type 2: turn a keyed changelog into
+    validity intervals ([valid_from, valid_to) per version, open-ended for
+    the current row) with one LEAD window per key — the standard
+    history-table build. Downstream, point-in-time lookups become a range
+    join on (key, as_of BETWEEN valid_from AND valid_to), the shape
+    join_range_band and join_asof_event already cover. Same single
+    key-partitioned window as every op in this family — no global sort at
+    any scale."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    lead_us = F.lead("valid_from_us").over(w)
+    return (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("valid_from_us"),
+            "value",
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "valid_from_us",
+            lead_us.alias("valid_to_us"),
+            "value",
+            lead_us.isNull().alias("is_current"),
+        )
+    )
