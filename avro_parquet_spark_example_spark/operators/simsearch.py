@@ -408,3 +408,48 @@ def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "score")
     )
+
+
+@register(
+    "vec_centroid_per_label",
+    oracle="""
+    WITH fixed AS (
+        SELECT label, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    )
+    SELECT label, pos,
+           SUM(v7) AS sum_v7,
+           COUNT(*) AS n,
+           ROUND(SUM(v7) / 1e7 / COUNT(*), 6) AS mean_val
+    FROM fixed
+    GROUP BY label, pos
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3b — per-label embedding centroids in long form (label, dimension,
+    sum/count/mean): the class-prototype computation behind centroid
+    classifiers, IVF cell refinement, and k-means' assignment step.
+    ``posexplode`` turns the vector column into (row, dim, value) triples so
+    the centroid is ONE map-side-combined aggregation keyed by
+    (label, dim) — the layout that scales, because no executor ever holds
+    more than a partition of scalars and the shuffle carries |labels|×dim
+    partials, not vectors. Elements are fixed-pointed to exact BIGINTs
+    (floor of value×1e7 — float32 carries ~7 significant digits) before
+    summing, so the cross-row sums are integer-exact and order-independent;
+    a double→DECIMAL cast is NOT used here because the two engines round
+    the 10th decimal of a double differently."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.sum("v7").alias("sum_v7"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v7") / F.lit(1e7) / F.count(F.lit(1)), 6).alias("mean_val"),
+    )
