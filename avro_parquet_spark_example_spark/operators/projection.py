@@ -128,3 +128,104 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.isNull().alias("is_building"),
         seg.eqNullSafe(F.lit("MACHINERY")).alias("nullsafe_mach"),
     ).filter(seg.isNull() | seg.isNotNull())
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'pk_unique' AS check_name,
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'custkey_not_null', COUNT(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'quantity_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'price_in_range', COUNT(*) FROM lineitem
+    WHERE l_extendedprice < 0 OR l_extendedprice > 1000000
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — declarative data-quality validation (the Deequ/dbt-test shape):
+    each constraint compiles to one aggregate — PK uniqueness via
+    count-minus-distinct, NOT NULL counts, referential integrity via a
+    LEFT ANTI join (never a full materialized join), and range predicates —
+    and the per-check violation counts union into one report. Every leg is
+    a map-side-combined aggregation or an anti join on the key, so the
+    whole suite costs one scan per table leg at any scale; at 100 TB this
+    runs as the pipeline's gate step, and a nonzero row blocks promotion.
+    The synthetic lineitem actually violates the composite-PK assumption
+    ((l_orderkey, l_linenumber) collides by construction), so the first
+    check demonstrably fires with a nonzero count while the other four
+    return 0 — both outcomes oracle-pinned."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("n"), F.lit(0)).alias("n_violations"),
+        )
+
+    pk = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("n")
+    )
+    nn = o.filter(F.col("o_custkey").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    fk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qty = li.filter(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("n"))
+    rng = li.filter(
+        (F.col("l_extendedprice") < 0) | (F.col("l_extendedprice") > 1000000)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        one("pk_unique", pk)
+        .unionByName(one("custkey_not_null", nn))
+        .unionByName(one("orders_fk_customer", fk))
+        .unionByName(one("quantity_positive", qty))
+        .unionByName(one("price_in_range", rng))
+    )
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS orderkey_distinct,
+           COUNT(*) - COUNT(l_quantity) AS quantity_nulls,
+           CAST(MIN(l_quantity) AS DOUBLE) AS quantity_min,
+           CAST(MAX(l_quantity) AS DOUBLE) AS quantity_max,
+           COUNT(DISTINCT l_returnflag) AS returnflag_distinct,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS price_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS price_max
+    FROM lineitem
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — table profiling (the ANALYZE TABLE statistics pass): row count,
+    per-column distincts, null counts, min/max — one single-scan multi-agg,
+    all map-side combinable except the exact distincts (which at 100 TB the
+    optimizer collects as HLL sketches instead — agg_approx_distinct is
+    that path; exact here so the oracle pins it). These are the stats
+    Catalyst's CBO and every partition-pruning decision feed on."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("orderkey_distinct"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("quantity_nulls"),
+        F.min("l_quantity").cast("double").alias("quantity_min"),
+        F.max("l_quantity").cast("double").alias("quantity_max"),
+        F.count_distinct("l_returnflag").alias("returnflag_distinct"),
+        F.min("l_extendedprice").cast("double").alias("price_min"),
+        F.max("l_extendedprice").cast("double").alias("price_max"),
+    )
