@@ -229,3 +229,43 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").cast("double").alias("price_min"),
         F.max("l_extendedprice").cast("double").alias("price_max"),
     )
+
+
+@register(
+    "diag_partition_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS rows_per_key
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           MIN(rows_per_key) AS min_rows,
+           MAX(rows_per_key) AS max_rows,
+           ROUND(AVG(rows_per_key), 4) AS avg_rows,
+           ROUND(MAX(rows_per_key) * 1.0 / AVG(rows_per_key), 4) AS skew_ratio,
+           CAST(MAX(rows_per_key) * 1.0 / AVG(rows_per_key) > 4.0 AS BOOLEAN)
+             AS needs_salting
+    FROM per_key
+    """,
+)
+def diag_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 — join-key skew diagnostics: per-key row counts rolled up to the
+    max/avg skew ratio, the measurement that decides between a plain
+    shuffle join, AQE's skew-join splitting, and explicit salting
+    (join_salted_skew is the treatment; this is the diagnosis). Two
+    map-side-combined aggregations — the first shuffles (key, partial
+    count) pairs, the second reduces |keys| rows to one — so profiling a
+    100 TB join key costs one pass over the key column only (column-pruned
+    scan). avg is integer-count arithmetic divided once at the end, so both
+    engines render identical doubles."""
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("rows_per_key"))
+    ratio = F.max("rows_per_key") * 1.0 / F.avg("rows_per_key")
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("rows_per_key").alias("min_rows"),
+        F.max("rows_per_key").alias("max_rows"),
+        F.round(F.avg("rows_per_key"), 4).alias("avg_rows"),
+        F.round(ratio, 4).alias("skew_ratio"),
+        (ratio > 4.0).alias("needs_salting"),
+    )

@@ -145,3 +145,51 @@ def test_approx_percentile_tracks_exact(spark):
         for col in ("p25", "p50", "p75", "p95"):
             e, a = exact[flag][col], approx[flag][col]
             assert abs(a - e) / e < 1e-3, (flag, col, e, a)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+            min_size=0,
+            max_size=900,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=120),
+    overlap=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_chunk_documents_property(texts, chunk, overlap):
+    # Arbitrary text + geometry: chunks cover the text exactly (stride
+    # pieces + final tail reassemble to the original), every chunk fits the
+    # window, and ids are dense from 0.
+    from avro_parquet_spark_example_spark.operators.curation import chunk_documents
+    from avro_parquet_spark_example_spark.session import get_session
+
+    stride = max(1, chunk - min(overlap, chunk - 1))
+    spark = get_session(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=4
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk=chunk, stride=stride)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk"]) for r in out.collect())
+    )
+    by_doc = {}
+    for doc_id, chunk_id, piece in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, piece))
+    assert set(by_doc) == set(range(len(texts)))
+    for doc_id, pieces in by_doc.items():
+        ids = [cid for cid, _ in pieces]
+        assert ids == list(range(len(pieces)))  # dense from 0
+        assert all(len(p) <= chunk for _, p in pieces)
+        rebuilt = "".join(p[:stride] for _, p in pieces[:-1]) + pieces[-1][1]
+        assert rebuilt == texts[doc_id]
