@@ -161,3 +161,47 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.bigram "
         "FROM udtf_docs_in, LATERAL bigram_expander(doc_id, text) t"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           value * 2 AS doubled,
+           CAST(event_id % 16 AS BIGINT) AS bucket
+    FROM events
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9b — ``mapInArrow``: the zero-copy batch UDF tier below Pandas UDFs.
+    The function receives raw ``pyarrow.RecordBatch``es — no pandas
+    conversion, no index materialization — and uses ``pyarrow.compute``
+    kernels (vectorized C++) on the columns. For plain arithmetic the
+    built-in functions still win (stay in codegen, see oracle), but when a
+    Python library speaks Arrow natively (tokenizers, model runtimes,
+    image codecs — the multimodal operators' real decode path), this is the
+    cheapest Python boundary Spark offers: one Arrow IPC transfer per
+    batch, both directions. Double ops are IEEE-identical across engines,
+    so the oracle pins values exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+
+    def double_and_bucket(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            eid = batch.column("event_id")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    eid,
+                    pc.multiply(batch.column("value"), pa.scalar(2.0)),
+                    pc.cast(
+                        pc.bit_wise_and(eid, pa.scalar(15, pa.int64())), pa.int64()
+                    ),
+                ],
+                names=["event_id", "doubled", "bucket"],
+            )
+
+    return e.mapInArrow(
+        double_and_bucket, "event_id bigint, doubled double, bucket bigint"
+    )

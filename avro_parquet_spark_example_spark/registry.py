@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.text_analysis",
     "avro_parquet_spark_example_spark.operators.clustering",
     "avro_parquet_spark_example_spark.operators.curation",
+    "avro_parquet_spark_example_spark.sources.python_datasource",
 ]
 
 _LOADED = False

@@ -1,0 +1,93 @@
+"""Custom connector via the Python Data Source API (SURVEY.md §2-A
+extension) — the PySpark-4 pluggable-source surface.
+
+The reference's source story was "teach the engine a new format by wiring a
+reader class" (its Avro+Parquet input format); the modern Spark equivalent
+is ``pyspark.sql.datasource.DataSource``: declare a schema, plan input
+partitions, and yield rows per partition — the engine handles distribution,
+projection, and everything downstream. This module registers a
+deterministic synthetic source ("rangelog") so the correctness gate can pin
+the whole pipeline against a closed-form oracle: every (id, bucket, score)
+is a pure function of id, so DuckDB reproduces the table from RANGE().
+
+Scale note: ``partitions()`` is the parallelism contract — each
+InputPartition becomes one Spark task, so a real connector returns one
+partition per file/shard/offset-range and the source scales exactly like
+the built-ins. The reader runs in Python (Arrow-batched back to the JVM);
+for a 100 TB feed you either return enough partitions to saturate the
+cluster or, when the format has a JVM reader, prefer it — this API's niche
+is sources only Python can speak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from avro_parquet_spark_example_spark.registry import register
+
+#: rows per partition and partition count — the synthetic table is
+#: N_PARTS * PART_ROWS rows of (id, bucket, score), all derived from id.
+N_PARTS = 8
+PART_ROWS = 1250
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RangeLogReader(DataSourceReader):
+    def partitions(self):
+        return [
+            _RangePartition(i * PART_ROWS, (i + 1) * PART_ROWS)
+            for i in range(N_PARTS)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            # closed-form columns: reproducible by any engine from id alone
+            yield (i, i % 7, (i * 37 % 1000) / 10.0)
+
+
+class RangeLogDataSource(DataSource):
+    """`spark.read.format("rangelog")` — deterministic synthetic log."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rangelog"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, score double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return RangeLogReader()
+
+
+@register(
+    "pysource_custom_reader",
+    oracle=f"""
+    SELECT r.range AS id,
+           r.range % 7 AS bucket,
+           (r.range * 37 % 1000) / 10.0 AS score
+    FROM RANGE(0, {N_PARTS * PART_ROWS}) r
+    WHERE r.range % 11 = 0
+    """,
+)
+def pysource_custom_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — a custom connector registered through the Python Data Source
+    API and driven like any table: ``spark.read.format("rangelog")``, then
+    ordinary DataFrame filters over it. The source plans 8 InputPartitions
+    (one task each); rows are a closed form of ``id`` so the DuckDB oracle
+    regenerates the identical table from RANGE() — pinning that partition
+    planning, the Python→Arrow row path, and downstream relational ops all
+    compose correctly. ``sf_dir`` is unused: the source IS the data."""
+    from pyspark.sql import functions as F
+
+    try:
+        spark.dataSource.register(RangeLogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("rangelog").load()
+    return df.filter(F.col("id") % 11 == 0).select("id", "bucket", "score")
