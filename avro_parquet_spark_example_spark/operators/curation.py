@@ -336,3 +336,44 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_id", "doc_id").alias("component"),
         (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+#: Per-domain document budget for the frequency-cap operator.
+DOMAIN_CAP = 15
+
+
+@register(
+    "curation_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {DOMAIN_CAP}
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6m — per-domain frequency cap (C4/RefinedWeb-style): keep at most
+    DOMAIN_CAP documents per source domain so no single crawl host
+    dominates the mixture, preferring the longest documents and breaking
+    ties by doc_id so the kept SET is deterministic. One window over the
+    domain key: the shuffle partitions by ``source``, each partition sorts
+    locally — no global sort, no second pass. At 100 TB a hot domain is
+    exactly the skew case: the rank-then-filter shape lets AQE split the
+    oversized partition, and because only rn <= CAP rows survive the
+    filter, the downstream stage sees bounded per-domain output no matter
+    how large the input domain was."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rn")
+    )
