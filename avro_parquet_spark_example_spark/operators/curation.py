@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from avro_parquet_spark_example_spark.operators.dedup import (
     connected_components,
@@ -158,7 +159,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shard = hash(doc_id) % K) and packs per shard, the identical
     plan shape; the window itself never needs a global order."""
     d = load(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
 
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
@@ -205,8 +205,6 @@ def shuffle_seeded_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard and every shard sorts independently — at 100 TB this is
     ``repartition(shard).sortWithinPartitions(key)`` feeding the writer,
     with no single-partition stage anywhere."""
-    from pyspark.sql.window import Window
-
     keyed = shard_for_export(
         load(spark, sf_dir, "documents").select("doc_id")
     )

@@ -53,11 +53,17 @@ BUILD_CONFIGS: dict[str, str] = {
 }
 
 
-#: session wrapper → monotonic token. A WeakKeyDictionary (not ``id()``)
-#: so a dead session's token can never be reissued to a new session after
-#: CPython reuses the address — each wrapper gets a token exactly once,
-#: for life, and the entry vanishes with the wrapper.
-_SESSION_TOKENS: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+#: session identity → monotonic token. The identity is the py4j target id
+#: of the underlying JVM SparkSession when available: py4j target ids are
+#: a monotonic counter per gateway and are never reused, so (unlike
+#: ``id()``) a dead session's key can never be reissued to a new one — and
+#: (unlike keying by the Python wrapper) two wrappers around the SAME JVM
+#: session (``SparkSession(sc, jsparkSession)`` re-wrapping) share one
+#: token, so caches never silently split. Wrapper-keyed WeakKeyDictionary
+#: is the fallback for session implementations without ``_jsparkSession``
+#: (Spark Connect), where wrapper identity defines session scope.
+_SESSION_TOKENS: dict[str, int] = {}
+_SESSION_TOKENS_BY_WRAPPER: "weakref.WeakKeyDictionary[SparkSession, int]" = (
     weakref.WeakKeyDictionary()
 )
 _TOKEN_COUNTER = itertools.count()
@@ -66,13 +72,21 @@ _TOKEN_COUNTER = itertools.count()
 def session_key(spark: SparkSession) -> tuple[str, int]:
     """Stable cache-key component for a live session, used by the catalog
     and plan caches. Composite of the Spark application id (unique per
-    context — survives a context restart) and a monotonic per-wrapper token
-    (distinguishes sibling sessions from ``spark.newSession()``, which share
-    one application id but must not share session-scoped state)."""
-    token = _SESSION_TOKENS.get(spark)
-    if token is None:
-        token = next(_TOKEN_COUNTER)
-        _SESSION_TOKENS[spark] = token
+    context — survives a context restart) and a monotonic per-JVM-session
+    token (distinguishes sibling sessions from ``spark.newSession()``, which
+    share one application id but must not share session-scoped state)."""
+    jvm_session = getattr(spark, "_jsparkSession", None)
+    target_id = getattr(jvm_session, "_target_id", None)
+    if target_id is not None:
+        token = _SESSION_TOKENS.get(target_id)
+        if token is None:
+            token = next(_TOKEN_COUNTER)
+            _SESSION_TOKENS[target_id] = token
+    else:  # pragma: no cover - Spark Connect fallback
+        token = _SESSION_TOKENS_BY_WRAPPER.get(spark)
+        if token is None:
+            token = next(_TOKEN_COUNTER)
+            _SESSION_TOKENS_BY_WRAPPER[spark] = token
     return (spark.sparkContext.applicationId, token)
 
 

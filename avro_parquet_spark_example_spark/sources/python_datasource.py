@@ -85,9 +85,11 @@ def pysource_custom_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose correctly. ``sf_dir`` is unused: the source IS the data."""
     from pyspark.sql import functions as F
 
-    try:
+    # Register once per session; a genuine registration failure (missing
+    # pyspark-4 API, serialization error) must propagate, not resurface as
+    # a confusing AnalysisException on the read below.
+    if not getattr(spark, "_rangelog_registered", False):
         spark.dataSource.register(RangeLogDataSource)
-    except Exception:
-        pass  # already registered in this session
+        spark._rangelog_registered = True
     df = spark.read.format("rangelog").load()
     return df.filter(F.col("id") % 11 == 0).select("id", "bucket", "score")
