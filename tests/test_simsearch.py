@@ -58,7 +58,7 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     assert len(brute) == 10
     recall = len(brute & lsh) / len(brute)
-    assert recall >= 0.6, f"LSH recall@10 degraded: {recall}"
+    assert recall >= 0.9, f"LSH recall@10 degraded: {recall}"
 
 
 def test_ivf_subset_of_cell(spark, sf_dir):
