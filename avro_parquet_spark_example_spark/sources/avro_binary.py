@@ -1,0 +1,595 @@
+"""Pure-Python Avro binary codec + object-container-file IO (SURVEY.md §2 A4
+extension — the reference's OWN read/write path).
+
+The reference repo's storage story is Avro-defined records written through
+``AvroParquetWriter`` and read back with ``AvroReadSupport`` (SURVEY.md §0
+steps 2–3, reconstructed). Round 1–2 covered the *schema* half of that
+bridge (``avro_schema.py``: Avro JSON → StructType); this module closes the
+*binary* half: a complete encoder/decoder for the Avro binary encoding and
+the Object Container File format (magic ``Obj\\x01``, header metadata map,
+16-byte sync markers, length-prefixed blocks, null/deflate codecs), with no
+Avro library dependency (none ships in this environment).
+
+Binary encoding implemented per the public Avro 1.11 spec
+(https://avro.apache.org/docs/1.11.1/specification/):
+
+  int/long     zigzag varint          float/double  little-endian IEEE754
+  string/bytes varint length + bytes  boolean       single byte 0/1
+  record       fields in schema order union         varint branch index + value
+  array/map    count-prefixed blocks (negative count ⇒ byte-size follows)
+  enum         varint symbol index    fixed         raw bytes
+  logical      decimal(bytes/fixed), date, time-millis/micros,
+               timestamp-millis/micros (decoded to Python date/datetime/
+               Decimal so rows align with the Spark types produced by
+               ``avro_schema.parse_avro_schema``)
+
+Scale design: the container format is SPLITTABLE — every block is followed
+by the file's sync marker, so a reader dropped at any byte offset can scan
+forward to the next sync and start decoding block-aligned records. The
+distributed read path (``avro_datasource.py``) exploits exactly that, the
+same alignment rule Hadoop's AvroInputFormat uses: a task owns every block
+whose trailing-sync search began inside its byte split.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import struct
+import zlib
+from decimal import Decimal
+from typing import Any, BinaryIO, Callable, Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+#: Epoch for date/timestamp logical types (Avro counts from Unix epoch).
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
+class AvroBinaryError(ValueError):
+    """Malformed Avro binary data or an unsupported schema feature."""
+
+
+# ---------------------------------------------------------------------------
+# primitive decode
+
+
+def _read_exact(fo: BinaryIO, n: int) -> bytes:
+    b = fo.read(n)
+    if len(b) != n:
+        raise AvroBinaryError(f"unexpected EOF: wanted {n} bytes, got {len(b)}")
+    return b
+
+
+def read_long(fo: BinaryIO) -> int:
+    """Zigzag varint (int and long share one wire format)."""
+    shift = 0
+    accum = 0
+    while True:
+        byte = fo.read(1)
+        if not byte:
+            raise AvroBinaryError("unexpected EOF in varint")
+        b = byte[0]
+        accum |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroBinaryError("varint too long")
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def read_bytes(fo: BinaryIO) -> bytes:
+    n = read_long(fo)
+    if n < 0:
+        raise AvroBinaryError(f"negative bytes length {n}")
+    return _read_exact(fo, n)
+
+
+# ---------------------------------------------------------------------------
+# primitive encode
+
+
+def write_long(fo: BinaryIO, v: int) -> None:
+    v = (v << 1) if v >= 0 else (((-v - 1) << 1) | 1)  # zigzag
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    fo.write(bytes(out))
+
+
+def write_bytes(fo: BinaryIO, b: bytes) -> None:
+    write_long(fo, len(b))
+    fo.write(b)
+
+
+# ---------------------------------------------------------------------------
+# schema-driven codec compilation
+#
+# Schemas compile ONCE into closures (decoder: fo -> value, encoder:
+# (fo, value) -> None); per-record decode then runs no schema dispatch.
+# That matters because the decoder executes inside every read task.
+
+
+def _logical(node: dict) -> str | None:
+    return node.get("logicalType") if isinstance(node, dict) else None
+
+
+def _compile_decoder(node: Any, named: dict[str, Callable]) -> Callable[[BinaryIO], Any]:
+    if isinstance(node, str):
+        if node in named:
+            return lambda fo: named[node](fo)
+        t = node
+        node = {"type": t}
+    if isinstance(node, list):  # union: varint branch index + value
+        branches = [_compile_decoder(b, named) for b in node]
+
+        def dec_union(fo: BinaryIO) -> Any:
+            idx = read_long(fo)
+            if not 0 <= idx < len(branches):
+                raise AvroBinaryError(f"union branch {idx} out of range")
+            return branches[idx](fo)
+
+        return dec_union
+
+    t = node["type"] if isinstance(node, dict) else node
+    lt = _logical(node)
+
+    if t == "null":
+        return lambda fo: None
+    if t == "boolean":
+        return lambda fo: _read_exact(fo, 1) != b"\x00"
+    if t == "int":
+        if lt == "date":
+            return lambda fo: _EPOCH_DATE + datetime.timedelta(days=read_long(fo))
+        if lt == "time-millis":
+            return lambda fo: (
+                _EPOCH_DT + datetime.timedelta(milliseconds=read_long(fo))
+            ).time()
+        return read_long
+    if t == "long":
+        if lt == "timestamp-millis":
+            return lambda fo: _EPOCH_DT + datetime.timedelta(milliseconds=read_long(fo))
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return lambda fo: _EPOCH_DT + datetime.timedelta(microseconds=read_long(fo))
+        if lt == "time-micros":
+            return lambda fo: (
+                _EPOCH_DT + datetime.timedelta(microseconds=read_long(fo))
+            ).time()
+        return read_long
+    if t == "float":
+        return lambda fo: struct.unpack("<f", _read_exact(fo, 4))[0]
+    if t == "double":
+        return lambda fo: struct.unpack("<d", _read_exact(fo, 8))[0]
+    if t == "string":
+        return lambda fo: read_bytes(fo).decode("utf-8")
+    if t == "bytes":
+        if lt == "decimal":
+            scale = node.get("scale", 0)
+
+            def dec_decimal(fo: BinaryIO) -> Decimal:
+                raw = read_bytes(fo)
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                return Decimal(unscaled).scaleb(-scale)
+
+            return dec_decimal
+        return read_bytes
+    if t == "fixed":
+        size = node["size"]
+        if lt == "decimal":
+            scale = node.get("scale", 0)
+
+            def dec_fixed_decimal(fo: BinaryIO) -> Decimal:
+                unscaled = int.from_bytes(_read_exact(fo, size), "big", signed=True)
+                return Decimal(unscaled).scaleb(-scale)
+
+            return dec_fixed_decimal
+        return lambda fo: _read_exact(fo, size)
+    if t == "enum":
+        symbols = node["symbols"]
+
+        def dec_enum(fo: BinaryIO) -> str:
+            i = read_long(fo)
+            if not 0 <= i < len(symbols):
+                raise AvroBinaryError(f"enum index {i} out of range")
+            return symbols[i]
+
+        return dec_enum
+    if t == "array":
+        item = _compile_decoder(node["items"], named)
+
+        def dec_array(fo: BinaryIO) -> list:
+            out = []
+            while True:
+                count = read_long(fo)
+                if count == 0:
+                    return out
+                if count < 0:  # negative count ⇒ block byte size follows
+                    count = -count
+                    read_long(fo)
+                for _ in range(count):
+                    out.append(item(fo))
+
+        return dec_array
+    if t == "map":
+        val = _compile_decoder(node["values"], named)
+
+        def dec_map(fo: BinaryIO) -> dict:
+            out: dict[str, Any] = {}
+            while True:
+                count = read_long(fo)
+                if count == 0:
+                    return out
+                if count < 0:
+                    count = -count
+                    read_long(fo)
+                for _ in range(count):
+                    # key MUST decode before value (assignment evaluates
+                    # its right side first — inlining would swap the reads)
+                    k = read_bytes(fo).decode("utf-8")
+                    out[k] = val(fo)
+
+        return dec_map
+    if t == "record":
+        fullname = _record_fullname(node)
+        field_decs: list[Callable] = []
+
+        def dec_record(fo: BinaryIO) -> tuple:
+            return tuple(d(fo) for d in field_decs)
+
+        named[fullname] = dec_record  # registered before fields: recursion-safe
+        for f in node["fields"]:
+            field_decs.append(_compile_decoder(f["type"], named))
+        return dec_record
+    raise AvroBinaryError(f"unsupported Avro type: {t!r}")
+
+
+def _compile_encoder(node: Any, named: dict[str, Callable]) -> Callable[[BinaryIO, Any], None]:
+    if isinstance(node, str):
+        if node in named:
+            return lambda fo, v: named[node](fo, v)
+        node = {"type": node}
+    if isinstance(node, list):
+        branches = [_compile_encoder(b, named) for b in node]
+        null_idx = next(
+            (i for i, b in enumerate(node) if b == "null" or b == {"type": "null"}), None
+        )
+
+        def enc_union(fo: BinaryIO, v: Any) -> None:
+            if v is None and null_idx is not None:
+                write_long(fo, null_idx)
+                return
+            # first non-null branch: the nullable-union [T, null] case that
+            # covers the reference's User schema; general multi-branch
+            # unions would need runtime type dispatch (out of scope, as in
+            # avro_schema.py which rejects them on the read side too)
+            idx = next(i for i in range(len(branches)) if i != null_idx)
+            write_long(fo, idx)
+            branches[idx](fo, v)
+
+        return enc_union
+
+    t = node["type"] if isinstance(node, dict) else node
+    lt = _logical(node)
+
+    if t == "null":
+        return lambda fo, v: None
+    if t == "boolean":
+        return lambda fo, v: fo.write(b"\x01" if v else b"\x00")
+    if t in ("int", "long"):
+        if lt == "date":
+            return lambda fo, v: write_long(fo, (v - _EPOCH_DATE).days)
+        if lt == "timestamp-millis":
+            return lambda fo, v: write_long(
+                fo, int((v - _EPOCH_DT).total_seconds() * 1000)
+            )
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return lambda fo, v: write_long(
+                fo, (v - _EPOCH_DT) // datetime.timedelta(microseconds=1)
+            )
+        return lambda fo, v: write_long(fo, int(v))
+    if t == "float":
+        return lambda fo, v: fo.write(struct.pack("<f", v))
+    if t == "double":
+        return lambda fo, v: fo.write(struct.pack("<d", float(v)))
+    if t == "string":
+        return lambda fo, v: write_bytes(fo, v.encode("utf-8"))
+    if t == "bytes":
+        if lt == "decimal":
+            scale = node.get("scale", 0)
+
+            def enc_decimal(fo: BinaryIO, v: Decimal) -> None:
+                unscaled = int(v.scaleb(scale))
+                n = max(1, (unscaled.bit_length() + 8) // 8)
+                write_bytes(fo, unscaled.to_bytes(n, "big", signed=True))
+
+            return enc_decimal
+        return lambda fo, v: write_bytes(fo, bytes(v))
+    if t == "fixed":
+        size = node["size"]
+
+        def enc_fixed(fo: BinaryIO, v: bytes) -> None:
+            if len(v) != size:
+                raise AvroBinaryError(f"fixed size mismatch: {len(v)} != {size}")
+            fo.write(v)
+
+        return enc_fixed
+    if t == "enum":
+        index = {s: i for i, s in enumerate(node["symbols"])}
+        return lambda fo, v: write_long(fo, index[v])
+    if t == "array":
+        item = _compile_encoder(node["items"], named)
+
+        def enc_array(fo: BinaryIO, v: list) -> None:
+            if v:
+                write_long(fo, len(v))
+                for x in v:
+                    item(fo, x)
+            write_long(fo, 0)
+
+        return enc_array
+    if t == "map":
+        val = _compile_encoder(node["values"], named)
+
+        def enc_map(fo: BinaryIO, v: dict) -> None:
+            if v:
+                write_long(fo, len(v))
+                for k, x in v.items():
+                    write_bytes(fo, k.encode("utf-8"))
+                    val(fo, x)
+            write_long(fo, 0)
+
+        return enc_map
+    if t == "record":
+        fullname = _record_fullname(node)
+        field_encs: list[Callable] = []
+        fields = node["fields"]
+
+        def enc_record(fo: BinaryIO, v: Any) -> None:
+            # accepts tuple/list (positional) or dict (by field name)
+            if isinstance(v, dict):
+                for f, e in zip(fields, field_encs):
+                    e(fo, v.get(f["name"]))
+            else:
+                for x, e in zip(v, field_encs):
+                    e(fo, x)
+
+        named[fullname] = enc_record
+        for f in fields:
+            field_encs.append(_compile_encoder(f["type"], named))
+        return enc_record
+    raise AvroBinaryError(f"unsupported Avro type: {t!r}")
+
+
+def _record_fullname(node: dict) -> str:
+    name = node["name"]
+    ns = node.get("namespace")
+    if "." in name or not ns:
+        return name
+    return f"{ns}.{name}"
+
+
+def compile_decoder(schema: str | dict | list) -> Callable[[BinaryIO], Any]:
+    if isinstance(schema, str) and schema.lstrip()[:1] in "[{\"":
+        schema = json.loads(schema)
+    return _compile_decoder(schema, {})
+
+
+def compile_encoder(schema: str | dict | list) -> Callable[[BinaryIO, Any], None]:
+    if isinstance(schema, str) and schema.lstrip()[:1] in "[{\"":
+        schema = json.loads(schema)
+    return _compile_encoder(schema, {})
+
+
+# ---------------------------------------------------------------------------
+# object container file: write
+
+
+def write_container(
+    path: str,
+    schema: dict | str,
+    records: Iterable[Any],
+    codec: str = "null",
+    block_records: int = 1000,
+    sync_seed: int = 42,
+) -> int:
+    """Write an Avro Object Container File; returns the record count.
+
+    Deterministic: the sync marker derives from ``sync_seed`` (not random
+    bytes), so identical inputs produce identical files — the property the
+    correctness fixtures rely on. ``block_records`` bounds block size; the
+    per-round fixture uses small blocks deliberately so the splittable read
+    path exercises many-block files even at sf0.01.
+    """
+    if codec not in ("null", "deflate"):
+        raise AvroBinaryError(f"unsupported codec {codec!r}")
+    schema_json = schema if isinstance(schema, str) else json.dumps(schema)
+    encode = compile_encoder(schema_json)
+    # 16 deterministic sync bytes from the seed via a tiny LCG
+    state = sync_seed & 0xFFFFFFFF or 1
+    sync = bytearray()
+    for _ in range(SYNC_SIZE):
+        state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+        sync.append((state >> 16) & 0xFF)
+    sync = bytes(sync)
+
+    n = 0
+    with open(path, "wb") as fo:
+        fo.write(MAGIC)
+        meta = {
+            "avro.schema": schema_json.encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        }
+        write_long(fo, len(meta))
+        for k, v in meta.items():
+            write_bytes(fo, k.encode("utf-8"))
+            write_bytes(fo, v)
+        write_long(fo, 0)
+        fo.write(sync)
+
+        buf = io.BytesIO()
+        count = 0
+
+        def flush() -> None:
+            nonlocal count
+            if not count:
+                return
+            data = buf.getvalue()
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-1]  # raw deflate per spec
+            write_long(fo, count)
+            write_long(fo, len(data))
+            fo.write(data)
+            fo.write(sync)
+            buf.seek(0)
+            buf.truncate()
+            count = 0
+
+        for rec in records:
+            encode(buf, rec)
+            count += 1
+            n += 1
+            if count >= block_records:
+                flush()
+        flush()
+    return n
+
+
+# ---------------------------------------------------------------------------
+# object container file: read
+
+
+def read_header(fo: BinaryIO) -> tuple[str, str, bytes, int]:
+    """Parse the container header → (schema_json, codec, sync, body_offset)."""
+    if _read_exact(fo, 4) != MAGIC:
+        raise AvroBinaryError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = read_long(fo)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            read_long(fo)
+        for _ in range(count):
+            k = read_bytes(fo).decode("utf-8")
+            meta[k] = read_bytes(fo)
+    sync = _read_exact(fo, SYNC_SIZE)
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema_json, codec, sync, fo.tell()
+
+
+def _decode_block(
+    fo: BinaryIO, codec: str, sync: bytes, decode: Callable[[BinaryIO], Any]
+) -> Iterator[Any]:
+    count = read_long(fo)
+    size = read_long(fo)
+    data = _read_exact(fo, size)
+    if codec == "deflate":
+        data = zlib.decompress(data, -15)
+    elif codec != "null":
+        raise AvroBinaryError(f"unsupported codec {codec!r}")
+    bo = io.BytesIO(data)
+    for _ in range(count):
+        yield decode(bo)
+    if bo.read(1):
+        raise AvroBinaryError("trailing bytes in block")
+    if _read_exact(fo, SYNC_SIZE) != sync:
+        raise AvroBinaryError("sync marker mismatch (corrupt block)")
+
+
+def read_container(path: str) -> tuple[str, Iterator[Any]]:
+    """Whole-file sequential read → (schema_json, record iterator).
+
+    The distributed path is ``read_container_split``; this one backs tests
+    and driver-side fixture verification.
+    """
+    fo = open(path, "rb")
+    schema_json, codec, sync, _ = read_header(fo)
+    decode = compile_decoder(schema_json)
+    size = os.fstat(fo.fileno()).st_size
+
+    def it() -> Iterator[Any]:
+        try:
+            while fo.tell() < size:
+                yield from _decode_block(fo, codec, sync, decode)
+        finally:
+            fo.close()
+
+    return schema_json, it()
+
+
+def _seek_to_sync(fo: BinaryIO, start: int, end: int, sync: bytes) -> int:
+    """Scan ``[start, end)`` for the first sync marker; return the offset
+    just after it (a block boundary), or -1 if none — the Hadoop-style
+    split-alignment rule. Reads in 64 KiB chunks with a SYNC_SIZE-1 overlap
+    so markers spanning chunk edges are found."""
+    fo.seek(start)
+    pos = start
+    tail = b""
+    chunk_size = 64 * 1024
+    while pos < end:
+        # read up to SYNC_SIZE past `end` so a marker STARTING in-range but
+        # extending beyond it is still found (it belongs to this split)
+        chunk = fo.read(min(chunk_size, end - pos + SYNC_SIZE))
+        if not chunk:
+            return -1
+        hay = tail + chunk
+        i = hay.find(sync)
+        if i != -1:
+            marker_start = pos - len(tail) + i
+            if marker_start >= end:  # next split's marker
+                return -1
+            return marker_start + SYNC_SIZE
+        tail = hay[-(SYNC_SIZE - 1):]
+        pos += len(chunk)
+    return -1
+
+
+def read_container_split(
+    path: str,
+    split_start: int,
+    split_end: int,
+    schema_json: str,
+    codec: str,
+    sync_hex: str,
+) -> Iterator[Any]:
+    """Decode exactly the blocks owned by byte split [split_start, split_end).
+
+    Ownership rule (same as Avro's Hadoop input format): a block is owned
+    by the split in which its PRECEDING sync marker starts. Align to the
+    first sync starting in ``[split_start, split_end)`` (the header's
+    trailing sync counts — the planner passes ``body_offset - SYNC_SIZE``
+    as the first split's start), decode that block, and keep going while
+    each block's preceding sync started before ``split_end``. Every block
+    is read by exactly one task, any byte range works, and no coordination
+    beyond the header parse is needed — this is what makes a 100 TB
+    container file scan out to one task per ~128 MB split.
+    """
+    sync = bytes.fromhex(sync_hex)
+    decode = compile_decoder(schema_json)
+    with open(path, "rb") as fo:
+        file_size = os.fstat(fo.fileno()).st_size
+        pos = _seek_to_sync(fo, split_start, split_end, sync)
+        if pos == -1:
+            return
+        fo.seek(pos)
+        while pos < file_size:
+            yield from _decode_block(fo, codec, sync, decode)
+            pos = fo.tell()
+            # the block we'd read next is preceded by the sync we just
+            # consumed at pos - SYNC_SIZE; past split_end it belongs to
+            # the next task
+            if pos - SYNC_SIZE >= split_end:
+                return
