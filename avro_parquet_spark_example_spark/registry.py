@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.clustering",
     "avro_parquet_spark_example_spark.operators.curation",
     "avro_parquet_spark_example_spark.sources.python_datasource",
+    "avro_parquet_spark_example_spark.sources.avro_datasource",
 ]
 
 _LOADED = False

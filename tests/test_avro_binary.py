@@ -1,0 +1,149 @@
+"""Avro binary codec + object-container tests (SURVEY.md §5 model: pin the
+storage layer with round-trip and split-coverage properties, since no
+external Avro implementation exists in this environment to cross-check)."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import os
+from decimal import Decimal
+
+import pytest
+
+from avro_parquet_spark_example_spark.sources import avro_binary as ab
+
+FULL_SCHEMA = {
+    "type": "record",
+    "name": "Everything",
+    "namespace": "example.avro",
+    "fields": [
+        {"name": "f_long", "type": "long"},
+        {"name": "f_int", "type": "int"},
+        {"name": "f_bool", "type": "boolean"},
+        {"name": "f_float", "type": "float"},
+        {"name": "f_double", "type": "double"},
+        {"name": "f_str", "type": "string"},
+        {"name": "f_bytes", "type": "bytes"},
+        {"name": "f_opt", "type": ["null", "string"]},
+        {"name": "f_arr", "type": {"type": "array", "items": "long"}},
+        {"name": "f_map", "type": {"type": "map", "values": "double"}},
+        {"name": "f_enum", "type": {"type": "enum", "name": "Color",
+                                    "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "f_fixed", "type": {"type": "fixed", "name": "F8", "size": 8}},
+        {"name": "f_date", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "f_ts_ms", "type": {"type": "long",
+                                     "logicalType": "timestamp-millis"}},
+        {"name": "f_ts_us", "type": {"type": "long",
+                                     "logicalType": "timestamp-micros"}},
+        {"name": "f_dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        {"name": "f_nested", "type": {
+            "type": "record", "name": "Inner",
+            "fields": [{"name": "a", "type": "long"},
+                       {"name": "b", "type": ["null", "double"]}]}},
+    ],
+}
+
+
+def _mk_row(i: int) -> tuple:
+    return (
+        i,
+        -i,
+        i % 2 == 0,
+        float(i) / 4,  # exactly representable in float32
+        i * 1.5,
+        f"row-{i}" * (i % 3 + 1),
+        bytes([i % 256, (i * 7) % 256]),
+        None if i % 3 == 0 else f"opt-{i}",
+        list(range(i % 5)),
+        {f"k{j}": j * 0.5 for j in range(i % 3)},
+        ["RED", "GREEN", "BLUE"][i % 3],
+        bytes([i % 256]) * 8,
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=i * 37),
+        datetime.datetime(2020, 1, 1) + datetime.timedelta(milliseconds=i * 999),
+        datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=i * 31),
+        Decimal(i * 100 - 5000).scaleb(-2),
+        (i * 2, None if i % 2 else float(i)),
+    )
+
+
+ROWS = [_mk_row(i) for i in range(257)]
+
+
+def test_value_roundtrip_all_types():
+    enc = ab.compile_encoder(FULL_SCHEMA)
+    dec = ab.compile_decoder(FULL_SCHEMA)
+    buf = io.BytesIO()
+    for r in ROWS:
+        enc(buf, r)
+    buf.seek(0)
+    out = [dec(buf) for _ in ROWS]
+    assert out == ROWS
+    assert not buf.read(1)
+
+
+def test_varint_zigzag_edge_values():
+    for v in (0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**62, -(2**62)):
+        buf = io.BytesIO()
+        ab.write_long(buf, v)
+        buf.seek(0)
+        assert ab.read_long(buf) == v
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(tmp_path, codec):
+    path = str(tmp_path / f"all_{codec}.avro")
+    n = ab.write_container(path, FULL_SCHEMA, ROWS, codec=codec, block_records=10)
+    assert n == len(ROWS)
+    schema_json, it = ab.read_container(path)
+    assert '"Everything"' in schema_json
+    assert list(it) == ROWS
+
+
+def test_container_empty(tmp_path):
+    path = str(tmp_path / "empty.avro")
+    assert ab.write_container(path, FULL_SCHEMA, []) == 0
+    _, it = ab.read_container(path)
+    assert list(it) == []
+
+
+def test_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.avro")
+    with open(path, "wb") as fo:
+        fo.write(b"PAR1" + b"\x00" * 32)
+    with pytest.raises(ab.AvroBinaryError):
+        ab.read_container(path)
+
+
+def test_sync_mismatch_detected(tmp_path):
+    path = str(tmp_path / "corrupt.avro")
+    ab.write_container(path, FULL_SCHEMA, ROWS[:50], block_records=10)
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF  # flip a byte in the final sync marker
+    open(path, "wb").write(bytes(data))
+    _, it = ab.read_container(path)
+    with pytest.raises(ab.AvroBinaryError):
+        list(it)
+
+
+@pytest.mark.parametrize("split_bytes", [64, 257, 1000, 4096, 10**9])
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_split_coverage_exact_once(tmp_path, split_bytes, codec):
+    """THE splittability property: for ANY split granularity, the union of
+    all splits' records equals the sequential read, each record exactly
+    once. This is what lets one container file fan out to N tasks."""
+    path = str(tmp_path / f"split_{codec}_{split_bytes}.avro")
+    ab.write_container(path, FULL_SCHEMA, ROWS, codec=codec, block_records=7)
+    with open(path, "rb") as fo:
+        schema_json, got_codec, sync, body_offset = ab.read_header(fo)
+    size = os.path.getsize(path)
+    lo = body_offset - ab.SYNC_SIZE
+    out = []
+    while lo < size:
+        hi = min(lo + split_bytes, size)
+        out.extend(
+            ab.read_container_split(path, lo, hi, schema_json, got_codec, sync.hex())
+        )
+        lo = hi
+    assert out == ROWS  # block order is file order, so exact equality holds
