@@ -273,6 +273,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_verified",
+    oracle="""
+    WITH RECURSIVE pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    docs AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM pool WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ') AS s
+        FROM docs,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.7
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    nodes AS (SELECT doc_id AS node FROM pool),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS component,
+           (MIN(r) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 (oracle-checked tier) — the full production near-dup pipeline with
+    an EXACT contract: LSH generates candidates (est-Jaccard ≥ 0.5, a
+    recall-side margin below the decision threshold), each candidate is then
+    verified by TRUE 3-word-shingle Jaccard ≥ 0.7 (one join back to the
+    shingle arrays — only candidate pairs pay it, never all pairs), and the
+    verified pairs resolve to connected components. Because verification is
+    exact, the output is fully determined by the data — so unlike
+    ``dedup_minhash_lsh`` (whose est-Jaccard output depends on hash seeds),
+    this query hash-checks against a DuckDB oracle that recomputes shingle
+    Jaccard by inverted-index self-join and the components by recursive-CTE
+    transitive closure. LSH recall makes the two agree: every true pair here
+    is an injected exact copy (J = 1.0, identical signatures ⇒ caught with
+    probability 1); the pytest recall property covers the general case.
+
+    Scale shape: candidates from bucketed LSH (never all-pairs), exact
+    verification only on candidates, min-label CC with bounded per-round
+    state — each stage is the 100 TB form of itself.
+    """
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cands = minhash_candidate_pairs(docs, sim_threshold=0.5)
+    sh = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
+    )
+    true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
+        F.array_union("sa.sh", "sb.sh")
+    )
+    verified = (
+        cands.join(sh.alias("sa"), F.col("a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("b") == F.col("sb.id"))
+        .filter(true_j >= 0.7)
+        .select("a", "b")
+    )
+    labeled = connected_components(verified, max_iter=25)
+    nodes = docs.select("doc_id")
+    return nodes.join(labeled, nodes["doc_id"] == labeled["id"], "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("component"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # H2b — SimHash fingerprints
 
