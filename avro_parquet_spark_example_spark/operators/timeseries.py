@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
 
 
 @register(
@@ -258,7 +258,7 @@ def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "user_id",
-            F.unix_micros("ts").alias("ts_us"),
+            ts_us(e).alias("ts_us"),
             "value",
             "event_id",
         )
@@ -300,7 +300,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "user_id",
-            F.unix_micros("ts").alias("valid_from_us"),
+            ts_us(e).alias("valid_from_us"),
             "value",
             "event_id",
         )

@@ -25,7 +25,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from avro_parquet_spark_example_spark.session import configure, session_key
+from avro_parquet_spark_example_spark.session import (
+    configure,
+    session_key,
+    verify_events_readable,
+)
 
 
 @dataclass(frozen=True)
@@ -93,12 +97,23 @@ def register(name: str, oracle: str | None = None):
 _PLAN_CACHE: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
 
 
+#: (session, sf_dir) pairs whose events read-type probe already ran. The
+#: probe (one Parquet footer read) turns engine drift in how TIMESTAMP(NANOS)
+#: is surfaced into a loud boot failure (round-3 postmortem) — run it once
+#: per session+dataset, not per query.
+_PROBED: set[tuple[tuple[str, int], str]] = set()
+
+
 def _wrap(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (session_key(spark), sf_dir, q.name)
         df = _PLAN_CACHE.get(key)
         if df is None:
             configure(spark)
+            probe_key = (key[0], sf_dir)
+            if probe_key not in _PROBED:
+                verify_events_readable(spark, sf_dir)
+                _PROBED.add(probe_key)
             df = q.fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
         return df

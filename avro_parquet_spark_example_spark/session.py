@@ -12,11 +12,15 @@ points:
     runtime-settable on PySpark 4.1.2).
 
 Config rationale:
-  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table's
-    ``ts`` column is Parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects by
-    default with PARQUET_TYPE_ILLEGAL (SURVEY.md §1.4). With this flag it
-    reads as LongType (nanos since epoch); ``sources.catalog.events_ts``
-    normalizes to a real timestamp.
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — HISTORICAL: older sandbox
+    Spark builds rejected the ``events`` table's Parquet INT64
+    TIMESTAMP(NANOS) ``ts`` column without it (PARQUET_TYPE_ILLEGAL) and read
+    it as LongType nanos with it. The CURRENT Spark 4.1.2 build IGNORES the
+    flag and reads the column as TIMESTAMP_NTZ (probe-verified 2026-08-13).
+    The flag stays set for older builds; ``sources.catalog.normalize_events``
+    is total over both read types (plus plain TIMESTAMP) and raises on
+    anything new, and :func:`verify_events_readable` turns any future drift
+    into a loud boot-time failure instead of six broken queries.
   * ``spark.sql.session.timeZone=UTC`` — DuckDB (the correctness oracle) and
     the synthetic data are timezone-naive; UTC makes Spark's timestamp
     rendering match.
@@ -29,6 +33,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import warnings
 import weakref
 
 from pyspark.sql import SparkSession
@@ -93,15 +98,58 @@ def session_key(spark: SparkSession) -> tuple[str, int]:
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine configs to an existing session.
 
-    Safe to call repeatedly (idempotent); ignores configs the running Spark
-    version refuses to change at runtime rather than failing the query.
+    Safe to call repeatedly (idempotent). Configs the running Spark refuses
+    to change at runtime don't fail the query, but they are no longer
+    swallowed silently either: every non-applied config is warned about and
+    recorded in :data:`LAST_UNAPPLIED_CONFIGS` — round 3 proved that a
+    silently-ignored config (nanosAsLong) can hide environment drift for a
+    full round.
     """
+    unapplied: dict[str, str] = {}
     for key, value in RUNTIME_CONFIGS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:  # pragma: no cover - version-dependent
-            pass
+            applied = spark.conf.get(key, None)
+            if applied != value:
+                unapplied[key] = f"set accepted but read back {applied!r}"
+        except Exception as exc:  # pragma: no cover - version-dependent
+            unapplied[key] = f"{type(exc).__name__}: {exc}"
+    LAST_UNAPPLIED_CONFIGS.clear()
+    LAST_UNAPPLIED_CONFIGS.update(unapplied)
+    for key, why in unapplied.items():
+        warnings.warn(f"Spark config {key} did not apply: {why}", RuntimeWarning)
     return spark
+
+
+#: Configs the most recent :func:`configure` call could not apply, for tests
+#: and postmortems. NOTE: ``conf.set`` succeeding does NOT prove the engine
+#: honors the config (nanosAsLong reads back "true" yet is ignored by the
+#: Parquet reader) — behavioral drift is caught by verify_events_readable.
+LAST_UNAPPLIED_CONFIGS: dict[str, str] = {}
+
+
+def verify_events_readable(spark: SparkSession, sf_dir: str) -> str:
+    """Boot-time probe: read the events table schema and assert ``ts`` comes
+    back as a dtype the catalog can normalize. Returns the observed dtype.
+
+    This converts silent engine drift (a Spark upgrade changing how Parquet
+    TIMESTAMP(NANOS) is surfaced) into one loud, early failure with a
+    pointer at the fix site, instead of scattered AnalysisExceptions in
+    whichever queries touch event time.
+    """
+    from avro_parquet_spark_example_spark.sources.catalog import (
+        HANDLED_TS_DTYPES,
+        table_path,
+    )
+
+    dtype = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+    if dtype not in HANDLED_TS_DTYPES:
+        raise TypeError(
+            f"events.ts reads as {dtype!r}, not one of {HANDLED_TS_DTYPES}; "
+            f"Spark's TIMESTAMP(NANOS) handling drifted — extend "
+            f"sources.catalog.normalize_events / ts_us"
+        )
+    return dtype
 
 
 def get_session(

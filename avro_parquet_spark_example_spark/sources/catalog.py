@@ -6,10 +6,23 @@ EP2) — collapses to ``spark.read.parquet`` + ``createOrReplaceTempView`` on
 modern Spark; Catalyst supplies projection/predicate pushdown automatically
 (SURVEY.md §4).
 
-``events.ts`` is Parquet INT64 TIMESTAMP(NANOS): read as LongType under
-``spark.sql.legacy.parquet.nanosAsLong=true`` and normalized here to a
-microsecond TimestampType column so every downstream query (and the DuckDB
-oracle, which reads the same column as µs TIMESTAMP) sees identical values.
+``events.ts`` is Parquet INT64 TIMESTAMP(NANOS). How Spark reads that
+physical type has DRIFTED across sandbox Spark builds (verified by probe,
+2026-08-13):
+
+  * older builds honored ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    surfaced ``ts`` as LongType nanos;
+  * the current Spark 4.1.2 build ignores that flag and reads the column as
+    ``TIMESTAMP_NTZ`` (wall time, nanos truncated to µs) — and no longer
+    raises PARQUET_TYPE_ILLEGAL without the flag either.
+
+:func:`normalize_events` is therefore total over all three observed read
+types (bigint nanos / timestamp_ntz / timestamp) and raises loudly on
+anything else, so the next dtype drift is a one-line fix HERE instead of six
+broken downstream queries. The session timezone is pinned UTC, so NTZ wall
+time == the UTC instant and all three paths yield identical µs values to
+DuckDB's read of the same column (EPOCH_US truncates nanos the same way —
+verified value-identical by probe).
 """
 
 from __future__ import annotations
@@ -74,16 +87,54 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: ``events.ts`` read types this catalog knows how to normalize. Anything
+#: else is environment drift and must fail loudly (see module docstring).
+HANDLED_TS_DTYPES = ("bigint", "timestamp_ntz", "timestamp")
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Convert raw nanos-since-epoch ``ts`` (LongType) to µs TimestampType.
+    """Normalize ``ts`` to µs TimestampType whatever Spark read it as.
 
     Matches DuckDB's reading of the same Parquet column (µs TIMESTAMP —
-    truncation, not rounding). Keeps all other columns untouched.
+    truncation, not rounding). Keeps all other columns untouched. Raises
+    TypeError on an unrecognized ``ts`` dtype rather than letting a new
+    Spark read behavior slip through to every downstream consumer.
     """
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         # Integer division: float division of ~1.7e18 nanos loses µs precision.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Session TZ is pinned UTC, so wall time == UTC instant; values are
+        # identical to the old nanos-div-1000 path (probe-verified).
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    elif dtype != "timestamp":
+        raise TypeError(
+            f"events.ts read as unhandled dtype {dtype!r}; Spark's Parquet "
+            f"TIMESTAMP(NANOS) read behavior has drifted again — add a "
+            f"branch to catalog.normalize_events (handled: {HANDLED_TS_DTYPES})"
+        )
     return df
+
+
+def ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds Column for an event-time column, total over every
+    dtype ``normalize_events`` handles — the ONE place epoch-µs derivation
+    lives, so the next read-type drift is fixed here, not per-query.
+
+    Works on columns that bypassed normalization too (raw reads, renamed
+    stream columns): branches on the DataFrame's actual dtype.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # raw nanos
+        return F.expr(f"{col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+    if dtype == "timestamp":
+        return F.unix_micros(col)
+    raise TypeError(
+        f"{col} has unhandled dtype {dtype!r} (handled: {HANDLED_TS_DTYPES})"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import normalize_events, table_path
+from avro_parquet_spark_example_spark.sources.catalog import (
+    normalize_events,
+    table_path,
+    ts_us,
+)
 
 SCRATCH = "/tmp/avro_parquet_spark_example_spark_streams"
 
@@ -283,11 +287,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user") == F.col("v_user"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select(
+    )
+    joined = joined.select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("us_between"),
+        (ts_us(joined, "p_ts") - ts_us(joined, "v_ts")).alias("us_between"),
     )
     return run_to_table(joined, "append")
 
