@@ -331,9 +331,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh`` (whose est-Jaccard output depends on hash seeds),
     this query hash-checks against a DuckDB oracle that recomputes shingle
     Jaccard by inverted-index self-join and the components by recursive-CTE
-    transitive closure. LSH recall makes the two agree: every true pair here
-    is an injected exact copy (J = 1.0, identical signatures ⇒ caught with
-    probability 1); the pytest recall property covers the general case.
+    transitive closure. LSH recall makes the two agree: the fixture's true
+    pairs are injected exact copies (J = 1.0 ⇒ caught with probability 1)
+    plus a few dozen organic near-dups at J ≈ 0.9+, far above the banding
+    S-curve's miss region. That coverage precondition is asserted directly
+    by tests/test_dedup.py::test_lsh_candidates_cover_all_true_pairs, so a
+    fixture change that adds a borderline pair fails loudly there instead
+    of as an opaque hash mismatch here.
 
     Scale shape: candidates from bucketed LSH (never all-pairs), exact
     verification only on candidates, min-label CC with bounded per-round

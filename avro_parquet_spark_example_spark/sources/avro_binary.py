@@ -446,7 +446,11 @@ def write_container(
                 return
             data = buf.getvalue()
             if codec == "deflate":
-                data = zlib.compress(data)[2:-1]  # raw deflate per spec
+                # Raw RFC 1951 deflate per the Avro spec: no zlib header, no
+                # Adler-32 trailer. compressobj(wbits=-15) emits exactly that
+                # (slicing zlib.compress output would leave trailer bytes).
+                c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = c.compress(data) + c.flush()
             write_long(fo, count)
             write_long(fo, len(data))
             fo.write(data)

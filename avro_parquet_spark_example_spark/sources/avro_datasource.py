@@ -85,9 +85,21 @@ class AvroContainerReader(DataSourceReader):
         contract. Header parse happens once per file on the driver; tasks
         receive (byte range, schema, codec, sync) and nothing else."""
         splits: list[_AvroSplit] = []
+        first_schema: str | None = None
         for path in _list_avro_files(self.path):
             with open(path, "rb") as fo:
                 schema_json, codec, sync, body_offset = avro_binary.read_header(fo)
+            # Each split decodes with its own file's embedded schema while
+            # DataSource.schema() announced the FIRST file's — a mixed
+            # directory would silently emit rows that don't conform. Refuse
+            # heterogeneous directories at plan time instead.
+            if first_schema is None:
+                first_schema = schema_json
+            elif schema_json != first_schema:
+                raise ValueError(
+                    f"heterogeneous Avro schemas under {self.path}: {path} "
+                    f"does not match the first file's schema"
+                )
             size = os.path.getsize(path)
             # First split starts at the header's trailing sync so block 1
             # has a preceding sync inside some split (the ownership rule).
@@ -150,7 +162,16 @@ def write_distributed(
     inside ``foreachPartition`` — rows never cross to the driver, so the
     write scales exactly like Spark's built-in file sinks: one shard per
     task, no shuffle, no coordination. Shard sync markers are seeded by
-    partition id, keeping output bytes deterministic run-to-run."""
+    partition id, keeping output bytes deterministic run-to-run.
+
+    Task-retry safety: each attempt writes to an attempt-unique temp name
+    and ``os.replace``s it into the final ``part-NNNNN.avro`` — the same
+    rename-commit Spark's file sinks use, so a retried or speculative
+    attempt can never interleave bytes with a concurrent attempt on the
+    same shard (last finished attempt wins atomically; both encode
+    identical bytes anyway, since sync markers are seeded by partition
+    id). Assumes a rename-atomic filesystem (local/HDFS-style; object
+    stores need a committer, as they do for every Spark file sink)."""
     schema_json = (
         avro_schema if isinstance(avro_schema, str) else json.dumps(avro_schema)
     )
@@ -161,16 +182,19 @@ def write_distributed(
     def write_part(rows) -> None:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         part_path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp_path = f"{part_path}.attempt-{ctx.taskAttemptId()}.tmp"
         avro_binary.write_container(
-            part_path,
+            tmp_path,
             schema_json,
             (tuple(r) for r in rows),
             codec=codec,
             block_records=block_records,
             sync_seed=pid + 1,
         )
+        os.replace(tmp_path, part_path)
         # empty shards are still valid container files (header only);
         # leaving them exercises the reader's zero-block path
 

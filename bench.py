@@ -14,10 +14,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from avro_parquet_spark_example_spark.registry import all_queries
+from avro_parquet_spark_example_spark.registry import all_queries, get_query
 from avro_parquet_spark_example_spark.session import get_session
 
 #: BASELINE.md key → registered query implementing that workload.
+#: ``dedup_minhash`` (round 4+) has no baseline twin — it tracks the
+#: shuffle-heaviest LLM-pipeline path (LSH banding self-join + exact-Jaccard
+#: verify + iterative connected components) round-over-round so regressions
+#: in the scale-critical code show up in BENCH_r{N}.json, not just pytest.
+#: Keys absent from BASELINE.md are excluded from the aggregate ``value`` so
+#: it stays directly comparable to the frozen baseline total.
+BASELINE_KEYS = frozenset(
+    {"q1_scan_agg", "q3_join3", "window_rank", "events_agg", "topk_docs", "knn_dot"}
+)
 HEADLINE = {
     "q1_scan_agg": "agg_scan_group",
     "q3_join3": "join_shuffle_equi",
@@ -25,9 +34,16 @@ HEADLINE = {
     "events_agg": "events_agg",
     "topk_docs": "text_stats",
     "knn_dot": "simsearch_bruteforce_topk",
+    "dedup_minhash": "dedup_minhash_verified",
 }
 
 N_RUNS = 3  # timing = best of runs 2..N (warm; run 1 discarded as warm-up)
+
+#: Queries whose execution is driver-driven (iterative loops with
+#: localCheckpoint): the shared plan cache would freeze their real work into
+#: the warm-up run and time only the final stage. These rebuild the plan
+#: every run so build+execute is what the clock sees.
+REBUILD_EACH_RUN = {"dedup_minhash"}
 
 
 def main() -> None:
@@ -38,7 +54,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for bench_key, query_name in HEADLINE.items():
-        fn = queries[query_name]
+        if bench_key in REBUILD_EACH_RUN:
+            fn = get_query(query_name).fn
+        else:
+            fn = queries[query_name]
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -50,7 +69,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "warm_headline_queries",
-                "value": round(sum(timings.values()), 4),
+                "value": round(
+                    sum(v for k, v in timings.items() if k in BASELINE_KEYS), 4
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),

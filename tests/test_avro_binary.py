@@ -147,3 +147,50 @@ def test_split_coverage_exact_once(tmp_path, split_bytes, codec):
         )
         lo = hi
     assert out == ROWS  # block order is file order, so exact equality holds
+
+
+def test_datasource_exact_once_at_many_splits(spark, sf_dir, tmp_path):
+    """Exactly-once through the REGISTERED avrofile source (not just the
+    codec-level split reader): one container file, forced >=8 byte-splits,
+    the scan's row multiset must equal the source table exactly — no
+    dropped boundary block, no double-owned block."""
+    from avro_parquet_spark_example_spark.sources.avro_datasource import (
+        SUPPLIER_AVRO_SCHEMA,
+        AvroContainerReader,
+        ensure_registered,
+        write_distributed,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = str(tmp_path / "supplier_many_splits.avro.d")
+    # one shard so all splits hit one file; tiny blocks so splits land
+    # mid-file rather than all past EOF
+    write_distributed(
+        src.coalesce(1), out, SUPPLIER_AVRO_SCHEMA, block_records=4
+    )
+    [shard] = [f for f in os.listdir(out) if f.endswith(".avro")]
+    size = os.path.getsize(os.path.join(out, shard))
+    # the first split starts after the header, so budget ~20 splits of the
+    # full file size to guarantee >=8 land inside the body
+    split_bytes = max(size // 20, 1)
+
+    n_splits = len(
+        AvroContainerReader(
+            {"path": out, "split_bytes": str(split_bytes)}
+        ).partitions()
+    )
+    assert n_splits >= 8, f"only {n_splits} splits planned for {size} bytes"
+
+    ensure_registered(spark)
+    back = (
+        spark.read.format("avrofile")
+        .option("path", out)
+        .option("split_bytes", split_bytes)
+        .load()
+    )
+    expect = sorted(map(tuple, src.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == expect

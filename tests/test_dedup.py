@@ -98,3 +98,86 @@ def test_minhash_lsh_query_end_to_end(spark, sf_dir):
             if m >= 100000:
                 assert (m - 100000) in members
         assert row.cluster_id == min(members)
+
+
+def test_lsh_candidates_cover_all_true_pairs(spark):
+    """Precondition for dedup_minhash_verified's hash-equality contract
+    (ADVICE r3): the oracle computes exact Jaccard over ALL pairs while the
+    Spark side verifies only LSH candidates, so the two agree iff LSH
+    banding surfaces EVERY true >=0.7 pair as a candidate. The fixture does
+    contain organic near-dups (25-28 pairs at J≈0.9+ per gate SF, all
+    comfortably above the banding S-curve) — so assert candidate coverage
+    directly: the exact set of true pairs (DuckDB, all-pairs) must equal the
+    Spark verified-candidate pairs. A fixture change that introduces a
+    borderline pair LSH misses now fails HERE with the pair's ids, not as an
+    opaque value-hash mismatch in the driver gate."""
+    import duckdb
+
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        with_injected_duplicates,
+        word_shingles,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    truth_sql = """
+    WITH pool AS (
+        SELECT doc_id, text FROM read_parquet('{path}')
+        UNION ALL
+        SELECT doc_id + 100000, text FROM read_parquet('{path}')
+        WHERE doc_id < 50
+    ),
+    docs AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM pool WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ') AS s
+        FROM docs,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.7
+    """
+    for sf in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{sf}"
+        path = f"{sf_dir}/documents.parquet"
+        truth = {
+            (min(a, b), max(a, b))
+            for a, b in duckdb.connect().execute(
+                truth_sql.format(path=path)
+            ).fetchall()
+        }
+        docs = with_injected_duplicates(
+            load(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        cands = minhash_candidate_pairs(docs, sim_threshold=0.5)
+        sh = docs.filter(F.col("text").isNotNull()).select(
+            F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
+        )
+        true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
+            F.array_union("sa.sh", "sb.sh")
+        )
+        verified = {
+            (min(r.a, r.b), max(r.a, r.b))
+            for r in (
+                cands.join(sh.alias("sa"), F.col("a") == F.col("sa.id"))
+                .join(sh.alias("sb"), F.col("b") == F.col("sb.id"))
+                .filter(true_j >= 0.7)
+                .select("a", "b")
+                .collect()
+            )
+        }
+        missed = truth - verified
+        assert not missed, f"{sf}: LSH missed true pairs {sorted(missed)[:10]}"
+        extra = verified - truth
+        assert not extra, f"{sf}: spark found non-true pairs {sorted(extra)[:10]}"
