@@ -254,12 +254,55 @@ def minhash_candidate_pairs(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Cluster ids by iterative min-label propagation over undirected edges
-    (columns a, b). Each round is two shuffle joins; ``localCheckpoint``
-    cuts lineage so plans stay bounded. Converges in O(log n) rounds for
-    typical near-dup clusters (small diameter); max_iter bounds worst case.
-    Returns (id, cluster_id = min id reachable)."""
+#: Edge-count ceiling for the driver-side union-find finish. 200k edges ≈
+#: 3 MB of longs — trivially bounded driver memory. The hybrid is the
+#: standard large-scale CC design (iterate/contract distributed, finish the
+#: small remainder locally — cf. Kiveris et al., "Connected Components in
+#: MapReduce and Beyond"): near-dup edge sets are ~duplicate-rate × corpus,
+#: so even 100 TB corpora usually land under it after LSH + verification;
+#: anything larger takes the distributed min-label loop below.
+CC_LOCAL_EDGE_THRESHOLD = 200_000
+
+
+def _cc_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Path-compressed union-find; returns node → min-id-of-component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # compress
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the root the component minimum for free
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 10,
+    local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Cluster ids over undirected edges (columns a, b). Returns
+    (id, cluster_id = min id reachable).
+
+    Hybrid execution: the edge list is materialized once (it is the output
+    of an expensive upstream pipeline); if it is small — the common case
+    for verified near-dup edges, which scale with the duplicate rate, not
+    the corpus — a driver-side union-find finishes in one pass instead of
+    paying multi-round job latency. Larger edge sets run iterative
+    min-label propagation: each round is two shuffle joins, with
+    ``localCheckpoint`` cutting lineage so plans stay bounded; converges in
+    O(diameter) rounds (near-dup clusters are shallow); ``max_iter`` bounds
+    the worst case."""
     # Materialize the edge list once — every propagation round re-reads it,
     # and without this the full upstream pipeline (e.g. MinHash + LSH join)
     # would re-execute per iteration.
@@ -268,6 +311,11 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
     )
+    if sym.count() <= 2 * local_threshold:  # sym carries 2 rows per edge
+        labels = _cc_union_find([(r.a, r.b) for r in sym.collect()])
+        return edges.sparkSession.createDataFrame(
+            list(labels.items()), schema="id long, cluster_id long"
+        )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

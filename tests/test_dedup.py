@@ -78,12 +78,20 @@ def test_shingles_and_simhash_locality(spark):
 
 
 def test_connected_components_chain_and_islands(spark):
-    # chain 1-2-3-4 plus island pair 10-11: one cluster each, min-id labels
+    # chain 1-2-3-4 plus island pair 10-11: one cluster each, min-id labels.
+    # local_threshold=0 forces the distributed min-label loop; the default
+    # takes the driver union-find fast path — both must agree.
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
     )
-    labels = {r.id: r.cluster_id for r in connected_components(edges).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for threshold in (0, None):
+        kwargs = {} if threshold is None else {"local_threshold": threshold}
+        labels = {
+            r.id: r.cluster_id
+            for r in connected_components(edges, **kwargs).collect()
+        }
+        assert labels == expect, f"local_threshold={threshold}"
 
 
 def test_minhash_lsh_query_end_to_end(spark, sf_dir):
