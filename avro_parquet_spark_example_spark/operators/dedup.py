@@ -479,6 +479,116 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# H2c — exact substring-span dedup (Lee et al. 2022)
+
+SUBSTR_K = 8  # tokens per rolling window; Lee et al. use 50 BPE tokens
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS t
+        FROM pool WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ARRAY_TO_STRING(LIST_SLICE(t, i, i + {SUBSTR_K} - 1), ' ') AS g
+        FROM toks,
+             UNNEST(GENERATE_SERIES(1, LEN(t) - {SUBSTR_K} + 1)) AS u(i)
+        WHERE LEN(t) >= {SUBSTR_K}
+    ),
+    dups AS (
+        SELECT doc_id, pos, pos + {SUBSTR_K} AS fin
+        FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY doc_id, pos) AS rn
+            FROM grams
+        ) WHERE rn >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos, fin,
+               CASE WHEN pos > COALESCE(MAX(fin) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM dups
+    ),
+    islands AS (
+        SELECT doc_id, pos, fin,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2c — exact substring-span dedup: for every {SUBSTR_K}-token window
+    that occurred EARLIER in the corpus (order = (doc_id, token position)),
+    emit the containing token span, with overlapping/adjacent windows merged
+    per doc — the span list a trainer cuts before tokenization. This is the
+    within/cross-document *substring* tier from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    whole-document MinHash can't express: boilerplate headers, licenses and
+    quoted blocks repeat inside otherwise-unique documents.
+
+    Spark shape: tokenize → NGram({SUBSTR_K}) → posexplode → one shuffle on
+    the 8-byte window hash (first-occurrence ranking via row_number, never
+    the gram text — at 100 TB only hashes and (doc, pos) longs move) → one
+    shuffle back on doc_id for the classic gaps-and-islands span merge. A
+    suffix array finds arbitrary-length repeats in one pass, but it is a
+    whole-corpus sort; the rolling-window form is two bounded shuffles and
+    catches every repeat of length ≥ K exactly. Cross-engine contract:
+    Spark groups windows by xxhash64, the oracle by the gram string — the
+    equivalence classes differ only on a 64-bit collision (~1e-9 at gate
+    scale; any true repeated string is seen identically by both engines).
+    """
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toked = docs.filter(F.col("text").isNotNull()).withColumn(
+        "t", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    from pyspark.ml.feature import NGram
+
+    grams = (
+        NGram(n=SUBSTR_K, inputCol="t", outputCol="g")
+        .transform(toked)
+        .select("doc_id", F.posexplode("g").alias("pos", "gram"))
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dups = (
+        grams.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos", (F.col("pos") + SUBSTR_K).alias("fin"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("fin").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dups.withColumn(
+        "island",
+        F.sum(
+            (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"), F.max("fin").alias("span_end")
+    ).select("doc_id", "span_start", "span_end")
+
+
+# ---------------------------------------------------------------------------
 # H2b — SimHash fingerprints
 
 

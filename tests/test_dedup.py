@@ -224,3 +224,31 @@ def test_shingle_and_signature_paths_identical(spark, sf_dir):
     ).collect()}
     sig_fast = {r.id: r.sig for r in minhash_signatures_df(docs).collect()}
     assert sig_hof == sig_fast
+
+
+def test_substring_spans_cover_injected_copies(spark, sf_dir):
+    """An injected full-document copy (doc_id+100000) must yield exactly one
+    merged span covering all its windows: [0, n_tokens). Original docs with
+    no earlier duplicate text yield no span for their first occurrence."""
+    from avro_parquet_spark_example_spark.operators.dedup import SUBSTR_K
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    spans = {}
+    for r in get_query("dedup_substring_spans").fn(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    n_toks = {
+        r.doc_id: r.n
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    copies_checked = 0
+    for doc_id, n in n_toks.items():
+        if doc_id < 50 and n >= SUBSTR_K:
+            copy_id = doc_id + 100000
+            assert spans.get(copy_id) == [(0, n)], (
+                f"copy {copy_id}: {spans.get(copy_id)} != [(0, {n})]"
+            )
+            copies_checked += 1
+    assert copies_checked >= 40
