@@ -375,3 +375,58 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= DOMAIN_CAP)
         .select("doc_id", "source", "rn")
     )
+
+
+@register(
+    "curation_quality_percentile",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LEN(x) >= 4))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS score
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, lang, score,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY score, doc_id) AS pct
+        FROM scored
+    )
+    SELECT doc_id, lang, ROUND(score, 6) AS score, ROUND(pct, 6) AS pct
+    FROM ranked WHERE pct >= 0.3
+    """,
+)
+def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6n — percentile-calibrated quality filter: drop the worst 30% of
+    documents PER LANGUAGE by quality score (here: long-word ratio, an
+    exact int/int division both engines compute bit-identically). Absolute
+    quality thresholds are miscalibrated across languages — a cutoff tuned
+    on English drops most of a morphologically-rich language — so
+    production pipelines rank within language and cut at a percentile,
+    which is exactly one window per language partition. Deterministic:
+    PERCENT_RANK over (score, doc_id) has no ties, so the kept set is a
+    function of the data. At 100 TB: one shuffle keyed by lang; skewed
+    (dominant-language) partitions are the AQE-split case, or pre-split by
+    (lang, salt) and take per-salt percentiles as an approximation."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.filter(toks, lambda t: F.length(t) >= 4))
+            * 1.0
+            / F.size(toks)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= 0.3)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("score", 6).alias("score"),
+            F.round("pct", 6).alias("pct"),
+        )
+    )
