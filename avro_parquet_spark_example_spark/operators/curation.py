@@ -430,3 +430,98 @@ def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pct", 6).alias("pct"),
         )
     )
+
+
+@register(
+    "curation_token_budget_select",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LEN(x) >= 4))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS score
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, score,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, ROUND(score, 6) AS score, cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= (SELECT CAST(SUM(n_tokens) * 0.5 AS BIGINT) FROM scored)
+    """,
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6o — token-budget corpus selection: take documents in descending
+    quality order until a global token budget (here 50% of corpus tokens)
+    is spent — the final assembly step of every pretraining run. The naive
+    form is a GLOBAL running sum (an unpartitioned window = one executor
+    holds the corpus), so this implements the classic distributed prefix
+    sum instead:
+
+      1. range-bucket rows by score via ``approxQuantile`` boundaries
+         (driver holds only the ~32 boundary values; any boundary error
+         moves bucket EDGES, never breaks ordering, because every bucket's
+         score range is value-disjoint and ties share a bucket);
+      2. per-bucket token sums → collect the ~32 partials → exclusive
+         prefix offsets, rejoined as a broadcast;
+      3. running sum WITHIN each bucket (partitioned window) + its
+         bucket's offset = the exact global cumulative sum.
+
+    At 100 TB every stage is bounded: the driver sees O(buckets) scalars,
+    each bucket windows independently, and AQE splits a hot score range.
+    Output hash-matches DuckDB's single-sequence SUM OVER (ORDER BY)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    scored = (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            (
+                F.size(F.filter(toks, lambda t: F.length(t) >= 4))
+                * 1.0
+                / F.size(toks)
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=True)  # consumed 4x: quantiles, budget, sums, window
+    )
+    budget = scored.agg(
+        (F.sum("n_tokens") * 0.5).cast("bigint").alias("b")
+    ).collect()[0].b
+
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(scored.approxQuantile("score", probs, 0.001)))
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    # bucket 0 = highest scores (descending order): count boundaries >= score
+    bucket = F.size(F.filter(bounds_arr, lambda b: b >= F.col("score")))
+    bucketed = scored.withColumn("bucket", bucket)
+
+    sums = {
+        r.bucket: r.s
+        for r in bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    acc = 0
+    offset_rows = []
+    for k in sorted(sums):  # bucket 0 first (highest scores)
+        offset_rows.append((k, acc))
+        acc += sums[k]
+    offsets_df = F.broadcast(
+        scored.sparkSession.createDataFrame(offset_rows, "bucket int, offset long")
+    )
+
+    w = Window.partitionBy("bucket").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        bucketed.join(offsets_df, "bucket")
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w) + F.col("offset")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("score", 6).alias("score"),
+            "cum_tokens",
+        )
+    )
