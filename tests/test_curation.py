@@ -193,3 +193,60 @@ def test_chunk_documents_property(texts, chunk, overlap):
         assert all(len(p) <= chunk for _, p in pieces)
         rebuilt = "".join(p[:stride] for _, p in pieces[:-1]) + pieces[-1][1]
         assert rebuilt == texts[doc_id]
+
+
+def test_token_budget_prefix_sum_matches_naive_window(spark):
+    """The distributed two-phase prefix sum (range buckets + per-bucket
+    windows + broadcast offsets) must equal the naive single-partition
+    global running sum on adversarial inputs: heavy score ties (ties at
+    bucket boundaries share a bucket), discrete values that collapse
+    quantile boundaries, and single-row corpora."""
+    from pyspark.sql import Window
+
+    cases = [
+        # (doc_id, n_tokens, score) triples
+        [(i, 10 + i % 3, float(i % 4) / 4) for i in range(200)],  # heavy ties
+        [(i, 5, 0.5) for i in range(50)],  # ALL scores identical
+        [(0, 7, 0.9)],  # single row
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+        total = df.agg(F.sum("n_tokens")).collect()[0][0]
+        budget = int(total * 0.5)
+
+        naive = {
+            r.doc_id: r.cum
+            for r in df.withColumn(
+                "cum",
+                F.sum("n_tokens").over(
+                    Window.orderBy(F.col("score").desc(), "doc_id")
+                ),
+            )
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+
+        bounds = sorted(set(df.approxQuantile("score", [i / 8 for i in range(1, 8)], 0.001)))
+        bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(bounds_arr, lambda b: b >= F.col("score")))
+        bucketed = df.withColumn("bucket", bucket)
+        sums = {
+            r.bucket: r.s
+            for r in bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+        }
+        acc, offset_rows = 0, []
+        for k in sorted(sums):
+            offset_rows.append((k, acc))
+            acc += sums[k]
+        offsets = F.broadcast(
+            spark.createDataFrame(offset_rows, "bucket int, offset long")
+        )
+        w = Window.partitionBy("bucket").orderBy(F.col("score").desc(), "doc_id")
+        dist = {
+            r.doc_id: r.cum
+            for r in bucketed.join(offsets, "bucket")
+            .withColumn("cum", F.sum("n_tokens").over(w) + F.col("offset"))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert dist == naive, f"case with {len(rows)} rows diverged"
