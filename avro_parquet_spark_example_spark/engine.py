@@ -33,6 +33,7 @@ from avro_parquet_spark_example_spark.operators.dedup import (
     keep_first_per_text,
     minhash_candidate_pairs,
     simhash64,
+    substring_dup_spans,
 )
 from avro_parquet_spark_example_spark.operators.simsearch import dot_product
 from avro_parquet_spark_example_spark.session import configure, get_session
@@ -115,6 +116,19 @@ class Engine:
     def simhash(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Append a 64-bit SimHash ``fingerprint`` column."""
         return df.withColumn("fingerprint", simhash64(F.col(text_col)))
+
+    def dedup_substrings(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 8,
+    ) -> DataFrame:
+        """Merged token spans (id, span_start, span_end) of every k-token
+        window that occurred earlier in the corpus — the Lee-et-al-2022
+        substring-dedup cut list (shared implementation with the
+        oracle-checked ``dedup_substring_spans`` operator)."""
+        return substring_dup_spans(df, id_col=id_col, text_col=text_col, k=k)
 
     def search_topk(
         self,

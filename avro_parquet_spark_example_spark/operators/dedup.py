@@ -556,13 +556,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_injected_duplicates(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    toked = docs.filter(F.col("text").isNotNull()).withColumn(
-        "t", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    )
+    return substring_dup_spans(docs)
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """Reusable core of :func:`dedup_substring_spans` over any (id, text)
+    DataFrame: merged token spans [span_start, span_end) of every k-token
+    window that occurred earlier in (id, position) order."""
     from pyspark.ml.feature import NGram
 
+    toked = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .withColumn("t", F.split(F.lower(F.trim(F.col("__text"))), r"\s+"))
+    )
     grams = (
-        NGram(n=SUBSTR_K, inputCol="t", outputCol="g")
+        NGram(n=k, inputCol="t", outputCol="g")
         .transform(toked)
         .select("doc_id", F.posexplode("g").alias("pos", "gram"))
         .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
@@ -571,7 +585,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = (
         grams.withColumn("rn", F.row_number().over(w_first))
         .filter(F.col("rn") >= 2)
-        .select("doc_id", "pos", (F.col("pos") + SUBSTR_K).alias("fin"))
+        .select("doc_id", "pos", (F.col("pos") + k).alias("fin"))
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max("fin").over(
@@ -583,9 +597,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
         ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    return islands.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"), F.max("fin").alias("span_end")
-    ).select("doc_id", "span_start", "span_end")
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("fin").alias("span_end"))
+        .select(
+            F.col("doc_id").alias(id_col), "span_start", "span_end"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,20 @@ def test_chunk_and_shuffle_export(spark, sf_dir):
     assert out.select("doc_id", "shuffle_key").exceptAll(
         other.select("doc_id", "shuffle_key")
     ).count() > 0
+
+
+def test_engine_dedup_substrings(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z y a b c d e f g h i j w"),  # contains doc 1's run
+            (3, "totally different words with no shared runs at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {r.doc_id: (r.span_start, r.span_end)
+             for r in eng.dedup_substrings(docs, k=8).collect()}
+    # doc 2 repeats doc 1's 10-token run at tokens 2..11: duplicate windows
+    # at positions 2, 3, 4 merge into one span [2, 12)
+    assert spans == {2: (2, 12)}
