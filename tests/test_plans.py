@@ -229,3 +229,35 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan.lower()
     # the pruned scan must carry the partition filter on ship_month
     assert "ship_month" in plan
+
+
+def test_substring_spans_two_bounded_shuffles_no_cartesian(spark, sf_dir):
+    """H2c — the substring tier must stay equi-shaped: window-hash ranking
+    then per-doc span merge, never a pairwise join."""
+    plan = formatted_plan(get_query("dedup_substring_spans").fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # both windows are key-partitioned: no single-partition global stage
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_has_no_global_window(spark, sf_dir):
+    """H6o — the distributed prefix sum exists precisely to avoid the
+    single-partition global running-sum window; assert the plan contains a
+    bucket-partitioned window, a broadcast offsets join, and NO
+    SinglePartition exchange anywhere."""
+    plan = formatted_plan(
+        get_query("curation_token_budget_select").fn(spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # ~32-row offsets side
+    assert "SinglePartition" not in plan
+
+
+def test_quality_percentile_window_is_lang_partitioned(spark, sf_dir):
+    """H6n — the percentile filter windows per language, no global stage."""
+    plan = formatted_plan(
+        get_query("curation_quality_percentile").fn(spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
