@@ -194,3 +194,45 @@ def test_datasource_exact_once_at_many_splits(spark, sf_dir, tmp_path):
     expect = sorted(map(tuple, src.collect()))
     got = sorted(map(tuple, back.collect()))
     assert got == expect
+
+
+def test_datasource_rejects_heterogeneous_schemas(tmp_path):
+    """A directory mixing .avro files with different schemas must fail at
+    plan time (splits decode with per-file schemas while the source
+    announces the first file's — silent nonconforming rows otherwise)."""
+    from avro_parquet_spark_example_spark.sources.avro_datasource import (
+        AvroContainerReader,
+    )
+
+    s1 = {"type": "record", "name": "A",
+          "fields": [{"name": "x", "type": "long"}]}
+    s2 = {"type": "record", "name": "B",
+          "fields": [{"name": "y", "type": "string"}]}
+    ab.write_container(str(tmp_path / "a.avro"), s1, [(1,), (2,)])
+    ab.write_container(str(tmp_path / "b.avro"), s2, [("u",)])
+    with pytest.raises(ValueError, match="heterogeneous"):
+        AvroContainerReader({"path": str(tmp_path)}).partitions()
+
+
+def test_write_distributed_leaves_no_tmp_files(spark, sf_dir, tmp_path):
+    """The rename-commit protocol must clean up: only part-*.avro shards in
+    the output directory, every one a readable container."""
+    from avro_parquet_spark_example_spark.sources.avro_datasource import (
+        SUPPLIER_AVRO_SCHEMA,
+        write_distributed,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = str(tmp_path / "commit_check.avro.d")
+    write_distributed(src.repartition(4), out, SUPPLIER_AVRO_SCHEMA)
+    names = sorted(os.listdir(out))
+    assert names and all(
+        n.startswith("part-") and n.endswith(".avro") for n in names
+    ), names
+    total = sum(
+        len(list(ab.read_container(os.path.join(out, n))[1])) for n in names
+    )
+    assert total == src.count()
