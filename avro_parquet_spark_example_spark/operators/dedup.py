@@ -131,8 +131,13 @@ def with_shingles(
     construction — not hashing — dominated MinHash cost). Docs shorter than
     ``w`` tokens fall back to one partial shingle of all their tokens,
     matching :func:`word_shingles` and the DuckDB oracles'
-    ``GENERATE_SERIES(1, GREATEST(len-2, 1))`` exactly."""
-    from pyspark.ml.feature import NGram
+    ``GENERATE_SERIES(1, GREATEST(len-2, 1))`` exactly. If ``pyspark.ml``
+    is unavailable (minimal Spark build), falls back to the value-identical
+    Column form — slower, never wrong."""
+    try:
+        from pyspark.ml.feature import NGram
+    except ImportError:  # pragma: no cover - full pyspark always ships ml
+        return df.withColumn(out_col, word_shingles(F.col(text_col), w))
 
     toks_col, raw_col = f"__toks_{out_col}", f"__ngrams_{out_col}"
     toked = df.withColumn(
