@@ -72,10 +72,19 @@ def run_to_table(df: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("events_stream_source")
+@register(
+    "events_stream_source",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
 def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — stream source smoke: readStream → stateless filter/project →
-    sink. Rows-only check (row count equals the batch filter's)."""
+    """A7 — stream source: readStream → stateless filter/project → sink.
+    Stateless streaming transforms are deterministic, so this is fully
+    oracle-checked (promoted from rows-only in round 4): the drained sink
+    must hash-equal the batch filter, including the normalized event-time
+    column."""
     stream = read_events_stream(spark, sf_dir)
     filtered = stream.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -83,11 +92,29 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(filtered, "append")
 
 
-@register("stream_watermark_dedup")
+@register(
+    "stream_watermark_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM (
+        SELECT event_id, user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — 10-minute watermark + exactly-once dedup on event_id. The
     watermark lets Spark expire dedup state for ids older than
-    (max event time − 10 min) — bounded memory on an unbounded stream."""
+    (max event time − 10 min) — bounded memory on an unbounded stream.
+
+    Oracle-checked (promoted from rows-only in round 4): the fixture's
+    event_ids are unique (asserted by tests/test_streaming.py), so the
+    bounded replay's kept set is exactly one row per event_id and
+    deterministic — the batch ROW_NUMBER dedup. With genuinely duplicated
+    ids arriving in different micro-batches, streaming keeps the
+    first-SEEN row (arrival order), which a batch oracle can't express —
+    that caveat is why the general operator documents rows-only semantics
+    even though this dataset admits an exact check."""
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "10 minutes")

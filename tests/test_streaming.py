@@ -121,3 +121,16 @@ def test_incremental_resume_exactly_once(spark, sf_dir):
     assert first.select("event_id").distinct().count() == events.count()
     again = q(spark, sf_dir)
     assert again.count() == first.count()
+
+
+def test_event_ids_unique_precondition(spark):
+    """Precondition for stream_watermark_dedup's oracle promotion: with
+    unique event_ids the streaming first-seen dedup equals the batch
+    ROW_NUMBER dedup. A fixture change that introduces duplicate ids makes
+    the kept row arrival-order-dependent — fail here with the ids, not as
+    an opaque hash mismatch in the gate."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        df = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+        total = df.count()
+        distinct = df.select("event_id").distinct().count()
+        assert total == distinct, f"{sf}: {total - distinct} duplicate event_ids"
