@@ -142,7 +142,13 @@ def verify_events_readable(spark: SparkSession, sf_dir: str) -> str:
         table_path,
     )
 
-    dtype = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+    path = table_path(sf_dir, "events")
+    if not os.path.exists(path):
+        # Custom data dirs without an events table have nothing to
+        # normalize, so there is nothing to verify — don't fail unrelated
+        # queries over an absent optional table.
+        return "absent"
+    dtype = dict(spark.read.parquet(path).dtypes).get("ts", "missing")
     if dtype not in HANDLED_TS_DTYPES:
         raise TypeError(
             f"events.ts reads as {dtype!r}, not one of {HANDLED_TS_DTYPES}; "
