@@ -551,3 +551,88 @@ def matview_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv").cast("double").alias("sum_value"),
         )
     )
+
+
+#: Shared SQL text for sql_recursive_cte: the customer→nation→region
+#: hierarchy as a parent-child edge list, walked from the roots by a
+#: recursive CTE to find every node's root region and depth. Same ANSI
+#: text runs on Spark (WITH RECURSIVE landed in Spark 4) and DuckDB.
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT CONCAT('c', CAST(c_custkey AS STRING)) AS node,
+               CONCAT('n', CAST(c_nationkey AS STRING)) AS parent
+        FROM customer
+        UNION ALL
+        SELECT CONCAT('n', CAST(n_nationkey AS STRING)),
+               CONCAT('r', CAST(n_regionkey AS STRING))
+        FROM nation
+        UNION ALL
+        SELECT CONCAT('r', CAST(r_regionkey AS STRING)), NULL FROM region
+    ),
+    walk(node, root, depth) AS (
+        SELECT node, node, 0 FROM edges WHERE parent IS NULL
+        UNION ALL
+        SELECT e.node, w.root, w.depth + 1
+        FROM edges e JOIN walk w ON e.parent = w.node
+    )
+    SELECT root, depth, COUNT(*) AS n_nodes
+    FROM walk GROUP BY root, depth
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_HIERARCHY_SQL.replace("AS STRING", "AS VARCHAR"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3b — recursive CTE (WITH RECURSIVE, new in Spark 4): walk the
+    customer→nation→region containment hierarchy from its region roots,
+    emitting node counts per (root, depth) — the org-chart/BOM-explosion
+    query shape classic warehouses answer with recursion. Spark executes
+    each recursion step as an incremental union (same iterative-join shape
+    as the engine's hand-rolled connected components, but planned by
+    Catalyst); depth is bounded by the hierarchy (3 here), so at 100 TB the
+    cost is steps × one equi-join of the frontier against the edge list —
+    frontier-partitioned, no global stage. Oracle: the identical query text
+    on DuckDB (VARCHAR cast spelling aside)."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, b.o_orderkey, b.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) b
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — LATERAL correlated subquery join (Spark 3.2+): each customer's
+    single highest-value order, expressed as the per-row dependent subquery
+    SQL users write, not a hand-rolled window. Catalyst decorrelates the
+    LATERAL into the same shuffle-window/aggregate plan as the explicit
+    row_number form — asserting the SQL surface exists AND optimizes is the
+    point; a nested-loop execution of this would be O(customers × orders).
+    Customers with no orders drop out (inner lateral). Oracle: identical
+    LATERAL text on DuckDB."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, b.o_orderkey, b.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) b
+        """
+    )

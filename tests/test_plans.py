@@ -261,3 +261,11 @@ def test_quality_percentile_window_is_lang_partitioned(spark, sf_dir):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    """C9 — the LATERAL correlated subquery must decorrelate to a window +
+    equi-join plan, never a per-row nested loop."""
+    plan = formatted_plan(get_query("join_lateral_topk").fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
