@@ -341,3 +341,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(eid, 3).alias("shifted_right"),
         F.bit_count(eid).cast("bigint").alias("popcount"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_long,
+           (CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) IS NOT NULL) AS has_k,
+           CAST(JSON_EXTRACT(props, '$.missing') AS VARCHAR) AS absent
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6b — the VARIANT semi-structured type (new in Spark 4):
+    ``parse_json`` ingests the props JSON once into Variant's binary
+    encoding, then ``variant_get``/``try_variant_get`` extract typed paths.
+    Against repeated ``get_json_object`` calls (which re-parse the JSON
+    text per extraction), Variant parses once and navigates a binary tree
+    per path — the columnar-JSON answer for semi-structured event payloads
+    at 100 TB, and shreddable to Parquet columns by the writer. Oracle maps
+    each extraction to DuckDB JSON functions; the absent path checks
+    missing-key null semantics on both engines."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id",
+        k.alias("k_long"),
+        k.isNotNull().alias("has_k"),
+        F.try_variant_get(v, "$.missing", "string").alias("absent"),
+    )
