@@ -22,7 +22,12 @@ is sources only Python can speak.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from avro_parquet_spark_example_spark.registry import register
 
@@ -93,3 +98,88 @@ def pysource_custom_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._rangelog_registered = True
     df = spark.read.format("rangelog").load()
     return df.filter(F.col("id") % 11 == 0).select("id", "bucket", "score")
+
+
+# ---------------------------------------------------------------------------
+# A12b — the STREAMING half of the Python Data Source API
+
+
+class RangeLogStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming reader over the same closed-form log.
+
+    The offset is a plain row index: ``latestOffset`` declares everything
+    available (this source is bounded), ``partitions(start, end)`` splits
+    the pending range into N_PARTS executor-side tasks, and ``commit`` has
+    nothing to persist because the data is a pure function of the index —
+    a real feed (queue, ledger, bucket listing) would checkpoint its
+    cursor here. Exactly-once comes from the engine replaying
+    (start, end] deterministically on recovery, which this source
+    guarantees by construction."""
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": N_PARTS * PART_ROWS}
+
+    def partitions(self, start, end):
+        s, e = start["index"], end["index"]
+        step = max((e - s) // N_PARTS, 1)
+        parts = []
+        while s < e:
+            parts.append(_RangePartition(s, min(s + step, e)))
+            s = min(s + step, e)
+        return parts
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, i % 7, (i * 37 % 1000) / 10.0)
+
+    def commit(self, end):
+        pass
+
+
+class RangeLogStreamDataSource(DataSource):
+    """``spark.readStream.format("rangelog_stream")`` — the streaming
+    registration of the same source (one DataSource class may serve both;
+    kept separate here so each query pins one API surface)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rangelog_stream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, score double"
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return RangeLogStreamReader()
+
+
+@register(
+    "pysource_stream_reader",
+    oracle=f"""
+    SELECT r.range AS id,
+           r.range % 7 AS bucket,
+           (r.range * 37 % 1000) / 10.0 AS score
+    FROM RANGE(0, {N_PARTS * PART_ROWS}) r
+    WHERE r.range % 11 = 0
+    """,
+)
+def pysource_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12b — a custom STREAMING connector through the Python Data Source
+    API (Spark 4): offset management, per-batch partition planning, and
+    executor-side reads, drained through a checkpointed memory sink with
+    Trigger.AvailableNow. The drained table must hash-equal the closed-form
+    oracle — pinning that offsets, partitioning, the Python→Arrow batch
+    path, and streaming execution compose exactly-once. ``sf_dir`` unused:
+    the source IS the data."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.streaming.stateful import run_to_table
+
+    if not getattr(spark, "_rangelog_stream_registered", False):
+        spark.dataSource.register(RangeLogStreamDataSource)
+        spark._rangelog_stream_registered = True
+    stream = spark.readStream.format("rangelog_stream").load()
+    filtered = stream.filter(F.col("id") % 11 == 0).select("id", "bucket", "score")
+    return run_to_table(filtered, "append")
