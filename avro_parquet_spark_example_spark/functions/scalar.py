@@ -372,3 +372,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.isNotNull().alias("has_k"),
         F.try_variant_get(v, "$.missing", "string").alias("absent"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT LOWER(et) AS key, MIN(et) AS representative, COUNT(*) AS n
+    FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN UPPER(event_type)
+                    ELSE event_type END AS et
+        FROM events
+    ) GROUP BY LOWER(et)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1b — string collations (new in Spark 4): grouping under the
+    UNICODE_CI collation treats case variants as equal WITHOUT rewriting
+    every expression through lower() — the engine-level answer for
+    case-insensitive joins/groups (plus locale-aware ordering lower() can't
+    give). Case variance is injected (fixture strings are uniform), the
+    group key is re-exposed as lower() and the representative as the
+    binary-min raw string so the output is deterministic and
+    engine-portable; for ASCII data UNICODE_CI equivalence == lower()
+    equivalence, which is what the DuckDB oracle recomputes."""
+    ev = load(spark, sf_dir, "events")
+    et = F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(
+        F.col("event_type")
+    )
+    return (
+        ev.select(et.alias("et"))
+        .groupBy(F.collate("et", "UNICODE_CI").alias("et_ci"))
+        .agg(F.min("et").alias("representative"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower("et_ci").cast("string").alias("key"), "representative", "n"
+        )
+    )

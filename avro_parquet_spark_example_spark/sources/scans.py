@@ -636,3 +636,25 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) b
         """
     )
+
+
+@register(
+    "xml_scan_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6d — native XML sink + source (built into Spark 4; previously the
+    external spark-xml package): nation rows land as <row> elements and
+    read back with an explicit schema (inference would type everything
+    string AND cost an extra pass — same rule as CSV/JSON). XML's niche is
+    ingest of legacy enterprise feeds; one task per file split either way."""
+    out = _scratch("nation_xml", sf_dir)
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "row")
+        .format("xml")
+        .load(out)
+    )
