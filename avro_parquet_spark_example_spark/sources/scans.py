@@ -658,3 +658,36 @@ def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("xml")
         .load(out)
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000.0 AND 150000.0
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3c — parameterized SQL (named-parameter binding, Spark 3.4+): the
+    injection-safe templating surface applications use instead of string
+    interpolation. Parameters bind as typed literals BEFORE analysis, so
+    Catalyst constant-folds and pushes them down exactly like inline
+    literals — plan-identical, safer. The oracle inlines the same values."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 1000.0, "hi": 150000.0, "status": "O"},
+    )
