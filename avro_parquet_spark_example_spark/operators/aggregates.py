@@ -454,3 +454,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
         ],
     )
+
+
+@register(
+    "diag_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def diag_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAG — the ``Observation`` API: metrics ride the SAME pass as the
+    query (one scan, zero extra jobs), which is how production pipelines
+    get row counts and quality aggregates without re-reading 100 TB —
+    versus a separate metrics query that doubles the IO. The observed
+    values are re-emitted as a one-row DataFrame and hash-checked against
+    the oracle computing the same aggregates, proving in-band observation
+    is lossless."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice"), 8, round_to=4).alias("sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["sum_price"]), m["min_qty"], m["max_qty"])],
+        "n_rows long, sum_price double, min_qty double, max_qty double",
+    )
