@@ -529,3 +529,34 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH seg AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg_key, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    )
+    SELECT a.seg_key, a.n AS n_left, b.n AS n_right
+    FROM seg a JOIN seg b ON a.seg_key IS NOT DISTINCT FROM b.seg_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL group joins itself instead of silently vanishing, which is what a
+    plain equi-join does — the classic bug when join keys are nullable
+    (unparsed ids, optional foreign keys). Aggregate-then-join keeps both
+    sides bounded; Spark plans ``<=>`` as a hash join key like ordinary
+    equality (null-safe comparison is still hashable), so the shape costs
+    the same as `=` at any scale."""
+    c = load(spark, sf_dir, "customer")
+    seg = c.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_key")
+    ).groupBy("seg_key").agg(F.count(F.lit(1)).alias("n"))
+    a, b = seg.alias("a"), seg.alias("b")
+    return a.join(b, F.col("a.seg_key").eqNullSafe(F.col("b.seg_key"))).select(
+        F.col("a.seg_key").alias("seg_key"),
+        F.col("a.n").alias("n_left"),
+        F.col("b.n").alias("n_right"),
+    )
