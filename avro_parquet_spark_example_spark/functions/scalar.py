@@ -407,3 +407,93 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("et_ci").cast("string").alias("key"), "representative", "n"
         )
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL '90 minutes' AS plus_90m,
+           ts - INTERVAL '1 day' AS minus_1d,
+           DATE_TRUNC('hour', ts) AS hour_bucket,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_bucket
+    FROM events
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2b — interval arithmetic on event time: shift timestamps by
+    day-time intervals and truncate to calendar buckets — the primitives
+    under every windowing/retention/SLA computation. All four expressions
+    are pure per-row arithmetic (codegen'd, no shuffle); values are
+    microsecond-identical across engines because the ts column is
+    normalized once at the catalog."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        F.date_trunc("day", "ts").alias("day_bucket"),
+    )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source AS host,
+           CONCAT('/docs/', CAST(doc_id AS VARCHAR)) AS path,
+           CONCAT('lang=', lang) AS query
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1c — URL parsing (``parse_url``): every web-corpus pipeline keys on
+    host/path/query components (domain caps, dedup by canonical URL,
+    robots filtering). URLs are constructed deterministically from document
+    fields and parsed BACK with parse_url, so the oracle recomputes each
+    component directly — verifying the extraction semantics without
+    needing a URL parser in DuckDB. JVM-side regex, no Python."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT event_id,
+           event_id / NULLIF(user_id % 5, -1) AS ratio,
+           TRY_CAST(event_type AS INT) AS not_a_number,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3b — ANSI-safe ``try_*`` functions: this engine runs with ANSI mode
+    ON (Spark 4 default), where division by zero and bad casts are ERRORS;
+    try_divide/try_cast return NULL instead — the production idiom for
+    dirty data under strict semantics. DuckDB's `/` already yields NULL on
+    zero divisors and TRY_CAST matches; user_id%5 hits zero on ~20% of
+    rows, so the NULL path is genuinely exercised."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("event_id"), F.col("user_id") % 5).alias("ratio"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("int").alias(
+            "not_a_number"
+        ),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+    )
