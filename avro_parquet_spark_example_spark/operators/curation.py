@@ -460,14 +460,23 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds the corpus), so this implements the classic distributed prefix
     sum instead:
 
-      1. range-bucket rows by score via ``approxQuantile`` boundaries
-         (driver holds only the ~32 boundary values; any boundary error
-         moves bucket EDGES, never breaks ordering, because every bucket's
-         score range is value-disjoint and ties share a bucket);
-      2. per-bucket token sums → collect the ~32 partials → exclusive
+      1. range-bucket rows by score on a FIXED uniform grid — scores are
+         ratios in [0, 1], so ``bucket = least(floor((1 - score) * 32),
+         31)`` is fully deterministic (no sketch, no driver round-trip),
+         value-disjoint (every bucket covers one half-open score range,
+         so bucket asc + score desc == global score desc), and
+         tie-preserving (equal scores share a bucket);
+      2. per-bucket token sums → collect the ≤32 partials → exclusive
          prefix offsets, rejoined as a broadcast;
       3. running sum WITHIN each bucket (partitioned window) + its
          bucket's offset = the exact global cumulative sum.
+
+    An earlier revision derived bucket boundaries from
+    ``approxQuantile(…, 0.001)``; the GK sketch's merge order varies with
+    task scheduling, which the round-4 driver run surfaced as a one-off
+    hash divergence. The fixed grid removes the nondeterminism wholesale
+    (uniform buckets may be skewed vs quantile buckets, but AQE splits a
+    hot score range at scale, and correctness never depended on balance).
 
     At 100 TB every stage is bounded: the driver sees O(buckets) scalars,
     each bucket windows independently, and AQE splits a hot score range.
@@ -484,18 +493,20 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.size(toks)
             ).alias("score"),
         )
-        .localCheckpoint(eager=True)  # consumed 4x: quantiles, budget, sums, window
+        .localCheckpoint(eager=True)  # consumed 3x: budget, sums, window
     )
     budget = scored.agg(
         (F.sum("n_tokens") * 0.5).cast("bigint").alias("b")
     ).collect()[0].b
 
     n_buckets = 32
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(scored.approxQuantile("score", probs, 0.001)))
-    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
-    # bucket 0 = highest scores (descending order): count boundaries >= score
-    bucket = F.size(F.filter(bounds_arr, lambda b: b >= F.col("score")))
+    # bucket 0 = highest scores (descending order); score ∈ [0, 1] exactly
+    # (integer-count ratio), so the grid covers the domain with no driver
+    # computation and no run-to-run variance.
+    bucket = F.least(
+        F.floor((F.lit(1.0) - F.col("score")) * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
     bucketed = scored.withColumn("bucket", bucket)
 
     sums = {

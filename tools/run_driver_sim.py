@@ -6,11 +6,22 @@ stricter than ``check_oracle.py`` in one respect: the session is built the
 way the driver builds it (no engine configs), so it also proves the
 runtime-configuration path.
 
-Usage: python tools/run_driver_sim.py
+Usage:
+    python tools/run_driver_sim.py                       # full sweep, once
+    python tools/run_driver_sim.py --repeat 20 --only curation_token_budget_select
+    python tools/run_driver_sim.py --repeat 5 --window 50
+                                   # 5x sweep over the 50 alphabetically-first
+                                   # keys (the driver's actual check window)
+
+``--repeat N`` re-runs the selected key set N times in the same session —
+each repeat re-executes the Spark plan from scratch (fresh jobs, fresh task
+scheduling), which is exactly the axis a sketch/scheduling-dependent
+nondeterminism varies along.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -24,6 +35,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=1, help="run the key set N times")
+    ap.add_argument("--only", action="append", default=None, help="restrict to these keys")
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        help="restrict to the N alphabetically-first keys (driver check window)",
+    )
+    ap.add_argument("--skip-smoke", action="store_true", help="skip the entry() smoke test")
+    args = ap.parse_args()
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -37,9 +60,10 @@ def main() -> int:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    smoke = entrymod.entry(spark).collect()
-    assert len(smoke) > 0, "entry() returned no rows"
-    print(f"t1 smoke: {len(smoke)} rows")
+    if not args.skip_smoke:
+        smoke = entrymod.entry(spark).collect()
+        assert len(smoke) > 0, "entry() returned no rows"
+        print(f"t1 smoke: {len(smoke)} rows")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
@@ -49,26 +73,49 @@ def main() -> int:
             f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
 
+    keys = sorted(queries)
+    if args.only:
+        missing = [k for k in args.only if k not in queries]
+        if missing:
+            print(f"unknown keys: {missing}", file=sys.stderr)
+            return 2
+        keys = sorted(args.only)
+    elif args.window:
+        keys = keys[: args.window]
+
+    # Oracle results are deterministic — compute once per key, reuse per repeat.
+    oracle_cache: dict[str, tuple[list, list]] = {}
     fails: list[str] = []
-    for name, fn in sorted(queries.items()):
-        try:
-            df = fn(spark, sf_dir)
-            scols, srows = df.columns, [tuple(r) for r in df.collect()]
-            if name in oracles:
-                res = con.execute(oracles[name])
-                dcols = [d[0] for d in res.description]
-                drows = res.fetchall()
-                ok = (
-                    len(srows) == len(drows)
-                    and sorted(scols) == sorted(c.lower() for c in map(str, dcols))
-                    and canon_rows(scols, srows) == canon_rows(dcols, drows)
-                )
-                if not ok:
-                    fails.append(name)
-        except Exception as exc:
-            fails.append(f"{name}: {type(exc).__name__}")
+    n_checked = 0
+    for rep in range(1, args.repeat + 1):
+        rep_fails: list[str] = []
+        for name in keys:
+            try:
+                df = queries[name](spark, sf_dir)
+                scols, srows = df.columns, [tuple(r) for r in df.collect()]
+                if name in oracles:
+                    if name not in oracle_cache:
+                        res = con.execute(oracles[name])
+                        oracle_cache[name] = (
+                            [d[0] for d in res.description],
+                            res.fetchall(),
+                        )
+                    dcols, drows = oracle_cache[name]
+                    ok = (
+                        len(srows) == len(drows)
+                        and sorted(scols) == sorted(c.lower() for c in map(str, dcols))
+                        and canon_rows(scols, srows) == canon_rows(dcols, drows)
+                    )
+                    if not ok:
+                        rep_fails.append(name)
+                    n_checked += 1
+            except Exception as exc:
+                rep_fails.append(f"{name}: {type(exc).__name__}")
+        if args.repeat > 1:
+            print(f"rep {rep}/{args.repeat}: fails: {rep_fails or 'none'}")
+        fails.extend(f"rep{rep}:{f}" for f in rep_fails)
     print(
-        f"t2: {len(queries)} queries ({len(oracles)} oracle-checked), "
+        f"t2: {len(keys)} keys x {args.repeat} reps ({n_checked} oracle checks), "
         f"fails: {fails or 'none'}, wall: {time.time() - t0:.0f}s"
     )
     spark.stop()
