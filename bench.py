@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from avro_parquet_spark_example_spark.registry import all_queries, get_query
-from avro_parquet_spark_example_spark.session import get_session
+from avro_parquet_spark_example_spark.session import configure, get_session
 
 #: BASELINE.md key → registered query implementing that workload.
 #: ``dedup_minhash`` (round 4+) has no baseline twin — it tracks the
@@ -64,6 +64,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
+    # REBUILD_EACH_RUN times raw registry fns (bypassing the wrapper that
+    # self-configures the session), so configure explicitly up front —
+    # correctness must not depend on a wrapped query running first.
+    configure(spark)
     queries = all_queries()
     calib = _calibrate(spark)
 
