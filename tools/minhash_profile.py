@@ -1,0 +1,124 @@
+"""Per-stage wall-time breakdown of the dedup_minhash_verified pipeline.
+
+BENCH_r04 recorded 4.40 s for the end-to-end query at sf0.1 against a
+claimed 3.1-4.1 s round band; this harness splits that wall time into its
+four stages so band drift can be attributed instead of guessed:
+
+  1. signatures  — load + inject + shingle (NGram) + 64-hash MinHash agg,
+                   materialized via localCheckpoint (same as the query)
+  2. band_join   — band explode + equi self-join + est-Jaccard filter,
+                   materialized via localCheckpoint (same as the query)
+  3. verify      — universe filter + candidate-id semi-join + exact
+                   3-shingle Jaccard on candidate pairs
+  4. cc          — iterative min-label connected components + final
+                   left join back to the doc universe
+
+Each stage is timed warm (best of N after one discarded warm-up of the
+whole pipeline); stages are cumulative-materialization boundaries, so the
+sum approximates the end-to-end bench number.
+
+Usage: python tools/minhash_profile.py [N_runs]  (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("PERF_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_once(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        minhash_signatures_df,
+        with_injected_duplicates,
+        with_shingles,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    t: dict[str, float] = {}
+    docs = with_injected_duplicates(
+        load(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+
+    t0 = time.perf_counter()
+    sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
+    t["signatures"] = time.perf_counter() - t0
+
+    # Re-run candidate generation from the materialized signatures by
+    # monkey-free composition: the band join is everything in
+    # minhash_candidate_pairs after the signature checkpoint, so time the
+    # full call minus a fresh signature build is noisy — instead time the
+    # full candidate stage and subtract the measured signature time.
+    t0 = time.perf_counter()
+    cands_full = minhash_candidate_pairs(docs, sim_threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    t["band_join"] = max(time.perf_counter() - t0 - t["signatures"], 0.0)
+
+    in_universe = lambda c: (F.col(c) < 50) | (F.col(c) >= 100000)  # noqa: E731
+    cands = cands_full.filter(in_universe("a") & in_universe("b"))
+
+    t0 = time.perf_counter()
+    cand_ids = (
+        cands.select(F.col("a").alias("id"))
+        .unionByName(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh = with_shingles(
+        docs.filter(F.col("text").isNotNull()).join(
+            F.broadcast(cand_ids), F.col("doc_id") == F.col("id"), "leftsemi"
+        )
+    ).select(F.col("doc_id").alias("id"), "sh")
+    true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
+        F.array_union("sa.sh", "sb.sh")
+    )
+    verified = (
+        cands.join(F.broadcast(sh.alias("sa")), F.col("a") == F.col("sa.id"))
+        .join(F.broadcast(sh.alias("sb")), F.col("b") == F.col("sb.id"))
+        .filter(true_j >= 0.7)
+        .select("a", "b")
+    ).localCheckpoint(eager=True)
+    t["verify"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    labeled = connected_components(verified, max_iter=25)
+    nodes = docs.select("doc_id")
+    nodes.join(
+        F.broadcast(labeled), nodes["doc_id"] == labeled["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("component"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    ).collect()
+    t["cc"] = time.perf_counter() - t0
+
+    t["total"] = sum(t.values())
+    return {k: round(v, 4) for k, v in t.items()}
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from avro_parquet_spark_example_spark.session import get_session
+
+    spark = get_session(app_name="minhash-profile")
+    run_once(spark)  # warm-up: plan cache, parquet footer cache, JIT
+    runs = [run_once(spark) for _ in range(n_runs)]
+    best = min(runs, key=lambda r: r["total"])
+    print(json.dumps({"sf_dir": SF_DIR, "best": best, "runs": runs}, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
