@@ -1,0 +1,94 @@
+"""Physical-plan red-flag audit — the rules a 100 TB deployment enforces
+(README / SURVEY.md §4), shared by the ``tools/plan_audit.py`` CLI and the
+``tests/test_plans.py`` full-registry sweep so no operator can silently
+regress onto a scale-hostile plan:
+
+  * CartesianProduct / BroadcastNestedLoopJoin outside the known bounded
+    cases (pure theta joins on dims, broadcast query vectors);
+  * row-at-a-time Python eval (BatchEvalPython) outside the declared
+    slow-path demos;
+  * window functions with no PARTITION BY (an ``Exchange SinglePartition``
+    feeding a Window = every row through one task).
+
+Every allowance is an explicit (query, reason) entry in :data:`EXPECTED` —
+an audit finding is either justified there or it fails the sweep.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: Queries allowed to carry each red-flag operator, with the reason.
+EXPECTED: dict[str, dict[str, str]] = {
+    "BroadcastNestedLoopJoin": {
+        "join_theta": "pure non-equi theta on dims (bounded by design)",
+        "join_cross": "cartesian demo on 5x5 dims",
+        "simsearch_bruteforce_topk": "broadcast 1-row query vector",
+        "simsearch_ivf_topk": "broadcast 1-row query vector",
+        "simsearch_lsh_topk": "broadcast 1-row query vector",
+        "neardup_embedding": "label-blocked pair join (non-equi id bound)",
+        "fn_array_setops": "pair demo on 20 docs (id< theta join, bounded)",
+        "neardup_levenshtein": "pair demo on 60 doc heads (id< theta join, bounded)",
+        "tpch_q22": "broadcast 1-row scalar threshold (avg_bal) cross join",
+        "text_unigram_logprob": "broadcast 1-row vocab-total cross join",
+    },
+    "CartesianProduct": {},
+    "BatchEvalPython": {
+        "udf_python_scalar": "declared slow-path demo (bounded to 100 docs)",
+        "udtf_python": "Python UDTF — Python eval is the operator itself",
+    },
+}
+
+
+def _tree_indent(line: str) -> int:
+    """Depth marker of an operator-tree line: column of its '+-'/':-'
+    connector (-1 for the root operator)."""
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def window_over_single_partition(plan: str) -> bool:
+    """True iff some Window operator's subtree contains a SinglePartition
+    Exchange. The tree rendering carries only operator names + ids; the
+    partitioning argument lives in the per-operator detail block, so scope
+    by subtree ids and join against the details."""
+    blocks = plan.split("\n\n")
+    tree = blocks[0].splitlines()
+    # ids of Exchange operators whose own detail block says SinglePartition
+    single_ids = set()
+    for block in blocks[1:]:
+        m = re.match(r"\((\d+)\) Exchange", block.strip())
+        if m and "SinglePartition" in block:
+            single_ids.add(m.group(1))
+    if not single_ids:
+        return False
+    for i, line in enumerate(tree):
+        if not re.search(r"\bWindow", line):
+            continue
+        depth = _tree_indent(line)
+        for child in tree[i + 1 :]:
+            if child.strip() and _tree_indent(child) <= depth:
+                break
+            m = re.search(r"\((\d+)\)\s*$", child)
+            if m and m.group(1) in single_ids:
+                return True
+    return False
+
+
+def audit_plan(name: str, plan: str) -> tuple[list[str], list[str]]:
+    """Audit one query's formatted physical plan.
+
+    Returns ``(expected, unexpected)`` flag descriptions: ``expected``
+    are allow-listed findings (with their justification), ``unexpected``
+    are violations that should fail a sweep."""
+    expected: list[str] = []
+    unexpected: list[str] = []
+    for op, allowed in EXPECTED.items():
+        if op in plan:
+            if name in allowed:
+                expected.append(f"{op} (expected: {allowed[name]})")
+            else:
+                unexpected.append(f"{op} UNEXPECTED")
+    if window_over_single_partition(plan):
+        unexpected.append("Window over Exchange SinglePartition UNEXPECTED")
+    return expected, unexpected

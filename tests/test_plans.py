@@ -269,3 +269,39 @@ def test_lateral_join_decorrelates(spark, sf_dir):
     plan = formatted_plan(get_query("join_lateral_topk").fn(spark, sf_dir))
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_plan_audit_full_registry(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan through the shared
+    red-flag audit (plans/audit.py): no CartesianProduct /
+    BroadcastNestedLoopJoin / BatchEvalPython outside the explicit
+    (query, reason) allow-list, and no Window fed by an Exchange
+    SinglePartition. This is the enforcement point the CLI
+    (tools/plan_audit.py) previews — a new operator that lands on a
+    Python hot path or an unpartitioned window fails HERE with its name
+    and flags, not in a manual tool run.
+
+    Plans are built at the test SF; driver-driven queries execute their
+    bounded driver steps (checkpoints, offset collects) while building,
+    which is the honest cost of auditing their REAL final plan. Queries
+    that cannot build a batch plan at all would surface as build errors —
+    none are expected, and the zero-skip assertion pins that."""
+    from avro_parquet_spark_example_spark.plans.audit import audit_plan
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    build_errors: dict[str, str] = {}
+    violations: dict[str, list[str]] = {}
+    n_audited = 0
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - collected and asserted
+            build_errors[name] = f"{type(exc).__name__}: {exc}"[:120]
+            continue
+        _, unexpected = audit_plan(name, plan)
+        if unexpected:
+            violations[name] = unexpected
+        n_audited += 1
+    assert not build_errors, f"queries failed to build a plan: {build_errors}"
+    assert not violations, f"plan-audit violations: {violations}"
+    assert n_audited >= 170, f"registry shrank? only {n_audited} plans audited"
