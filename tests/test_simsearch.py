@@ -101,8 +101,11 @@ def test_pq_codes_shape(spark, sf_dir):
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
-    """H4c — trained-quantizer IVF with nprobe=2 of 8 cells must recover
-    ≥0.6 of the true top-10 while scanning ~1/4 of the corpus."""
+    """H4c — trained-quantizer IVF with nprobe=3 of 8 cells (probed in
+    descending q·centroid order, matching the max-inner-product ranking
+    objective) must recover ≥0.8 of the true top-10 while scanning ~3/8
+    of the corpus. Measured headroom on the gate fixtures: 0.9 at
+    sf0.001/sf0.01, 1.0 at sf0.1."""
     ivf = {
         r.vec_id
         for r in get_query("simsearch_ivf_kmeans_topk").fn(spark, sf_dir).collect()
@@ -111,4 +114,4 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
         r.vec_id
         for r in get_query("simsearch_bruteforce_topk").fn(spark, sf_dir).collect()
     ][:10]
-    assert len(ivf & set(bf)) / 10 >= 0.6
+    assert len(ivf & set(bf)) / 10 >= 0.8
