@@ -99,11 +99,16 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
            CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_disc
     FROM lineitem
+    WHERE l_orderkey % 12 = 0
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 — round/abs/ceil/floor/ln/pow/sqrt/sign."""
-    li = load(spark, sf_dir, "lineitem")
+    """F3 — round/abs/ceil/floor/ln/pow/sqrt/sign.
+
+    The ``% 12`` predicate is a deterministic 1-in-12 sample (identical on
+    both engines) that bounds the checker's materialized output to ~50k rows
+    at sf0.1 — the function surface under test is unchanged."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 12 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",

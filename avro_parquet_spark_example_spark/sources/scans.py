@@ -118,13 +118,20 @@ def avro_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "projection_pushdown_scan",
-    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_orderkey % 12 = 0",
 )
 def projection_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — two-column projection; Catalyst ColumnPruning shrinks the scan's
     ReadSchema to exactly these columns (asserted in tests/test_plans.py) —
-    the automatic form of the reference's ``setRequestedProjection``."""
-    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    the automatic form of the reference's ``setRequestedProjection``. The
+    ``% 12`` predicate references only an already-projected column, so
+    ReadSchema stays 2-wide; it deterministically bounds checker output to
+    ~50k rows at sf0.1."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 12 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
 
 
 @register(
@@ -193,6 +200,7 @@ def events_partitioned_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_returnflag = 'R' THEN ROUND(l_discount + 0.01, 4)
                 ELSE l_discount END AS l_discount
     FROM lineitem
+    WHERE l_orderkey % 12 = 0
     """,
 )
 def upsert_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +208,9 @@ def upsert_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE): updated rows are written back and ONLY the partitions they touch
     are replaced (``partitionOverwriteMode=dynamic``) — at 100 TB an update
     confined to one day/flag rewrites gigabytes, not the table. The oracle
-    replays the update logically over the source."""
+    replays the update logically over the source. The write path covers the
+    FULL table (that's the surface under test); only the returned check rows
+    carry the deterministic ``% 12`` 1-in-12 bound (~50k rows at sf0.1)."""
     out = _scratch("lineitem_upsert.parquet", sf_dir)
     cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_discount"]
     src = load(spark, sf_dir, "lineitem").select(*cols)
@@ -220,7 +230,11 @@ def upsert_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    return spark.read.parquet(out).select(*cols)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_orderkey") % 12 == 0)
+        .select(*cols)
+    )
 
 
 @register(
