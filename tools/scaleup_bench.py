@@ -80,12 +80,89 @@ def time_op(fn, spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, len(rows)
 
 
+def _orig_id(doc_id: int, n_base: int) -> int:
+    """Map a 10×-corpus doc_id back to its 1× original: injected duplicates
+    live at +100000 (with_injected_duplicates), key-shifted copies at
+    +i*n_base (synthesize)."""
+    if doc_id >= 100000:
+        return doc_id - 100000
+    return doc_id % n_base
+
+
+def dedup_scaleup(spark, big: str) -> int:
+    """Full MinHash→LSH→verify→CC pipeline at 1× vs 10× (degenerate ~90%
+    dup-rate stress: every doc gains 10 exact copies). Reports the wall-time
+    scaling exponent alpha = ln(t10/t1)/ln(10) (1.0 = linear) and asserts the
+    identical-components invariant: mapping every 10× member back to its 1×
+    original must reproduce the 1× cluster sets exactly — exact copies share
+    signatures, so every copy provably lands in its original's component."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import all_queries, get_query
+    from avro_parquet_spark_example_spark.session import configure
+
+    # the wrapped registry fns plan-cache their DataFrame, and the dedup
+    # pipeline's CC loop runs eagerly at build time (localCheckpoint) —
+    # time raw fns so build+execute is what the clock sees (bench's
+    # REBUILD_EACH_RUN protocol). configure() replaces the wrapper's
+    # self-configuration.
+    configure(spark)
+    qs = all_queries()
+    n_base = spark.read.parquet(f"{BASE}/documents.parquet").count()
+
+    def cluster_sets(sf_dir: str) -> set[frozenset[int]]:
+        rows = qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+        out: set[frozenset[int]] = set()
+        for r in rows:
+            origs = frozenset(
+                _orig_id(int(m), n_base) for m in r["member_ids"].split(",")
+            )
+            if len(origs) >= 2:  # singleton originals = pure-copy clusters
+                out.add(origs)
+        return out
+
+    status = 0
+    for name in ("dedup_minhash_verified", "dedup_minhash_lsh"):
+        raw = get_query(name).fn
+        t1, r1 = time_op(raw, spark, BASE)
+        t10, r10 = time_op(raw, spark, big)
+        alpha = math.log(t10 / max(t1, 1e-9)) / math.log(FACTOR)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {FACTOR}x {t10:.2f}s "
+            f"({r10} rows) | ratio {t10 / max(t1, 1e-9):.1f} | alpha {alpha:.2f}"
+        )
+
+    c1, c10 = cluster_sets(BASE), cluster_sets(big)
+    ok = c1 == c10
+    print(
+        f"components invariant: 1x {len(c1)} multi-original clusters | "
+        f"{FACTOR}x mapped-back {len(c10)} | identical: {ok}"
+    )
+    if not ok:
+        print(f"  only-1x: {sorted(map(sorted, c1 - c10))[:5]}")
+        print(f"  only-10x: {sorted(map(sorted, c10 - c1))[:5]}")
+        status = 1
+    return status
+
+
 def main() -> int:
+    import argparse
+
     from avro_parquet_spark_example_spark.registry import all_queries
     from avro_parquet_spark_example_spark.session import get_session
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dedup",
+        action="store_true",
+        help="run the MinHash→LSH→verify→CC 10x stress instead of the curation ops",
+    )
+    args = ap.parse_args()
+
     spark = get_session(shuffle_partitions=32)
     big = synthesize(spark)
+    if args.dedup:
+        return dedup_scaleup(spark, big)
     qs = all_queries()
     for name in OPS:
         t1, r1 = time_op(qs[name], spark, BASE)
