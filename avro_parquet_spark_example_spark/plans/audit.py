@@ -30,6 +30,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "fn_array_setops": "pair demo on 20 docs (id< theta join, bounded)",
         "neardup_levenshtein": "pair demo on 60 doc heads (id< theta join, bounded)",
         "tpch_q22": "broadcast 1-row scalar threshold (avg_bal) cross join",
+        "tpch_q11_shape": "broadcast 1-row scalar threshold (region total) cross join",
         "text_unigram_logprob": "broadcast 1-row vocab-total cross join",
     },
     "CartesianProduct": {},
