@@ -213,11 +213,15 @@ def minhash_signatures_df(
     # partial (map-side) min combine is unchanged, but Catalyst analyzes
     # ~1/2 the expressions — measured 0.34 s less per fresh build at
     # sf0.1, which matters because the bench deliberately rebuilds this
-    # plan every run (REBUILD_EACH_RUN).
-    sig = F.array(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))) for i in range(n_hashes)]
-    ).alias("sig")
-    return exploded.groupBy("id").agg(sig)
+    # plan every run (REBUILD_EACH_RUN). Built as ONE SQL string parsed
+    # JVM-side: the Column-object form costs ~200 py4j round-trips
+    # (~0.22 s per fresh build); the bare int literal parses to the same
+    # IntegerType literal F.lit(i) produced, so xxhash64's type-sensitive
+    # hashing is unchanged (value identity asserted in tests/test_dedup.py).
+    sig = "array(" + ",".join(
+        f"min(xxhash64({i}, h))" for i in range(n_hashes)
+    ) + ") AS sig"
+    return exploded.groupBy("id").agg(F.expr(sig))
 
 
 def lsh_band_keys(sig: Column, n_bands: int = N_BANDS) -> Column:
