@@ -536,3 +536,102 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+
+
+@register(
+    "curation_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        FROM documents
+    ),
+    raw_vocab AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY w),
+    raw_tot AS (SELECT SUM(cr) AS r, COUNT(*) AS v FROM raw_vocab),
+    tgt_vocab AS (
+        SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w
+    ),
+    tgt_tot AS (SELECT SUM(ct) AS t FROM tgt_vocab),
+    ratios AS (
+        SELECT rv.w,
+               CAST(ROUND(LN((COALESCE(tv.ct, 0) + 1.0) / (tt.t + rt.v))
+                          - LN(rv.cr * 1.0 / rt.r), 9) AS DECIMAL(18, 9)) AS lr
+        FROM raw_vocab rv
+        LEFT JOIN tgt_vocab tv ON tv.w = rv.w
+        CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt
+    ),
+    scored AS (
+        SELECT toks.doc_id, toks.lang, ratios.lr
+        FROM toks JOIN ratios ON ratios.w = toks.w
+    )
+    SELECT doc_id, lang,
+           COUNT(*) AS n_tok,
+           ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+    FROM scored
+    GROUP BY doc_id, lang
+    HAVING CAST(SUM(lr) AS DOUBLE) / COUNT(*) > 0
+    """,
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — DSIR-shaped importance reweighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by its unigram importance ratio against a target
+    domain (here lang='en' plays the target; in production it is the
+    curated high-quality corpus), select the docs whose average per-token
+    log-ratio favors the target. DSIR hashes n-grams into buckets before
+    estimating the two distributions; with the fixture's small vocabulary
+    the unhashed unigram estimator is the same plan shape (hashing would
+    only shrink the vocab table further). Target probabilities are
+    add-1-smoothed over the raw vocabulary so unseen-in-target tokens get
+    finite mass; raw probabilities need no smoothing (every scored token
+    comes from the raw corpus).
+
+    Scale shape: two map-side-combined vocab aggregations (vocabulary
+    cardinality, not corpus), one broadcast of the per-token log-ratio
+    table back onto the exploded token stream, one doc-key shuffle for the
+    roll-up — identical to text_unigram_logprob's 100 TB shape. Per-token
+    log-ratios round to 9 decimals and sum as DECIMAL(18,9) (the dsum
+    rule), so the score — and the >0 selection — is order-independent and
+    hash-identical cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    raw_vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    raw_tot = raw_vocab.agg(
+        F.sum("cr").alias("r"), F.count(F.lit(1)).alias("v")
+    )
+    tgt_vocab = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tgt_tot = tgt_vocab.agg(F.sum("ct").alias("t"))
+    lr = (
+        F.round(
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+            - F.log(F.col("cr") * 1.0 / F.col("r")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr")
+    )
+    ratios = (
+        raw_vocab.join(tgt_vocab, "w", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select("w", lr)
+    )
+    scored = toks.join(F.broadcast(ratios), "w").select("doc_id", "lang", "lr")
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum("lr").cast("double") / F.count(F.lit(1))).alias("__avg"),
+        )
+        .filter(F.col("__avg") > 0)
+        .select(
+            "doc_id", "lang", "n_tok", F.round("__avg", 6).alias("avg_log_ratio")
+        )
+    )

@@ -921,3 +921,73 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared_grams"))
     )
+
+
+@register(
+    "dedup_semantic_cell",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS cell
+        FROM embeddings
+    )
+    SELECT b.vec_id, b.cell,
+           MIN(a.vec_id) AS kept_for
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE (SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE)
+                      * CAST(b.embedding[g.i] AS DOUBLE))
+           FROM GENERATE_SERIES(1, 64) g(i)) >= 0.35
+    GROUP BY b.vec_id, b.cell
+    """,
+)
+def dedup_semantic_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2f — semantic deduplication, SemDeDup-shaped (Abbas et al. 2023:
+    cluster embeddings with k-means, drop all but one of each within-cluster
+    cosine-similar group). Here the cluster assignment is a DETERMINISTIC
+    coarse quantizer — the sign-bit cell of the first 6 dimensions (64
+    cells) — so the op hash-checks against a DuckDB oracle; swapping the
+    cell for a trained k-means assignment (cluster_kmeans) recovers the
+    paper exactly and changes nothing downstream. A vector is DROPPED when
+    some lower-id vector in its cell has cosine ≥ 0.35 (unit-norm ⇒ dot ==
+    cosine); the survivor it defers to is the min such id — the keep-lowest
+    rule every exact-dedup op in this module uses.
+
+    Scale shape: the self-join is cell-bucketed (equi key), never
+    all-pairs — pair volume is sum over cells of n_c², the same bound
+    SemDeDup gets from k-means, and skewed cells are AQE-split. The dot
+    product folds in index order on both engines (bit-identical doubles),
+    and the output is only the dropped rows (duplicate-rate-sized, not
+    corpus-sized)."""
+    e = load(spark, sf_dir, "embeddings")
+    cell = sum(
+        (F.element_at("embedding", i + 1) > 0).cast("int") * (1 << i)
+        for i in range(6)
+    )
+    cells = e.select("vec_id", "embedding", cell.alias("cell"))
+    a = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("cell").alias("a_cell"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("a_cell") == F.col("cell")) & (F.col("a_id") < F.col("vec_id")))
+        .filter(dot >= 0.35)
+        .groupBy("vec_id", "cell")
+        .agg(F.min("a_id").alias("kept_for"))
+    )

@@ -32,6 +32,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "tpch_q22": "broadcast 1-row scalar threshold (avg_bal) cross join",
         "tpch_q11_shape": "broadcast 1-row scalar threshold (region total) cross join",
         "text_unigram_logprob": "broadcast 1-row vocab-total cross join",
+        "curation_dsir_importance": "broadcast 1-row raw/target-total cross joins",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
