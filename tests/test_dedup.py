@@ -258,3 +258,63 @@ def test_substring_spans_cover_injected_copies(spark, sf_dir):
             )
             copies_checked += 1
     assert copies_checked >= 40
+
+
+def test_semantic_cell_drop_properties(spark, sf_dir):
+    """dedup_semantic_cell: every dropped vector defers to a LOWER-id
+    vector in the SAME sign-bit cell with true cosine >= 0.35 — re-verified
+    here against the raw embeddings (the oracle checks cross-engine
+    equality; this pins the semantic contract independent of the oracle)."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    dropped = {
+        r["vec_id"]: (r["cell"], r["kept_for"])
+        for r in all_queries()["dedup_semantic_cell"](spark, sf_dir).collect()
+    }
+    assert dropped, "fixture should produce at least one semantic duplicate"
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cell_of(v):
+        return sum((1 << i) for i in range(6) if v[i] > 0)
+
+    for vec_id, (cell, kept_for) in dropped.items():
+        assert kept_for < vec_id
+        assert cell_of(emb[vec_id]) == cell == cell_of(emb[kept_for])
+        dot = sum(float(x) * float(y) for x, y in zip(emb[vec_id], emb[kept_for]))
+        assert dot >= 0.35 - 1e-9
+        assert not math.isnan(dot)
+
+
+def test_dsir_favors_target_language(spark, sf_dir):
+    """curation_dsir_importance: the importance ratio must rank the target
+    domain ABOVE every off-target language — the fixture's languages share
+    most of their vocabulary (per-doc scores are near zero), so the
+    monotone property is rate/mean dominance, not high-precision
+    selection."""
+    from collections import defaultdict
+
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    selected = all_queries()["curation_dsir_importance"](spark, sf_dir).collect()
+    assert selected
+    assert all(r["avg_log_ratio"] > 0 for r in selected)
+
+    sel_by_lang: dict[str, int] = defaultdict(int)
+    for r in selected:
+        sel_by_lang[r["lang"]] += 1
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rate = {lang: sel_by_lang.get(lang, 0) / n for lang, n in totals.items()}
+    assert all(
+        rate["en"] > rate[lang] for lang in totals if lang != "en"
+    ), f"target selection rate must dominate: {rate}"
