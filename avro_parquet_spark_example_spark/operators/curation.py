@@ -635,3 +635,83 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_tok", F.round("__avg", 6).alias("avg_log_ratio")
         )
     )
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    weights AS (
+        SELECT c.lang, c.n,
+               SQRT(c.n * 1.0 / t.total) AS w
+        FROM counts c CROSS JOIN tot t
+    ),
+    wsum AS (SELECT SUM(w) AS sw FROM weights),
+    rates AS (
+        SELECT w.lang, w.n,
+               LEAST(CAST(FLOOR(
+                   (0.6 * t.total * (w.w / s.sw) / w.n) * 65536
+               ) AS BIGINT), 65535) AS thr
+        FROM weights w CROSS JOIN wsum s CROSS JOIN tot t
+    )
+    SELECT d.lang,
+           MIN(r.n) AS n_docs,
+           SUM(CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < printf('%04x', r.thr)
+                    THEN 1 ELSE 0 END) AS n_selected,
+           MIN(CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < printf('%04x', r.thr)
+                    THEN d.doc_id END) AS first_selected
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    GROUP BY d.lang
+    """,
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — temperature-scaled domain mixture (the multilingual-LM
+    standard, T5/mT5: sample domain s with probability ∝ p_s^α, α = 0.5,
+    flattening skewed domains so low-resource ones aren't drowned). The
+    budget is 60% of the corpus; each doc's keep/drop decision is the
+    deterministic md5-uniform trick from sample_train_test_split — substr
+    of the key hash compared against the domain's rate rendered as a
+    4-hex-digit threshold (floor(rate·65536), capped at 0xffff — a
+    deliberate 1/65536 under-sample at rate 1.0, identical on both
+    engines) — so assignment is stable under reruns and incremental
+    ingestion, and verifies cross-engine.
+
+    Scale shape: the rate table is domain-cardinality (broadcast); the
+    per-doc decision is a pure map (no shuffle); the summary is one
+    group-agg. At 100 TB the same plan selects an α-balanced corpus in a
+    single scan."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", "total", F.sqrt(F.col("n") * 1.0 / F.col("total")).alias("w")
+    )
+    wsum = weights.agg(F.sum("w").alias("sw"))
+    rates = weights.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n",
+        F.least(
+            F.floor(
+                (F.lit(0.6) * F.col("total") * (F.col("w") / F.col("sw")) / F.col("n"))
+                * 65536
+            ).cast("bigint"),
+            F.lit(65535),
+        ).alias("thr"),
+    )
+    thr_hex = F.lpad(F.lower(F.conv(F.col("thr").cast("string"), 10, 16)), 4, "0")
+    u_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    sel = u_hex < thr_hex
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n").alias("n_docs"),
+            F.sum(sel.cast("int")).alias("n_selected"),
+            F.min(F.when(sel, F.col("doc_id"))).alias("first_selected"),
+        )
+    )

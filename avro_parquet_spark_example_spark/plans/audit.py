@@ -33,6 +33,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "tpch_q11_shape": "broadcast 1-row scalar threshold (region total) cross join",
         "text_unigram_logprob": "broadcast 1-row vocab-total cross join",
         "curation_dsir_importance": "broadcast 1-row raw/target-total cross joins",
+        "mixture_temperature_resample": "broadcast 1-row corpus-total/weight-sum cross joins",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
