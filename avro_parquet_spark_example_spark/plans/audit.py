@@ -24,6 +24,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "join_theta": "pure non-equi theta on dims (bounded by design)",
         "join_cross": "cartesian demo on 5x5 dims",
         "simsearch_bruteforce_topk": "broadcast 1-row query vector",
+        "simsearch_batch_topk": "broadcast 5-row query batch (batch-cardinality by design)",
         "simsearch_ivf_topk": "broadcast 1-row query vector",
         "simsearch_lsh_topk": "broadcast 1-row query vector",
         "neardup_embedding": "label-blocked pair join (non-equi id bound)",
