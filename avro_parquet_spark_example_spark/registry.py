@@ -92,8 +92,14 @@ def register(name: str, oracle: str | None = None):
 #: (application id, sf_dir, query name) → built DataFrame. A DataFrame is an
 #: immutable analyzed-plan handle: caching it skips re-running Catalyst
 #: analysis/optimization on repeated invocations (the dominant cost of small
-#: warm queries — ~1 s vs ~0.1 s execution) while every ``collect`` still
-#: re-executes the physical plan against the data. The classic plan cache.
+#: warm queries — ~1 s vs ~0.1 s execution). Note the execution-side
+#: consequence: repeated ``collect`` calls reuse the SAME RDD DAG, and
+#: Spark's DAGScheduler skips shuffle map stages whose outputs are already
+#: registered — so a repeated shuffle query re-runs only its post-shuffle
+#: stages (results are never cached; narrow/scan-only plans re-execute in
+#: full). That is the intended long-lived-session behavior; timings that
+#: must include full re-execution (bench "fresh" protocol, scale-up
+#: stresses) bypass the wrapper and rebuild the plan per run.
 _PLAN_CACHE: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
 
 

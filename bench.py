@@ -71,18 +71,34 @@ def main() -> None:
     queries = all_queries()
     calib = _calibrate(spark)
 
+    # Two timing protocols, both reported:
+    #
+    # * warm (cached handle) — repeated collects of the plan-cached
+    #   DataFrame. Spark's DAGScheduler skips already-computed shuffle map
+    #   stages for the same RDD DAG, so for shuffle queries this measures
+    #   post-shuffle work: the cost a long-lived Engine session pays for a
+    #   repeated query. This is the series BENCH_r1..r4 reported — kept for
+    #   round-over-round continuity.
+    # * fresh (plan rebuilt per run) — raw registry fn re-invoked each run:
+    #   new DataFrame, new RDD DAG, full re-execution including every
+    #   shuffle, plus Catalyst analysis. This is the honest twin of
+    #   BASELINE.md's "re-run the query text, report 2nd timing" protocol
+    #   and the number to hold against the 2x bar.
     timings: dict[str, float] = {}
+    fresh: dict[str, float] = {}
     for bench_key, query_name in HEADLINE.items():
-        if bench_key in REBUILD_EACH_RUN:
-            fn = get_query(query_name).fn
-        else:
-            fn = queries[query_name]
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[bench_key] = round(min(runs[1:]), 4)
+        wrapped = queries[query_name]
+        raw = get_query(query_name).fn
+        for label, fn, out in (("warm", wrapped, timings), ("fresh", raw, fresh)):
+            if bench_key in REBUILD_EACH_RUN:
+                fn = raw  # driver-driven pipeline: cached handle would
+                # freeze its real work into the warm-up run
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            out[bench_key] = round(min(runs[1:]), 4)
 
     print(
         json.dumps(
@@ -93,6 +109,10 @@ def main() -> None:
                 ),
                 "unit": "sec",
                 "queries": timings,
+                "fresh_value": round(
+                    sum(v for k, v in fresh.items() if k in BASELINE_KEYS), 4
+                ),
+                "fresh_queries": fresh,
                 "sf": float(sf),
                 "calib_sec": calib,
             }

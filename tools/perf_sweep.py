@@ -3,7 +3,11 @@
 bench.py tracks 7 headline keys; this harness times every registered query
 at $PERF_SF_DIR (default sf0.1) — warm best-of-2 after one discarded
 warm-up run, plan cache enabled (so this measures steady-state execution,
-not Catalyst analysis) — and writes one JSON object {query: seconds}.
+not Catalyst analysis; note that repeated collects of a cached DataFrame
+also skip completed shuffle map stages — see registry.py — so shuffle
+queries report post-shuffle cost here; full-re-execution timing lives in
+bench.py's "fresh" protocol and the scale-up stresses) — and writes one
+JSON object {query: seconds}.
 Committed per round as PERF_r{N}.json, it turns "did anything regress?"
 into a diff instead of a guess. Queries are run in sorted order; streaming
 queries re-execute their sinks, so their numbers include sink setup.

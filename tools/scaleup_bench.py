@@ -89,6 +89,75 @@ def _orig_id(doc_id: int, n_base: int) -> int:
     return doc_id % n_base
 
 
+#: fact-table 100× stress set (tables each op reads are synthesized ×100)
+FACTS_OPS = [
+    "agg_scan_group",        # lineitem: scan + decimal group agg
+    "tpch_q6",               # lineitem: pushdown-filter scan agg
+    "join_shuffle_equi",     # orders⋈lineitem fact join + customer dim
+    "window_rank",           # orders: partitioned window
+    "events_agg",            # events: time-bucket agg
+    "dedup_exact",           # documents: hash-group dedup
+    "curation_token_budget_select",  # documents: distributed prefix sum
+]
+
+
+def synthesize_facts(spark, factor: int) -> str:
+    """Key-shifted ×factor unions of the FACT tables (lineitem, orders,
+    events, documents); dims symlink unchanged. Order/doc keys shift by
+    i*10^7 per copy so FK joins stay consistent (each customer gains
+    ×factor orders — fan-out growth, the realistic direction)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"facts_x{factor}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    KEYSPACE = 10_000_000
+    shifted_cols = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": [],
+        "documents": ["doc_id"],
+    }
+    for t, keys in shifted_cols.items():
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        big = None
+        for i in range(factor):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * KEYSPACE))
+            big = d if big is None else big.unionByName(d)
+        big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def facts_scaleup(spark, factor: int) -> int:
+    """Warm-timed FACTS_OPS at 1× vs ×factor; prints the scaling exponent
+    alpha = ln(t_f/t_1)/ln(factor) per op (1.0 = linear). Raw registry fns:
+    the plan is rebuilt per run so every shuffle re-executes (the wrapped
+    form's repeated collect skips completed map stages — see registry.py)."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    big = synthesize_facts(spark, factor)
+    for name in FACTS_OPS:
+        raw = get_query(name).fn
+        t1, r1 = time_op(raw, spark, BASE)
+        tf, rf = time_op(raw, spark, big)
+        alpha = math.log(tf / max(t1, 1e-9)) / math.log(factor)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {factor}x {tf:.2f}s "
+            f"({rf} rows) | ratio {tf / max(t1, 1e-9):.1f} | alpha {alpha:.2f}"
+        )
+    return 0
+
+
 def dedup_scaleup(spark, big: str) -> int:
     """Full MinHash→LSH→verify→CC pipeline at 1× vs 10× (degenerate ~90%
     dup-rate stress: every doc gains 10 exact copies). Reports the wall-time
@@ -157,9 +226,21 @@ def main() -> int:
         action="store_true",
         help="run the MinHash→LSH→verify→CC 10x stress instead of the curation ops",
     )
+    ap.add_argument(
+        "--facts",
+        type=int,
+        default=None,
+        metavar="FACTOR",
+        help="run the fact-table stress at the given scale factor (e.g. 100)",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
+    if args.facts:
+        from avro_parquet_spark_example_spark.session import configure
+
+        configure(spark)
+        return facts_scaleup(spark, args.facts)
     big = synthesize(spark)
     if args.dedup:
         return dedup_scaleup(spark, big)
