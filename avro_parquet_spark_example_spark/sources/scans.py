@@ -705,3 +705,38 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 1000.0, "hi": 150000.0, "status": "O"},
     )
+
+
+@register(
+    "layout_compact_small_files",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — small-file compaction, the table-maintenance pass every large
+    deployment schedules: streaming/batch ingest leaves thousands of tiny
+    files per partition, and at 100 TB an uncompacted table pays per-file
+    open/footer cost and driver-side listing memory on every scan. The op
+    writes the table deliberately fragmented (repartition(64) on a 5k-row
+    table ⇒ ~64 tiny files), then compacts by rewriting at target file
+    size (repartition to max(1, bytes/128 MB) — here 1 file). Content must
+    be byte-equal through both rewrites (the oracle checks against the
+    SOURCE table, so fragment + compact must both preserve every row);
+    tests/test_plans.py asserts the file-count collapse. Spark's
+    maxPartitionBytes-driven split merging already coalesces small files
+    at READ time; compaction fixes the layout permanently so every future
+    reader benefits."""
+    import glob as _glob
+
+    cols = ["doc_id", "lang", "n_chars"]
+    fragmented = _scratch("docs_fragmented.parquet", sf_dir)
+    compacted = _scratch("docs_compacted.parquet", sf_dir)
+    src = load(spark, sf_dir, "documents").select(*cols)
+    src.repartition(64).write.mode("overwrite").parquet(fragmented)
+
+    frag_df = spark.read.parquet(fragmented)
+    n_bytes = sum(
+        os.path.getsize(p) for p in _glob.glob(os.path.join(fragmented, "*.parquet"))
+    )
+    target_files = max(1, n_bytes // (128 * 1024 * 1024))
+    frag_df.repartition(int(target_files)).write.mode("overwrite").parquet(compacted)
+    return spark.read.parquet(compacted).select(*cols)

@@ -305,3 +305,24 @@ def test_plan_audit_full_registry(spark, sf_dir):
     assert not build_errors, f"queries failed to build a plan: {build_errors}"
     assert not violations, f"plan-audit violations: {violations}"
     assert n_audited >= 170, f"registry shrank? only {n_audited} plans audited"
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """layout_compact_small_files: the fragmented layout has ~64 files, the
+    compacted rewrite has the byte-size-derived target count (1 at test
+    scale) — and both hold the same rows."""
+    import glob
+    import os
+
+    from avro_parquet_spark_example_spark.registry import all_queries
+    from avro_parquet_spark_example_spark.sources.catalog import scratch_suffix
+    from avro_parquet_spark_example_spark.sources.scans import SCRATCH
+
+    out = all_queries()["layout_compact_small_files"](spark, sf_dir)
+    n_rows = out.count()
+    base = os.path.join(SCRATCH, scratch_suffix(sf_dir))
+    n_frag = len(glob.glob(os.path.join(base, "docs_fragmented.parquet", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(base, "docs_compacted.parquet", "*.parquet")))
+    assert n_frag > 30, f"fragmented layout should have many files, got {n_frag}"
+    assert n_comp == 1, f"compacted layout should be 1 file at test scale, got {n_comp}"
+    assert n_rows == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
