@@ -197,14 +197,21 @@ def minhash_signatures_df(
     min() partials combine map-side, so the groupBy shuffles just n_hashes
     longs per doc — this is the 100 TB shape (one shuffle, all hashing
     inside WholeStageCodegen)."""
-    shingled = with_shingles(
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).filter(
         # null text produces no shingles and thus no signature — the
         # explicit filter keeps the old null-tolerant contract (rows
         # dropped, never an executor NPE) for all library callers.
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .filter(F.col("__t").isNotNull()),
-        text_col="__t",
+        F.col("__t").isNotNull()
     )
+    # A small parquet input yields few splits (sf0.1 documents: 2), leaving
+    # the shingle+hash stage underparallelized; widen to the cluster's
+    # parallelism when — and only when — the scan is narrower than it
+    # (production-size tables have enough splits, making this a no-op, so
+    # no gratuitous full-text shuffle at scale). Measured −0.25 s at sf0.1.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    shingled = with_shingles(base, text_col="__t")
     exploded = shingled.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h")
     )
@@ -337,8 +344,14 @@ def connected_components(
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
     )
-    if sym.count() <= 2 * local_threshold:  # sym carries 2 rows per edge
-        labels = _cc_union_find([(r.a, r.b) for r in sym.collect()])
+    # One action answers BOTH "how big?" and "give me the edges": a limit
+    # of threshold+1 rows that comes back under the limit IS the complete
+    # edge set (sym carries 2 rows per edge), while an over-threshold graph
+    # stops collecting at the cap instead of pulling the whole edge list to
+    # the driver. Saves a separate count() job per pipeline run.
+    head = sym.limit(2 * local_threshold + 1).collect()
+    if len(head) <= 2 * local_threshold:
+        labels = _cc_union_find([(r.a, r.b) for r in head])
         return edges.sparkSession.createDataFrame(
             list(labels.items()), schema="id long, cluster_id long"
         )

@@ -89,16 +89,21 @@ def main() -> None:
     for bench_key, query_name in HEADLINE.items():
         wrapped = queries[query_name]
         raw = get_query(query_name).fn
-        for label, fn, out in (("warm", wrapped, timings), ("fresh", raw, fresh)):
-            if bench_key in REBUILD_EACH_RUN:
-                fn = raw  # driver-driven pipeline: cached handle would
-                # freeze its real work into the warm-up run
+        if bench_key in REBUILD_EACH_RUN:
+            # driver-driven pipeline: a cached handle would freeze its real
+            # work into the warm-up run, so BOTH protocols are the raw fn —
+            # time it once, report the same value in both series.
+            protocols = (("both", raw, (timings, fresh)),)
+        else:
+            protocols = (("warm", wrapped, (timings,)), ("fresh", raw, (fresh,)))
+        for _label, fn, outs in protocols:
             runs = []
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-            out[bench_key] = round(min(runs[1:]), 4)
+            for out in outs:
+                out[bench_key] = round(min(runs[1:]), 4)
 
     print(
         json.dumps(
