@@ -28,10 +28,16 @@ from avro_parquet_spark_example_spark.operators.clustering import (
     assign_clusters,
     kmeans_fit,
 )
+from avro_parquet_spark_example_spark.operators.curation import (
+    dsir_selected,
+    temperature_selection,
+)
 from avro_parquet_spark_example_spark.operators.dedup import (
     connected_components,
+    incremental_minhash_matches,
     keep_first_per_text,
     minhash_candidate_pairs,
+    semantic_cell_dropped,
     simhash64,
     substring_dup_spans,
 )
@@ -112,6 +118,74 @@ class Engine:
             df, id_col=id_col, text_col=text_col, sim_threshold=threshold
         )
         return connected_components(pairs)
+
+    def dedup_semantic(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.35,
+        n_bits: int = 6,
+    ) -> DataFrame:
+        """SemDeDup-shaped semantic dedup: rows DROPPED because a lower-id
+        vector in the same sign-bit cell has cosine >= threshold, as
+        (id, cell, kept_for). Anti-join ``df`` against the result to keep
+        the survivors (shared implementation with the oracle-checked
+        ``dedup_semantic_cell`` operator)."""
+        return semantic_cell_dropped(
+            df, emb_col=emb_col, id_col=id_col, threshold=threshold, n_bits=n_bits
+        )
+
+    def dedup_incremental(
+        self,
+        corpus: DataFrame,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.7,
+    ) -> DataFrame:
+        """Near-dup matches of a NEW batch against the EXISTING corpus as
+        (corpus_id, batch_id, jaccard) — only the batch is shingled/signed
+        and the band join is corpus×batch, so ingest cost scales with the
+        batch (shared implementation with ``dedup_minhash_incremental``).
+        Anti-join ``batch`` on batch_id to admit only novel documents."""
+        return incremental_minhash_matches(
+            corpus, batch, id_col=id_col, text_col=text_col,
+            jaccard_threshold=threshold,
+        )
+
+    def resample_temperature(
+        self,
+        df: DataFrame,
+        domain_col: str,
+        id_col: str = "doc_id",
+        alpha: float = 0.5,
+        budget: float = 0.6,
+    ) -> DataFrame:
+        """Deterministic temperature-scaled mixture resample: keep each row
+        with per-domain probability from p^alpha renormalization times the
+        budget, decided by an md5-uniform draw on ``id_col`` (stable under
+        reruns and incremental ingestion; shared implementation with
+        ``mixture_temperature_resample``)."""
+        sel = temperature_selection(
+            df, domain_col=domain_col, id_col=id_col, alpha=alpha,
+            budget_frac=budget,
+        )
+        return sel.filter(F.col("__selected")).drop("__selected", "n")
+
+    def select_dsir(
+        self,
+        df: DataFrame,
+        is_target: Column,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """DSIR importance selection: docs whose average per-token log-ratio
+        of the target unigram distribution (rows where ``is_target``) vs the
+        raw corpus favors the target, as (id, n_tok, avg_log_ratio) — join
+        back on ``id_col`` for the selected documents (shared implementation
+        with ``curation_dsir_importance``)."""
+        return dsir_selected(df, is_target, text_col=text_col, id_col=id_col)
 
     def simhash(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Append a 64-bit SimHash ``fingerprint`` column."""

@@ -538,6 +538,62 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_selected(
+    df,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+):
+    """DSIR importance selection: score every doc by the average per-token
+    log-ratio of the add-1-smoothed target unigram distribution (rows where
+    ``is_target``) against the raw corpus, return the docs whose average
+    favors the target as (id, *keep_cols, n_tok, avg_log_ratio). Per-token
+    ratios round to 9 decimals and sum as DECIMAL(18,9) so the score is
+    order-independent. Shared by the oracle-checked
+    ``curation_dsir_importance`` and ``Engine.select_dsir``."""
+    keep_cols = keep_cols or []
+    toks = df.select(
+        id_col,
+        *keep_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w"),
+        is_target.alias("__tgt"),
+    )
+    raw_vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    raw_tot = raw_vocab.agg(F.sum("cr").alias("r"), F.count(F.lit(1)).alias("v"))
+    tgt_vocab = (
+        toks.filter(F.col("__tgt")).groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tgt_tot = tgt_vocab.agg(F.sum("ct").alias("t"))
+    lr = (
+        F.round(
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+            - F.log(F.col("cr") * 1.0 / F.col("r")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr")
+    )
+    ratios = (
+        raw_vocab.join(tgt_vocab, "w", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select("w", lr)
+    )
+    scored = toks.join(F.broadcast(ratios), "w").select(id_col, *keep_cols, "lr")
+    return (
+        scored.groupBy(id_col, *keep_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum("lr").cast("double") / F.count(F.lit(1))).alias("__avg"),
+        )
+        .filter(F.col("__avg") > 0)
+        .select(
+            id_col, *keep_cols, "n_tok", F.round("__avg", 6).alias("avg_log_ratio")
+        )
+    )
+
+
 @register(
     "curation_dsir_importance",
     oracle="""
@@ -593,47 +649,56 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule), so the score — and the >0 selection — is order-independent and
     hash-identical cross-engine."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    return dsir_selected(
+        d, is_target=F.col("lang") == "en", id_col="doc_id", keep_cols=["lang"]
     )
-    raw_vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
-    raw_tot = raw_vocab.agg(
-        F.sum("cr").alias("r"), F.count(F.lit(1)).alias("v")
+
+
+def temperature_selection(
+    df,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.6,
+):
+    """Append ``__selected`` (and the domain size ``n``) to ``df``: the
+    deterministic temperature-resampling decision — per-domain rate from
+    p^alpha renormalization times the budget, per-row md5-uniform draw
+    against the rate as a 4-hex threshold (stable under reruns and
+    incremental ingestion). alpha=0.5 == sqrt flattening. Shared by the
+    oracle-checked ``mixture_temperature_resample`` and
+    ``Engine.resample_temperature``."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("total")
+    # sqrt is IEEE-correctly-rounded (pow(x, 0.5) need not be) — use it for
+    # the default alpha so the weight doubles match the SQRT-based oracle
+    # bit-for-bit
+    w = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n", "total", w.alias("w")
     )
-    tgt_vocab = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    wsum = weights.agg(F.sum("w").alias("sw"))
+    rates = weights.crossJoin(F.broadcast(wsum)).select(
+        domain_col,
+        "n",
+        F.least(
+            F.floor(
+                (
+                    F.lit(budget_frac)
+                    * F.col("total")
+                    * (F.col("w") / F.col("sw"))
+                    / F.col("n")
+                )
+                * 65536
+            ).cast("bigint"),
+            F.lit(65535),
+        ).alias("thr"),
     )
-    tgt_tot = tgt_vocab.agg(F.sum("ct").alias("t"))
-    lr = (
-        F.round(
-            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
-            - F.log(F.col("cr") * 1.0 / F.col("r")),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("lr")
-    )
-    ratios = (
-        raw_vocab.join(tgt_vocab, "w", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select("w", lr)
-    )
-    scored = toks.join(F.broadcast(ratios), "w").select("doc_id", "lang", "lr")
-    return (
-        scored.groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            (F.sum("lr").cast("double") / F.count(F.lit(1))).alias("__avg"),
-        )
-        .filter(F.col("__avg") > 0)
-        .select(
-            "doc_id", "lang", "n_tok", F.round("__avg", 6).alias("avg_log_ratio")
-        )
+    thr_hex = F.lpad(F.lower(F.conv(F.col("thr").cast("string"), 10, 16)), 4, "0")
+    u_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.join(F.broadcast(rates), domain_col).withColumn(
+        "__selected", u_hex < thr_hex
     )
 
 
@@ -686,32 +751,14 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-agg. At 100 TB the same plan selects an α-balanced corpus in a
     single scan."""
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum("n").alias("total"))
-    weights = counts.crossJoin(F.broadcast(tot)).select(
-        "lang", "n", "total", F.sqrt(F.col("n") * 1.0 / F.col("total")).alias("w")
-    )
-    wsum = weights.agg(F.sum("w").alias("sw"))
-    rates = weights.crossJoin(F.broadcast(wsum)).select(
-        "lang",
-        "n",
-        F.least(
-            F.floor(
-                (F.lit(0.6) * F.col("total") * (F.col("w") / F.col("sw")) / F.col("n"))
-                * 65536
-            ).cast("bigint"),
-            F.lit(65535),
-        ).alias("thr"),
-    )
-    thr_hex = F.lpad(F.lower(F.conv(F.col("thr").cast("string"), 10, 16)), 4, "0")
-    u_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    sel = u_hex < thr_hex
+    sel = temperature_selection(d, domain_col="lang", id_col="doc_id")
     return (
-        d.join(F.broadcast(rates), "lang")
-        .groupBy("lang")
+        sel.groupBy("lang")
         .agg(
             F.min("n").alias("n_docs"),
-            F.sum(sel.cast("int")).alias("n_selected"),
-            F.min(F.when(sel, F.col("doc_id"))).alias("first_selected"),
+            F.sum(F.col("__selected").cast("int")).alias("n_selected"),
+            F.min(F.when(F.col("__selected"), F.col("doc_id"))).alias(
+                "first_selected"
+            ),
         )
     )

@@ -936,6 +936,51 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sign_cell(emb_col: str | Column = "embedding", n_bits: int = 6) -> Column:
+    """Deterministic coarse quantizer: bit-pack the signs of the first
+    ``n_bits`` dimensions into a cell id (2^n_bits cells)."""
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    return sum(
+        (F.element_at(c, i + 1) > 0).cast("int") * (1 << i) for i in range(n_bits)
+    )
+
+
+def semantic_cell_dropped(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_bits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: within each sign-bit cell, a vector
+    is dropped when some lower-id vector has cosine >= threshold; returns
+    the dropped rows as (id_col, cell, kept_for = min surviving id).
+    Shared by the oracle-checked ``dedup_semantic_cell`` query and
+    ``Engine.dedup_semantic``."""
+    cells = df.select(
+        F.col(id_col), F.col(emb_col), sign_cell(emb_col, n_bits).alias("cell")
+    )
+    a = cells.select(
+        F.col(id_col).alias("a_id"),
+        F.col(emb_col).alias("ea"),
+        F.col("cell").alias("a_cell"),
+    )
+    b = cells.select(
+        F.col(id_col), F.col(emb_col).alias("eb"), F.col("cell")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("a_cell") == F.col("cell")) & (F.col("a_id") < F.col(id_col)))
+        .filter(dot >= threshold)
+        .groupBy(id_col, "cell")
+        .agg(F.min("a_id").alias("kept_for"))
+    )
+
+
 @register(
     "dedup_semantic_cell",
     oracle="""
@@ -976,33 +1021,71 @@ def dedup_semantic_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup gets from k-means, and skewed cells are AQE-split. The dot
     product folds in index order on both engines (bit-identical doubles),
     and the output is only the dropped rows (duplicate-rate-sized, not
-    corpus-sized)."""
-    e = load(spark, sf_dir, "embeddings")
-    cell = sum(
-        (F.element_at("embedding", i + 1) > 0).cast("int") * (1 << i)
-        for i in range(6)
+    corpus-sized). Shared implementation: :func:`semantic_cell_dropped`
+    (also behind ``Engine.dedup_semantic``)."""
+    return semantic_cell_dropped(load(spark, sf_dir, "embeddings"))
+
+
+def incremental_minhash_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    corpus_scope=None,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an EXISTING corpus:
+    (corpus_id, batch_id, jaccard). The corpus signature table is
+    materialized once (``localCheckpoint`` — a persisted/bucketed table in
+    production) and the band join is corpus↔batch only, so ingest cost
+    scales with the batch. Candidates are verified by exact shingle
+    Jaccard. ``corpus_scope`` optionally restricts REPORTED matches by
+    corpus id (applied after the checkpointed full-corpus banding, so the
+    scale path is unaffected) — the oracle-checked query uses it to pin
+    the cross-engine contract to its exhaustively-tested universe. Shared
+    by ``dedup_minhash_incremental`` and ``Engine.dedup_incremental``."""
+    corpus = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    batch = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # "persisted" corpus signature table — computed once, reused across
+    # ingests; the batch pays signature cost for its own rows only
+    sig_corpus = minhash_signatures_df(corpus).localCheckpoint(eager=True)
+    sig_batch = minhash_signatures_df(batch)
+    bands_c = sig_corpus.select(
+        F.col("id").alias("corpus_id"),
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
-    cells = e.select("vec_id", "embedding", cell.alias("cell"))
-    a = cells.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("ea"),
-        F.col("cell").alias("a_cell"),
+    bands_b = sig_batch.select(
+        F.col("id").alias("batch_id"),
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
-    b = cells.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("eb"),
-        F.col("cell").alias("cell"),
+    cands = (
+        bands_c.join(bands_b, ["band_id", "band_hash"])
+        .select("corpus_id", "batch_id")
+        .dropDuplicates(["corpus_id", "batch_id"])
+        .localCheckpoint(eager=True)
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    if corpus_scope is not None:
+        cands = cands.filter(corpus_scope(F.col("corpus_id")))
+    # exact verification on candidates only: shingle just the docs involved
+    ids = (
+        cands.select(F.col("corpus_id").alias("vid"))
+        .unionByName(cands.select(F.col("batch_id").alias("vid")))
+        .distinct()
+    )
+    sh = with_shingles(
+        corpus.unionByName(batch)
+        .filter(F.col("text").isNotNull())
+        .join(F.broadcast(ids), F.col("doc_id") == F.col("vid"), "leftsemi")
+    ).select(F.col("doc_id").alias("vid"), "sh")
+    jac = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
+        F.array_union("sa.sh", "sb.sh")
     )
     return (
-        a.join(b, (F.col("a_cell") == F.col("cell")) & (F.col("a_id") < F.col("vec_id")))
-        .filter(dot >= 0.35)
-        .groupBy("vec_id", "cell")
-        .agg(F.min("a_id").alias("kept_for"))
+        cands.join(F.broadcast(sh.alias("sa")), F.col("corpus_id") == F.col("sa.vid"))
+        .join(F.broadcast(sh.alias("sb")), F.col("batch_id") == F.col("sb.vid"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("corpus_id", "batch_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -1057,43 +1140,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = corpus.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    # "persisted" corpus signature table — computed once, reused across
-    # ingests; the batch pays signature cost for its own rows only
-    sig_corpus = minhash_signatures_df(corpus).localCheckpoint(eager=True)
-    sig_batch = minhash_signatures_df(batch)
-    bands_c = sig_corpus.select(
-        F.col("id").alias("corpus_id"),
-        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
-    )
-    bands_b = sig_batch.select(
-        F.col("id").alias("batch_id"),
-        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
-    )
-    cands = (
-        bands_c.join(bands_b, ["band_id", "band_hash"])
-        .select("corpus_id", "batch_id")
-        .dropDuplicates(["corpus_id", "batch_id"])
-        .localCheckpoint(eager=True)
-        .filter(F.col("corpus_id") < 50)
-    )
-    # exact verification on candidates only: shingle just the docs involved
-    ids = (
-        cands.select(F.col("corpus_id").alias("vid"))
-        .unionByName(cands.select(F.col("batch_id").alias("vid")))
-        .distinct()
-    )
-    sh = with_shingles(
-        corpus.unionByName(batch)
-        .filter(F.col("text").isNotNull())
-        .join(F.broadcast(ids), F.col("doc_id") == F.col("vid"), "leftsemi")
-    ).select(F.col("doc_id").alias("vid"), "sh")
-    jac = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
-        F.array_union("sa.sh", "sb.sh")
-    )
-    return (
-        cands.join(F.broadcast(sh.alias("sa")), F.col("corpus_id") == F.col("sa.vid"))
-        .join(F.broadcast(sh.alias("sb")), F.col("batch_id") == F.col("sb.vid"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.7)
-        .select("corpus_id", "batch_id", F.round("jaccard", 6).alias("jaccard"))
+    return incremental_minhash_matches(
+        corpus, batch, corpus_scope=lambda c: c < 50
     )

@@ -125,3 +125,80 @@ def test_engine_dedup_substrings(spark, sf_dir):
     # doc 2 repeats doc 1's 10-token run at tokens 2..11: duplicate windows
     # at positions 2, 3, 4 merge into one span [2, 12)
     assert spans == {2: (2, 12)}
+
+
+def test_engine_dedup_semantic_matches_query(spark, sf_dir):
+    """Facade and oracle-checked query share one implementation — byte-equal
+    output on the fixture embeddings."""
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    eng = _engine(spark, sf_dir)
+    via_engine = sorted(map(tuple, eng.dedup_semantic(eng.table("embeddings")).collect()))
+    via_query = sorted(map(tuple, all_queries()["dedup_semantic_cell"](spark, sf_dir).collect()))
+    assert via_engine == via_query and via_engine
+
+
+def test_engine_dedup_incremental(spark, sf_dir):
+    """Every batch doc that is an exact copy of a corpus doc must match its
+    source with jaccard 1.0; batch docs with no near-source produce no row."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 900000
+    )
+    matches = eng.dedup_incremental(docs, batch).collect()
+    exact = {(r.corpus_id, r.batch_id) for r in matches if r.jaccard == 1.0}
+    for i in range(10):
+        assert (i, i + 900000) in exact, f"copy of doc {i} must match its source"
+
+
+def test_engine_resample_temperature_flattens(spark, sf_dir):
+    """alpha=0.5 must keep a HIGHER fraction of the rarest domain than of
+    the most common one (that is the point of temperature flattening), and
+    the selection must be deterministic across calls."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    kept = eng.resample_temperature(docs, "lang")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_by = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = {l: kept_by.get(l, 0) / n for l, n in totals.items()}
+    rare = min(totals, key=totals.get)
+    common = max(totals, key=totals.get)
+    assert rates[rare] > rates[common]
+    again = eng.resample_temperature(docs, "lang")
+    assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_engine_select_dsir_matches_query(spark, sf_dir):
+    """Facade (target = en, lang carried) and the oracle-checked query share
+    one implementation — identical selections. Also pins a scoring
+    property: under self-target the per-doc scores collapse toward zero
+    (|avg| bounded by the add-1 smoothing term), unlike a real target
+    split which separates domains."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.curation import dsir_selected
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    via_engine = sorted(
+        map(
+            tuple,
+            dsir_selected(
+                docs, F.col("lang") == "en", id_col="doc_id", keep_cols=["lang"]
+            ).collect(),
+        )
+    )
+    via_query = sorted(
+        map(tuple, all_queries()["curation_dsir_importance"](spark, sf_dir).collect())
+    )
+    assert via_engine == via_query and via_engine
+
+    # self-target: every ratio is ln(1+1/c_w) - ln(1+V/R) per token — tiny
+    self_scores = eng.select_dsir(docs, F.lit(True)).collect()
+    assert all(abs(r.avg_log_ratio) < 0.05 for r in self_scores)
