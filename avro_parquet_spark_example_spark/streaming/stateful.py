@@ -386,3 +386,129 @@ def stream_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(done, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(sink).select(*cols)
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(EPOCH_US(ts)) AS first_us,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b — arbitrary stateful processing via Spark 4's
+    ``transformWithStateInPandas`` + ``StatefulProcessor``: the successor
+    API to ``applyInPandasWithState`` (G6), with NAMED, independently
+    evolvable state variables (ValueState/ListState/MapState), timers, and
+    TTL — per-user (count, first-seen epoch-µs, running max) kept in one
+    ValueState across micro-batches. All three accumulators are
+    order-independent (count/min/max), so the final state hash-checks
+    against the batch oracle regardless of batch slicing. Same 100 TB
+    shape as G6: state is per-key in the state store, the shuffle is the
+    groupBy key exchange, nothing driver-side.
+
+    Sandbox gate: transformWithState's state-server protocol speaks
+    protobuf (``pyspark.sql.streaming.proto.StateMessage_pb2`` imports
+    ``google.protobuf``), which this offline image lacks — when protobuf
+    is unavailable the query falls back to the value-identical
+    ``applyInPandasWithState`` form (same accumulators, same output
+    schema), so the contract stays oracle-checked everywhere and the new
+    API path activates automatically where protobuf exists."""
+    import pandas as pd
+
+    try:  # find_spec("google.protobuf") raises when the parent pkg is absent
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    stream = read_events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id", "value", ts_us(stream, "ts").alias("us")
+    )
+    out_schema = "user_id long, n_events long, first_us long, max_value double"
+
+    def fold(n, first_us, mx, pdfs):
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_min = int(pdf["us"].min())
+                first_us = batch_min if first_us is None else min(first_us, batch_min)
+                mx = max(mx, float(pdf["value"].max()))
+        return n, first_us, mx
+
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class UserAgg(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "agg", "n long, first_us long, mx double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._state.exists():
+                    n, first_us, mx = self._state.get()
+                else:
+                    n, first_us, mx = 0, None, float("-inf")
+                n, first_us, mx = fold(n, first_us, mx, rows)
+                self._state.update((n, first_us, mx))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "first_us": [first_us],
+                        "max_value": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        result = keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserAgg(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def accumulate(key, pdfs, state: GroupState):
+            n, first_us, mx = state.get if state.exists else (0, None, float("-inf"))
+            n, first_us, mx = fold(n, first_us, mx, pdfs)
+            state.update((n, first_us, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "max_value": [mx],
+                }
+            )
+
+        result = keyed.groupBy("user_id").applyInPandasWithState(
+            accumulate,
+            outputStructType=out_schema,
+            stateStructType="n long, first_us long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    sink = run_to_table(result, "update")
+    # update mode: one row per touched key per micro-batch; latest wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "first_us", "max_value")
+    )
