@@ -274,3 +274,80 @@ def diag_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("skew_ratio"),
         (ratio > 4.0).alias("needs_salting"),
     )
+
+
+@register(
+    "dq_drift_psi",
+    oracle="""
+    WITH bucketed AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+               (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+        FROM orders
+    ),
+    totals AS (
+        SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM bucketed
+    ),
+    per_bucket AS (
+        SELECT b.range AS bucket,
+               SUM(CASE WHEN bk.is_ref THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN bk.is_ref THEN 0 ELSE 1 END) AS c_cur
+        FROM RANGE(0, 10) b
+        LEFT JOIN bucketed bk ON bk.bucket = b.range
+        GROUP BY b.range
+    )
+    SELECT bucket,
+           c_ref, c_cur,
+           ROUND(((c_ref + 1.0) / (t.n_ref + 10) - (c_cur + 1.0) / (t.n_cur + 10))
+                 * LN(((c_ref + 1.0) / (t.n_ref + 10))
+                      / ((c_cur + 1.0) / (t.n_cur + 10))), 9) AS psi_term
+    FROM per_bucket CROSS JOIN totals t
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4 — distribution-drift monitoring via the Population Stability
+    Index: the order-value distribution of the current period (orderdate ≥
+    1997-01-01) against the reference period, over 10 fixed-width buckets.
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i); per-bucket terms are returned so a
+    drifting bucket is attributable (total = SUM(psi_term); >0.2 is the
+    conventional act threshold). Fractions are add-1-smoothed over the
+    bucket count so empty buckets stay finite — the same formula on both
+    engines makes each double bit-identical.
+
+    Scale shape: one scan, a CASE-sum aggregate per bucket (map-side
+    combined, 10 groups), a broadcast 1-row totals join — drift monitoring
+    over 100 TB is scan-bound, no per-row state. The fixed bucket RANGE
+    table is broadcast so never-hit buckets still report."""
+    o = load(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        ),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias("is_ref"),
+    )
+    totals = bucketed.agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    per_bucket = (
+        F.broadcast(grid)
+        .join(bucketed, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+        )
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10)
+    return (
+        per_bucket.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            "c_ref",
+            "c_cur",
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+    )

@@ -35,6 +35,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "text_unigram_logprob": "broadcast 1-row vocab-total cross join",
         "curation_dsir_importance": "broadcast 1-row raw/target-total cross joins",
         "mixture_temperature_resample": "broadcast 1-row corpus-total/weight-sum cross joins",
+        "dq_drift_psi": "broadcast 1-row period-totals cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
