@@ -214,6 +214,48 @@ def dedup_scaleup(spark, big: str) -> int:
     return status
 
 
+def degenerate_dedup(spark, factor: int) -> int:
+    """The 99%-duplicate boundary: at ×factor the key-shifted corpus gives
+    every doc `factor` exact copies. MinHash DIRECTLY on it explodes — every
+    band bucket holds all copies, and the intra-bucket pair expansion is
+    quadratic in the copy count (measured: OOM at factor=100 on this JVM).
+    The production composition is EXACT dedup first (identical text ⇒ one
+    canonical per group), then MinHash over canonicals only — this runs it
+    and asserts the canonical set matches the 1× corpus, i.e. near-dup cost
+    returns to 1× no matter how high the exact-dup rate goes."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        keep_first_per_text,
+        minhash_candidate_pairs,
+    )
+
+    big = synthesize_facts(spark, factor)
+    docs = spark.read.parquet(f"{big}/documents.parquet").select("doc_id", "text")
+    n_raw = docs.count()
+    t0 = _time.time()
+    canon = keep_first_per_text(docs).localCheckpoint(eager=True)
+    n_canon = canon.count()
+    t_exact = _time.time() - t0
+    t0 = _time.time()
+    n_pairs = minhash_candidate_pairs(canon, sim_threshold=0.5).count()
+    t_near = _time.time() - t0
+    # the 1× corpus itself holds a few organic exact dups — the invariant is
+    # canonicals(×factor) == canonicals(1×), not == raw 1× rows
+    n_base_canon = keep_first_per_text(
+        spark.read.parquet(f"{BASE}/documents.parquet").select("doc_id", "text")
+    ).count()
+    ok = n_canon == n_base_canon
+    print(
+        f"degenerate x{factor}: {n_raw:,} docs -> exact-collapse {n_canon:,} "
+        f"canonicals in {t_exact:.1f}s (1x canonicals {n_base_canon:,}: {ok}) -> "
+        f"minhash on canonicals: {n_pairs} candidate pairs in {t_near:.1f}s"
+    )
+    return 0 if ok else 1
+
+
 def main() -> int:
     import argparse
 
@@ -233,13 +275,22 @@ def main() -> int:
         metavar="FACTOR",
         help="run the fact-table stress at the given scale factor (e.g. 100)",
     )
+    ap.add_argument(
+        "--degenerate-dedup",
+        type=int,
+        default=None,
+        metavar="FACTOR",
+        help="exact-first + MinHash composition on the ~(1-1/FACTOR) dup-rate corpus",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
-    if args.facts:
+    if args.facts or args.degenerate_dedup:
         from avro_parquet_spark_example_spark.session import configure
 
         configure(spark)
+        if args.degenerate_dedup:
+            return degenerate_dedup(spark, args.degenerate_dedup)
         return facts_scaleup(spark, args.facts)
     big = synthesize(spark)
     if args.dedup:
