@@ -37,6 +37,7 @@ from avro_parquet_spark_example_spark.operators.dedup import (
     incremental_minhash_matches,
     keep_first_per_text,
     minhash_candidate_pairs,
+    minhash_clusters,
     semantic_cell_dropped,
     simhash64,
     substring_dup_spans,
@@ -110,14 +111,22 @@ class Engine:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.7,
+        collapse_exact: bool = True,
     ) -> DataFrame:
         """(id, cluster_id) for near-duplicate documents via MinHash+LSH +
         connected components. Rows not in any cluster are absent (keep them
-        all); drop every id whose cluster_id != id to dedup."""
-        pairs = minhash_candidate_pairs(
-            df, id_col=id_col, text_col=text_col, sim_threshold=threshold
+        all); drop every id whose cluster_id != id to dedup.
+        ``collapse_exact`` (default) runs the value-exact production
+        composition — exact duplicates collapse to their representative
+        before the near-dup pipeline, so cost tracks the CANONICAL corpus
+        at any duplicate rate (see SCALING.md "exact-dup-rate boundary")."""
+        return minhash_clusters(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            sim_threshold=threshold,
+            collapse_exact=collapse_exact,
         )
-        return connected_components(pairs)
 
     def dedup_semantic(
         self,

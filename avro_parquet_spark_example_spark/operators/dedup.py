@@ -287,6 +287,52 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_threshold: float = 0.7,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """(id, cluster_id) near-dup clusters — the production composition.
+
+    With ``collapse_exact`` (default), EXACT duplicates are collapsed to
+    their min-id representative BEFORE the MinHash pipeline and re-attached
+    as (rep, member) edges afterwards. This is value-EXACT, not an
+    approximation: identical normalized text ⇒ identical shingle sets ⇒
+    identical signatures, so for any third doc X, est(member, X) ==
+    est(rep, X) and J(member, X) == J(rep, X) — every candidate and
+    verification decision is unchanged, and the member-member edges the
+    direct form would emit are implied through the representative. Asserted
+    equal to the direct form by tests/test_dedup.py.
+
+    Why it matters at scale: the direct form's band buckets hold EVERY
+    exact copy, and intra-bucket pair expansion is quadratic in the copy
+    count — measured OOM at a 99% dup rate (SCALING.md "exact-dup-rate
+    boundary"), while the collapsed form's near-dup cost stays proportional
+    to the CANONICAL corpus no matter the dup rate. The exact stage is one
+    hash-key shuffle (32-byte keys)."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).withColumn("__k", normalized_text_key("__t"))
+    if not collapse_exact:
+        pairs = minhash_candidate_pairs(
+            keyed.select("id", "__t"), id_col="id", text_col="__t",
+            sim_threshold=sim_threshold,
+        )
+        return connected_components(pairs.select("a", "b"))
+    w = Window.partitionBy("__k")
+    tagged = keyed.withColumn("__rep", F.min("id").over(w))
+    reps = tagged.filter(F.col("id") == F.col("__rep")).select("id", "__t")
+    member_edges = tagged.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("a"), F.col("id").alias("b")
+    )
+    rep_pairs = minhash_candidate_pairs(
+        reps, id_col="id", text_col="__t", sim_threshold=sim_threshold
+    ).select("a", "b")
+    return connected_components(rep_pairs.unionByName(member_edges))
+
+
 #: Edge-count ceiling for the driver-side union-find finish. 200k edges ≈
 #: 3 MB of longs — trivially bounded driver memory. The hybrid is the
 #: standard large-scale CC design (iterate/contract distributed, finish the

@@ -318,3 +318,28 @@ def test_dsir_favors_target_language(spark, sf_dir):
     assert all(
         rate["en"] > rate[lang] for lang in totals if lang != "en"
     ), f"target selection rate must dominate: {rate}"
+
+
+def test_minhash_clusters_collapse_exact_equivalent(spark, sf_dir):
+    """minhash_clusters(collapse_exact=True) must produce EXACTLY the same
+    components as the direct form — identical text implies identical
+    signatures, so collapsing exact copies changes no candidate or
+    verification decision. Checked on the corpus with injected copies
+    (guaranteed exact-dup groups present)."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        minhash_clusters,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    direct = {
+        (r.id, r.cluster_id)
+        for r in minhash_clusters(docs, collapse_exact=False).collect()
+    }
+    collapsed = {
+        (r.id, r.cluster_id)
+        for r in minhash_clusters(docs, collapse_exact=True).collect()
+    }
+    assert direct == collapsed and collapsed
