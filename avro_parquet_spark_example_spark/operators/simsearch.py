@@ -533,3 +533,67 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", F.round("score", 5).alias("score"))
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               (SELECT MAX(ABS(CAST(embedding[g.i] AS DOUBLE)))
+                FROM GENERATE_SERIES(1, 64) g(i)) / 127 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           (SELECT MAX(ABS(CAST(embedding[g.i] AS DOUBLE)
+                           - ROUND(CAST(embedding[g.i] AS DOUBLE) / scale) * scale))
+            FROM GENERATE_SERIES(1, 64) g(i)) <= scale / 2 + 1e-12 AS err_bounded,
+           (SELECT SUM(CASE WHEN ROUND(CAST(embedding[g.i] AS DOUBLE) / scale)
+                                 BETWEEN -127 AND 127 THEN 1 ELSE 0 END)
+            FROM GENERATE_SERIES(1, 64) g(i)) AS n_in_range
+    FROM scaled
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4c — symmetric int8 scalar quantization, the storage tier BETWEEN
+    raw float32 and PQ codes (4× smaller than float32, 8× cheaper than
+    doubles; the form vector stores ship to disk before product
+    quantization's 32×). Per vector: scale = max|v|/127, code_i =
+    round(v_i/scale) ∈ [−127,127]. The query emits the per-vector proof
+    obligations rather than the codes (keeps the cross-engine check on
+    scalars): reconstruction error ≤ scale/2 per component, and every code
+    in range — both must hold for EVERY vector. Both engines round halves
+    away from zero (verified), so the code values are identical.
+
+    Scale shape: pure per-row higher-order expressions — no shuffle at all;
+    quantizing 100 TB of vectors is one scan + one write."""
+    e = load(spark, sf_dir, "embeddings")
+    as_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(
+            as_d, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / 127
+    )
+    with_scale = e.select("vec_id", as_d.alias("v"), scale.alias("scale"))
+    code = lambda x: F.round(x / F.col("scale"))  # noqa: E731
+    max_err = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x - code(x) * F.col("scale"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    n_in_range = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda x: code(x).between(-127, 127).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        (max_err <= F.col("scale") / 2 + 1e-12).alias("err_bounded"),
+        n_in_range.alias("n_in_range"),
+    )
