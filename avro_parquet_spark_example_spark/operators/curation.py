@@ -762,3 +762,51 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "export_global_rownum",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 32 AS shard,
+           ROW_NUMBER() OVER (ORDER BY doc_id % 32, doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+def export_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-export — contiguous global example ids WITHOUT a global sort or a
+    SinglePartition window (both audited against): the standard two-phase
+    distributed numbering. Phase 1 assigns each row a deterministic shard
+    (doc_id % 32) and a within-shard rank (one key-partitioned window);
+    phase 2 broadcasts the 32 shard sizes as exclusive prefix offsets and
+    adds them. Ids are contiguous 0..N−1 in (shard, doc_id) order —
+    equivalent to the oracle's single-sequence ROW_NUMBER but every stage
+    is key-partitioned, so it scales to any corpus (the offsets table is
+    shard-cardinality, bytes). The same pattern numbers 100 TB of training
+    examples for epoch bookkeeping."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 32).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    # exclusive prefix over the 32 shard counts — O(shards) driver scalars,
+    # same pattern as curation_token_budget_select (never a global window)
+    counts = dict(
+        (r["shard"], r["n"])
+        for r in d.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    acc, offset_rows = 0, []
+    for shard in sorted(counts):
+        offset_rows.append((shard, acc))
+        acc += counts[shard]
+    offsets = F.broadcast(
+        spark.createDataFrame(offset_rows, "shard long, offset long")
+    )
+    return (
+        ranked.join(offsets, "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("offset") + F.col("rn") - 1).alias("global_id"),
+        )
+    )
