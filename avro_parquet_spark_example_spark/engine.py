@@ -180,7 +180,7 @@ class Engine:
             df, domain_col=domain_col, id_col=id_col, alpha=alpha,
             budget_frac=budget,
         )
-        return sel.filter(F.col("__selected")).drop("__selected", "n")
+        return sel.filter(F.col("__selected")).select(*df.columns)
 
     def select_dsir(
         self,
