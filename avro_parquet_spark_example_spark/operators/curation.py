@@ -668,7 +668,15 @@ def temperature_selection(
     incremental ingestion). alpha=0.5 == sqrt flattening. Shared by the
     oracle-checked ``mixture_temperature_resample`` and
     ``Engine.resample_temperature``."""
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n"))
+    # NULL domains can neither receive a rate (join would drop them) nor
+    # belong in the budget total — exclude them from the rate table and
+    # left-join below so null-domain rows pass through UNSELECTED rather
+    # than vanishing.
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = counts.agg(F.sum("n").alias("total"))
     p = F.col("n") * 1.0 / F.col("total")
     # sqrt is IEEE-correctly-rounded (pow(x, 0.5) need not be) — use it for
@@ -697,8 +705,8 @@ def temperature_selection(
     )
     thr_hex = F.lpad(F.lower(F.conv(F.col("thr").cast("string"), 10, 16)), 4, "0")
     u_hex = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
-    return df.join(F.broadcast(rates), domain_col).withColumn(
-        "__selected", u_hex < thr_hex
+    return df.join(F.broadcast(rates), domain_col, "left").withColumn(
+        "__selected", F.coalesce(u_hex < thr_hex, F.lit(False))
     )
 
 

@@ -51,6 +51,15 @@ def keep_first_per_text(
     )
 
 
+def in_injected_universe(col: str | Column) -> Column:
+    """Membership predicate for the injected-duplicate contract universe
+    (the ~100 docs — sources doc_id < 50 plus their +100000 copies — whose
+    true pairs tests/test_dedup.py checks exhaustively). ONE definition so
+    the oracle-scoped queries, tests, and tools cannot drift apart."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c < 50) | (c >= 100000)
+
+
 def with_injected_duplicates(d: DataFrame) -> DataFrame:
     """The driver corpus is duplicate-free (FIXTURES.md §1), so the checked
     queries first inject copies (doc_id+100000 for doc_id<50) — the oracle
@@ -304,17 +313,25 @@ def minhash_clusters(
     est(rep, X) and J(member, X) == J(rep, X) — every candidate and
     verification decision is unchanged, and the member-member edges the
     direct form would emit are implied through the representative. Asserted
-    equal to the direct form by tests/test_dedup.py.
+    equal to the direct form by tests/test_dedup.py. (The collapse stage
+    shuffles the corpus once, keyed by the 32-byte text hash — the same
+    cost class as any dedup pass over the data; it is the NEAR-dup stage's
+    quadratic bucket blowup that the collapse removes.)
 
     Why it matters at scale: the direct form's band buckets hold EVERY
     exact copy, and intra-bucket pair expansion is quadratic in the copy
     count — measured OOM at a 99% dup rate (SCALING.md "exact-dup-rate
     boundary"), while the collapsed form's near-dup cost stays proportional
-    to the CANONICAL corpus no matter the dup rate. The exact stage is one
-    hash-key shuffle (32-byte keys)."""
-    keyed = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    ).withColumn("__k", normalized_text_key("__t"))
+    to the CANONICAL corpus no matter the dup rate."""
+    keyed = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        # null text yields no signature in the direct form (absent from all
+        # edges, i.e. kept); filtering here preserves that contract — a
+        # window over the NULL hash key would otherwise collapse every
+        # null-text row into one bogus "exact-dup" cluster
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__k", normalized_text_key("__t"))
+    )
     if not collapse_exact:
         pairs = minhash_candidate_pairs(
             keyed.select("id", "__t"), id_col="id", text_col="__t",
@@ -544,11 +561,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the LSH collision rate, never corpus-sized. The checkpoint also
     # pins the full-corpus banding work: the universe filter below cannot
     # be pushed into an already-materialized plan.
-    in_universe = lambda c: (F.col(c) < 50) | (F.col(c) >= 100000)  # noqa: E731
     cands = (
         minhash_candidate_pairs(docs, sim_threshold=0.5)
         .localCheckpoint(eager=True)
-        .filter(in_universe("a") & in_universe("b"))
+        .filter(in_injected_universe("a") & in_injected_universe("b"))
     )
     # Only docs that appear in some candidate pair need their shingle
     # arrays — semi-join first so the (wide) shingle computation runs over
@@ -1014,11 +1030,9 @@ def semantic_cell_dropped(
     b = cells.select(
         F.col(id_col), F.col(emb_col).alias("eb"), F.col("cell")
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from avro_parquet_spark_example_spark.operators.simsearch import dot_product
+
+    dot = dot_product(F.col("ea"), F.col("eb"))
     return (
         a.join(b, (F.col("a_cell") == F.col("cell")) & (F.col("a_id") < F.col(id_col)))
         .filter(dot >= threshold)
@@ -1118,17 +1132,24 @@ def incremental_minhash_matches(
         .unionByName(cands.select(F.col("batch_id").alias("vid")))
         .distinct()
     )
+    # Broadcast hints are only sound when the candidate set is bounded by a
+    # corpus_scope (the oracle query's ~100-doc universe). On the unbounded
+    # library path the candidate shingle table scales with the batch's
+    # near-dup rate — leave join strategy to Catalyst/AQE, which still
+    # picks broadcast when the stats allow it and falls back to a shuffle
+    # join instead of a driver OOM when they don't.
+    hint = F.broadcast if corpus_scope is not None else (lambda df: df)
     sh = with_shingles(
         corpus.unionByName(batch)
         .filter(F.col("text").isNotNull())
-        .join(F.broadcast(ids), F.col("doc_id") == F.col("vid"), "leftsemi")
+        .join(hint(ids), F.col("doc_id") == F.col("vid"), "leftsemi")
     ).select(F.col("doc_id").alias("vid"), "sh")
     jac = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
         F.array_union("sa.sh", "sb.sh")
     )
     return (
-        cands.join(F.broadcast(sh.alias("sa")), F.col("corpus_id") == F.col("sa.vid"))
-        .join(F.broadcast(sh.alias("sb")), F.col("batch_id") == F.col("sb.vid"))
+        cands.join(hint(sh.alias("sa")), F.col("corpus_id") == F.col("sa.vid"))
+        .join(hint(sh.alias("sb")), F.col("batch_id") == F.col("sb.vid"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_id", "batch_id", F.round("jaccard", 6).alias("jaccard"))

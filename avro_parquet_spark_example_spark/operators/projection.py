@@ -289,13 +289,17 @@ def diag_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
         FROM bucketed
     ),
+    agg AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+        FROM bucketed GROUP BY bucket
+    ),
     per_bucket AS (
         SELECT b.range AS bucket,
-               SUM(CASE WHEN bk.is_ref THEN 1 ELSE 0 END) AS c_ref,
-               SUM(CASE WHEN bk.is_ref THEN 0 ELSE 1 END) AS c_cur
-        FROM RANGE(0, 10) b
-        LEFT JOIN bucketed bk ON bk.bucket = b.range
-        GROUP BY b.range
+               COALESCE(a.c_ref, 0) AS c_ref,
+               COALESCE(a.c_cur, 0) AS c_cur
+        FROM RANGE(0, 10) b LEFT JOIN agg a ON a.bucket = b.range
     )
     SELECT bucket,
            c_ref, c_cur,
@@ -330,14 +334,21 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
+    # aggregate FIRST (map-side combined, 10 groups), then left-join the
+    # fixed grid so never-hit buckets report 0 — joining per-row orders
+    # onto the 10-value grid would both skew the shuffle and count each
+    # null-extended row of an empty bucket as a phantom observation
     grid = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    agg = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+    )
     per_bucket = (
-        F.broadcast(grid)
-        .join(bucketed, "bucket", "left")
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+        grid.join(F.broadcast(agg), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
         )
     )
     p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)

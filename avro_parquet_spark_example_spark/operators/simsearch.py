@@ -546,12 +546,14 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 9) AS scale,
+           CASE WHEN scale = 0 THEN TRUE ELSE
            (SELECT MAX(ABS(CAST(embedding[g.i] AS DOUBLE)
                            - ROUND(CAST(embedding[g.i] AS DOUBLE) / scale) * scale))
-            FROM GENERATE_SERIES(1, 64) g(i)) <= scale / 2 + 1e-12 AS err_bounded,
+            FROM GENERATE_SERIES(1, 64) g(i)) <= scale / 2 + 1e-12 END AS err_bounded,
+           CASE WHEN scale = 0 THEN 64 ELSE
            (SELECT SUM(CASE WHEN ROUND(CAST(embedding[g.i] AS DOUBLE) / scale)
                                  BETWEEN -127 AND 127 THEN 1 ELSE 0 END)
-            FROM GENERATE_SERIES(1, 64) g(i)) AS n_in_range
+            FROM GENERATE_SERIES(1, 64) g(i)) END AS n_in_range
     FROM scaled
     """,
 )
@@ -591,9 +593,17 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # all-zero vector: scale = 0, every code is 0 by definition — guard the
+    # division (Spark x/0 yields NULL while DuckDB yields NaN; the CASE
+    # keeps both engines on the same closed-form answer)
+    zero = F.col("scale") == 0
     return with_scale.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        (max_err <= F.col("scale") / 2 + 1e-12).alias("err_bounded"),
-        n_in_range.alias("n_in_range"),
+        F.when(zero, F.lit(True))
+        .otherwise(max_err <= F.col("scale") / 2 + 1e-12)
+        .alias("err_bounded"),
+        F.when(zero, F.lit(64).cast("long"))
+        .otherwise(n_in_range)
+        .alias("n_in_range"),
     )

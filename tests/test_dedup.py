@@ -171,9 +171,12 @@ def test_lsh_candidates_cover_all_true_pairs(spark):
         docs = with_injected_duplicates(
             load(spark, sf_dir, "documents").select("doc_id", "text")
         )
-        in_universe = lambda c: (F.col(c) < 50) | (F.col(c) >= 100000)  # noqa: E731
+        from avro_parquet_spark_example_spark.operators.dedup import (
+            in_injected_universe,
+        )
+
         cands = minhash_candidate_pairs(docs, sim_threshold=0.5).filter(
-            in_universe("a") & in_universe("b")
+            in_injected_universe("a") & in_injected_universe("b")
         )
         sh = docs.filter(F.col("text").isNotNull()).select(
             F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
