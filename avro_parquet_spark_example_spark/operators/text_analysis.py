@@ -544,3 +544,87 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
         ).alias("posting_head"),
     )
+
+
+@register(
+    "text_diversity_metrics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS ws
+        FROM documents
+    ),
+    toks AS (SELECT lang, UNNEST(ws) AS w FROM t),
+    bigrams AS (
+        SELECT lang, ws[i] || ' ' || ws[i + 1] AS bg
+        FROM t, UNNEST(RANGE(1, LEN(ws))) r(i)
+    ),
+    uni AS (
+        SELECT lang,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT w) AS distinct_unigrams
+        FROM toks GROUP BY lang
+    ),
+    bi AS (
+        SELECT lang, COUNT(DISTINCT bg) AS distinct_bigrams, COUNT(*) AS n_bigrams
+        FROM bigrams GROUP BY lang
+    ),
+    docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT d.lang, d.n_docs, u.n_tokens, u.distinct_unigrams,
+           ROUND(u.distinct_unigrams * 1.0 / u.n_tokens, 6) AS type_token_ratio,
+           b.distinct_bigrams,
+           ROUND(b.distinct_bigrams * 1.0 / b.n_bigrams, 6) AS distinct_bigram_ratio
+    FROM docs d JOIN uni u ON u.lang = d.lang JOIN bi b ON b.lang = d.lang
+    """,
+)
+def text_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6m — corpus diversity report: per-language type-token ratio and
+    distinct-bigram ratio (the standard lexical-diversity numbers a
+    training-data report tracks — a collapsing TTR flags boilerplate or
+    synthetic-loop contamination before a model ever sees the data).
+
+    Scale shape: one tokenize+explode pass feeds both the unigram and
+    (via a per-doc positional self-join that stays inside the doc key)
+    bigram counts; COUNT(DISTINCT) runs as Spark's two-level
+    partial-distinct plan per lang. At 100 TB the exact distinct counts
+    are the expensive knob — swap in approx_count_distinct (D5's HLL
+    sketch) for a fixed-size-state version with the same report schema."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("i", "w"),
+    )
+    nxt = toks.select(
+        F.col("doc_id").alias("b_doc"),
+        (F.col("i") - 1).alias("b_i"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = toks.join(
+        nxt, (F.col("b_doc") == F.col("doc_id")) & (F.col("b_i") == F.col("i"))
+    ).select("lang", F.concat_ws(" ", "w", "w2").alias("bg"))
+    uni = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("distinct_unigrams"),
+    )
+    bi = bigrams.groupBy("lang").agg(
+        F.count_distinct("bg").alias("distinct_bigrams"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs.join(uni, "lang")
+        .join(bi, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "distinct_unigrams",
+            F.round(F.col("distinct_unigrams") * 1.0 / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams") * 1.0 / F.col("n_bigrams"), 6
+            ).alias("distinct_bigram_ratio"),
+        )
+    )
