@@ -312,3 +312,63 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             lead_us.isNull().alias("is_current"),
         )
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               CAST(SUM(CAST(n AS DECIMAL(30,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(n AS DECIMAL(30,0)) * CAST(n AS DECIMAL(30,0)))
+                    AS DOUBLE) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND((d.n - s.s1 / s.n_days)
+                 / SQRT((s.s2 - s.s1 * s.s1 / s.n_days) / (s.n_days - 1)),
+                 6) AS zscore
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    WHERE ABS((d.n - s.s1 / s.n_days)
+              / SQRT((s.s2 - s.s1 * s.s1 / s.n_days) / (s.n_days - 1))) > 2
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8 — event-volume anomaly detection: days whose event count is more
+    than 2 standard deviations from that event type's daily mean — the
+    ops-monitoring query every event pipeline runs. Spark's stddev
+    aggregates fold doubles in partition order (nondeterministic bits), so
+    mean and variance are derived from EXACT decimal sums (counts are
+    integers — s1/s2 are exact, and the mean/variance arithmetic is then a
+    fixed IEEE sequence identical on both engines; the dsum rule applied
+    to second moments).
+
+    Scale shape: two map-side-combined aggregations (daily counts, then
+    per-type moments — type-cardinality rows) and one broadcast join of
+    the tiny stats table back onto the daily series. At 100 TB the daily
+    grid is (types × days), megabytes."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("decimal(30,0)")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(nd).cast("double").alias("s1"),
+        F.sum(nd * nd).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
+    )
