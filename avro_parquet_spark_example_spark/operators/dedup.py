@@ -469,6 +469,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_verified_pairs(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    bounded: bool = True,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (a, b): only
+    docs appearing in some pair are re-shingled (semi-join first), each
+    pair keeps iff true Jaccard >= threshold. ``bounded`` adds broadcast
+    hints — sound only when the candidate set is known small (the
+    injected-universe contract); pass False for unbounded candidate sets
+    and let AQE pick. Shared by ``dedup_minhash_verified`` and
+    ``tools/minhash_profile.py`` so the profiler can never measure a
+    stale copy of the stage."""
+    hint = F.broadcast if bounded else (lambda df: df)
+    cand_ids = (
+        cands.select(F.col("a").alias("vid"))
+        .unionByName(cands.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    sh = with_shingles(
+        docs.filter(F.col(text_col).isNotNull()).join(
+            hint(cand_ids), F.col(id_col) == F.col("vid"), "leftsemi"
+        ),
+        text_col=text_col,
+    ).select(F.col(id_col).alias("vid"), "sh")
+    true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
+        F.array_union("sa.sh", "sb.sh")
+    )
+    return (
+        cands.join(hint(sh.alias("sa")), F.col("a") == F.col("sa.vid"))
+        .join(hint(sh.alias("sb")), F.col("b") == F.col("sb.vid"))
+        .filter(true_j >= threshold)
+        .select("a", "b")
+    )
+
+
 @register(
     "dedup_minhash_verified",
     oracle="""
@@ -567,32 +606,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(in_injected_universe("a") & in_injected_universe("b"))
     )
     # Only docs that appear in some candidate pair need their shingle
-    # arrays — semi-join first so the (wide) shingle computation runs over
-    # the candidate subset, not the whole corpus. At 100 TB this is the
-    # difference between re-shingling ~0.1% of docs and re-shingling all.
-    # Everything below cands is universe-bounded (≤ ~100 docs by
-    # construction), so every join side here is broadcast-safe BY DESIGN —
-    # the explicit hints skip shuffle planning on what would otherwise be
-    # three tiny 32-partition exchanges.
-    cand_ids = (
-        cands.select(F.col("a").alias("id"))
-        .unionByName(cands.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    sh = with_shingles(
-        docs.filter(F.col("text").isNotNull()).join(
-            F.broadcast(cand_ids), F.col("doc_id") == F.col("id"), "leftsemi"
-        )
-    ).select(F.col("doc_id").alias("id"), "sh")
-    true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
-        F.array_union("sa.sh", "sb.sh")
-    )
-    verified = (
-        cands.join(F.broadcast(sh.alias("sa")), F.col("a") == F.col("sa.id"))
-        .join(F.broadcast(sh.alias("sb")), F.col("b") == F.col("sb.id"))
-        .filter(true_j >= 0.7)
-        .select("a", "b")
-    )
+    # arrays — exact_verified_pairs semi-joins first so the (wide) shingle
+    # computation runs over the candidate subset, not the whole corpus
+    # (at 100 TB: re-shingle ~0.1% of docs, not all). Everything below
+    # cands is universe-bounded (≤ ~100 docs by construction), so
+    # bounded=True's broadcast hints are safe BY DESIGN.
+    verified = exact_verified_pairs(cands, docs, threshold=0.7, bounded=True)
     labeled = connected_components(verified, max_iter=25)
     nodes = docs.select("doc_id")
     return nodes.join(

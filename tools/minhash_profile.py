@@ -37,10 +37,11 @@ def run_once(spark) -> dict[str, float]:
 
     from avro_parquet_spark_example_spark.operators.dedup import (
         connected_components,
+        exact_verified_pairs,
+        in_injected_universe,
         minhash_candidate_pairs,
         minhash_signatures_df,
         with_injected_duplicates,
-        with_shingles,
     )
     from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -64,29 +65,14 @@ def run_once(spark) -> dict[str, float]:
     )
     t["band_join"] = max(time.perf_counter() - t0 - t["signatures"], 0.0)
 
-    in_universe = lambda c: (F.col(c) < 50) | (F.col(c) >= 100000)  # noqa: E731
-    cands = cands_full.filter(in_universe("a") & in_universe("b"))
+    cands = cands_full.filter(in_injected_universe("a") & in_injected_universe("b"))
 
     t0 = time.perf_counter()
-    cand_ids = (
-        cands.select(F.col("a").alias("id"))
-        .unionByName(cands.select(F.col("b").alias("id")))
-        .distinct()
+    # the REAL verify stage (shared implementation — the profiler can never
+    # measure a stale copy of the pipeline)
+    verified = exact_verified_pairs(cands, docs, threshold=0.7).localCheckpoint(
+        eager=True
     )
-    sh = with_shingles(
-        docs.filter(F.col("text").isNotNull()).join(
-            F.broadcast(cand_ids), F.col("doc_id") == F.col("id"), "leftsemi"
-        )
-    ).select(F.col("doc_id").alias("id"), "sh")
-    true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
-        F.array_union("sa.sh", "sb.sh")
-    )
-    verified = (
-        cands.join(F.broadcast(sh.alias("sa")), F.col("a") == F.col("sa.id"))
-        .join(F.broadcast(sh.alias("sb")), F.col("b") == F.col("sb.id"))
-        .filter(true_j >= 0.7)
-        .select("a", "b")
-    ).localCheckpoint(eager=True)
     t["verify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
