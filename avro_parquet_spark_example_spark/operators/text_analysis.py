@@ -628,3 +628,57 @@ def text_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_bigram_ratio"),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    totals AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id),
+    terms AS (
+        SELECT c.doc_id,
+               CAST(ROUND(-(c.c * 1.0 / t.n) * LN(c.c * 1.0 / t.n), 9)
+                    AS DECIMAL(18, 9)) AS term
+        FROM counts c JOIN totals t USING (doc_id)
+    )
+    SELECT t.doc_id,
+           CAST(tt.n AS BIGINT) AS n_tok,
+           ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS entropy
+    FROM terms t JOIN totals tt USING (doc_id)
+    GROUP BY t.doc_id, tt.n
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6n — per-document Shannon entropy of the token distribution,
+    H = −Σ p_w ln p_w: the repetitiveness signal quality filters threshold
+    on (a doc looping one phrase has near-zero entropy; natural prose sits
+    near ln(vocab) — complements text_repetition_filter's window-based
+    gate with a distribution-level one). Per-term contributions round to 9
+    decimals and sum as DECIMAL(18,9) (the dsum rule), so the score is
+    order-independent and hash-identical cross-engine.
+
+    Scale shape: explode → (doc, token) count → per-doc roll-up — two
+    doc-keyed map-side-combined aggregations, no broadcast, no global
+    state; entropy of 100 TB is scan + two keyed shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", "n", term.alias("term"))
+        .groupBy("doc_id", "n")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tok"), "entropy")
+    )
