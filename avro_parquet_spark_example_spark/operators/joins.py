@@ -560,3 +560,52 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").alias("n_left"),
         F.col("b.n").alias("n_right"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MIN(c.ts) FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts >= p.ts) AS next_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8b — FORWARD as-of: each purchase matched to the same user's
+    earliest click at-or-after it (the "what happened next" direction —
+    attribution windows, next-touch analysis). Same single-shuffle shape
+    as the backward form (C8), with the window scanned in DESCENDING time:
+    the last click seen while walking backward from the future is exactly
+    MIN(click ts >= this row's ts). At same-ts ties the click orders
+    before the purchase in the DESC scan (side ascending), so ``>=``
+    matches the oracle's correlated MIN. One exchange, O(n log n) per
+    user partition — never a range join."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("next_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "next_click_ts")
+    )
