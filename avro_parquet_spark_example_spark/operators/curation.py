@@ -818,3 +818,73 @@ def export_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn") - 1).alias("global_id"),
         )
     )
+
+
+@register(
+    "curation_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY n_chars)
+                    AS DOUBLE) AS p5,
+               CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY n_chars)
+                    AS DOUBLE) AS p95
+        FROM documents GROUP BY lang
+    ),
+    clipped AS (
+        SELECT d.lang,
+               LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.p5), b.p95) AS v,
+               CAST(d.n_chars AS DOUBLE) < b.p5 AS low,
+               CAST(d.n_chars AS DOUBLE) > b.p95 AS high
+        FROM documents d JOIN bounds b ON b.lang = d.lang
+    )
+    SELECT c.lang, b.p5, b.p95,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN c.low THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN c.high THEN 1 ELSE 0 END) AS n_clipped_high,
+           ROUND(CAST(SUM(CAST(c.v AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM clipped c JOIN bounds b ON b.lang = c.lang
+    GROUP BY c.lang, b.p5, b.p95
+    """,
+)
+def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — per-group winsorization: clip each language's document
+    lengths to its [p5, p95] band and report the clipped distribution —
+    the robust-stats step before any mean-based mixture accounting (one
+    pathological 100 MB doc would otherwise dominate a language's token
+    budget). ``percentile_disc`` picks ACTUAL values (no interpolation
+    arithmetic), so the bounds — and every clip decision — are
+    bit-identical cross-engine; the winsorized mean uses the exact-decimal
+    sum rule.
+
+    Scale shape: exact discrete percentiles sort within each lang
+    partition (one shuffle); the clip pass re-joins the lang-cardinality
+    bounds table broadcast. At extreme group sizes swap percentile_disc
+    for percentile_approx (fixed-state sketch) with the same report
+    schema."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("nc")
+    )
+    bounds = d.groupBy("lang").agg(
+        F.expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY nc) AS DOUBLE)").alias("p5"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY nc) AS DOUBLE)").alias("p95"),
+    )
+    clipped = d.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "p5",
+        "p95",
+        F.least(F.greatest(F.col("nc"), F.col("p5")), F.col("p95")).alias("v"),
+        (F.col("nc") < F.col("p5")).alias("low"),
+        (F.col("nc") > F.col("p95")).alias("high"),
+    )
+    return clipped.groupBy("lang", "p5", "p95").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("low").cast("int")).alias("n_clipped_low"),
+        F.sum(F.col("high").cast("int")).alias("n_clipped_high"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )
