@@ -740,3 +740,39 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_files = max(1, n_bytes // (128 * 1024 * 1024))
     frag_df.repartition(int(target_files)).write.mode("overwrite").parquet(compacted)
     return spark.read.parquet(compacted).select(*cols)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP4 — SQL pipe syntax (Spark 4 / the |> operator): the same Catalyst
+    pipeline as ANSI text, written as a linear dataflow — the SQL dialect
+    closest to how the reference era's users thought about RDD chains, now
+    first-class in the engine's SQL entry point. The pipe program below is
+    plan-identical to its ANSI twin (the oracle), so pushdown and
+    map-side aggregation behave exactly as in agg-group queries."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 25
+        |> EXTEND l_extendedprice * (1 - l_discount) AS rev
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(ROUND(SUM(CAST(rev AS DECIMAL(30,8))), 2) AS DOUBLE)
+                       AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, revenue
+        """
+    )
