@@ -372,3 +372,68 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("event_type", "day", "n", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "ts_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(30,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(30,0)) * CAST(y AS DECIMAL(30,0)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(30,0)) * CAST(x AS DECIMAL(30,0)))
+                    AS DOUBLE) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9 — per-type volume trend by closed-form OLS: slope and intercept
+    of daily event counts against the day index — the "is this stream
+    growing?" line every ops dashboard fits. Like ts_anomaly_zscore, the
+    moments (Σx, Σy, Σxy, Σx²) are EXACT decimal sums of integers, so the
+    slope/intercept arithmetic is a fixed IEEE sequence identical on both
+    engines — no Spark regr_slope (which folds doubles in partition
+    order). Two map-side-combined aggregations; the moments table is
+    type-cardinality. The same exact-moment trick generalizes to any
+    closed-form estimator at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    xd = F.col("x").cast("decimal(30,0)")
+    yd = F.col("y").cast("decimal(30,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
