@@ -888,3 +888,81 @@ def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "curation_url_dedup",
+    oracle="""
+    WITH urls AS (
+        -- deterministic synthetic URLs with tracking noise: the same page
+        -- appears under WWW./mixed-case hosts, trailing slashes, and utm
+        -- params (doc_id % 4 variants)
+        SELECT doc_id,
+               CONCAT(
+                   CASE WHEN doc_id % 4 = 1 THEN 'https://WWW.'
+                        ELSE 'https://' END,
+                   UPPER(SUBSTR(source, 1, 1)), SUBSTR(source, 2),
+                   '.example.com/docs/', CAST(doc_id % 100 AS VARCHAR),
+                   CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CONCAT('?utm_source=', lang) ELSE '' END
+               ) AS url
+        FROM documents WHERE source IS NOT NULL
+    ),
+    canon AS (
+        SELECT doc_id,
+               CONCAT(
+                   REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(url,
+                       'https://([^/?]+)', 1)), '^www\\.', ''),
+                   RTRIM(REGEXP_EXTRACT(url, 'https://[^/?]+([^?]*)', 1), '/')
+               ) AS canonical
+        FROM urls
+    )
+    SELECT canonical,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS canonical_doc
+    FROM canon
+    GROUP BY canonical
+    HAVING COUNT(*) >= 2
+    """,
+)
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — URL canonicalization dedup, the FIRST stage of every
+    web-corpus pipeline (cheaper than any content hash: the same page
+    under www./case/trailing-slash/utm variants collapses before a byte
+    of text is read). URLs are built deterministically with injected
+    tracking noise (doc_id-derived variants so groups exist at any SF),
+    then canonicalized — lowercase host, strip the www. prefix, drop the
+    query string, trim the trailing slash — and grouped; groups of >= 2
+    are the URL-level duplicates, keyed to their min-id canonical doc.
+
+    Scale shape: canonicalization is a per-row regex map (JVM codegen);
+    the only shuffle carries the canonical-key strings — at 100 TB this
+    pass touches URLs, never documents, which is exactly why it runs
+    first."""
+    d = load(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    mod = F.col("doc_id") % 4
+    url = F.concat(
+        F.when(mod == 1, "https://WWW.").otherwise("https://"),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substr(source, 2)"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(mod == 2, "/").otherwise(""),
+        F.when(mod == 3, F.concat(F.lit("?utm_source="), F.col("lang"))).otherwise(""),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"https://([^/?]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"https://[^/?]+([^?]*)", 1), r"/+$", ""
+    )
+    return (
+        d.select("doc_id", F.concat(host, path).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
