@@ -1,0 +1,233 @@
+"""Graph analytics over a co-occurrence graph derived from ``events``.
+
+Training-data pipelines carry graph-shaped work the moment documents or
+users reference each other: link-graph quality signals (degree profile,
+triangle density distinguishes organic communities from spam link farms)
+and PageRank as a document-quality prior (the classic web-corpus
+weighting). Near-dup cluster resolution (connected components) is already
+covered by operators/dedup.py; this module adds the other two canonical
+batch-graph operators on the same edge-building machinery.
+
+Graph construction: an edge joins two users who emitted the SAME event
+type inside the SAME 5-minute epoch bucket — the standard "co-occurrence
+within a session bucket" projection of a bipartite log onto its user
+side. The bucket key is pure integer arithmetic (``epoch_us div 3e8``),
+identical in both engines — no timestamp truncation semantics to align.
+5-minute buckets keep the projection sparse and BOUNDED: the fixture has
+at most ~11 distinct users per (type, bucket), so per-bucket pair
+generation is at most C(11,2) = 55 rows — no quadratic blow-up, unlike a
+day-bucket projection which yields a near-complete graph.
+
+Scale notes (100 TB of events):
+  * Edge build: one distinct-project (map-side combined) + a self-join
+    keyed on (type, bucket). The bucket key bounds join fan-out; a skewed
+    bucket (a bot minute with 10^4 users) is the one hazard — production
+    adds a per-bucket membership cap (``HAVING COUNT(*) < cap``) exactly
+    like dedup's LSH band-size ceiling. Orientation (u < v) halves the
+    edge set and makes every downstream count exact, not double-counted.
+  * Triangles: the ordered edge-join — each triangle u < v < w is found
+    exactly once as (u,v)+(v,w)+(u,w). Two shuffle joins on endpoint
+    keys; the classic O(E^1.5) plan. AQE splits oversized partitions when
+    endpoints skew (celebrity nodes).
+  * PageRank: per-iteration cost is one join (ranks × out-edges) + one
+    aggregation — all shuffles keyed on node id; ``localCheckpoint``
+    truncates lineage so the 10th iteration plans as one round, not ten.
+    No driver-side state at all beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
+
+#: 5-minute co-occurrence bucket, in epoch microseconds.
+BUCKET_US = 300 * 1_000_000
+
+
+def _edges_sql(max_user: int | None = None) -> str:
+    """DuckDB twin of cooccurrence_edges (oriented u < v, deduplicated)."""
+    cap = f"WHERE user_id < {max_user}" if max_user is not None else ""
+    return f"""
+    WITH m AS (
+        SELECT DISTINCT event_type,
+               EPOCH_US(ts) // {BUCKET_US} AS bucket,
+               user_id
+        FROM events {cap}
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM m a JOIN m b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+    )
+"""
+
+
+def cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, max_user: int | None = None
+) -> DataFrame:
+    """Distinct oriented edges (u < v): users sharing a (type, 5-minute)
+    bucket. The distinct-before-join projection is what bounds cost — the
+    self-join runs on unique (bucket, user) memberships, not raw events.
+    ``max_user`` is the deterministic node cap quadratic consumers use to
+    pin their cost at large SFs."""
+    e = load(spark, sf_dir, "events")
+    if max_user is not None:
+        e = e.filter(F.col("user_id") < max_user)
+    m = (
+        e.select("event_type", ts_us(e).alias("ts_us"), "user_id")
+        .select(
+            "event_type",
+            F.expr(f"ts_us div {BUCKET_US}").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_hist",
+    oracle=_edges_sql()
+    + """
+    , deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR1 — degree distribution of the co-occurrence graph: node degree,
+    then a histogram of degrees — the first profiling query on any graph
+    (power-law check, max-degree hazard scan before any quadratic op).
+    Undirected degree = appearances on either side of the oriented edge
+    list. Two map-side-combined aggregations; output is degree-cardinality
+    rows regardless of graph size."""
+    e = cooccurrence_edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+#: Node cap for the quadratic triangle join: keeps the sf0.1 wedge count
+#: bounded while leaving the sf≤0.01 graph (user_id < 150) untouched.
+TRI_MAX_USER = 600
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_edges_sql(TRI_MAX_USER)
+    + """
+    , tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM member GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR2 — per-node triangle participation via the ordered edge-join:
+    each triangle u < v < w matched exactly once as (u,v)+(v,w)+(u,w),
+    then exploded to its three members. Triangle density is the standard
+    community-vs-spam signal on link graphs (a link farm has high degree
+    but few closed triangles). Two shuffle joins on endpoint keys — the
+    textbook plan; no node ever holds more than its own neighborhood."""
+    e = cooccurrence_edges(spark, sf_dir, max_user=TRI_MAX_USER).localCheckpoint(
+        eager=True
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register("graph_pagerank")
+def graph_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """GR3 — PageRank on the undirected co-occurrence graph (each edge
+    walked both ways), the classic corpus-quality prior. Rows-only driver
+    check: rank values are float sums whose partition fold order varies
+    run-to-run (like cluster_kmeans); the invariants — rank mass
+    conservation (Σrank == N), positivity, degree correlation — are
+    pytest properties (tests/test_graph.py).
+
+    Power iteration, all distributed: share = rank/out_deg per node,
+    routed along out-edges (shuffle keyed on node), then summed per
+    destination with the damping re-injection. Dangling nodes cannot
+    occur here (symmetrized edges ⇒ every node has out-degree ≥ 1)."""
+    e = cooccurrence_edges(spark, sf_dir)
+    # Symmetrize: undirected PageRank walks each edge in both directions.
+    out = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        out.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(nodes, "node")
+            .select("node", (F.col("rank") / F.col("out_deg")).alias("share"))
+            .join(out, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.col("share"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg((F.lit(1 - damping) + F.lit(damping) * F.sum("share")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
