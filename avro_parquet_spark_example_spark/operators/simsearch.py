@@ -607,3 +607,175 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_in_range)
         .alias("n_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (sign bits) + Hamming pre-filter, and matryoshka
+# prefix search — the two cheapest ANN storage tiers below int8/PQ.
+
+
+def signbit_words(vec: Column, dim: int = 64, word: int = 32) -> Column:
+    """Pack the sign bits of ``vec`` into ``dim/word`` little BIGINT words
+    (Horner fold per word: first element → highest bit). 64 float32 dims
+    become 8 bytes — a 32× compression, matching PQ's ratio at a fraction
+    of its encode cost (no codebooks, no training). Pure codegen fold, no
+    Python."""
+    words = [
+        F.aggregate(
+            F.slice(vec, j * word + 1, word),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+        )
+        for j in range(dim // word)
+    ]
+    return F.array(*words)
+
+
+def hamming(code_a: Column, code_b: Column) -> Column:
+    """Hamming distance between two packed sign-bit codes: popcount of the
+    per-word XOR, summed — 2 CPU instructions per 32 dims."""
+    return F.aggregate(
+        F.zip_with(
+            code_a, code_b, lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _word_sql(tbl: str, col: str, off: int) -> str:
+    """DuckDB twin of one signbit word (weights 2^(32-i) == the Horner
+    order: first element highest bit)."""
+    return f"""CAST((SELECT SUM(CASE WHEN {tbl}.{col}[{off} + g.i] > 0
+                    THEN (CAST(1 AS BIGINT) << (32 - g.i))
+                    ELSE CAST(0 AS BIGINT) END)
+           FROM GENERATE_SERIES(1, 32) g(i)) AS BIGINT)"""
+
+
+_HAM_SQL = (
+    f"(bit_count(xor({_word_sql('e', 'embedding', 0)}, {_word_sql('q', 'qvec', 0)}))"
+    f" + bit_count(xor({_word_sql('e', 'embedding', 32)}, {_word_sql('q', 'qvec', 32)})))"
+)
+
+#: Hamming radius for the candidate pre-filter: ~the 5th percentile of the
+#: distance distribution (random 64-bit codes center at 32), so the exact
+#: rerank touches ~5% of the corpus at every SF.
+HAMMING_RADIUS = 26
+
+
+@register(
+    "simsearch_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               CAST({_HAM_SQL} AS BIGINT) AS hamming_d
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label, e.hamming_d, ROUND({_DOT_SQL}, 5) AS score
+    FROM cand e, q
+    WHERE e.hamming_d <= {HAMMING_RADIUS}
+    ORDER BY {_DOT_SQL} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4d — binary-quantization ANN: pack sign bits to 8-byte codes,
+    pre-filter candidates by Hamming radius (popcount over XOR — the
+    cheapest distance in existence), then exact-rerank the ~5% survivors
+    by true dot product. The memory-bandwidth tier below int8 and PQ:
+    at 100 TB of float32 vectors the code table is ~3 TB, and the scan
+    that prunes 95% of the corpus reads ONLY codes (column pruning keeps
+    the float vectors untouched until the rerank's narrow fetch). Both
+    stages are whole-stage-codegen folds — no UDF, no shuffle; the top-k
+    is TakeOrderedAndProject."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec"),
+            signbit_words(F.col("embedding")).alias("qcode"),
+        )
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("hamming_d", hamming(signbit_words(F.col("embedding")), F.col("qcode")))
+        .filter(F.col("hamming_d") <= HAMMING_RADIUS)
+    )
+    return (
+        cand.withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "hamming_d", F.round("score", 5).alias("score"))
+    )
+
+
+#: Matryoshka prefix length: the first 32 of 64 dims (MRL-trained models
+#: order information by prefix; on this fixture the prefix is just the
+#: first half).
+MRL_DIM = 32
+
+_DOT32_SQL = f"""(SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qvec[g.i] AS DOUBLE))
+               FROM GENERATE_SERIES(1, {MRL_DIM}) g(i))"""
+_NORM32_E = f"""SQRT((SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))
+               FROM GENERATE_SERIES(1, {MRL_DIM}) g(i)))"""
+_NORM32_Q = f"""SQRT((SELECT SUM(CAST(q.qvec[g.i] AS DOUBLE) * CAST(q.qvec[g.i] AS DOUBLE))
+               FROM GENERATE_SERIES(1, {MRL_DIM}) g(i)))"""
+
+
+@register(
+    "simsearch_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND({_DOT32_SQL} / ({_NORM32_E} * {_NORM32_Q}), 5) AS score_prefix,
+           ROUND({_DOT_SQL}, 5) AS score_full
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND {_NORM32_E} > 0
+    ORDER BY {_DOT32_SQL} / ({_NORM32_E} * {_NORM32_Q}) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def simsearch_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4e — matryoshka (prefix-truncated) search: score on the first
+    {MRL_DIM} dims renormalized to unit length — HALF the bytes read and
+    half the multiply-adds per comparison, the standard cheap first pass
+    for MRL-trained embedding models (Kusupati et al. 2022). Output pairs
+    the prefix score with the full-dim score so the quality gap is
+    directly observable. The renormalization (dot32 / (‖e32‖·‖q32‖)) is a
+    fixed IEEE sequence identical on both engines; zero-norm prefixes are
+    excluded by the same predicate on both sides (Spark /0 → NULL vs
+    DuckDB NaN would otherwise diverge). At scale the prefix pass is a
+    column-pruned scan of half the vector bytes; survivors fetch full
+    vectors for rerank — same narrow-fetch shape as the Hamming tier."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    pre = lambda c: F.slice(c, 1, MRL_DIM)  # noqa: E731
+    sq_norm = lambda c: F.aggregate(  # noqa: E731
+        pre(c),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    dot32 = dot_product(pre(F.col("embedding")), pre(F.col("qvec")))
+    norm_e = F.sqrt(sq_norm(F.col("embedding")))
+    norm_q = F.sqrt(sq_norm(F.col("qvec")))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("norm_e", norm_e)
+        .filter(F.col("norm_e") > 0)
+        .withColumn("score_prefix", dot32 / (F.col("norm_e") * norm_q))
+        .withColumn("score_full", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score_prefix"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("score_prefix", 5).alias("score_prefix"),
+            F.round("score_full", 5).alias("score_full"),
+        )
+    )

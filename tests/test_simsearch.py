@@ -115,3 +115,94 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
         for r in get_query("simsearch_bruteforce_topk").fn(spark, sf_dir).collect()
     ][:10]
     assert len(ivf & set(bf)) / 10 >= 0.8
+
+
+def test_hamming_locality_and_recall(spark, sf_dir):
+    """The binary-code tier's load-bearing property: sign-bit Hamming
+    distance tracks angular distance — the TRUE nearest neighbors sit far
+    below the random-code center (32/64), so a radius pre-filter keeps
+    them. Asserted two ways: the brute-force top-10's mean Hamming is well
+    under the corpus mean, and the tier itself retains ≥3/10 of the exact
+    top-10 even at the smallest fixture (recall rises with corpus size:
+    0.6 at sf0.01, 0.8 at sf0.1 — binary codes at 64 bits are a coarse
+    sieve, which is why the operator reranks with exact dots)."""
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        QUERY_VEC_ID,
+        hamming,
+        signbit_words,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            signbit_words(F.col("embedding")).alias("qcode"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            hamming(signbit_words(F.col("embedding")), F.col("qcode")).alias("h"),
+            dot_product(F.col("embedding"), F.col("qvec")).alias("s"),
+        )
+        .collect()
+    )
+    mean_all = sum(r.h for r in scored) / len(scored)
+    top10 = sorted(scored, key=lambda r: (-r.s, r.vec_id))[:10]
+    mean_top = sum(r.h for r in top10) / 10
+    assert mean_top < mean_all - 4, (mean_top, mean_all)
+
+    brute = {r.vec_id for r in top10}
+    tier = {
+        r.vec_id
+        for r in get_query("simsearch_hamming_topk").fn(spark, sf_dir).collect()
+    }
+    assert len(brute & tier) >= 3, sorted(brute & tier)
+
+
+def test_matryoshka_prefix_quality(spark, sf_dir):
+    """The prefix score is a proper cosine (within [-1, 1] after
+    renormalization) and correlates positively with the full-dim score
+    across the corpus — the property that makes a prefix first-pass
+    useful. (Top-10 OVERLAP is deliberately not asserted: the fixture
+    embeddings are random, not MRL-trained, so the prefix holds only
+    ~half the signal — on a real matryoshka model the prefix
+    concentrates information and overlap approaches 1.)"""
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        MRL_DIM,
+        QUERY_VEC_ID,
+        dot_product as dp,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    rows = get_query("simsearch_matryoshka_topk").fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(-1.0 - 1e-9 <= r.score_prefix <= 1.0 + 1e-9 for r in rows)
+
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    pre = lambda c: F.slice(c, 1, MRL_DIM)  # noqa: E731
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            dp(pre(F.col("embedding")), pre(F.col("qvec"))).alias("p"),
+            dp(F.col("embedding"), F.col("qvec")).alias("s"),
+        )
+        .collect()
+    )
+    n = len(scored)
+    mp = sum(r.p for r in scored) / n
+    ms = sum(r.s for r in scored) / n
+    cov = sum((r.p - mp) * (r.s - ms) for r in scored)
+    vp = sum((r.p - mp) ** 2 for r in scored)
+    vs = sum((r.s - ms) ** 2 for r in scored)
+    r_corr = cov / math.sqrt(vp * vs)
+    assert r_corr > 0.3, r_corr
