@@ -437,3 +437,67 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    t AS (
+        SELECT *,
+               CASE WHEN rn = 1 THEN 2 * n
+                    ELSE (CAST(1 AS BIGINT) << CAST(rn - 1 AS INT)) * n
+               END AS tw
+        FROM idx
+    )
+    SELECT event_type, day, n,
+           CAST(SUM(tw) OVER (PARTITION BY event_type ORDER BY rn) AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << CAST(rn AS INT) AS DOUBLE) AS ewma
+    FROM t
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10 — exponentially weighted moving average (α = 1/2) of each
+    type's daily event count — the smoothing every monitoring dashboard
+    applies before thresholding. The recursion y_i = αx_i + (1−α)y_{i−1}
+    looks inherently sequential, but with dyadic α it has an EXACT
+    distributed closed form: 2^n·y_n = 2x_1 + Σ_{i≥2} 2^{i−1}x_i, so the
+    EWMA is one integer running-sum window over weighted counts, divided
+    by 2^n. Every step is exact: the weighted terms are integers < 2^53,
+    the running sum is a BIGINT, and the final division only rescales the
+    exponent — both engines produce bit-identical doubles with NO
+    rounding step (contrast Spark's float sum folds, which need the
+    decimal-moment trick of ts_anomaly_zscore).
+
+    Scale shape: one map-side-combined count, one per-key window — the
+    same single-shuffle profile as every operator in this family. The
+    2^rn weights cap the window at 62 steps per key before BIGINT
+    overflow; production streams renormalize in blocks (subtract the
+    block max exponent, exactly like log-sum-exp) — the fixture spans
+    ~30 days, well inside one block."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("rn", F.row_number().over(w))
+    tw = F.when(F.col("rn") == 1, 2 * F.col("n")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT)) * n")
+    )
+    run = Window.partitionBy("event_type").orderBy("rn")
+    return (
+        idx.withColumn("tw", tw)
+        .withColumn(
+            "ewma",
+            F.sum("tw").over(run).cast("double")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT)) AS DOUBLE)"),
+        )
+        .select("event_type", "day", "n", "ewma")
+    )
