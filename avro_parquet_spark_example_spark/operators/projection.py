@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
 
 
 @register(
@@ -361,4 +361,65 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_cur",
             F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
         )
+    )
+
+
+@register(
+    "dq_freshness_completeness",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               MIN(EPOCH_US(ts)) AS first_us,
+               MAX(EPOCH_US(ts)) AS last_us,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS days_observed,
+               DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1
+                 AS span_days
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(last_us) AS global_last FROM per)
+    SELECT event_type, first_us, last_us, days_observed, span_days,
+           span_days - days_observed AS gap_days,
+           ROUND(days_observed * 1.0 / span_days, 9) AS completeness,
+           last_us < global_last - 86400000000 AS is_stale
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5 — ingestion freshness + calendar completeness per stream: for
+    each event type, the observed [first, last] span, how many calendar
+    days inside it actually delivered data (gap_days = silent-outage
+    days), and a staleness flag — last event more than 24 h behind the
+    freshest stream. The triad (freshness / completeness / validity) is
+    the standard data-SLA monitor (Deequ, Monte Carlo, dbt-source
+    freshness) that belongs next to dq_constraint_checks in every
+    pipeline gate.
+
+    All arithmetic is integer (epoch-µs, day counts) except the final
+    completeness ratio — one int/int division rendered identically by
+    both engines. Scale: one map-side-combined aggregate to
+    type-cardinality rows, then a broadcast 1-row global-max join; the
+    whole monitor is one column-pruned scan of (event_type, ts) at any
+    volume."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.min(ts_us(e)).alias("first_us"),
+        F.max(ts_us(e)).alias("last_us"),
+        F.count_distinct(F.col("ts").cast("date")).alias("days_observed"),
+        (
+            F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date")))
+            + 1
+        ).alias("span_days"),
+    )
+    g = F.broadcast(per.agg(F.max("last_us").alias("global_last")))
+    return per.crossJoin(g).select(
+        "event_type",
+        "first_us",
+        "last_us",
+        "days_observed",
+        "span_days",
+        (F.col("span_days") - F.col("days_observed")).alias("gap_days"),
+        F.round(F.col("days_observed") * 1.0 / F.col("span_days"), 9).alias(
+            "completeness"
+        ),
+        (F.col("last_us") < F.col("global_last") - 86_400_000_000).alias("is_stale"),
     )
