@@ -491,3 +491,69 @@ def diag_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], float(m["sum_price"]), m["min_qty"], m["max_qty"])],
         "n_rows long, sum_price double, min_qty double, max_qty double",
     )
+
+
+#: Count-min sketch geometry: depth (independent hash rows) × width
+#: (counters per row). 4×256 counters = 8 KB of sketch state regardless of
+#: corpus size.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+@register("agg_cms_heavy_hitters")  # xxhash64 buckets → rows-only check
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c — count-min sketch, built NATIVELY as a DataFrame (no binary
+    sketch blobs, no UDF): token frequencies over the document corpus are
+    folded into a depth×width counter matrix — each token increments one
+    counter per hash row, bucket = xxhash64(token, row) mod width — and a
+    point query reads back min over the depth counters, the classic
+    Cormode-Muthukrishnan estimate (upper-biased, overshoot ≤ εN with
+    high probability). Output pairs the estimate with the exact count for
+    the corpus's 20 heaviest tokens so the sketch error is directly
+    observable; est_c ≥ true_c always (pytest-asserted, with the εN
+    bound).
+
+    Why this matters at 100 TB: exact vocabulary counting shuffles one
+    row per DISTINCT token (billions for web corpora); the CMS shuffles
+    into a FIXED 8 KB counter matrix — map-side combined, so executors
+    exchange at most depth×width partials each regardless of corpus or
+    vocabulary size. The same matrix answers any later point query
+    without rescanning (the sketch-algebra pattern of
+    agg_sketch_merge_rollup, for counts instead of distincts). Driver
+    check is rows-only (DuckDB has no xxhash64), but the output is fully
+    deterministic: hash of value only — stable under partitioning,
+    scheduling, and reruns."""
+    d = load(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds sketch build AND exact top-20
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("row")
+    buckets = tok_counts.select("token", "c", rows).select(
+        "row",
+        F.pmod(F.xxhash64("token", "row"), F.lit(CMS_WIDTH)).alias("bucket"),
+        "c",
+    )
+    cms = buckets.groupBy("row", "bucket").agg(F.sum("c").alias("counter"))
+    top = (
+        tok_counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(20)
+        .withColumnRenamed("c", "true_c")
+    )
+    probes = top.select(
+        "token", "true_c", rows
+    ).select(
+        "token",
+        "true_c",
+        "row",
+        F.pmod(F.xxhash64("token", "row"), F.lit(CMS_WIDTH)).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("token", "true_c")
+        .agg(F.min("counter").alias("est_c"))
+        .select("token", "true_c", "est_c")
+    )

@@ -40,3 +40,33 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     }
     for event_type, exact_n in exact.items():
         assert abs(est[event_type] - exact_n) / exact_n < 0.05
+
+
+def test_cms_estimate_bounds_and_determinism(spark, sf_dir):
+    """Count-min guarantees: the estimate NEVER undershoots (every counter
+    a token hashes into contains at least its own full count), and the
+    overshoot is bounded by collisions — ≤ 2·N/width here, far looser
+    than the e/width expectation, so a hash-layout regression fails loud.
+    The sketch is hash-of-value only, so a rebuilt plan must return the
+    identical rows."""
+    from avro_parquet_spark_example_spark.operators.aggregates import CMS_WIDTH
+
+    q = get_query("agg_cms_heavy_hitters").fn
+    rows = q(spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    for r in rows:
+        assert r.est_c >= r.true_c, (r.token, r.est_c, r.true_c)
+        assert r.est_c - r.true_c <= 2 * n_total / CMS_WIDTH, (
+            r.token,
+            r.est_c,
+            r.true_c,
+            n_total,
+        )
+    again = {(r.token, r.true_c, r.est_c) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.token, r.true_c, r.est_c) for r in rows}
