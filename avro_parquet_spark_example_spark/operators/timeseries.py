@@ -501,3 +501,53 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "day", "n", "ewma")
     )
+
+
+@register(
+    "ts_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY EPOCH_US(ts), event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+    FROM c
+    """,
+)
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11 — first-order Markov transition matrix over each user's event
+    sequence: LAG pairs consecutive event types per user, counts roll up
+    to the |types|² matrix, and row-normalization yields transition
+    probabilities — the sequence model behind next-event prediction,
+    funnel-drop analysis, and bot detection (a scripted user's matrix is
+    near-deterministic; an organic one is diffuse). Deterministic: the
+    sequence order is (epoch-µs, event_id) — a total order — counts are
+    exact integers and each probability is one int/int division.
+
+    Scale shape: one per-user window (shuffle keyed user_id — sequences
+    stay local to their key), one map-side-combined count to |types|²
+    rows, and the normalizing window runs on that tiny matrix. 100 TB of
+    events reduces to a |types|²-row matrix in exactly two shuffles."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_us(e).asc(), F.col("event_id").asc())
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 9).alias("p"),
+    )
