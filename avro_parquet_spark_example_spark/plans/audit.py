@@ -36,6 +36,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "curation_dsir_importance": "broadcast 1-row raw/target-total cross joins",
         "mixture_temperature_resample": "broadcast 1-row corpus-total/weight-sum cross joins",
         "dq_drift_psi": "broadcast 1-row period-totals cross join",
+        "dq_freshness_completeness": "broadcast 1-row global-freshness cross join",
+        "simsearch_hamming_topk": "broadcast 1-row query vector+code",
+        "simsearch_matryoshka_topk": "broadcast 1-row query vector",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
