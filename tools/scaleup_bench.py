@@ -256,6 +256,101 @@ def degenerate_dedup(spark, factor: int) -> int:
     return 0 if ok else 1
 
 
+def synthesize_graph(spark, factor: int) -> str:
+    """×factor events as DISJOINT ISOMORPHIC copies: user ids shift by 10^6
+    and timestamps by i·366 days per copy, so each copy contributes its own
+    co-occurrence component — the realistic "longer log, more users" growth
+    direction, with an exact invariant: every graph statistic must be
+    EXACTLY ×factor the base value."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    out = os.path.join(SCRATCH, f"graph_x{factor}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = load(spark, BASE, "events")
+    big = None
+    for i in range(factor):
+        d = (
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS"))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        )
+        big = d if big is None else big.unionByName(d)
+    big.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def graph_scaleup(spark, factor: int) -> int:
+    """Edge build → triangle count (uncapped) and PageRank at 1× vs
+    ×factor. Prints wall-time scaling exponents AND asserts the
+    isomorphic-copies invariant: edge/triangle totals at ×factor are
+    EXACTLY factor× the base totals (disjoint copies can neither merge
+    nor create cross-copy structure)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.graph import (
+        cooccurrence_edges,
+        graph_pagerank,
+    )
+
+    big = synthesize_graph(spark, factor)
+
+    def tri_total(sf_dir: str) -> tuple[float, int, int]:
+        t0 = time.time()
+        e = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+        n_edges = e.count()
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        n_tri = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .count()
+        )
+        return time.time() - t0, n_edges, n_tri
+
+    t1, edges1, tri1 = tri_total(BASE)
+    tf, edgesf, trif = tri_total(big)
+    alpha = math.log(tf / max(t1, 1e-9)) / math.log(factor)
+    print(
+        f"edges+triangles: 1x {t1:.2f}s ({edges1} e, {tri1} tri) | "
+        f"{factor}x {tf:.2f}s ({edgesf} e, {trif} tri) | alpha {alpha:.2f}"
+    )
+    assert edgesf == factor * edges1, (edgesf, factor * edges1)
+    assert trif == factor * tri1, (trif, factor * tri1)
+    print(f"invariant OK: edges and triangles exactly x{factor}")
+
+    t0 = time.time()
+    s1 = graph_pagerank(spark, BASE).agg(F.sum("rank")).collect()[0][0]
+    t1 = time.time() - t0
+    t0 = time.time()
+    sf = graph_pagerank(spark, big).agg(F.sum("rank")).collect()[0][0]
+    tf = time.time() - t0
+    alpha = math.log(tf / max(t1, 1e-9)) / math.log(factor)
+    print(
+        f"pagerank(10 it): 1x {t1:.2f}s (mass {s1:.1f}) | "
+        f"{factor}x {tf:.2f}s (mass {sf:.1f}) | alpha {alpha:.2f}"
+    )
+    assert abs(sf - factor * s1) / (factor * s1) < 1e-6
+    print(f"invariant OK: rank mass exactly x{factor}")
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -282,9 +377,21 @@ def main() -> int:
         metavar="FACTOR",
         help="exact-first + MinHash composition on the ~(1-1/FACTOR) dup-rate corpus",
     )
+    ap.add_argument(
+        "--graph",
+        type=int,
+        default=None,
+        metavar="FACTOR",
+        help="co-occurrence graph stress (edges/triangles/pagerank) at the given factor",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
+    if args.graph:
+        from avro_parquet_spark_example_spark.session import configure
+
+        configure(spark)
+        return graph_scaleup(spark, args.graph)
     if args.facts or args.degenerate_dedup:
         from avro_parquet_spark_example_spark.session import configure
 
