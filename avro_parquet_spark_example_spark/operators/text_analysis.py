@@ -682,3 +682,94 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
         .select("doc_id", F.col("n").cast("bigint").alias("n_tok"), "entropy")
     )
+
+
+#: Query document for sparse retrieval (fixed, exists at every SF).
+SPARSE_QUERY_DOC = 0
+
+
+@register(
+    "text_sparse_cosine_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY doc_id, term
+    ),
+    norms AS (
+        SELECT doc_id, SQRT(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+        FROM tf GROUP BY doc_id
+    ),
+    q AS (SELECT term, tf AS qtf FROM tf WHERE doc_id = {SPARSE_QUERY_DOC}),
+    qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = {SPARSE_QUERY_DOC}),
+    dots AS (
+        SELECT t.doc_id, SUM(t.tf * q.qtf) AS dot
+        FROM tf t JOIN q ON q.term = t.term
+        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.dot,
+           ROUND(CAST(d.dot AS DOUBLE) / (n.nrm * qn.qnrm), 5) AS cosine
+    FROM dots d JOIN norms n ON n.doc_id = d.doc_id CROSS JOIN qn
+    ORDER BY CAST(d.dot AS DOUBLE) / (n.nrm * qn.qnrm) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7c — sparse lexical retrieval: term-frequency cosine between a
+    query document and the corpus via an INVERTED-INDEX join — the
+    classic IR engine shape (posting lists keyed by term), complementing
+    the dense-vector tiers in operators/simsearch.py. Only documents
+    sharing ≥1 term with the query are ever touched: the posting-list
+    join prunes the corpus the way an index probe does, where dense
+    brute-force must scan every vector.
+
+    Every aggregate is an INTEGER sum (raw tf counts; dot products and
+    squared norms are exact int64 arithmetic — no float fold order to
+    diverge), so both engines agree bit-for-bit after one final division.
+    Production adds IDF/BM25 weighting; the tf-only form keeps the
+    cross-engine check exact (text_tfidf_topterms covers the weighted
+    statistics).
+
+    Scale shape: tf build is one explode + map-side-combined count; the
+    retrieval join shuffles on term — posting-list skew from stop-words
+    is THE hazard at 100 TB, handled in production by a df-cap on the
+    index build (drop terms with df > x% of corpus, exactly the
+    band-size ceiling pattern from dedup's LSH); the query side is
+    term-cardinality and broadcast. Norms are one agg reused via join."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds query side, corpus side, norms
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    q = F.broadcast(
+        tf.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+            "term", F.col("tf").alias("qtf")
+        )
+    )
+    qn = F.broadcast(
+        norms.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+            F.col("nrm").alias("qnrm")
+        )
+    )
+    dots = (
+        tf.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(q, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("qtf")).alias("dot"))
+    )
+    cosine = F.col("dot").cast("double") / (F.col("nrm") * F.col("qnrm"))
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(qn)
+        .orderBy(cosine.desc(), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "dot", F.round(cosine, 5).alias("cosine"))
+    )

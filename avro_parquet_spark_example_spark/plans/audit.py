@@ -39,6 +39,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_freshness_completeness": "broadcast 1-row global-freshness cross join",
         "simsearch_hamming_topk": "broadcast 1-row query vector+code",
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
+        "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
