@@ -319,3 +319,54 @@ class Engine:
         return keyed.repartition("shard").sortWithinPartitions(
             "shuffle_key", id_col
         )
+
+    # -- graph / retrieval (round-5 continuation additions) ---------------
+
+    def cooccurrence_graph(
+        self, max_user: int | None = None
+    ) -> DataFrame:
+        """Oriented (u < v) co-occurrence edges over the catalog's events
+        table — same (type, 5-minute) bucket (operators/graph.py)."""
+        from avro_parquet_spark_example_spark.operators.graph import (
+            cooccurrence_edges,
+        )
+
+        if self.sf_dir is None:
+            raise ValueError("Engine(sf_dir=...) required for table access")
+        return cooccurrence_edges(self.spark, self.sf_dir, max_user=max_user)
+
+    def pagerank(
+        self, edges: DataFrame, damping: float = 0.85, iters: int = 10
+    ) -> DataFrame:
+        """(node, rank) PageRank over oriented (u, v) edges — power
+        iteration, two key-partitioned shuffles per round, no driver
+        state (operators/graph.py)."""
+        from avro_parquet_spark_example_spark.operators.graph import pagerank_edges
+
+        return pagerank_edges(edges, damping=damping, iters=iters)
+
+    def triangles(self, edges: DataFrame) -> DataFrame:
+        """(node, n_triangles) over oriented (u < v) edges — ordered
+        edge-join, each triangle found once (operators/graph.py)."""
+        from avro_parquet_spark_example_spark.operators.graph import triangle_counts
+
+        return triangle_counts(edges)
+
+    def sparse_topk(
+        self,
+        docs: DataFrame,
+        query_doc_id: int,
+        k: int = 10,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Sparse lexical retrieval: tf-cosine top-k against one document
+        via the inverted-index posting-list join — only documents sharing
+        a term are touched (operators/text_analysis.py)."""
+        from avro_parquet_spark_example_spark.operators.text_analysis import (
+            sparse_cosine_topk,
+        )
+
+        return sparse_cosine_topk(
+            docs, query_doc_id, k=k, text_col=text_col, id_col=id_col
+        )

@@ -164,9 +164,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = cooccurrence_edges(spark, sf_dir, max_user=TRI_MAX_USER).localCheckpoint(
         eager=True
     )
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
+    return triangle_counts(e)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) over an oriented (u < v) edge DataFrame — the
+    library form the Engine facade exposes; graph_triangle_count is its
+    registered oracle-checked instance."""
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(
@@ -206,6 +213,16 @@ def graph_pagerank(
     destination with the damping re-injection. Dangling nodes cannot
     occur here (symmetrized edges ⇒ every node has out-degree ≥ 1)."""
     e = cooccurrence_edges(spark, sf_dir)
+    return pagerank_edges(e, damping=damping, iters=iters)
+
+
+def pagerank_edges(
+    edges: DataFrame, damping: float = 0.85, iters: int = 10
+) -> DataFrame:
+    """(node, rank) over an oriented (u < v) edge DataFrame — the library
+    form the Engine facade exposes; graph_pagerank is its registered
+    instance. See that docstring for the iteration/scale analysis."""
+    e = edges
     # Symmetrize: undirected PageRank walks each edge in both directions.
     out = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))

@@ -739,8 +739,24 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-size ceiling pattern from dedup's LSH); the query side is
     term-cardinality and broadcast. Norms are one agg reused via join."""
     d = load(spark, sf_dir, "documents")
+    return sparse_cosine_topk(d, SPARSE_QUERY_DOC, k=10)
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dot, cosine) — the library form of text_sparse_cosine_topk
+    (Engine.sparse_topk); see that docstring for the retrieval/scale
+    analysis."""
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(text_col, " ")).alias("term"),
+        )
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -750,17 +766,17 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
     q = F.broadcast(
-        tf.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+        tf.filter(F.col("doc_id") == query_doc_id).select(
             "term", F.col("tf").alias("qtf")
         )
     )
     qn = F.broadcast(
-        norms.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+        norms.filter(F.col("doc_id") == query_doc_id).select(
             F.col("nrm").alias("qnrm")
         )
     )
     dots = (
-        tf.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        tf.filter(F.col("doc_id") != query_doc_id)
         .join(q, "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("qtf")).alias("dot"))
@@ -770,6 +786,6 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(norms, "doc_id")
         .crossJoin(qn)
         .orderBy(cosine.desc(), F.asc("doc_id"))
-        .limit(10)
+        .limit(k)
         .select("doc_id", "dot", F.round(cosine, 5).alias("cosine"))
     )
