@@ -789,3 +789,122 @@ def sparse_cosine_topk(
         .limit(k)
         .select("doc_id", "dot", F.round(cosine, 5).alias("cosine"))
     )
+
+
+#: BM25 constants (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT DISTINCT term FROM tf WHERE doc_id = {SPARSE_QUERY_DOC}),
+    partials AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                 ROUND(LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 9)
+                 * (t.tf * ({BM25_K1} + 1.0))
+                 / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * d.dl / s.avgdl)),
+                 9) AS DECIMAL(20, 9)) AS partial
+        FROM tf t
+        JOIN q ON q.term = t.term
+        JOIN df f ON f.term = t.term
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_matched,
+           ROUND(CAST(SUM(partial) AS DOUBLE), 6) AS score
+    FROM partials GROUP BY doc_id
+    ORDER BY SUM(partial) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7d — BM25 ranking (Robertson k1=1.2, b=0.75, Lucene's +1 smoothed
+    IDF) of the corpus against one query document's terms, through the
+    same inverted-index join as text_sparse_cosine_topk — the retrieval
+    scorer that anchors every search-based data-curation loop (finding
+    training docs relevant to an eval suite, contamination triage,
+    retrieval-augmented filtering).
+
+    Cross-engine determinism for a log-based score takes two defined
+    rounding points, both part of the scoring spec on BOTH engines: the
+    per-term IDF is rounded to 9 decimals (collapsing any last-ulp libm
+    difference, the dq_drift_psi precedent), and each (term, doc) partial
+    score is rounded to 9 decimals and summed as DECIMAL(20,9) — an
+    EXACT, order-free accumulation, so the float-fold-order hazard of
+    summing doubles across a shuffle never arises.
+
+    Scale shape: identical to the sparse-cosine retrieval — posting-list
+    join on term (df-cap for stop-word skew in production), doc-length
+    and df sides are one aggregate each, corpus stats are a broadcast
+    1-row cross join."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds dl, df, q, and the join
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = F.broadcast(
+        tf.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select("term").distinct()
+    )
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    partials = (
+        tf.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(q, "term")
+        .join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 9).cast("decimal(20,9)").alias("partial"),
+        )
+    )
+    return (
+        partials.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("partial").alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("s").cast("double"), 6).alias("score"),
+        )
+    )

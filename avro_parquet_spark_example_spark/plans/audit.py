@@ -40,6 +40,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "simsearch_hamming_topk": "broadcast 1-row query vector+code",
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
+        "text_bm25_topk": "broadcast 1-row corpus-stats cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
