@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import (
+    load,
     normalize_events,
     table_path,
     ts_us,
@@ -512,3 +513,46 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "first_us", "max_value")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment,
+           n.n_name AS nation, e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — stream-static enrichment: the purchase stream inner-joined per
+    micro-batch against a STATIC dimension (customer × nation, pre-joined
+    and broadcast) — the canonical streaming-ETL enrichment shape,
+    complementing stream_stream_join (two watermarked streams). Stream-
+    static inner joins are STATELESS on the stream side — no watermark, no
+    state store; each micro-batch plans a fresh broadcast hash join, and
+    the static side is re-resolvable (a dim refresh is picked up at the
+    next batch). Deterministic, so fully oracle-checked: drained sink ==
+    batch three-way join.
+
+    Scale: the enrichment dim broadcasts (MB-scale after its own
+    broadcast join); the stream side never shuffles — per-batch cost is
+    scan + in-memory hash probes, the plan you want at any ingest rate."""
+    stream = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    dim = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation"),
+    )
+    joined = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "mktsegment", "nation", "value")
+    )
+    return run_to_table(joined, "append")
