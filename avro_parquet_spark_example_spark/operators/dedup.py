@@ -1229,3 +1229,103 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_matches(
         corpus, batch, corpus_scope=lambda c: c < 50
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, n_chars FROM documents
+        WHERE doc_id < 50
+    ),
+    s AS (
+        SELECT lang, doc_id, text,
+               LAG(doc_id, 1) OVER w AS nbr1_id, LAG(text, 1) OVER w AS nbr1_text,
+               LAG(doc_id, 2) OVER w AS nbr2_id, LAG(text, 2) OVER w AS nbr2_text
+        FROM all_docs
+        WINDOW w AS (PARTITION BY lang
+                     ORDER BY SUBSTR(text, 1, 16), n_chars, doc_id)
+    ),
+    pairs AS (
+        SELECT lang, doc_id, text, nbr1_id AS nbr_id, nbr1_text AS nbr_text
+        FROM s WHERE nbr1_id IS NOT NULL
+        UNION ALL
+        SELECT lang, doc_id, text, nbr2_id, nbr2_text
+        FROM s WHERE nbr2_id IS NOT NULL
+    ),
+    scored AS (
+        SELECT lang, doc_id, nbr_id,
+               LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                                  LIST_DISTINCT(STRING_SPLIT(nbr_text, ' '))))
+               * 1.0 /
+               LEN(LIST_DISTINCT(LIST_CONCAT(STRING_SPLIT(text, ' '),
+                                             STRING_SPLIT(nbr_text, ' '))))
+                 AS j
+        FROM pairs
+    )
+    SELECT lang, doc_id, nbr_id, ROUND(j, 6) AS jaccard
+    FROM scored WHERE j >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2d — sorted-neighborhood near-dup detection (Hernández-Stolfo
+    SNM): sort each language partition by a composite blocking key
+    (16-char text prefix, length, id), then compare each document only to
+    its 2 predecessors — candidate generation drops from O(n²) to O(n·w)
+    with ONE window per partition, no self-join at all. The classic
+    alternative to LSH banding when a cheap sort key separates the data:
+    here the prefix key puts every injected exact copy adjacent to its
+    original (verified at all three SFs), and token-set Jaccard ≥ 0.5
+    confirms pairs exactly — integer set sizes, one division, both
+    engines bit-equal.
+
+    Scale: ONE shuffle (the per-lang sort window); state per task is w=2
+    lagged rows. SNM's known recall limit — near-dups whose first 16
+    chars differ sort apart — is the documented trade against
+    dedup_minhash_lsh, which pays signature cost to be prefix-robust;
+    production pipelines run multi-pass SNM with rotated keys."""
+    d = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.substring("text", 1, 16), F.col("n_chars"), F.col("doc_id"))
+    )
+    s = d.select(
+        "lang",
+        "doc_id",
+        "text",
+        F.lag("doc_id", 1).over(w).alias("nbr1_id"),
+        F.lag("text", 1).over(w).alias("nbr1_text"),
+        F.lag("doc_id", 2).over(w).alias("nbr2_id"),
+        F.lag("text", 2).over(w).alias("nbr2_text"),
+    )
+    pairs = (
+        s.filter(F.col("nbr1_id").isNotNull())
+        .select(
+            "lang",
+            "doc_id",
+            F.col("nbr1_id").alias("nbr_id"),
+            F.col("nbr1_text").alias("nbr_text"),
+            "text",
+        )
+        .unionByName(
+            s.filter(F.col("nbr2_id").isNotNull()).select(
+                "lang",
+                "doc_id",
+                F.col("nbr2_id").alias("nbr_id"),
+                F.col("nbr2_text").alias("nbr_text"),
+                "text",
+            )
+        )
+    )
+    ta = F.array_distinct(F.split("text", " "))
+    tb = F.array_distinct(F.split("nbr_text", " "))
+    j = F.size(F.array_intersect(ta, tb)) * 1.0 / F.size(F.array_union(ta, tb))
+    return (
+        pairs.withColumn("j", j)
+        .filter(F.col("j") >= 0.5)
+        .select("lang", "doc_id", "nbr_id", F.round("j", 6).alias("jaccard"))
+    )

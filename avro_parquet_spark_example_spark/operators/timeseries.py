@@ -551,3 +551,89 @@ def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 9).alias("p"),
     )
+
+
+@register(
+    "snapshot_diff_daily",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+        GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-11'
+        GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.n <> b.n OR a.v <> b.v THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           a.n AS n_before, b.n AS n_after,
+           a.v AS v_before, b.v AS v_after
+    FROM a FULL OUTER JOIN b ON b.user_id = a.user_id
+    """,
+)
+def snapshot_diff_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS12 — snapshot diff between two partition states: per-user
+    aggregates of consecutive day partitions full-outer joined into an
+    added / removed / changed / unchanged changelog — the reconciliation
+    query behind time travel, CDC validation, and incremental-pipeline
+    drift debugging (upsert_merge_keyed applies changes; this one AUDITS
+    them). Value sums run through exact DECIMAL(30,4) accumulators (the
+    repo's dsum rule) so 'changed' is a bit-exact verdict, not a float
+    tolerance.
+
+    Scale shape: each snapshot side is one partition-pruned scan (the day
+    predicate prunes at the file level under the partitioned layout of
+    events_partitioned_by_day) + a map-side-combined agg to user
+    cardinality; the diff is one shuffle join on user_id. Diffing two
+    100 TB table versions costs two pruned scans, never a full-history
+    read."""
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+
+    def snap(d: str) -> DataFrame:
+        return (
+            e.filter(day == F.lit(d).cast("date"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(30,4)"))
+                .cast("double")
+                .alias("v"),
+            )
+        )
+
+    a = snap("2024-01-10").select(
+        F.col("user_id").alias("ua"),
+        F.col("n").alias("n_before"),
+        F.col("v").alias("v_before"),
+    )
+    b = snap("2024-01-11").select(
+        F.col("user_id").alias("ub"),
+        F.col("n").alias("n_after"),
+        F.col("v").alias("v_after"),
+    )
+    change = (
+        F.when(F.col("ua").isNull(), "added")
+        .when(F.col("ub").isNull(), "removed")
+        .when(
+            (F.col("n_before") != F.col("n_after"))
+            | (F.col("v_before") != F.col("v_after")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return a.join(b, F.col("ua") == F.col("ub"), "full_outer").select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        change.alias("change"),
+        "n_before",
+        "n_after",
+        "v_before",
+        "v_after",
+    )
