@@ -423,3 +423,54 @@ def dq_freshness_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("last_us") < F.col("global_last") - 86_400_000_000).alias("is_stale"),
     )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(CAST(ABS(value) AS DECIMAL(20,6)) * 1000000
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM events WHERE value > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT o.digit, o.n_obs,
+           ROUND(t.n * ROUND(LOG10(1.0 + 1.0 / o.digit), 9), 4) AS expected,
+           ROUND((o.n_obs - t.n * ROUND(LOG10(1.0 + 1.0 / o.digit), 9))
+                 * (o.n_obs - t.n * ROUND(LOG10(1.0 + 1.0 / o.digit), 9))
+                 / (t.n * ROUND(LOG10(1.0 + 1.0 / o.digit), 9)), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6 — Benford first-significant-digit conformance of the event
+    value column: observed digit counts against the Benford expectation
+    n·log10(1+1/d), with per-digit χ² contributions (Σ over the 9 rows vs
+    χ²₈ critical values is the fraud/synthetic-data alarm — a fabricated
+    metric column jumps out here long before a range check fires).
+
+    Digit extraction is INTEGER-exact on both engines: abs(value) →
+    DECIMAL(20,6) (the repo's established cross-engine cast) → ×10⁶ →
+    BIGINT → first character of the integer's string form — no float
+    formatting, no log10-of-data (log10 runs only on the 9 digit
+    constants, rounded to 9 decimals as part of the spec before any
+    arithmetic). Scale: one scan, 9-group map-side-combined count, a
+    broadcast 1-row total — the whole monitor is column-pruned-scan
+    bound."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    as_int = (F.abs(F.col("value")).cast("decimal(20,6)") * 1000000).cast("bigint")
+    digit = F.substring(as_int.cast("string"), 1, 1).cast("int")
+    obs = e.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = F.broadcast(obs.agg(F.sum("n_obs").alias("n")))
+    exp = F.col("n") * F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9)
+    return obs.crossJoin(tot).select(
+        "digit",
+        "n_obs",
+        F.round(exp, 4).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )

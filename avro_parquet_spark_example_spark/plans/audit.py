@@ -41,6 +41,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",
+        "dq_benford_digits": "broadcast 1-row digit-total cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
