@@ -346,3 +346,26 @@ def test_minhash_clusters_collapse_exact_equivalent(spark, sf_dir):
         for r in minhash_clusters(docs, collapse_exact=True).collect()
     }
     assert direct == collapsed and collapsed
+
+
+def test_sorted_neighborhood_finds_all_injected_pairs(spark, sf_dir):
+    """Non-vacuity for the SNM operator: the (text-prefix, length, id)
+    blocking key must place EVERY injected exact copy within the w=2
+    neighborhood of its original, so all 50 (original, +100000 copy)
+    pairs surface with Jaccard 1.0. Misses here mean the blocking key
+    regressed (the documented SNM failure mode)."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("dedup_sorted_neighborhood").fn(spark, sf_dir).collect()
+    found = {
+        (min(r.doc_id, r.nbr_id), max(r.doc_id, r.nbr_id))
+        for r in rows
+        if r.jaccard == 1.0
+    }
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .count()
+    )
+    expected = {(i, i + 100000) for i in range(n_src)}
+    assert expected <= found, sorted(expected - found)[:5]

@@ -206,3 +206,30 @@ def test_matryoshka_prefix_quality(spark, sf_dir):
     vs = sum((r.s - ms) ** 2 for r in scored)
     r_corr = cov / math.sqrt(vp * vs)
     assert r_corr > 0.3, r_corr
+
+
+def test_bm25_self_terms_rank_duplicates_first(spark, sf_dir):
+    """BM25 sanity on the real corpus: every returned score is positive
+    and finite, matched-term counts never exceed the query's distinct
+    vocabulary, and the ranking is strictly consistent with the returned
+    scores (descending, doc_id tie-break) — the determinism contract the
+    decimal-partial sum is supposed to guarantee."""
+    rows = get_query("text_bm25_topk").fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        SPARSE_QUERY_DOC,
+    )
+
+    q_terms = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == SPARSE_QUERY_DOC)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.score > 0
+        assert 1 <= r.n_terms_matched <= q_terms
+    ranked = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    assert [r.doc_id for r in ranked] == [r.doc_id for r in rows]
