@@ -1329,3 +1329,93 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") >= 0.5)
         .select("lang", "doc_id", "nbr_id", F.round("j", 6).alias("jaccard"))
     )
+
+
+@register(
+    "neardup_containment",
+    oracle="""
+    WITH universe AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 25
+        UNION ALL
+        SELECT doc_id + 200000,
+               ARRAY_TO_STRING(
+                   LIST_SLICE(STRING_SPLIT(text, ' '), 1,
+                              CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / 2.0)
+                                   AS BIGINT)), ' ')
+        FROM documents WHERE doc_id < 25
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS term
+        FROM universe
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_terms FROM toks GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM toks a JOIN toks b
+          ON b.term = a.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b, s.n_shared,
+           ROUND(s.n_shared * 1.0 / LEAST(sa.n_terms, sb.n_terms), 6)
+             AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.n_shared * 1.0 / LEAST(sa.n_terms, sb.n_terms) >= 0.9
+    """,
+)
+def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2e — containment (near-subset) detection: pairs where the smaller
+    document's distinct-token set is ≥90% inside the larger's — the
+    quote/excerpt/truncation relationship Jaccard MISSES (a half-length
+    excerpt of a doc has Jaccard ≈ 0.5 but containment 1.0; training
+    pipelines drop the excerpt, not the source). The fixture is
+    duplicate-free, so the checked universe injects truncated copies
+    (first half of each doc_id<25's tokens, id+200000) on both engines —
+    every injected pair must surface with containment 1.0
+    (tests/test_dedup.py). Counts are distinct-token integers; one
+    division at the end.
+
+    Scale: candidate pairs come from the inverted-index join (per shared
+    token, never all-pairs) — the same posting-list shape as
+    text_sparse_cosine_topk, with the same production guard: a df-cap /
+    prefix-filter (SSJoin) on high-frequency tokens bounds per-token
+    fan-out; the demo bounds the universe instead (the
+    neardup_levenshtein precedent) to keep the checked query exact."""
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    toks_arr = F.split("text", " ")
+    half = F.ceil(F.size(toks_arr) / 2.0).cast("int")
+    truncated = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks_arr, F.lit(1), half), " ").alias("text"),
+    )
+    universe = base.select("doc_id", "text").unionByName(truncated)
+    toks = universe.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_terms").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_terms").alias("nb"))
+    cont = F.col("n_shared") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(cont >= 0.9)
+        .select(
+            "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
+        )
+    )

@@ -369,3 +369,24 @@ def test_sorted_neighborhood_finds_all_injected_pairs(spark, sf_dir):
     )
     expected = {(i, i + 100000) for i in range(n_src)}
     assert expected <= found, sorted(expected - found)[:5]
+
+
+def test_containment_finds_all_truncated_copies(spark, sf_dir):
+    """Every injected truncated copy (first half of doc_id<25's tokens)
+    is by construction fully contained in its source: all 25 (source,
+    +200000) pairs must surface at containment 1.0 — while their Jaccard
+    is ≈0.5, i.e. BELOW near-dup thresholds, which is the whole reason
+    this operator exists."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("neardup_containment").fn(spark, sf_dir).collect()
+    exact = {
+        (r.id_a, r.id_b) for r in rows if r.containment == 1.0
+    }
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 25)
+        .count()
+    )
+    expected = {(i, i + 200000) for i in range(n_src)}
+    assert expected <= exact, sorted(expected - exact)[:5]
