@@ -557,3 +557,40 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("counter").alias("est_c"))
         .select("token", "true_c", "est_c")
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id AS mode_user, n AS n_events
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, user_id) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — deterministic per-group mode: the most frequent user per event
+    type, ties broken by lowest user id. Spark's ``mode()`` (and DuckDB's)
+    leaves ties engine-defined, so the operator pins the tiebreak
+    explicitly — count desc, then key asc — via max_by over a struct
+    whose ordering encodes exactly that rule (negated user_id turns "min
+    id" into a max), keeping the whole thing one aggregation pass rather
+    than a rank window. Two map-side-combined aggregations; the second
+    reduces |types|·|users| rows to |types| — mode over 100 TB is
+    count-shuffle bound, identical to any distinct-count shape."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    best = F.max_by(
+        F.struct(F.col("user_id"), F.col("n")),
+        F.struct(F.col("n"), (-F.col("user_id")).alias("neg")),
+    )
+    return c.groupBy("event_type").agg(best.alias("b")).select(
+        "event_type",
+        F.col("b.user_id").alias("mode_user"),
+        F.col("b.n").alias("n_events"),
+    )
