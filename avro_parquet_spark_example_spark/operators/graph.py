@@ -248,3 +248,85 @@ def pagerank_edges(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as two CTEs: neighbor-label
+    counts, then the deterministic argmax (count DESC, label ASC)."""
+    return f"""
+    {out}_cnt AS (
+        SELECT s.dst AS node, l.lbl, COUNT(*) AS n
+        FROM sym s JOIN {prev} l ON l.node = s.src
+        GROUP BY s.dst, l.lbl
+    ),
+    {out} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY n DESC, lbl) AS rn
+            FROM {out}_cnt)
+        WHERE rn = 1
+    )"""
+
+
+#: Fixed LPA round count — unrolled identically in the SQL oracle.
+LPA_ROUNDS = 3
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_edges_sql()
+    + """
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    lbl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+    """
+    + ",".join(_lpa_round_sql(f"lbl{i}", f"lbl{i+1}") for i in range(LPA_ROUNDS))
+    + """
+    SELECT node, lbl AS community FROM lbl3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR4 — community detection by synchronous label propagation
+    (Raghavan et al. 2007), made fully DETERMINISTIC: each round every
+    node adopts its neighborhood's most frequent label with the tie
+    broken toward the smallest label — an integer argmax, so unlike the
+    classic randomized-order LPA the result is reproducible across runs,
+    partitionings, and engines. Fixed LPA_ROUNDS=3 rounds (synchronous
+    LPA may oscillate on bipartite-ish structure rather than converge;
+    a fixed budget is the standard remedy and keeps the oracle exact —
+    the SQL twin unrolls the same three rounds as nested CTEs, making
+    this an ORACLE-CHECKED iterative graph algorithm, unlike the
+    rows-only PageRank whose float ranks cannot hash).
+
+    Scale: per round one shuffle join (labels × symmetrized edges) and
+    one two-level aggregation — identical profile to the connected-
+    components propagation in operators/dedup.py; ``localCheckpoint``
+    cuts lineage each round."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            sym.join(lbl, lbl["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = F.max_by(
+            F.col("lbl"), F.struct(F.col("n"), (-F.col("lbl")).alias("neg"))
+        )
+        lbl = (
+            cnt.groupBy(F.col("n2").alias("node"))
+            .agg(best.alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select("node", F.col("lbl").alias("community"))
