@@ -1236,9 +1236,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_docs AS (
         SELECT doc_id, text, lang, n_chars FROM documents
+        WHERE text IS NOT NULL
         UNION ALL
         SELECT doc_id + 100000, text, lang, n_chars FROM documents
-        WHERE doc_id < 50
+        WHERE doc_id < 50 AND text IS NOT NULL
     ),
     s AS (
         SELECT lang, doc_id, text,
@@ -1285,9 +1286,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged rows. SNM's known recall limit — near-dups whose first 16
     chars differ sort apart — is the documented trade against
     dedup_minhash_lsh, which pays signature cost to be prefix-robust;
-    production pipelines run multi-pass SNM with rotated keys."""
+    production pipelines run multi-pass SNM with rotated keys.
+
+    Both sides filter ``text IS NOT NULL`` explicitly: the sort key runs
+    through a window ORDER BY, and the engines disagree on null placement
+    (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — without the shared
+    predicate a fixture with null text would silently produce different
+    neighbor pairs instead of failing a precondition (the fn_url rule)."""
     d = with_injected_duplicates(
-        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang", "n_chars")
     )
     w = (
         Window.partitionBy("lang")
