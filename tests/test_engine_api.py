@@ -202,3 +202,30 @@ def test_engine_select_dsir_matches_query(spark, sf_dir):
     # self-target: every ratio is ln(1+1/c_w) - ln(1+V/R) per token — tiny
     self_scores = eng.select_dsir(docs, F.lit(True)).collect()
     assert all(abs(r.avg_log_ratio) < 0.05 for r in self_scores)
+
+
+def test_engine_graph_and_retrieval_parity(spark, sf_dir):
+    """The facade's graph/retrieval methods share single-source
+    implementations with the registered oracle-checked queries — call
+    both and assert identical results (the facade-parity rule every
+    other Engine method follows)."""
+    from avro_parquet_spark_example_spark.registry import all_queries
+
+    eng = _engine(spark, sf_dir)
+    qs = all_queries()
+
+    edges = eng.cooccurrence_graph()
+    via_engine = sorted(map(tuple, eng.pagerank(edges).collect()))
+    via_query = sorted(map(tuple, qs["graph_pagerank"](spark, sf_dir).collect()))
+    assert via_engine == via_query and via_engine
+
+    via_engine = sorted(
+        map(tuple, eng.sparse_topk(eng.table("documents"), 0, k=10).collect())
+    )
+    via_query = sorted(
+        map(tuple, qs["text_sparse_cosine_topk"](spark, sf_dir).collect())
+    )
+    assert via_engine == via_query and via_engine
+
+    tri = eng.triangles(edges).collect()
+    assert all(r.n_triangles > 0 for r in tri)
