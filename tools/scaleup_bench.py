@@ -351,6 +351,51 @@ def graph_scaleup(spark, factor: int) -> int:
     return 0
 
 
+def retrieval_scaleup(spark, factor: int = FACTOR) -> int:
+    """Sparse-cosine and BM25 retrieval at 1× vs ×factor documents (the
+    ×factor corpus carries factor−1 extra key-shifted copies of every
+    text). Wall-time exponents PLUS an exact invariant: the query doc's
+    factor−1 extra copies are perfect matches, so the sparse top-10 must
+    carry exactly factor−1 rows at cosine 1.0; and since EVERY doc exists
+    factor times with identical tf/dl, every score group in the BM25
+    top-20 must have exactly factor members (decimal-exact scores make
+    the equality exact, not approximate)."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    big = synthesize(spark)
+    for name in ("text_sparse_cosine_topk", "text_bm25_topk"):
+        raw = get_query(name).fn
+        t1, r1 = time_op(raw, spark, BASE)
+        tf_, rf = time_op(raw, spark, big)
+        alpha = math.log(tf_ / max(t1, 1e-9)) / math.log(factor)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {factor}x {tf_:.2f}s "
+            f"({rf} rows) | alpha {alpha:.2f}"
+        )
+    sparse = get_query("text_sparse_cosine_topk").fn(spark, big).collect()
+    n_perfect = sum(1 for r in sparse if r.cosine == 1.0)
+    assert n_perfect == factor - 1, (n_perfect, factor - 1)
+    # BM25's length saturation can legitimately rank a short doc matching
+    # many high-idf terms ABOVE the query's own full-length copies — so the
+    # copy invariant is on score multiplicity, not on who leads: every doc
+    # in the ×factor corpus exists factor times, hence every score group in
+    # the top-20 must have exactly factor members (the 20-row LIMIT is
+    # group-aligned because 20 ≡ 0 mod factor... asserted too).
+    bm = get_query("text_bm25_topk").fn(spark, big).collect()
+    assert len(bm) % factor == 0, len(bm)
+    from collections import Counter
+
+    for score, n in Counter(r.score for r in bm).items():
+        assert n == factor, (score, n, factor)
+    print(
+        f"invariant OK: {factor - 1} perfect sparse matches; every BM25 "
+        f"score group has exactly {factor} members"
+    )
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -384,9 +429,19 @@ def main() -> int:
         metavar="FACTOR",
         help="co-occurrence graph stress (edges/triangles/pagerank) at the given factor",
     )
+    ap.add_argument(
+        "--retrieval",
+        action="store_true",
+        help="sparse-cosine/BM25 10x stress with the duplicate-copy invariant",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
+    if args.retrieval:
+        from avro_parquet_spark_example_spark.session import configure
+
+        configure(spark)
+        return retrieval_scaleup(spark)
     if args.graph:
         from avro_parquet_spark_example_spark.session import configure
 
