@@ -556,3 +556,81 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "mktsegment", "nation", "value")
     )
     return run_to_table(joined, "append")
+
+
+@register(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH mv AS (SELECT MAX(ts) AS m FROM events WHERE event_type = 'view'),
+    mp AS (SELECT MAX(ts) AS m FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           EPOCH_US(p.ts) - EPOCH_US(v.ts) AS us_between
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT v.user_id, v.event_id, NULL, NULL
+    FROM v, mv, mp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+      AND v.ts + INTERVAL 90 MINUTE < LEAST(mv.m, mp.m)
+    """,
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — watermarked stream⋈stream LEFT OUTER join: every view, paired
+    with purchases inside its 30-minute window, or a NULL row once the
+    engine can PROVE no purchase can still arrive. That proof is the
+    entire semantics gap vs a batch left join, and the oracle encodes it
+    exactly: a view's null row emits iff the final global watermark —
+    min over both inputs of (max event time − 1 h delay) — has passed
+    v_ts + 30 min, so views inside the last 90 minutes of the drained
+    stream stay withheld (their window is still open when the source
+    runs dry; a later file would resolve them — exactly-once resume is
+    stream_incremental_resume's demo). Matched pairs emit on arrival and
+    equal the batch inner join regardless. Empirically pinned before
+    registration: 1,954 of the batch join's 1,962 unmatched views emit
+    at sf0.01 — the withheld 8 are precisely the tail predicate's rows.
+
+    Scale: identical state-eviction math to stream_stream_join — state
+    is bounded by rate × (window + delay), never by history; the outer
+    side only adds a null-emit at eviction time (no extra state)."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    joined = joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (ts_us(joined, "p_ts") - ts_us(joined, "v_ts")).alias("us_between"),
+    )
+    return run_to_table(joined, "append")
