@@ -779,3 +779,135 @@ def simsearch_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score_full", 5).alias("score_full"),
         )
     )
+
+
+#: RRF constant (Cormack et al. 2009 default).
+RRF_K = 60
+#: Depth of each retrieval list fed into the fusion.
+RRF_DEPTH = 50
+
+_SPARSE_TF_SQL = """
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY doc_id, term
+    ),
+    norms AS (
+        SELECT doc_id, SQRT(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+        FROM tf GROUP BY doc_id
+    ),
+    sq AS (SELECT term, tf AS qtf FROM tf WHERE doc_id = 0),
+    sqn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+    sdots AS (
+        SELECT t.doc_id, SUM(t.tf * sq.qtf) AS dot
+        FROM tf t JOIN sq ON sq.term = t.term
+        WHERE t.doc_id <> 0 GROUP BY t.doc_id
+    ),
+    sparse_list AS (
+        SELECT d.doc_id,
+               ROUND(CAST(d.dot AS DOUBLE) / (n.nrm * sqn.qnrm), 5) AS cosine
+        FROM sdots d JOIN norms n ON n.doc_id = d.doc_id CROSS JOIN sqn
+        ORDER BY CAST(d.dot AS DOUBLE) / (n.nrm * sqn.qnrm) DESC, d.doc_id
+        LIMIT 50
+    ),
+    sparse_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sr
+        FROM sparse_list
+    )"""
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    dense_list AS (
+        SELECT e.vec_id, ROUND({_DOT_SQL}, 5) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {_DOT_SQL} DESC, e.vec_id
+        LIMIT {RRF_DEPTH}
+    ),
+    dense_rank AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS dr
+        FROM dense_list
+    ),{_SPARSE_TF_SQL}
+    SELECT COALESCE(d.vec_id, s.doc_id) AS doc_id,
+           d.dr AS dense_rank, s.sr AS sparse_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + d.dr), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + s.sr), 0.0), 6) AS rrf
+    FROM dense_rank d FULL OUTER JOIN sparse_rank s ON s.doc_id = d.vec_id
+    ORDER BY COALESCE(1.0 / ({RRF_K} + d.dr), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + s.sr), 0.0) DESC,
+             COALESCE(d.vec_id, s.doc_id)
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4f — HYBRID retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, k=60): the dense tier's top-50 (cosine over embeddings, query
+    vec 0) fused with the sparse tier's top-50 (tf-cosine posting-list
+    retrieval, query doc 0) by RRF = Σ 1/(k + rank) — the standard
+    RAG-stack combination, robust to either tier's score scale because
+    only RANKS enter the fusion. Ranks are integers derived from rounded
+    scores with id tiebreaks (both engines identical), so the RRF sum is
+    a two-term fixed IEEE sequence — exact. Documents outside a tier's
+    list contribute 0 from that tier (standard top-K RRF).
+
+    Scale: each tier is its own pruned plan (TakeOrderedAndProject — no
+    global sort); the fusion joins two K-row lists, trivially broadcast.
+    The per-tier rank windows run on K=50 rows BY CONSTRUCTION (post-
+    limit), so the single-partition window is bounded, not a scale
+    hazard. At 100 TB the tiers are the expensive part and both are
+    already index-shaped (code/posting pruning); fusion cost is O(K)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(e)
+    dense_list = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(RRF_DEPTH)
+        .select("vec_id", F.round("score", 5).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    dense_rank = dense_list.withColumn(
+        "dr",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))),
+    ).select("vec_id", "dr")
+
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        sparse_cosine_topk,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sparse_list = sparse_cosine_topk(d, QUERY_VEC_ID, k=RRF_DEPTH)
+    sparse_rank = sparse_list.withColumn(
+        "sr",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    ).select("doc_id", "sr")
+
+    fused = dense_rank.join(
+        sparse_rank, dense_rank["vec_id"] == sparse_rank["doc_id"], "full_outer"
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("dr")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("sr")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce("vec_id", "doc_id").alias("doc_id"),
+            F.col("dr").alias("dense_rank"),
+            F.col("sr").alias("sparse_rank"),
+            rrf.alias("rrf_raw"),
+        )
+        .orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "dense_rank",
+            "sparse_rank",
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )
