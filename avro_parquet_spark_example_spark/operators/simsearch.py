@@ -911,3 +911,68 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf"),
         )
     )
+
+
+@register(
+    "search_rerank_stub",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    dense_list AS (
+        SELECT e.vec_id, ROUND({_DOT_SQL}, 5) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {_DOT_SQL} DESC, e.vec_id
+        LIMIT {RRF_DEPTH}
+    ),
+    dense_rank AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS dr
+        FROM dense_list
+    ),{_SPARSE_TF_SQL},
+    fused AS (
+        SELECT COALESCE(d.vec_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / ({RRF_K} + d.dr), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + s.sr), 0.0) AS rrf
+        FROM dense_rank d FULL OUTER JOIN sparse_rank s ON s.doc_id = d.vec_id
+        ORDER BY rrf DESC, COALESCE(d.vec_id, s.doc_id)
+        LIMIT 10
+    )
+    SELECT doc_id,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':{QUERY_VEC_ID}'), 1, 8)
+             AS rerank_key,
+           ROUND(rrf, 6) AS rrf
+    FROM fused
+    """,
+)
+def search_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4g — the last RAG-retrieval stage: a CROSS-ENCODER RERANK over the
+    hybrid candidates. The 10 RRF survivors go through an Arrow-batched
+    pandas UDF standing in for the model forward pass — in production
+    this is where an ONNX/torch scorer runs (per executor, batch-sized
+    Arrow transfers, no JVM round-trips per row); no model runtime ships
+    in this sandbox, so the stub scores deterministically
+    (md5(doc_id:query) head — honestly fake, but the PLUMBING — Arrow
+    batch shape, schema, candidate-set cardinality — is the real
+    operator, the multimodal-decode pattern). The oracle replays the
+    same md5 arithmetic, so even the Python boundary is hash-checked.
+
+    Scale: rerank cost is model-bound, not data-bound — K candidates per
+    query regardless of corpus size; the expensive stages (tiers +
+    fusion) stay pruned as in search_hybrid_rrf."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def cross_encoder_stub(doc_id):
+        import hashlib
+
+        return doc_id.map(
+            lambda i: hashlib.md5(f"{i}:{QUERY_VEC_ID}".encode()).hexdigest()[:8]
+        )
+
+    fused = search_hybrid_rrf(spark, sf_dir).select(
+        "doc_id", F.col("rrf")
+    )
+    return fused.select(
+        "doc_id",
+        cross_encoder_stub(F.col("doc_id")).alias("rerank_key"),
+        "rrf",
+    )

@@ -43,6 +43,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",
         "dq_benford_digits": "broadcast 1-row digit-total cross join",
         "search_hybrid_rrf": "broadcast 1-row query vector/norm cross joins (tier inputs)",
+        "search_rerank_stub": "broadcast 1-row query vector/norm cross joins (tier inputs)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
