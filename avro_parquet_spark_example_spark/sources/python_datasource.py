@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from avro_parquet_spark_example_spark.registry import register
@@ -183,3 +185,122 @@ def pysource_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("rangelog_stream").load()
     filtered = stream.filter(F.col("id") % 11 == 0).select("id", "bucket", "score")
     return run_to_table(filtered, "append")
+
+
+# ---------------------------------------------------------------------------
+# A12c — the WRITER half of the Python Data Source API
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the file the task wrote and its row count
+    (picklable — it travels executor → driver)."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class CsvSinkWriter(DataSourceWriter):
+    """Each Spark task streams its partition's rows into one uniquely-named
+    CSV file; ``commit`` runs on the driver with every task's message and
+    seals the directory with a manifest — the classic two-phase commit a
+    real sink (object store, database) implements at this exact seam."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(f"{row.doc_id},{row.lang},{row.n_chars}\n")
+                n += 1
+        return _FileCommit(out, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class CsvSinkDataSource(DataSource):
+    """Batch-write registration of the custom sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pycsvsink"
+
+    def writer(self, schema, overwrite):
+        return CsvSinkWriter(self.options)
+
+
+@register(
+    "pysource_custom_writer",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def pysource_custom_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12c — a custom SINK through the Python Data Source writer API:
+    ``df.write.format("pycsvsink")`` fans the DataFrame out to one
+    Python-written CSV file per task, with per-task WriterCommitMessages
+    collected into a driver-side two-phase commit (manifest only written
+    if every task succeeded; ``abort`` deletes partials) — the contract a
+    real Python-only sink (vector DB, feature store, annotation service)
+    implements. The round-trip is the check: reading the sink's files
+    back must reproduce the source projection exactly, which the oracle
+    pins against the documents table.
+
+    Scale: one task per input partition, streaming row iterators (no
+    materialization); commit messages are O(tasks). In local mode the
+    tasks share a filesystem; a production sink targets a shared store —
+    the two-phase structure is identical."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from avro_parquet_spark_example_spark.sources.catalog import (
+        load,
+        scratch_suffix,
+    )
+
+    if not getattr(spark, "_pycsvsink_registered", False):
+        spark.dataSource.register(CsvSinkDataSource)
+        spark._pycsvsink_registered = True
+
+    out_dir = os.path.join(
+        "/tmp/avro_parquet_spark_example_spark_scratch",
+        "pycsvsink_" + scratch_suffix(sf_dir),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("pycsvsink").option("path", out_dir).mode("append").save()
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).csv(out_dir + "/part-*.csv")
