@@ -637,3 +637,76 @@ def snapshot_diff_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_before",
         "v_after",
     )
+
+
+@register(
+    "ts_pattern_runs",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ARG_MAX(value, ts) AS close
+        FROM events WHERE user_id < 60
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    flagged AS (
+        SELECT user_id, day, close,
+               CASE WHEN LAG(close) OVER w IS NULL
+                      OR close <= LAG(close) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    runs AS (
+        SELECT user_id, day, close,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(day) AS run_start, MAX(day) AS run_end,
+           COUNT(*) AS run_len,
+           ARG_MIN(close, day) AS start_close,
+           ARG_MAX(close, day) AS end_close
+    FROM runs
+    GROUP BY user_id, run_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def ts_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS13 — sequence-pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks natively): maximal runs of ≥3 strictly-increasing daily closes
+    per user — momentum/anomaly patterns over keyed series, expressed as
+    the classic two-window composition: a LAG comparison flags run
+    breaks, a running sum of breaks numbers the runs (gaps-and-islands),
+    and one aggregate per (user, run) emits start/end/length/endpoints.
+    Every comparison is on stored doubles (no arithmetic), so the run
+    structure is bit-deterministic on both engines.
+
+    Scale: two windows + one aggregate, ALL partitioned by user_id — one
+    shuffle total, sequences never leave their key's partition. The same
+    skeleton expresses any regex-over-rows pattern (A+ B{2,} C) by
+    changing the break predicate — this is the distributed fallback for
+    MATCH_RECOGNIZE at 100 TB, where a single-node pattern engine
+    would need the full series in one place."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    flagged = daily.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("close") <= prev), 1).otherwise(0),
+    )
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.withColumn("run_id", F.sum("brk").over(run_w))
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.min("day").alias("run_start"),
+            F.max("day").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min_by("close", "day").alias("start_close"),
+            F.max_by("close", "day").alias("end_close"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("run_id")
+    )
