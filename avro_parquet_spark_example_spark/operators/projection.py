@@ -474,3 +474,53 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@register(
+    "dq_quarantine_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CONCAT_WS(',',
+               CASE WHEN l_quantity > 48 THEN 'qty_cap' END,
+               CASE WHEN l_extendedprice > 99000 THEN 'price_band' END,
+               CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                    THEN 'flag_domain' END) AS failed_rules,
+           l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 48 OR l_extendedprice > 99000
+       OR l_returnflag NOT IN ('A', 'N', 'R')
+    """,
+)
+def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7 — ROW-level quarantine with rule attribution: dq_constraint_
+    checks counts violations per rule; this is the other half every
+    pipeline gate needs — the offending rows themselves, each tagged
+    with the comma-joined list of rules it failed, routed to a
+    quarantine table for triage while the clean rows promote. Rule
+    evaluation is a pure per-row CASE chain fused into the scan
+    (predicate pushdown carries the disjunction), and ``concat_ws``
+    skips non-firing rules' NULLs identically on both engines, so the
+    attribution string is deterministic. The third rule (returnflag
+    domain) fires zero times — pinned by the oracle as zero, proving
+    non-firing rules stay silent rather than tagging spuriously.
+
+    Scale: one scan, no shuffle at all; quarantine volume is the
+    violation rate, not the table size. The split-write form is two
+    filtered writes of the same scan (layout family)."""
+    li = load(spark, sf_dir, "lineitem")
+    r_qty = F.col("l_quantity") > 48
+    r_price = F.col("l_extendedprice") > 99000
+    r_flag = ~F.col("l_returnflag").isin("A", "N", "R")
+    failed = F.concat_ws(
+        ",",
+        F.when(r_qty, "qty_cap"),
+        F.when(r_price, "price_band"),
+        F.when(r_flag, "flag_domain"),
+    )
+    return li.filter(r_qty | r_price | r_flag).select(
+        "l_orderkey",
+        "l_linenumber",
+        failed.alias("failed_rules"),
+        "l_quantity",
+        "l_extendedprice",
+    )
