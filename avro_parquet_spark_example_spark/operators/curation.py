@@ -966,3 +966,155 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+@register(
+    "curation_gopher_rules",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(list_sum(list_transform(words, x -> strlen(x))) AS BIGINT)
+                   AS sum_word_len,
+               len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))
+                   AS n_alpha_words,
+               len(list_intersect(list_distinct(words),
+                                  ['the', 'a', 'of', 'to', 'and']))
+                   AS n_stopwords
+        FROM w
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+           (n_words BETWEEN 5 AND 10000)          AS ok_word_count,
+           (3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words)     AS ok_mean_len,
+           (5 * n_alpha_words >= 4 * n_words)     AS ok_alpha_frac,
+           (n_stopwords >= 1)                     AS ok_stopwords,
+           ((n_words BETWEEN 5 AND 10000)
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stopwords >= 1)                 AS keep
+    FROM m
+    """,
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — Gopher-style document quality rules (Rae et al. 2021
+    §A1.1): word-count bounds, mean-word-length bounds, minimum fraction of
+    alphabetic words, and required stopword presence. The four signals and
+    the combined keep flag are emitted per document so downstream stages
+    can audit WHICH rule rejected a doc, not just that one did.
+
+    Every rule is integer-exact by construction: the mean-word-length and
+    alpha-fraction bounds are cross-multiplied (``3·n ≤ Σlen ≤ 10·n``,
+    ``5·n_alpha ≥ 4·n``) instead of computed as float ratios, so the Spark
+    and DuckDB sides agree bit-for-bit with no rounding convention.
+
+    Scale shape: a single map-only pass — tokenize once, fold lengths and
+    filters with codegen'd higher-order functions, zero shuffles, zero
+    Python. At 100 TB this is the cheapest possible quality gate: one scan,
+    arbitrarily parallel."""
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")])
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_word_len"),
+        F.size(F.filter(words, lambda x: x.rlike("^[a-z]+$"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(F.array_intersect(F.array_distinct(words), stop)).alias(
+            "n_stopwords"
+        ),
+    )
+    ok_wc = F.col("n_words").between(5, 10000)
+    ok_ml = (3 * F.col("n_words") <= F.col("sum_word_len")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_words")
+    )
+    ok_af = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_sw = F.col("n_stopwords") >= 1
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_af.alias("ok_alpha_frac"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_af & ok_sw).alias("keep"),
+    )
+
+
+@register(
+    "curation_blocklist_filter",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('spark', 'vector', 'customer')))
+                   AS n_blocked,
+               list_sort(list_intersect(list_distinct(words),
+                                        ['spark', 'vector', 'customer']))
+                   AS hit_terms
+        FROM w
+    )
+    SELECT doc_id, lang, n_words, n_blocked,
+           -- DuckDB's array_to_string yields NULL on an empty list where
+           -- Spark's array_join yields '' — coalesce to match.
+           COALESCE(array_to_string(hit_terms, ','), '') AS blocked_terms,
+           (20 * n_blocked > n_words) AS blocked
+    FROM m
+    """,
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — term-blocklist filtering (the LDNOOBW / C4 badwords
+    shape): a small broadcast-able blocklist, per-doc occurrence counting,
+    and a density rule (block when >5% of words are blocklisted — the
+    cross-multiplied form ``20·n_blocked > n_words``, integer-exact). The
+    matched terms are emitted sorted and joined so a reviewer sees WHY a
+    doc was blocked; the fixture's blocklist reuses corpus words
+    ('spark', 'vector', 'customer') so every branch is exercised.
+
+    Scale shape: the blocklist is a literal array in the plan (broadcast by
+    construction — in production a few thousand terms still fit in a
+    codegen'd literal or a broadcast join); the scan is map-only with
+    zero shuffles. Real blocklist filtering at 100 TB runs exactly this
+    plan."""
+    blocked = F.array(*[F.lit(s) for s in ("spark", "vector", "customer")])
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(
+            F.filter(words, lambda x: F.array_contains(blocked, x))
+        ).alias("n_blocked"),
+        F.array_join(
+            F.array_sort(F.array_intersect(F.array_distinct(words), blocked)),
+            ",",
+        ).alias("blocked_terms"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_blocked",
+        "blocked_terms",
+        (20 * F.col("n_blocked") > F.col("n_words")).alias("blocked"),
+    )
