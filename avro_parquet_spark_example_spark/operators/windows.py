@@ -338,6 +338,82 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Weighted-sampling draw modulus (prime) and its exact powers, used by the
+#: Efraimidis–Spirakis key below. N² and N³ are spelled as literals so both
+#: engines parse the same exact integer constants.
+_WS_N = 1_000_003
+_WS_N2 = _WS_N * _WS_N
+_WS_N3 = _WS_N * _WS_N * _WS_N
+
+#: The exact-integer ES key: u^(1/w) ordering is preserved under the
+#: monotone map x → x⁴ (u ∈ (0,1]), so comparing u^(4/w) — an exact integer
+#: once multiplied through by the common denominator N⁴ — selects the same
+#: sample as the float formula with zero rounding ambiguity:
+#:   w=4 → u·N³,  w=2 → u²·N²,  w=1 → u⁴.
+#: Every multiplicand is cast to DECIMAL(19,0): DuckDB executes ≤18-digit
+#: decimal products in int64 (overflowing at u²·N²), while 19-digit
+#: operands force int128 with result DECIMAL(38,0) — and Spark caps the
+#: same product at DECIMAL(38,0) — so both engines carry the full exact
+#: integer (≤ N⁴ ≈ 10²⁴).
+_WS_U2 = "CAST(CAST(u AS DECIMAL(10,0)) * CAST(u AS DECIMAL(10,0)) AS DECIMAL(19,0))"
+_WS_KEY_SQL = f"""
+    CASE
+      WHEN w = 4 THEN CAST(u AS DECIMAL(19,0)) * CAST({_WS_N3} AS DECIMAL(19,0))
+      WHEN w = 2 THEN {_WS_U2} * CAST({_WS_N2} AS DECIMAL(19,0))
+      ELSE {_WS_U2} * {_WS_U2}
+    END
+"""
+
+
+@register(
+    "sample_weighted_exact",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 4
+                    WHEN lang = 'es' THEN 2 ELSE 1 END AS w,
+               ((doc_id * 1103515245 + 12345) % {_WS_N}) + 1 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang, w, u
+    FROM ranked
+    ORDER BY {_WS_KEY_SQL} DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    each row draws a uniform u and competes with key u^(1/w); the k largest
+    keys are a weighted sample without replacement — the standard one-pass
+    distributed algorithm (its reservoir form is Spark's own
+    ``sampleByKey`` machinery). Language weights 4/2/1 oversample en/es.
+
+    Two determinism choices make this oracle-checkable bit-for-bit:
+    the uniform draw is a seeded integer LCG on the primary key (pure
+    int64 arithmetic — in production you'd swap in ``xxhash64``, which
+    DuckDB lacks), and the key comparison u^(1/w) is raised to the 4th
+    power and multiplied through by N⁴, turning every key into an EXACT
+    integer (w=4 → u·N³, w=2 → u²·N², w=1 → u⁴ — DECIMAL(28,0) worst
+    case). No float pow, no ulp-dependent tie, no rounding convention.
+
+    Scale shape: the key is a map-only expression; ``ORDER BY key LIMIT k``
+    compiles to TakeOrderedAndProject — per-partition top-k heaps merged on
+    the driver, NO global sort shuffle, identical plan at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang") == "es", 2)
+        .otherwise(1)
+    )
+    u = (F.col("doc_id") * 1103515245 + 12345) % _WS_N + 1
+    keyed = d.select(
+        "doc_id", "lang", w.alias("w"), u.cast("bigint").alias("u")
+    )
+    return keyed.orderBy(
+        F.expr(_WS_KEY_SQL).desc(), F.col("doc_id")
+    ).limit(100)
+
+
 @register(
     "window_value_functions",
     oracle="""
