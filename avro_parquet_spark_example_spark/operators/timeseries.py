@@ -710,3 +710,100 @@ def ts_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 3)
         .drop("run_id")
     )
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s
+        FROM daily GROUP BY event_type
+    ),
+    centered AS (
+        SELECT d.event_type, d.day, s.n_days,
+               CAST(s.n_days * d.n - s.s AS DECIMAL(19,0)) AS c
+        FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    lagged AS (
+        SELECT event_type, n_days, c,
+               LAG(c, 1) OVER w AS c1,
+               LAG(c, 2) OVER w AS c2,
+               LAG(c, 3) OVER w AS c3
+        FROM centered
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, MIN(n_days) AS n_days,
+           CAST(SUM(c * c) AS DOUBLE) AS den,
+           CAST(SUM(c * c1) AS DOUBLE) AS num1,
+           CAST(SUM(c * c2) AS DOUBLE) AS num2,
+           CAST(SUM(c * c3) AS DOUBLE) AS num3,
+           ROUND(CAST(SUM(c * c1) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE), 6)
+               AS r1,
+           ROUND(CAST(SUM(c * c2) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE), 6)
+               AS r2,
+           ROUND(CAST(SUM(c * c3) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE), 6)
+               AS r3
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — lag-1/2/3 autocorrelation of the daily event-count series per
+    event type (the seasonality / burstiness probe run before choosing a
+    forecasting model or a partition layout for a time-keyed table).
+
+    Exactness: counts are integers, so the centered series is computed as
+    ``n_days·x_t − S`` (the mean multiplied through — an exact integer),
+    and every numerator/denominator is an exact DECIMAL sum of integer
+    products; the only float ops are the final division and ROUND — a
+    fixed IEEE sequence identical on both engines (the repo's standard
+    decimal-moments rule). Autocorrelation is over the OBSERVED day
+    sequence (gap days absent on both sides, same convention).
+
+    Scale shape: one map-side-combined daily aggregation, a broadcast of
+    the per-type stats, one shuffle by event_type for the lag window
+    (partition cardinality = types × days — tiny), then a final
+    type-cardinality aggregate. At 100 TB the raw scan dominates; the
+    series math is megabytes."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("s")
+    )
+    centered = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("n_days") * F.col("n") - F.col("s"))
+        .cast("decimal(19,0)")
+        .alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = centered.select(
+        "event_type",
+        "n_days",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 3).over(w).alias("c3"),
+    )
+    c = F.col("c")
+    den = F.sum(c * c).cast("double")
+    nums = [F.sum(c * F.col(f"c{k}")).cast("double") for k in (1, 2, 3)]
+    return lagged.groupBy("event_type").agg(
+        F.min("n_days").alias("n_days"),
+        den.alias("den"),
+        nums[0].alias("num1"),
+        nums[1].alias("num2"),
+        nums[2].alias("num3"),
+        F.round(nums[0] / den, 6).alias("r1"),
+        F.round(nums[1] / den, 6).alias("r2"),
+        F.round(nums[2] / den, 6).alias("r3"),
+    )
