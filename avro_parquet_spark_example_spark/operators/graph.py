@@ -330,3 +330,86 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return lbl.select("node", F.col("lbl").alias("community"))
+
+
+def _bfs_round_sql(prev: str, out: str) -> str:
+    """One synchronous BFS relaxation round as a CTE: keep every known
+    distance, add neighbor distances + 1, take the per-node minimum."""
+    return f"""
+    {out} AS (
+        SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM {prev}
+            UNION ALL
+            SELECT s.dst AS node, p.d + 1 AS d
+            FROM sym s JOIN {prev} p ON p.node = s.src
+        ) GROUP BY node
+    )"""
+
+
+#: Fixed BFS hop budget — unrolled identically in the SQL oracle.
+BFS_HOPS = 3
+
+#: Seed predicate: every node whose id is a multiple of 50 (a deterministic
+#: stand-in for a labeled seed set — "trusted users", "known-good docs").
+BFS_SEED_MOD = 50
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_edges_sql()
+    + """
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    d0 AS (
+        SELECT DISTINCT src AS node, 0 AS d FROM sym
+        WHERE src % 50 = 0
+    ),
+    """
+    + ",".join(_bfs_round_sql(f"d{i}", f"d{i+1}") for i in range(BFS_HOPS))
+    + """
+    SELECT node, d AS hops FROM d3
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR5 — bounded multi-source BFS: the minimum hop distance from a
+    seed set (node id ≡ 0 mod 50) to every node reachable within
+    BFS_HOPS=3 hops of the co-occurrence graph. This is the
+    trust-propagation / crawl-frontier / influence-radius primitive
+    (TrustRank seeds, contamination blast radius, friend-of-friend
+    features) — and, like label propagation above, an ORACLE-CHECKED
+    iterative graph algorithm: min-hop relaxation is exact integer math,
+    so the SQL twin unrolls the same three synchronous rounds.
+
+    Determinism: MIN() relaxation is order-independent (idempotent,
+    commutative, associative) — no tiebreaks needed anywhere.
+
+    Scale: per round one shuffle join (frontier × symmetrized edges) and
+    one min-combine aggregation whose partials fold map-side; distances
+    are single longs per node. ``localCheckpoint`` cuts the growing
+    lineage each round — the Pregel-on-DataFrames shape at any scale."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+        .withColumn("d", F.lit(0))
+    )
+    for _ in range(BFS_HOPS):
+        relaxed = sym.join(dist, dist["node"] == sym["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("hops"))
