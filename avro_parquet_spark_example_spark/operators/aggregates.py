@@ -594,3 +594,50 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.user_id").alias("mode_user"),
         F.col("b.n").alias("n_events"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n.n_name,
+           STRING_AGG(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)
+               AS segments,
+           STRING_AGG(CAST(c.c_custkey AS VARCHAR), '|'
+                      ORDER BY c.c_custkey DESC)
+               FILTER (WHERE c.c_custkey % 100 = 0) AS sample_keys
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6b — ordered string aggregation (``LISTAGG … WITHIN GROUP``, new
+    in Spark 4 / ISO SQL:2023; DuckDB's twin is ``STRING_AGG … ORDER
+    BY``): the report-building aggregate that turns a group's members
+    into one delimited string. Exercised in both flavors that matter in
+    practice — DISTINCT with ascending order, and FILTER'd with
+    descending order — because ordering + dedup are where engines
+    diverge (an unordered listagg is nondeterministic under shuffle and
+    would never hash-match; the explicit WITHIN GROUP order is what makes
+    this oracle-checkable).
+
+    Scale: one hash aggregation; the sort is per-group over the collected
+    members (groups here are nation-sized). Unboundedly large groups
+    would need the explode/window form instead — the string must fit in
+    one row either way."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT c_mktsegment, ',') "
+                "WITHIN GROUP (ORDER BY c_mktsegment)"
+            ).alias("segments"),
+            F.expr(
+                "listagg(CAST(c_custkey AS STRING), '|') "
+                "WITHIN GROUP (ORDER BY c_custkey DESC) "
+                "FILTER (WHERE c_custkey % 100 = 0)"
+            ).alias("sample_keys"),
+        )
+    )

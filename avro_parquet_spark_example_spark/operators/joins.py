@@ -609,3 +609,50 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "next_click_ts")
     )
+
+
+#: Identical SQL text on both engines: the NOT IN tri-state probe.
+_NAAJ_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_totalprice > 450000)) AS n_clean,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE o_custkey END
+              FROM orders WHERE o_totalprice > 450000)) AS n_nullable,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT k FROM (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                         ELSE o_custkey END AS k
+                             FROM orders WHERE o_totalprice > 450000)
+              WHERE k IS NOT NULL)) AS n_guarded
+"""
+
+
+@register("join_not_in_null_aware", oracle=_NAAJ_SQL)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5b — null-aware anti join (``NOT IN`` with a nullable list): the
+    classic SQL tri-state footgun, pinned as an oracle check. Three counts
+    in one row: (1) NOT IN over a null-free list — an ordinary anti join;
+    (2) the SAME list with a NULL smuggled in — per ANSI three-valued
+    logic ``x NOT IN (…, NULL)`` is never TRUE, so the count collapses to
+    0, which Spark implements as a special null-aware anti join rather
+    than a plain hash anti join; (3) the same nullable list with the
+    production escape hatch — ``WHERE k IS NOT NULL`` inside the list —
+    which restores plain anti-join planning and a non-degenerate count. Both
+    engines run the IDENTICAL SQL text, so the check verifies Spark's
+    three-valued NOT IN semantics against DuckDB's rather than any
+    rewrite of them.
+
+    Scale: the list side is a filtered single column (broadcast); Spark
+    plans the null-aware case as BroadcastHashJoin(LeftAnti, isNullAware)
+    — one scan per subquery, no shuffle. NOT-IN lists that don't fit a
+    broadcast should be rewritten to explicit NOT EXISTS (join_anti) —
+    that boundary is exactly why both forms are in the registry."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NAAJ_SQL)
