@@ -776,3 +776,36 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n_lines, revenue
         """
     )
+
+
+@register(
+    "export_jsonl_maxrecords",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def export_jsonl_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-export — size-capped JSONL export: the standard hand-off format to
+    training jobs (one JSON object per line, shards capped at a fixed
+    record count so downstream loaders stream them uniformly). Written with
+    ``maxRecordsPerFile`` — Spark's writer-side cap that splits task output
+    into multiple files WITHOUT an extra repartition shuffle — then read
+    back with an explicit schema for the round-trip oracle. The text
+    column is excluded from the export projection (column pruning reaches
+    the parquet scan), keeping the check about the writer path, not text
+    escaping — JSON string escaping is pinned separately by fn_json.
+
+    Scale: the cap is enforced per writer task as it streams rows, so a
+    1000-executor export of 100 TB emits uniformly-sized shards with zero
+    coordination; no global sort, no single-partition stage."""
+    out = _scratch("docs_jsonl_capped", sf_dir)
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .json(out)
+    )
+    return spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    ).json(out)
