@@ -807,3 +807,108 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nums[1] / den, 6).alias("r2"),
         F.round(nums[2] / den, 6).alias("r3"),
     )
+
+
+#: Capped-sessionization parameters, in epoch microseconds: a session ends
+#: after 24 h of inactivity OR when it has spanned 72 h since its anchor.
+SESS_GAP_US = 24 * 3600 * 1_000_000
+SESS_CAP_US = 72 * 3600 * 1_000_000
+
+
+@register(
+    "ts_sessionize_capped",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id AS u, EPOCH_US(ts) AS ts FROM events
+    ),
+    isl AS (
+        SELECT u, ts,
+               SUM(CASE WHEN prev IS NULL OR ts - prev > {SESS_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY u ORDER BY ts) AS island
+        FROM (SELECT u, ts,
+                     LAG(ts) OVER (PARTITION BY u ORDER BY ts) AS prev
+              FROM base)
+    ),
+    anchors AS (
+        SELECT u, island, MIN(ts) AS anchor FROM isl GROUP BY u, island
+        UNION ALL
+        SELECT a.u, a.island,
+               (SELECT MIN(e.ts) FROM isl e
+                WHERE e.u = a.u AND e.island = a.island
+                  AND e.ts > a.anchor + {SESS_CAP_US}) AS anchor
+        FROM anchors a
+        WHERE EXISTS (SELECT 1 FROM isl e
+                      WHERE e.u = a.u AND e.island = a.island
+                        AND e.ts > a.anchor + {SESS_CAP_US})
+    ),
+    assigned AS (
+        SELECT i.u, i.island, i.ts,
+               (SELECT COUNT(*) FROM anchors a
+                WHERE a.u = i.u AND a.island = i.island
+                  AND a.anchor <= i.ts) AS sub
+        FROM isl i
+    )
+    SELECT u AS user_id, island, sub,
+           COUNT(*) AS n_events, MIN(ts) AS start_us, MAX(ts) AS end_us
+    FROM assigned GROUP BY u, island, sub
+    """,
+)
+def ts_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — sessionization with BOTH an inactivity gap (24 h) and a maximum
+    session duration (72 h) — real telemetry session semantics (gap-only
+    sessions stretch unboundedly under steady activity; the cap is what
+    bounds state, and it's exactly the part plain gaps-and-islands SQL
+    cannot express, because each split anchor depends sequentially on the
+    previous one).
+
+    Two tiers: inactivity islands via lag + running sum (one window), then
+    within each island the cap anchors via an ordered higher-order-function
+    fold over the island's (bounded: one user's burst) timestamp array —
+    anchor list grows only when an event exceeds the last anchor + cap;
+    each event's sub-session is the count of anchors ≤ its timestamp. The
+    DuckDB twin derives the SAME anchors with a recursive CTE (min-ts >
+    anchor + cap per step), making an inherently sequential recurrence
+    oracle-checked. All arithmetic is integer epoch-microseconds.
+
+    Scale: one shuffle by user for the window, one by (user, island) for
+    the fold; state per group is one island's timestamps — bounded by the
+    gap rule itself (a 100 TB corpus has more users, not bigger islands)."""
+    e = load(spark, sf_dir, "events")
+    ev = e.select(F.col("user_id").alias("u"), ts_us(e).alias("ts"))
+    w = Window.partitionBy("u").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    isl = ev.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev.isNull() | (F.col("ts") - prev > SESS_GAP_US), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    grouped = isl.groupBy("u", "island").agg(
+        F.sort_array(F.collect_list("ts")).alias("arr")
+    )
+    anchors = F.aggregate(
+        F.col("arr"),
+        F.slice(F.col("arr"), 1, 1),
+        lambda acc, x: F.when(
+            x > F.element_at(acc, -1) + F.lit(SESS_CAP_US),
+            F.concat(acc, F.array(x)),
+        ).otherwise(acc),
+    )
+    exploded = grouped.withColumn("anchors", anchors).select(
+        "u", "island", "anchors", F.explode("arr").alias("ts")
+    )
+    sub = F.size(
+        F.filter(F.col("anchors"), lambda a: a <= F.col("ts"))
+    ).cast("bigint")
+    return (
+        exploded.withColumn("sub", sub)
+        .groupBy(F.col("u").alias("user_id"), "island", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_us"),
+            F.max("ts").alias("end_us"),
+        )
+    )
