@@ -908,3 +908,90 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 6).alias("score"),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, UNNEST(w) AS tok FROM ws),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    voc AS (SELECT COUNT(*) AS v FROM uni),
+    bgs AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(2, len(w) + 1),
+                                     i -> w[i-1] || ' ' || w[i])) AS bg
+        FROM ws
+    ),
+    bi AS (SELECT bg, COUNT(*) AS c12 FROM bgs GROUP BY bg),
+    scored AS (
+        SELECT bgs.doc_id,
+               CAST(ROUND(LN((bi.c12 + 1) * 1.0 / (uni.c1 + voc.v)), 9)
+                    AS DECIMAL(18,9)) AS lp
+        FROM bgs
+        JOIN bi USING (bg)
+        JOIN uni ON uni.tok = STRING_SPLIT(bgs.bg, ' ')[1]
+        CROSS JOIN voc
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6m — bigram language-model scoring with add-one smoothing: each
+    document's average conditional log-likelihood ``ln((C(w1,w2)+1) /
+    (C(w1)+V))`` under the corpus's own bigram model — the perplexity
+    quality filter one order up from text_unigram_logprob (bigram
+    perplexity is what CCNet-class pipelines actually threshold on, since
+    word-order violations are invisible to a unigram model).
+
+    Exactness follows the unigram query's dsum rule: per-bigram log-probs
+    are rounded to 9 decimals and summed as DECIMAL(18,9), so the sum is
+    order-independent; the smoothing arithmetic before ``ln`` is
+    integer-exact on both engines.
+
+    Scale: bigram construction is a codegen'd higher-order transform (no
+    self-join, no window); the model tables (bigram and unigram counts)
+    shuffle-join back onto the bigram stream by key — at 100 TB the bigram
+    vocabulary outgrows a broadcast, and this plan's two key-partitioned
+    joins are exactly how you'd score it on a 1000-executor cluster."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    toks = ws.select("doc_id", F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    voc = uni.agg(F.count(F.lit(1)).alias("v"))
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i - 1), F.element_at("w", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = ws.select("doc_id", F.explode(bigrams).alias("bg"))
+    bi = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    lp = F.round(
+        F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v"))), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        bgs.join(bi, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(uni, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
