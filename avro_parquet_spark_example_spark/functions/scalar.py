@@ -510,3 +510,41 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
     )
+
+
+@register(
+    "fn_content_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS h_md5,
+           SHA256(text) AS h_sha256,
+           SHA256(CAST(doc_id AS VARCHAR) || ':' || text) AS h_keyed,
+           SUBSTR(SHA256(text), 1, 16) AS shard_key
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def fn_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1d — cryptographic content fingerprints (md5 / sha256): the
+    provenance layer of a training-data pipeline — content-addressed
+    dedup ids, dataset cards ("sha256 of every shard"), leak audits
+    (compare against eval-set digests), and stable shard keys derived
+    from hash prefixes. Keyed variant binds the id to the text so two
+    identical texts under different ids stay distinguishable. Both
+    engines must render identical lowercase hex for the check to pass —
+    which is the point: a fingerprint that isn't bit-portable across
+    engines is useless as provenance.
+
+    Scale: pure per-row JVM-side hashing inside WholeStageCodegen — one
+    scan, no shuffle, no Python."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.sha2(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")),
+            256,
+        ).alias("h_keyed"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("shard_key"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.operators.aggregates import dsum
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
 
 
 @register(
@@ -656,3 +656,65 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NAAJ_SQL)
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(EPOCH_US(ts)) AS s, MAX(EPOCH_US(ts)) AS e
+        FROM events
+        WHERE user_id % 20 = 0
+        GROUP BY user_id, CAST(ts AS DATE)
+        HAVING MAX(EPOCH_US(ts)) - MIN(EPOCH_US(ts)) >= 3600000000
+    )
+    SELECT a.day, a.user_id AS u, b.user_id AS v,
+           GREATEST(a.s, b.s) AS overlap_start,
+           LEAST(a.e, b.e) AS overlap_end,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b — interval-overlap self-join via bucket binning: which user
+    activity intervals overlap, and by how much (co-presence /
+    concurrency detection — the scheduling-conflict, ad-exposure-overlap,
+    and A/B-contamination query). Intervals are per-(user, day) activity
+    spans ≥ 1 h, from a sampled user cohort (id ≡ 0 mod 20) so pair
+    volume stays proportional to cohort², not corpus².
+
+    The scale pattern is the point: a naive interval join is a full
+    cartesian with a theta filter; binning every interval to its
+    day-bucket turns it into an EQUI-join on the bucket (shuffle
+    hash-partitioned by day) with the overlap predicate
+    ``a.s ≤ b.e AND b.s ≤ a.e`` applied post-probe, and ``u < v``
+    de-duplicates the symmetric pair. Intervals crossing bucket
+    boundaries would be replicated per bucket and deduped — day-bounded
+    here by construction (per-day MIN/MAX). At 100 TB you pick the bucket
+    width to balance replication vs per-bucket pair count — the same knob
+    as in the dedup band joins."""
+    e = load(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min(ts_us(e)).alias("s"), F.max(ts_us(e)).alias("e"))
+        .filter(F.col("e") - F.col("s") >= 3_600_000_000)
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.user_id").alias("u"),
+        F.col("b.user_id").alias("v"),
+        F.greatest("a.s", "b.s").alias("overlap_start"),
+        F.least("a.e", "b.e").alias("overlap_end"),
+        (F.least("a.e", "b.e") - F.greatest("a.s", "b.s")).alias("overlap_us"),
+    )
