@@ -1,0 +1,147 @@
+"""Invariant tests for the round-5 additions: quality gates, weighted
+sampling, capped sessionization, BFS, bitmap distinct, bigram LM, and the
+interval-overlap join. Each pins a property the DuckDB oracle can't (the
+oracle proves engine agreement; these prove the SEMANTICS are the ones
+claimed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.timeseries import (
+    SESS_CAP_US,
+    SESS_GAP_US,
+)
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def test_gopher_keep_implies_every_rule(spark, sf_dir):
+    df = get_query("curation_gopher_rules").fn(spark, sf_dir)
+    bad = df.filter(
+        F.col("keep")
+        & ~(
+            F.col("ok_word_count")
+            & F.col("ok_mean_len")
+            & F.col("ok_alpha_frac")
+            & F.col("ok_stopwords")
+        )
+    )
+    assert bad.count() == 0
+    # the gate must actually separate: some docs keep, fixture may pass all,
+    # but flags must be internally consistent with the raw counters
+    row = df.filter(F.col("ok_mean_len")).first()
+    assert 3 * row["n_words"] <= row["sum_word_len"] <= 10 * row["n_words"]
+
+
+def test_blocklist_density_rule(spark, sf_dir):
+    df = get_query("curation_blocklist_filter").fn(spark, sf_dir)
+    bad = df.filter(
+        F.col("blocked") != (20 * F.col("n_blocked") > F.col("n_words"))
+    )
+    assert bad.count() == 0
+    # hit-term string only lists genuinely blocklisted terms
+    hits = df.filter(F.col("blocked_terms") != "").select("blocked_terms")
+    allowed = {"spark", "vector", "customer"}
+    for r in hits.distinct().collect():
+        assert set(r["blocked_terms"].split(",")) <= allowed
+
+
+def test_weighted_sample_oversamples_heavy_langs(spark, sf_dir):
+    """en draws weight 4 — its share of the top-100 sample must exceed its
+    corpus share (the whole point of weighted sampling)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_en = docs.filter(F.col("lang") == "en").count() / docs.count()
+    sample = get_query("sample_weighted_exact").fn(spark, sf_dir)
+    rows = sample.collect()
+    assert len(rows) == min(100, docs.count())
+    sample_en = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert sample_en > corpus_en
+
+
+def test_weighted_sample_is_deterministic(spark, sf_dir):
+    a = get_query("sample_weighted_exact").fn(spark, sf_dir)
+    b = get_query("sample_weighted_exact").fn(spark, sf_dir)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_sessionize_capped_invariants(spark, sf_dir):
+    """Every capped session spans ≤ CAP, and splitting is conservative:
+    session counts per user are ≥ the pure-gap island count."""
+    df = get_query("ts_sessionize_capped").fn(spark, sf_dir).cache()
+    try:
+        over = df.filter(F.col("end_us") - F.col("start_us") > SESS_CAP_US)
+        assert over.count() == 0
+        # sub indexes are 1..k dense per (user, island)
+        dense = df.groupBy("user_id", "island").agg(
+            F.count(F.lit(1)).alias("k"), F.max("sub").alias("mx"),
+            F.min("sub").alias("mn"),
+        )
+        assert dense.filter(
+            (F.col("mx") != F.col("k")) | (F.col("mn") != 1)
+        ).count() == 0
+        # event conservation: sessions partition the event set
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert df.agg(F.sum("n_events")).first()[0] == n_events
+    finally:
+        df.unpersist()
+
+
+def test_bfs_seeds_zero_and_bounded(spark, sf_dir):
+    df = get_query("graph_bfs_hops").fn(spark, sf_dir).cache()
+    try:
+        assert df.filter((F.col("hops") < 0) | (F.col("hops") > 3)).count() == 0
+        seeds = df.filter(F.col("node") % 50 == 0)
+        assert seeds.count() > 0
+        assert seeds.filter(F.col("hops") != 0).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in get_query("agg_bitmap_exact_distinct").fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bigram_logprob_bounds(spark, sf_dir):
+    """Smoothed conditional probabilities are in (0,1) ⇒ avg log-prob < 0,
+    and every multi-word doc is scored."""
+    df = get_query("text_bigram_logprob").fn(spark, sf_dir).cache()
+    try:
+        assert df.filter(F.col("avg_logprob") >= 0).count() == 0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        multi = docs.filter(
+            F.col("text").isNotNull() & (F.size(F.split("text", r"\s+")) >= 2)
+        ).count()
+        assert df.count() == multi
+    finally:
+        df.unpersist()
+
+
+def test_interval_overlap_is_genuine(spark, sf_dir):
+    df = get_query("join_interval_overlap").fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("overlap_us") < 0)
+        | (F.col("overlap_end") < F.col("overlap_start"))
+        | (F.col("u") >= F.col("v"))
+    )
+    assert bad.count() == 0
+
+
+def test_not_in_null_semantics(spark, sf_dir):
+    row = get_query("join_not_in_null_aware").fn(spark, sf_dir).first()
+    # a NULL in the list makes NOT IN never-true → count 0
+    assert row["n_nullable"] == 0
+    # the guard restores a usable (and larger) count
+    assert row["n_guarded"] >= row["n_clean"] > 0
