@@ -16,7 +16,7 @@ O(1e-13) relative, far below the rounding grid.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
@@ -688,4 +688,137 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_distinct_users"),
         F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+@register(
+    "agg_bitmap_set_ops",
+    oracle="""
+    WITH words AS (
+        SELECT event_type, user_id // 62 AS word,
+               BIT_OR(1::BIGINT << (user_id % 62)) AS bits
+        FROM events GROUP BY event_type, user_id // 62
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n
+        FROM words GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(BIT_COUNT(a.bits & b.bits)) AS BIGINT) AS n_both
+        FROM words a JOIN words b
+          ON a.word = b.word AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, ta.n AS n_a, tb.n AS n_b, i.n_both,
+           ta.n + tb.n - i.n_both AS n_either,
+           ta.n - i.n_both AS n_only_a,
+           tb.n - i.n_both AS n_only_b
+    FROM inter i
+    JOIN tot ta ON ta.event_type = i.type_a
+    JOIN tot tb ON tb.event_type = i.type_b
+    """,
+)
+def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c — EXACT audience set algebra on bitmaps: for every event-type
+    pair, the number of users doing both / either / only one — the
+    audience-overlap matrix behind funnel design and segment dedup. The
+    same 62-bit word bitmaps as agg_bitmap_exact_distinct, plus the
+    insight that makes the op scale: intersections need only an INNER
+    join of word-aligned bitmaps (words present in one side AND to zero
+    anyway), and union/difference follow by inclusion–exclusion from the
+    per-type totals — no full-outer join, no distinct-expand of raw
+    pairs.
+
+    At 100 TB the bitmap table is (types × id-range/62) longs; the pair
+    matrix costs one word-keyed self-join of that compact table — the
+    exact-set-ops equivalent of a theta-sketch union/intersection, with
+    zero approximation error."""
+    e = load(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 62").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    tot = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n")
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("a.bits & b.bits"))
+            ).alias("n_both")
+        )
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_either"),
+            (F.col("n_a") - F.col("n_both")).alias("n_only_a"),
+            (F.col("n_b") - F.col("n_both")).alias("n_only_b"),
+        )
+    )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               NTILE(8) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b — equi-DEPTH histogram (8 quantile buckets per event type, each
+    holding the same row count, bucket bounds = observed min/max): the
+    complement of the equi-width agg_histogram, and the structure query
+    optimizers and drift monitors actually want, because equal-population
+    buckets resolve the distribution's dense regions where equal-width
+    bins collapse. NTILE over a TOTAL order (value, event_id) makes bucket
+    assignment deterministic under ties — both engines share the ISO NTILE
+    remainder rule (earlier buckets get the extra rows).
+
+    Scale: one shuffle by event_type for the window, then a
+    (types × 8)-row aggregate. Partitions are per-type — if one type were
+    skew-heavy you'd pre-aggregate on (type, value) first; at this
+    fixture's shape the direct window is the cheaper plan."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
     )

@@ -718,3 +718,70 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("a.e", "b.e").alias("overlap_end"),
         (F.least("a.e", "b.e") - F.greatest("a.s", "b.s")).alias("overlap_us"),
     )
+
+
+#: Feature freshness TTL for the tolerance as-of join: 6 h in microseconds.
+ASOF_TOL_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us,
+           CASE WHEN EPOCH_US(p.ts) - EPOCH_US(c.ts) <= {ASOF_TOL_US}
+                THEN EPOCH_US(c.ts) END AS fresh_click_us,
+           CASE WHEN EPOCH_US(p.ts) - EPOCH_US(c.ts) <= {ASOF_TOL_US}
+                THEN EPOCH_US(p.ts) - EPOCH_US(c.ts) END AS staleness_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8b — point-in-time join with a freshness TTL (the feature-store
+    as-of: each purchase may only use a click feature observed at most 6 h
+    before it — older state is stale and must be NULL, never silently
+    served). Same single-shuffle union + ordered carry-forward plan as
+    join_asof_event — the tolerance is a post-carry NULL-out, NOT a
+    different join, which is exactly why TTL'd point-in-time joins stay
+    O(n log n): the staleness check costs one comparison per row, and no
+    range-join blowup ever enters the plan. All event-time arithmetic in
+    integer epoch-microseconds.
+
+    The DuckDB twin composes ASOF LEFT JOIN with the same TTL CASE,
+    pinning both the match choice (latest at-or-before, ties to the
+    click) and the staleness rule cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    us = ts_us(ev)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("click_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(0).alias("side"),
+        us.alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        purchases.unionByName(clicks)
+        .withColumn("asof_us", F.last("click_us", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    fresh = F.col("ts_us") - F.col("asof_us") <= ASOF_TOL_US
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(fresh, F.col("asof_us")).alias("fresh_click_us"),
+        F.when(fresh, F.col("ts_us") - F.col("asof_us")).alias("staleness_us"),
+    )
