@@ -370,3 +370,60 @@ class Engine:
         return sparse_cosine_topk(
             docs, query_doc_id, k=k, text_col=text_col, id_col=id_col
         )
+
+    def quality_gate(
+        self, df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+    ) -> DataFrame:
+        """Gopher-style quality signals + per-rule flags + ``keep`` verdict
+        (operators/curation.py; callers filter NULL text first)."""
+        from avro_parquet_spark_example_spark.operators.curation import (
+            gopher_quality_flags,
+        )
+
+        return gopher_quality_flags(df, text_col=text_col, id_cols=id_cols)
+
+    def blocklist_filter(
+        self,
+        df: DataFrame,
+        terms,
+        text_col: str = "text",
+        id_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Term-blocklist density verdict with matched-term attribution
+        (operators/curation.py)."""
+        from avro_parquet_spark_example_spark.operators.curation import (
+            blocklist_flags,
+        )
+
+        return blocklist_flags(df, terms, text_col=text_col, id_cols=id_cols)
+
+    def sessionize(
+        self,
+        ev: DataFrame,
+        user_col: str = "u",
+        ts_col: str = "ts",
+        gap_us: int | None = None,
+        cap_us: int | None = None,
+    ) -> DataFrame:
+        """Gap + max-duration capped sessions over an epoch-µs stream
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            SESS_CAP_US,
+            SESS_GAP_US,
+            sessionize_capped,
+        )
+
+        return sessionize_capped(
+            ev,
+            user_col=user_col,
+            ts_col=ts_col,
+            gap_us=gap_us if gap_us is not None else SESS_GAP_US,
+            cap_us=cap_us if cap_us is not None else SESS_CAP_US,
+        )
+
+    def bfs(self, sym_edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
+        """Bounded multi-source BFS hop distances over symmetrized
+        (src, dst) edges (operators/graph.py)."""
+        from avro_parquet_spark_example_spark.operators.graph import bfs_hops
+
+        return bfs_hops(sym_edges, seeds, hops=hops)

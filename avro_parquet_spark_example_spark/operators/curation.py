@@ -968,6 +968,93 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: Gopher rule constants (Rae et al. 2021 §A1.1, adapted): word-count
+#: bounds, mean-word-length bounds [3,10] (cross-multiplied), ≥80% alphabetic
+#: words, ≥1 stopword from the fixed probe set.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 10000
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document Gopher quality signals + per-rule flags + combined
+    ``keep`` — shared by the oracle-checked ``curation_gopher_rules`` and
+    ``Engine.quality_gate``. Map-only; every bound integer-exact
+    (cross-multiplied, no float ratios). Rows with NULL text must be
+    filtered by the caller (they have no signal to score)."""
+    ids = id_cols if id_cols is not None else ["doc_id"]
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = df.select(
+        *ids,
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_word_len"),
+        F.size(F.filter(words, lambda x: x.rlike("^[a-z]+$"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(F.array_intersect(F.array_distinct(words), stop)).alias(
+            "n_stopwords"
+        ),
+    )
+    ok_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_ml = (3 * F.col("n_words") <= F.col("sum_word_len")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_words")
+    )
+    ok_af = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_sw = F.col("n_stopwords") >= 1
+    return m.select(
+        *ids,
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_af.alias("ok_alpha_frac"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_af & ok_sw).alias("keep"),
+    )
+
+
+def blocklist_flags(
+    df,
+    terms,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document blocklist hit counts, matched terms, and the 5%-density
+    ``blocked`` verdict — shared by ``curation_blocklist_filter`` and
+    ``Engine.blocklist_filter``. The term list rides in the plan as a
+    literal array (broadcast by construction)."""
+    ids = id_cols if id_cols is not None else ["doc_id"]
+    blocked = F.array(*[F.lit(t) for t in terms])
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = df.select(
+        *ids,
+        F.size(words).alias("n_words"),
+        F.size(
+            F.filter(words, lambda x: F.array_contains(blocked, x))
+        ).alias("n_blocked"),
+        F.array_join(
+            F.array_sort(F.array_intersect(F.array_distinct(words), blocked)),
+            ",",
+        ).alias("blocked_terms"),
+    )
+    return m.select(
+        *ids,
+        "n_words",
+        "n_blocked",
+        "blocked_terms",
+        (20 * F.col("n_blocked") > F.col("n_words")).alias("blocked"),
+    )
+
+
 @register(
     "curation_gopher_rules",
     oracle="""
@@ -1018,40 +1105,8 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters with codegen'd higher-order functions, zero shuffles, zero
     Python. At 100 TB this is the cheapest possible quality gate: one scan,
     arbitrarily parallel."""
-    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")])
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    m = d.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.aggregate(
-            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).alias("sum_word_len"),
-        F.size(F.filter(words, lambda x: x.rlike("^[a-z]+$"))).alias(
-            "n_alpha_words"
-        ),
-        F.size(F.array_intersect(F.array_distinct(words), stop)).alias(
-            "n_stopwords"
-        ),
-    )
-    ok_wc = F.col("n_words").between(5, 10000)
-    ok_ml = (3 * F.col("n_words") <= F.col("sum_word_len")) & (
-        F.col("sum_word_len") <= 10 * F.col("n_words")
-    )
-    ok_af = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
-    ok_sw = F.col("n_stopwords") >= 1
-    return m.select(
-        "doc_id",
-        "n_words",
-        "sum_word_len",
-        "n_alpha_words",
-        "n_stopwords",
-        ok_wc.alias("ok_word_count"),
-        ok_ml.alias("ok_mean_len"),
-        ok_af.alias("ok_alpha_frac"),
-        ok_sw.alias("ok_stopwords"),
-        (ok_wc & ok_ml & ok_af & ok_sw).alias("keep"),
-    )
+    return gopher_quality_flags(d, id_cols=["doc_id"])
 
 
 @register(
@@ -1095,26 +1150,7 @@ def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd literal or a broadcast join); the scan is map-only with
     zero shuffles. Real blocklist filtering at 100 TB runs exactly this
     plan."""
-    blocked = F.array(*[F.lit(s) for s in ("spark", "vector", "customer")])
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    m = d.select(
-        "doc_id",
-        "lang",
-        F.size(words).alias("n_words"),
-        F.size(
-            F.filter(words, lambda x: F.array_contains(blocked, x))
-        ).alias("n_blocked"),
-        F.array_join(
-            F.array_sort(F.array_intersect(F.array_distinct(words), blocked)),
-            ",",
-        ).alias("blocked_terms"),
-    )
-    return m.select(
-        "doc_id",
-        "lang",
-        "n_words",
-        "n_blocked",
-        "blocked_terms",
-        (20 * F.col("n_blocked") > F.col("n_words")).alias("blocked"),
+    return blocklist_flags(
+        d, ("spark", "vector", "customer"), id_cols=["doc_id", "lang"]
     )

@@ -354,6 +354,28 @@ BFS_HOPS = 3
 BFS_SEED_MOD = 50
 
 
+
+
+def bfs_hops(sym: DataFrame, seeds: DataFrame, hops: int = BFS_HOPS) -> DataFrame:
+    """(node, hops) minimum hop distance from ``seeds`` (one ``node``
+    column) over symmetrized ``(src, dst)`` edges, bounded to ``hops``
+    synchronous min-relaxation rounds — shared by the oracle-checked
+    ``graph_bfs_hops`` and ``Engine.bfs``. MIN relaxation is
+    order-independent, so no tiebreaks are needed anywhere."""
+    dist = seeds.select("node").withColumn("d", F.lit(0))
+    for _ in range(hops):
+        relaxed = sym.join(dist, dist["node"] == sym["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("hops"))
+
+
 @register(
     "graph_bfs_hops",
     oracle=_edges_sql()
@@ -396,20 +418,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    dist = (
+    seeds = (
         sym.select(F.col("src").alias("node"))
         .filter(F.col("node") % BFS_SEED_MOD == 0)
         .distinct()
-        .withColumn("d", F.lit(0))
     )
-    for _ in range(BFS_HOPS):
-        relaxed = sym.join(dist, dist["node"] == sym["src"]).select(
-            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-    return dist.select("node", F.col("d").alias("hops"))
+    return bfs_hops(sym, seeds)

@@ -815,6 +815,59 @@ SESS_GAP_US = 24 * 3600 * 1_000_000
 SESS_CAP_US = 72 * 3600 * 1_000_000
 
 
+
+
+def sessionize_capped(
+    ev: DataFrame,
+    user_col: str = "u",
+    ts_col: str = "ts",
+    gap_us: int = SESS_GAP_US,
+    cap_us: int = SESS_CAP_US,
+) -> DataFrame:
+    """(user_id, island, sub, n_events, start_us, end_us) capped sessions
+    over an epoch-µs event stream — shared by the oracle-checked
+    ``ts_sessionize_capped`` and ``Engine.sessionize``. Two tiers:
+    inactivity islands (lag + running sum), then cap anchors via an
+    ordered fold over each island's timestamp array (bounded per user
+    burst by the gap rule)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    isl = ev.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev.isNull() | (F.col(ts_col) - prev > gap_us), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    grouped = isl.groupBy(user_col, "island").agg(
+        F.sort_array(F.collect_list(ts_col)).alias("arr")
+    )
+    anchors = F.aggregate(
+        F.col("arr"),
+        F.slice(F.col("arr"), 1, 1),
+        lambda acc, x: F.when(
+            x > F.element_at(acc, -1) + F.lit(cap_us),
+            F.concat(acc, F.array(x)),
+        ).otherwise(acc),
+    )
+    exploded = grouped.withColumn("anchors", anchors).select(
+        user_col, "island", "anchors", F.explode("arr").alias("__ts")
+    )
+    sub = F.size(
+        F.filter(F.col("anchors"), lambda a: a <= F.col("__ts"))
+    ).cast("bigint")
+    return (
+        exploded.withColumn("sub", sub)
+        .groupBy(F.col(user_col).alias("user_id"), "island", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__ts").alias("start_us"),
+            F.max("__ts").alias("end_us"),
+        )
+    )
+
+
 @register(
     "ts_sessionize_capped",
     oracle=f"""
@@ -876,39 +929,4 @@ def ts_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap rule itself (a 100 TB corpus has more users, not bigger islands)."""
     e = load(spark, sf_dir, "events")
     ev = e.select(F.col("user_id").alias("u"), ts_us(e).alias("ts"))
-    w = Window.partitionBy("u").orderBy("ts")
-    prev = F.lag("ts").over(w)
-    isl = ev.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                prev.isNull() | (F.col("ts") - prev > SESS_GAP_US), 1
-            ).otherwise(0)
-        ).over(w),
-    )
-    grouped = isl.groupBy("u", "island").agg(
-        F.sort_array(F.collect_list("ts")).alias("arr")
-    )
-    anchors = F.aggregate(
-        F.col("arr"),
-        F.slice(F.col("arr"), 1, 1),
-        lambda acc, x: F.when(
-            x > F.element_at(acc, -1) + F.lit(SESS_CAP_US),
-            F.concat(acc, F.array(x)),
-        ).otherwise(acc),
-    )
-    exploded = grouped.withColumn("anchors", anchors).select(
-        "u", "island", "anchors", F.explode("arr").alias("ts")
-    )
-    sub = F.size(
-        F.filter(F.col("anchors"), lambda a: a <= F.col("ts"))
-    ).cast("bigint")
-    return (
-        exploded.withColumn("sub", sub)
-        .groupBy(F.col("u").alias("user_id"), "island", "sub")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("start_us"),
-            F.max("ts").alias("end_us"),
-        )
-    )
+    return sessionize_capped(ev)

@@ -229,3 +229,54 @@ def test_engine_graph_and_retrieval_parity(spark, sf_dir):
 
     tri = eng.triangles(edges).collect()
     assert all(r.n_triangles > 0 for r in tri)
+
+
+def test_engine_round5_facade_parity(spark, sf_dir):
+    """quality_gate / blocklist_filter / sessionize / bfs share
+    single-source implementations with their oracle-checked queries."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.registry import all_queries
+    from avro_parquet_spark_example_spark.sources.catalog import ts_us
+
+    eng = _engine(spark, sf_dir)
+    qs = all_queries()
+    docs = eng.table("documents").filter(F.col("text").isNotNull())
+
+    via_engine = sorted(map(tuple, eng.quality_gate(docs).collect()))
+    via_query = sorted(
+        map(tuple, qs["curation_gopher_rules"](spark, sf_dir).collect())
+    )
+    assert via_engine == via_query and via_engine
+
+    via_engine = sorted(
+        map(
+            tuple,
+            eng.blocklist_filter(
+                docs, ("spark", "vector", "customer"), id_cols=["doc_id", "lang"]
+            ).collect(),
+        )
+    )
+    via_query = sorted(
+        map(tuple, qs["curation_blocklist_filter"](spark, sf_dir).collect())
+    )
+    assert via_engine == via_query and via_engine
+
+    e = eng.table("events")
+    ev = e.select(F.col("user_id").alias("u"), ts_us(e).alias("ts"))
+    via_engine = sorted(map(tuple, eng.sessionize(ev).collect()))
+    via_query = sorted(
+        map(tuple, qs["ts_sessionize_capped"](spark, sf_dir).collect())
+    )
+    assert via_engine == via_query and via_engine
+
+    sym_edges = eng.cooccurrence_graph()
+    sym = sym_edges.selectExpr("u AS src", "v AS dst").unionByName(
+        sym_edges.selectExpr("v AS src", "u AS dst")
+    )
+    seeds = sym.select(F.col("src").alias("node")).filter(
+        F.col("node") % 50 == 0
+    ).distinct()
+    via_engine = sorted(map(tuple, eng.bfs(sym, seeds).collect()))
+    via_query = sorted(map(tuple, qs["graph_bfs_hops"](spark, sf_dir).collect()))
+    assert via_engine == via_query and via_engine
