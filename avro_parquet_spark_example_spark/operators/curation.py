@@ -1154,3 +1154,109 @@ def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_flags(
         d, ("spark", "vector", "customer"), id_cols=["doc_id", "lang"]
     )
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+    ),
+    inj AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT doc_id + 100000, text, lang FROM base WHERE doc_id < 50
+    ),
+    w AS (
+        SELECT doc_id, lang, lower(trim(text)) AS norm,
+               string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM inj
+    ),
+    m AS (
+        SELECT doc_id, lang, norm,
+               len(words) AS n_words,
+               CAST(list_sum(list_transform(words, x -> strlen(x))) AS BIGINT)
+                   AS sum_word_len,
+               len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))
+                   AS n_alpha,
+               len(list_intersect(list_distinct(words),
+                                  ['the', 'a', 'of', 'to', 'and'])) AS n_stop,
+               len(list_filter(words,
+                               x -> x IN ('spark', 'vector', 'customer')))
+                   AS n_blocked
+        FROM w
+    ),
+    flags AS (
+        SELECT doc_id, lang, norm,
+               (n_words BETWEEN 5 AND 10000
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= 1) AS keep,
+               (20 * n_blocked > n_words) AS blocked
+        FROM m
+    ),
+    final AS (
+        SELECT lang FROM (
+            SELECT lang, ROW_NUMBER() OVER (PARTITION BY norm
+                                            ORDER BY doc_id) AS rn
+            FROM flags WHERE keep AND NOT blocked
+        ) WHERE rn = 1
+    )
+    SELECT s.lang, s.n_input, s.n_quality, s.n_clean, f.n_final
+    FROM (
+        SELECT lang, COUNT(*) AS n_input,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality,
+               SUM(CASE WHEN keep AND NOT blocked THEN 1 ELSE 0 END)
+                   AS n_clean
+        FROM flags GROUP BY lang
+    ) s
+    JOIN (SELECT lang, COUNT(*) AS n_final FROM final GROUP BY lang) f
+      ON f.lang = s.lang
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — the COMPOSED cleaning pipeline as one oracle-checked
+    query: inject exact duplicates (the fixture corpus is dup-free) →
+    Gopher quality gate → blocklist filter → exact dedup → per-language
+    funnel counts (input / after-quality / after-blocklist / final). This
+    is the integration check that the individually-verified stages
+    actually compose — each stage is the SAME shared implementation the
+    standalone queries use (gopher_quality_flags, blocklist_flags,
+    keep_first_per_text), so a semantic drift in any one of them breaks
+    this funnel against the oracle's four independently-recomputed stage
+    counts.
+
+    Scale: quality + blocklist are map-only and fuse into the scan; dedup
+    shuffles 32-byte sha keys; the funnel summary is one lang-cardinality
+    aggregate. The composed plan is exactly the sum of its stages — no
+    materialization barriers between them."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        keep_first_per_text,
+        with_injected_duplicates,
+    )
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    inj = with_injected_duplicates(base)
+    q = gopher_quality_flags(inj, id_cols=["doc_id"]).select("doc_id", "keep")
+    b = blocklist_flags(
+        inj, ("spark", "vector", "customer"), id_cols=["doc_id"]
+    ).select("doc_id", "blocked")
+    flags = inj.join(q, "doc_id").join(b, "doc_id")
+    stage = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(
+            F.when(F.col("keep") & ~F.col("blocked"), 1).otherwise(0)
+        ).alias("n_clean"),
+    )
+    final = (
+        keep_first_per_text(flags.filter(F.col("keep") & ~F.col("blocked")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    return stage.join(final, "lang")

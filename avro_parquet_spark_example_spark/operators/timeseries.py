@@ -930,3 +930,118 @@ def ts_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     ev = e.select(F.col("user_id").alias("u"), ts_us(e).alias("ts"))
     return sessionize_capped(ev)
+
+
+@register(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events WHERE value > 250
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    span AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    g AS (
+        SELECT grid.event_type, grid.day, daily.n,
+               LAST_VALUE(daily.n IGNORE NULLS) OVER w_prev AS prev_n,
+               LAST_VALUE(CASE WHEN daily.n IS NOT NULL THEN grid.day END
+                          IGNORE NULLS) OVER w_prev AS prev_day,
+               FIRST_VALUE(daily.n IGNORE NULLS) OVER w_next AS next_n,
+               FIRST_VALUE(CASE WHEN daily.n IS NOT NULL THEN grid.day END
+                           IGNORE NULLS) OVER w_next AS next_day
+        FROM grid LEFT JOIN daily
+          ON daily.event_type = grid.event_type AND daily.day = grid.day
+        WINDOW
+          w_prev AS (PARTITION BY grid.event_type ORDER BY grid.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY grid.event_type ORDER BY grid.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           (n IS NOT NULL) AS observed,
+           ROUND(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                      ELSE prev_n + (next_n - prev_n)
+                           * DATEDIFF('day', prev_day, day) * 1.0
+                           / DATEDIFF('day', prev_day, next_day)
+                 END, 6) AS filled
+    FROM g
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — calendar gap-fill with LINEAR interpolation (the other half of
+    ts_resample_ffill: forward-fill repeats stale state, interpolation
+    estimates through the gap — what dashboards and feature pipelines want
+    for additive series). The series is deliberately sparse (days with
+    high-value events) so gaps genuinely occur; the day grid is generated
+    per type from its own [min, max] span, so endpoints are always
+    observed and every gap has both neighbors.
+
+    Determinism: neighbor values/days come from IGNORE NULLS
+    first/last_value over row frames (exact), and the interpolation is
+    integer day-arithmetic followed by one double divide + ROUND — a
+    fixed IEEE sequence identical on both engines.
+
+    Scale: the grid is (types × days) rows — generated from a
+    type-cardinality aggregate, never from the raw events; two window
+    passes over that tiny grid; the only full-data work is the daily
+    aggregation, which combines map-side."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") > 250)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    g = grid.join(daily, ["event_type", "day"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    g = g.select(
+        "event_type",
+        "day",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("prev_n"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("n", ignorenulls=True).over(w_next).alias("next_n"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    interp = F.col("prev_n") + (F.col("next_n") - F.col("prev_n")) * F.datediff(
+        F.col("day"), F.col("prev_day")
+    ) * 1.0 / F.datediff(F.col("next_day"), F.col("prev_day"))
+    return g.select(
+        "event_type",
+        "day",
+        F.col("n").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
+                interp
+            ),
+            6,
+        ).alias("filled"),
+    )

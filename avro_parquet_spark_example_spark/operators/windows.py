@@ -492,3 +492,48 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w).cast("double").alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     )
+
+
+@register(
+    "window_distinct_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS n_types_7,
+           COUNT(*)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS n_events_7
+    FROM events
+    """,
+)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — rolling DISTINCT count over a row frame: how many distinct
+    event types each user touched in their trailing 7 events — the
+    behavioral-diversity feature every sequence model and fraud rule
+    wants, and a window shape engines disagree on: DuckDB evaluates
+    ``COUNT(DISTINCT) OVER`` natively, while Spark forbids distinct
+    aggregates in windows — so the Spark side computes the SAME value as
+    ``size(array_distinct(collect_list))`` over the identical frame. The
+    oracle pins the two formulations equal. Total order (ts, event_id)
+    makes the frame deterministic under timestamp ties.
+
+    Scale: one shuffle by user; frame state is ≤7 strings per row. A
+    set-valued sliding aggregate this small beats materializing pairwise
+    self-joins by orders of magnitude at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("n_types_7"),
+        F.count(F.lit(1)).over(w).alias("n_events_7"),
+    )
