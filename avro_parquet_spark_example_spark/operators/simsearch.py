@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
@@ -975,4 +975,125 @@ def search_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         cross_encoder_stub(F.col("doc_id")).alias("rerank_key"),
         "rrf",
+    )
+
+
+@register(
+    "eval_retrieval_metrics",
+    oracle=f"""
+    WITH qs AS (
+        SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id < 5
+    ),
+    ranked AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY (SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                                        * CAST(q.qvec[g.i] AS DOUBLE))
+                             FROM GENERATE_SERIES(1, 64) g(i)) DESC,
+                            e.vec_id) AS rnk
+        FROM embeddings e, qs q
+        WHERE e.vec_id <> q.qid
+    ),
+    top AS (
+        SELECT qid,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rnk
+        FROM ranked WHERE rnk <= 10
+    ),
+    per_q AS (
+        SELECT qid,
+               CAST(SUM(rel) AS BIGINT) AS n_rel,
+               COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+                   AS first_rel_rank,
+               SUM(CAST(ROUND(rel / LOG2(rnk + 1), 9) AS DECIMAL(18,9)))
+                   AS dcg
+        FROM top GROUP BY qid
+    ),
+    idcg AS (
+        SELECT a.n, SUM(CAST(ROUND(1.0 / LOG2(b.i + 1), 9)
+                             AS DECIMAL(18,9))) AS v
+        FROM GENERATE_SERIES(1, 10) a(n)
+        JOIN GENERATE_SERIES(1, 10) b(i) ON b.i <= a.n
+        GROUP BY a.n
+    )
+    SELECT p.qid, p.n_rel, p.first_rel_rank,
+           CASE WHEN p.n_rel = 0 THEN 0.0
+                ELSE ROUND(CAST(p.dcg AS DOUBLE) / CAST(i.v AS DOUBLE), 6)
+           END AS ndcg10
+    FROM per_q p LEFT JOIN idcg i ON i.n = p.n_rel
+    """,
+)
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-eval — retrieval quality metrics computed DISTRIBUTED: for a
+    5-query batch, exact cosine top-10 (one corpus scan, per-query
+    window), then per-query precision inputs (n_rel), MRR input
+    (first_rel_rank), and nDCG@10 — relevance = same-label (the standard
+    proxy when embeddings are label-clustered). This is the evaluation
+    harness every ANN tier in this repo (LSH/IVF/PQ/Hamming/Matryoshka)
+    is tuned against, expressed as a first-class oracle-checked query
+    instead of driver-side test code — at 100 TB you evaluate recall on a
+    sampled query set exactly like this, with the corpus scan dominating
+    and metrics folding per query id.
+
+    Exactness: DCG terms rel/log2(rank+1) are rounded to 9 decimals and
+    summed as DECIMAL(18,9) (order-independent — the dsum rule), IDCG is
+    an ordered fold over 1..n_rel, and the final division is one IEEE op
+    rounded to 6."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        e.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "qid",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias(
+                "rel"
+            ),
+            "rnk",
+        )
+    )
+    term = F.round(F.col("rel") / F.log2(F.col("rnk") + 1), 9).cast(
+        "decimal(18,9)"
+    )
+    per_q = top.groupBy("qid").agg(
+        F.sum("rel").alias("n_rel"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        ).alias("first_rel_rank"),
+        F.sum(term).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+        F.lit(0).cast("decimal(18,9)"),
+        lambda acc, i: (
+            acc
+            + F.round(F.lit(1.0) / F.log2(i.cast("double") + 1), 9).cast(
+                "decimal(18,9)"
+            )
+        ).cast("decimal(18,9)"),  # fold lambda must return the acc type
+    )
+    return per_q.select(
+        "qid",
+        "n_rel",
+        "first_rel_rank",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dcg").cast("double") / idcg.cast("double"), 6
+            )
+        )
+        .alias("ndcg10"),
     )
