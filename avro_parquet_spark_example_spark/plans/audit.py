@@ -44,6 +44,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_benford_digits": "broadcast 1-row digit-total cross join",
         "search_hybrid_rrf": "broadcast 1-row query vector/norm cross joins (tier inputs)",
         "search_rerank_stub": "broadcast 1-row query vector/norm cross joins (tier inputs)",
+        "text_bigram_logprob": "broadcast 1-row vocab-size cross join",
+        "eval_retrieval_metrics": "broadcast 5-row query batch (batch-cardinality by design)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
