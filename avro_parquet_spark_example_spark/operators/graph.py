@@ -424,3 +424,81 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_hops(sym, seeds)
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=_edges_sql(TRI_MAX_USER)
+    + """
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+    common AS (
+        SELECT e.u, e.v, COUNT(*) AS n_common
+        FROM edges e
+        JOIN sym a ON a.src = e.u
+        JOIN sym b ON b.src = e.v AND b.dst = a.dst
+        GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v,
+           COALESCE(c.n_common, 0) AS n_common,
+           du.d AS deg_u, dv.d AS deg_v,
+           ROUND(COALESCE(c.n_common, 0) * 1.0
+                 / (du.d + dv.d - COALESCE(c.n_common, 0)), 6) AS jaccard
+    FROM edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR6 — neighborhood Jaccard similarity for every EXISTING edge: the
+    standard link-strength / link-prediction feature (|N(u)∩N(v)| /
+    |N(u)∪N(v)|, open neighborhoods). Strong ties share most neighbors;
+    spam/bridge edges score near zero — the edge-weighting pass run before
+    community detection or friend recommendations.
+
+    Same ordered wedge-join shape as triangle_counts (common neighbors of
+    an edge = triangles through it), one count aggregation, then two
+    degree-table joins and a pure-map Jaccard from inclusion–exclusion.
+    Node cap shared with the triangle query pins quadratic wedge cost at
+    large SFs; the 100 TB dial is degree capping (drop super-nodes from
+    the wedge join — they're never informative ties anyway).
+
+    Exact arithmetic throughout; the single float division is rounded to
+    6 on both engines."""
+    e = cooccurrence_edges(spark, sf_dir, max_user=TRI_MAX_USER).localCheckpoint(
+        eager=True
+    )
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        e.join(a, F.col("a.src") == F.col("u"))
+        .join(b, (F.col("b.src") == F.col("v")) & (F.col("b.dst") == F.col("a.dst")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .join(common, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            nc.alias("n_common"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                nc * 1.0 / (F.col("deg_u") + F.col("deg_v") - nc), 6
+            ).alias("jaccard"),
+        )
+    )

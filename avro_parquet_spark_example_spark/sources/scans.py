@@ -809,3 +809,54 @@ def export_jsonl_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
     ).json(out)
+
+
+@register(
+    "layout_manifest_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           1 AS n_files
+    FROM documents GROUP BY lang
+    """,
+)
+def layout_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-layout — data-skipping MANIFEST construction: write the table
+    partitioned by its filter key, then derive per-partition file stats
+    (row count, min/max of the prunable columns, file count) by scanning
+    the layout back with ``input_file_name()``. This is the table-format
+    manifest (Iceberg/Delta stats) built with nothing but Spark
+    primitives — the structure a planner consults to skip files whose
+    [min,max] can't match a predicate. Pre-shuffling by the partition key
+    before ``partitionBy`` makes exactly ONE file per partition
+    (deterministic: each lang hashes to one task), which the oracle's
+    ``1 AS n_files`` pins — a second file appearing would mean the write
+    layout regressed into small files.
+
+    At 100 TB the same two-step (cluster-by-key write → stats scan) emits
+    a manifest of (partitions × files) rows — megabytes — and the stats
+    scan reads only footer-cheap columns."""
+    out = _scratch("docs_by_lang_manifest", sf_dir)
+    (
+        load(spark, sf_dir, "documents")
+        .repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn(
+        # input_file_name() is per-row nondeterministic to the analyzer —
+        # project it BEFORE the aggregate (the aggregate itself is then
+        # deterministic over the projected name)
+        "__file", F.input_file_name()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("__file").cast("int").alias("n_files"),
+    )
