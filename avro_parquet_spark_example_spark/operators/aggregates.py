@@ -903,3 +903,39 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sc4").cast("double") / F.col("n")) / F.pow(m2, 2) - 3, 6
         ).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity
+                              AS DECIMAL(30,8))), 2) AS DOUBLE) AS wsum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS wtot,
+           ROUND(CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity
+                                    AS DECIMAL(30,8))), 2) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE),
+                 6) AS qty_weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3d — weighted mean (quantity-weighted average price): the
+    aggregate behind fair unit economics, token-weighted quality scores,
+    and exposure-weighted rates — anywhere plain AVG over-counts small
+    rows. No built-in engine function is used (none is portable):
+    Σ(w·x)/Σw from two exact decimal sums (the dsum rule — 8 decimals for
+    the product, 4 for the raw weight), with one IEEE division + ROUND at
+    the end. Both partial sums combine map-side, so this costs exactly
+    one hash aggregate at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    # the product sum's unscaled decimal crosses 2^53 at sf0.01 — round to
+    # 2 before the double cast (the dsum rule's round_to escape hatch)
+    wsum = dsum(F.col("l_extendedprice") * F.col("l_quantity"), 8, round_to=2)
+    wtot = dsum("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("wsum"),
+        wtot.alias("wtot"),
+        F.round(wsum / wtot, 6).alias("qty_weighted_avg_price"),
+    )

@@ -1045,3 +1045,74 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("filled"),
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               EPOCH_US(ts) AS vf,
+               LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY EPOCH_US(ts), event_id) AS vt,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    facts AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us,
+           d.value AS version_value, d.vf AS valid_from_us
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts_us >= d.vf
+     AND (d.vt IS NULL OR f.ts_us < d.vt)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6b — SCD2 point-in-time lookup: each fact row (clicks) joined to
+    the dimension VERSION (per-user purchase state) that was valid at the
+    fact's event time — the canonical warehouse history join, composing
+    the scd2_intervals build with the half-open interval probe
+    ``ts ∈ [valid_from, valid_to)``. LEFT join keeps facts older than any
+    version (NULL attributes — the honest answer, never accidental
+    forward-leakage of later state). Duplicate version timestamps produce
+    an EMPTY [t, t) interval for the superseded row, so every fact matches
+    at most one version deterministically.
+
+    Plan: equi-join on the key with the interval predicate post-probe —
+    hash/sort-merge, never a nested loop. When the dimension's version
+    count per key is large and facts are time-bunched, the as-of
+    carry-forward (join_asof_event) computes the same lookup with ONE
+    shuffle instead of a join — both shapes are in the registry because
+    warehouses need the interval form whenever valid_to is edited
+    retroactively (late corrections), which the carry-forward can't see."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us(e).alias("vf"), "value", "event_id")
+        .select(
+            F.col("user_id").alias("d_user"),
+            "vf",
+            F.lead("vf").over(w).alias("vt"),
+            F.col("value").alias("version_value"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us(e).alias("ts_us")
+    )
+    cond = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts_us") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts_us") < F.col("vt")))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "version_value",
+        F.col("vf").alias("valid_from_us"),
+    )
