@@ -145,3 +145,75 @@ def test_not_in_null_semantics(spark, sf_dir):
     assert row["n_nullable"] == 0
     # the guard restores a usable (and larger) count
     assert row["n_guarded"] >= row["n_clean"] > 0
+
+
+# -- property tests (hypothesis): the fold/key logic vs pure-Python refs --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_capped_sessions(ts_sorted, gap, cap):
+    """Reference capped sessionization: sequential anchor walk."""
+    out = []  # (island, sub) per ts
+    island = 0
+    prev = None
+    anchors = []
+    for t in ts_sorted:
+        if prev is None or t - prev > gap:
+            island += 1
+            anchors = [t]
+        elif t > anchors[-1] + cap:
+            anchors.append(t)
+        out.append((island, len(anchors)))
+        prev = t
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=40))
+def test_sessionize_fold_matches_reference(spark, ts):
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        sessionize_capped,
+    )
+
+    gap, cap = 500, 1200
+    ts_sorted = sorted(ts)
+    ref = _ref_capped_sessions(ts_sorted, gap, cap)
+    df = spark.createDataFrame([(1, t) for t in ts], "u long, ts long")
+    got = sessionize_capped(df, gap_us=gap, cap_us=cap).collect()
+    # reference → expected per-(island, sub) event counts
+    from collections import Counter
+
+    want = Counter(ref)
+    have = {(r["island"], r["sub"]): r["n_events"] for r in got}
+    assert have == dict(want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=1_000_002),
+                          st.sampled_from([1, 2, 4])),
+                min_size=1, max_size=30))
+def test_weighted_sample_key_order_matches_float_formula(pairs):
+    """The exact-integer key u^(4/w)·N^(4-4/w) must order identically to
+    the float Efraimidis–Spirakis key (u/N)^(1/w) — the integer form exists
+    only to remove ulp ambiguity, not to change the sample."""
+    N = 1_000_003
+    exact = []
+    approx = []
+    for i, (u, w) in enumerate(pairs):
+        if w == 4:
+            k = u * N**3
+        elif w == 2:
+            k = u * u * N * N
+        else:
+            k = u**4
+        exact.append((-k, i))
+        approx.append((-((u / N) ** (1.0 / w)), i))
+    # float ties (distinct exact keys mapping to equal doubles) are the
+    # case the integer form fixes — compare orderings only when the float
+    # keys are all distinct
+    if len({a for a, _ in approx}) == len(approx):
+        assert [i for _, i in sorted(exact)] == [i for _, i in sorted(approx)]
