@@ -205,3 +205,39 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         double_and_bucket, "event_id bigint, doubled double, bucket bigint"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           STRLEN(TRIM(text)) - STRLEN(REPLACE(TRIM(text), ' ', '')) + 1
+               AS n_spaces_words,
+           UPPER(SUBSTR(TRIM(text), 1, 1)) || SUBSTR(TRIM(text), 2, 10)
+               AS title_head
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8b — Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``, Spark
+    4): same per-row Python semantics as udf_python_scalar but batched
+    over Arrow instead of pickled row-by-row — the drop-in upgrade when a
+    row UDF can't be rewritten as a pandas UDF (non-vectorizable logic,
+    per-row early returns) yet the 10-100× serialization tax is
+    unacceptable. Still Python in the plan (ArrowEvalPython), still off
+    the hot path and bounded here; the plan-audit distinction is visible:
+    this query does NOT appear in the BatchEvalPython allow-list because
+    it doesn't produce that node."""
+
+    @F.udf(returnType="n_spaces_words int, title_head string", useArrow=True)
+    def head_features(text: str):
+        t = text.strip()
+        return (t.count(" ") + 1, (t[:1].upper() + t[1:11]))
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = head_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_spaces_words"].alias("n_spaces_words"),
+        feats["title_head"].alias("title_head"),
+    )

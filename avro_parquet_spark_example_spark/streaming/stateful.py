@@ -696,3 +696,128 @@ def stream_session_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(agg, "append")
+
+
+#: Shared with operators/timeseries.py so the stream and batch
+#: sessionization can never disagree on the gap/cap.
+from avro_parquet_spark_example_spark.operators.timeseries import (
+    SESS_CAP_US as _SESS_CAP_US,
+    SESS_GAP_US as _SESS_GAP_US,
+)
+
+
+@register(
+    "stream_sessionize_capped",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id AS u, EPOCH_US(ts) AS ts FROM events
+    ),
+    isl AS (
+        SELECT u, ts,
+               SUM(CASE WHEN prev IS NULL OR ts - prev > {_SESS_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY u ORDER BY ts) AS island
+        FROM (SELECT u, ts,
+                     LAG(ts) OVER (PARTITION BY u ORDER BY ts) AS prev
+              FROM base)
+    ),
+    anchors AS (
+        SELECT u, island, MIN(ts) AS anchor FROM isl GROUP BY u, island
+        UNION ALL
+        SELECT a.u, a.island,
+               (SELECT MIN(e.ts) FROM isl e
+                WHERE e.u = a.u AND e.island = a.island
+                  AND e.ts > a.anchor + {_SESS_CAP_US}) AS anchor
+        FROM anchors a
+        WHERE EXISTS (SELECT 1 FROM isl e
+                      WHERE e.u = a.u AND e.island = a.island
+                        AND e.ts > a.anchor + {_SESS_CAP_US})
+    )
+    SELECT i.u AS user_id,
+           MAX(i.island) AS n_islands,
+           (SELECT COUNT(*) FROM anchors a WHERE a.u = i.u) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM isl i GROUP BY i.u
+    """,
+)
+def stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b — STREAMING capped sessionization: the ts_sessionize_capped
+    semantics (24 h inactivity gap + 72 h max duration) maintained
+    incrementally in the state store via ``applyInPandasWithState`` —
+    per-user state is four scalars (last ts, island count, current
+    anchor, session count), NOT the event history, which is what makes
+    custom sessionization viable on an unbounded stream. Emits per-user
+    funnel totals (islands / capped sessions / events); the oracle is the
+    BATCH recursive-anchor computation aggregated the same way, so the
+    check pins stream-final-state == batch semantics exactly.
+
+    Ordering contract: events are applied in event-time order within each
+    micro-batch (sorted in the handler); cross-batch regressions would
+    need a watermark-buffered variant — the replay source here delivers
+    one ordered batch, and the state design (monotone anchors) is the
+    same one a production watermark variant carries."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        SESS_CAP_US,
+        SESS_GAP_US,
+    )
+
+    gap_us, cap_us = SESS_GAP_US, SESS_CAP_US
+
+    def sessionize(key, pdfs, state: GroupState):
+        prev, islands, anchor, sessions, n_events = (
+            state.get if state.exists else (None, 0, None, 0, 0)
+        )
+        ts_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.extend(int(v) for v in pdf["ts_us"])
+        for t in sorted(ts_all):
+            if prev is None or t - prev > gap_us:
+                islands += 1
+                anchor = t
+                sessions += 1
+            elif t > anchor + cap_us:
+                anchor = t
+                sessions += 1
+            n_events += 1
+            prev = t
+        state.update((prev, islands, anchor, sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_islands": [islands],
+                "n_sessions": [sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    result = keyed.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, n_islands long, n_sessions long, n_events long"
+        ),
+        stateStructType=(
+            "prev long, islands long, anchor long, sessions long, n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_table(result, "update")
+    # update mode re-emits a key per touched batch; keep the final state
+    # (largest n_events) per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
