@@ -502,3 +502,98 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    """One exact-PageRank round: 12-decimal share per edge source, exact
+    decimal sum per target, deterministic damped update."""
+    return f"""
+    {out}_c AS (
+        SELECT s.dst AS node,
+               CAST(ROUND(CAST(p.rank AS DOUBLE) / d.out_deg, 12)
+                    AS DECIMAL(20,12)) AS share
+        FROM {prev} p
+        JOIN deg d ON d.node = p.node
+        JOIN sym s ON s.src = p.node
+    ),
+    {out} AS (
+        SELECT node,
+               CAST(ROUND(0.15 + 0.85 * CAST(SUM(share) AS DOUBLE), 12)
+                    AS DECIMAL(20,12)) AS rank
+        FROM {out}_c GROUP BY node
+    )"""
+
+
+#: Exact-PageRank round count — unrolled identically in the SQL oracle.
+PR_EXACT_ROUNDS = 3
+
+
+@register(
+    "graph_pagerank_exact",
+    oracle=_edges_sql()
+    + """
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM sym GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DECIMAL(20,12)) AS rank FROM deg),
+    """
+    + ",".join(_pr_round_sql(f"r{i}", f"r{i+1}") for i in range(PR_EXACT_ROUNDS))
+    + """
+    SELECT node, ROUND(CAST(rank AS DOUBLE), 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR3b — ORACLE-CHECKED PageRank: the same power iteration as the
+    rows-only graph_pagerank, made hash-comparable by quantizing each
+    node's per-edge share to 12 decimals (stored DECIMAL(20,12), so the
+    per-target sum is EXACT and order-independent — the dsum rule applied
+    inside an iterative algorithm) and applying the damped update through
+    one fixed IEEE sequence per round. Quantization error is ≤ deg·5e-13
+    per node per round — far below the 6-decimal reporting grid — while
+    making three unrolled rounds bit-identical between Spark and the
+    DuckDB recursive-CTE twin. The rows-only float variant remains the
+    production form (no per-round rounding cost); THIS one exists to pin
+    the iteration's semantics cross-engine.
+
+    Scale profile identical to graph_pagerank: per round one key join +
+    one map-side-combining decimal sum; localCheckpoint cuts lineage."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint(eager=True)
+    ranks = deg.select("node", F.lit(1.0).cast("decimal(20,12)").alias("rank"))
+    for _ in range(PR_EXACT_ROUNDS):
+        shares = (
+            ranks.join(deg, "node")
+            .select(
+                "node",
+                F.round(
+                    F.col("rank").cast("double") / F.col("out_deg"), 12
+                )
+                .cast("decimal(20,12)")
+                .alias("share"),
+            )
+            .join(sym, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), "share")
+        )
+        ranks = (
+            shares.groupBy("node")
+            .agg(
+                F.round(
+                    F.lit(0.15) + F.lit(0.85) * F.sum("share").cast("double"),
+                    12,
+                )
+                .cast("decimal(20,12)")
+                .alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round(F.col("rank").cast("double"), 6).alias("rank"))
