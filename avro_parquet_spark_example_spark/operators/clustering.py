@@ -122,3 +122,121 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
     )
+
+
+def _km_round_sql(cent: str, assign: str, nxt: str) -> str:
+    """One exact k-means round: integer squared distances against ``cent``,
+    deterministic argmin, floor-averaged fixed-point update into ``nxt``."""
+    return f"""
+    {assign}_d AS (
+        SELECT f.vec_id, c.cluster,
+               SUM((f.v7 - c.c7) * (f.v7 - c.c7)) AS dist
+        FROM fixed f JOIN {cent} c ON c.pos = f.pos
+        GROUP BY f.vec_id, c.cluster
+    ),
+    {assign} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM {assign}_d)
+        WHERE rn = 1
+    ),
+    {nxt} AS (
+        SELECT a.cluster, f.pos,
+               CAST(FLOOR(CAST(SUM(f.v7) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS c7
+        FROM {assign} a JOIN fixed f ON f.vec_id = a.vec_id
+        GROUP BY a.cluster, f.pos
+    )"""
+
+
+#: Exact k-means geometry: k seeds (lowest vec_ids), 2 unrolled rounds.
+KM_EXACT_K = 4
+KM_EXACT_ROUNDS = 2
+
+
+@register(
+    "cluster_kmeans_exact",
+    oracle="""
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    c0 AS (SELECT vec_id AS cluster, pos, v7 AS c7 FROM fixed
+           WHERE vec_id < 4),
+    """
+    + ",".join(
+        _km_round_sql(f"c{i}", f"a{i+1}", f"c{i+1}")
+        for i in range(KM_EXACT_ROUNDS)
+    )
+    + """
+    SELECT c.cluster, c.pos, c.c7, n.n
+    FROM c2 c
+    JOIN (SELECT cluster, COUNT(*) AS n FROM a2 GROUP BY cluster) n
+      ON n.cluster = c.cluster
+    """,
+)
+def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-cluster — ORACLE-CHECKED k-means (k=4, 2 unrolled Lloyd rounds):
+    the iterative-ML twin of the rows-only cluster_kmeans, made
+    hash-comparable end-to-end by doing EVERY step in fixed-point
+    integers: embeddings quantized to 7 decimal digits (float32's
+    precision budget), squared distances as exact int64 sums (≤ 2.6e16,
+    no overflow), argmin with a cluster-id tiebreak, and centroid updates
+    floor-averaged back onto the fixed-point grid. No float accumulates
+    across rows anywhere, so Spark and the DuckDB unrolled-CTE twin agree
+    bit-for-bit — assignments included. Output is the round-2 centroid
+    table (long form) with final member counts.
+
+    Scale: the centroid side is k×dim rows (broadcast); assignment is one
+    map-side-combined (vec, cluster) sum + a per-vector argmin window;
+    the update is one (cluster, dim) aggregate — Lloyd's algorithm in
+    exactly the shape kmeans_fit runs it, with quantization replacing the
+    float centroids that keep that variant rows-only."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    ).localCheckpoint(eager=True)
+    cents = fixed.filter(F.col("vec_id") < KM_EXACT_K).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("v7").alias("c7")
+    )
+    from pyspark.sql import Window
+
+    assign = None
+    for _ in range(KM_EXACT_ROUNDS):
+        d = (
+            fixed.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("v7") - F.col("c7")) * (F.col("v7") - F.col("c7"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cents = (
+            assign.join(fixed, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v7").cast("double") / F.count(F.lit(1))
+                ).alias("c7")
+            )
+            .localCheckpoint(eager=True)
+        )
+    n = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return cents.join(F.broadcast(n), "cluster").select(
+        "cluster", "pos", "c7", "n"
+    )
