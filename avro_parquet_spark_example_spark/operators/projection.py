@@ -524,3 +524,73 @@ def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_extendedprice",
     )
+
+
+@register(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+        SELECT event_type, QUANTILE_CONT(n, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.n, m.med,
+               ABS(d.n - m.med) AS dev
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+        SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND(d.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           (d.dev > 2 * 1.4826 * m.mad) AS is_outlier
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE d.dev > 2 * 1.4826 * m.mad
+    """,
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — ROBUST outlier days via median absolute deviation: flag days
+    whose daily volume deviates from the median by more than 2 scaled
+    MADs (the fixture's daily volumes are near-uniform, so the classic 3×
+    cut flags nothing — 2× keeps the check non-vacuous at every SF) (1.4826·MAD ≈ σ under normality). The robust complement to
+    ts_anomaly_zscore: a z-score's mean/stddev are dragged by the very
+    outliers being hunted (masking), while median/MAD have a 50%
+    breakdown point — the standard pairing in volume monitoring.
+
+    Exactness: daily counts are integers; Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition
+    (already pinned by agg_stats), the deviation median repeats it, and
+    the final comparison is a fixed IEEE sequence.
+
+    Scale: one map-side-combined daily aggregation; both medians run over
+    the (types × days) grid — tiny at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("dev") > 2 * 1.4826 * F.col("mad")
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("dev") > 2 * 1.4826 * F.col("mad")).alias("is_outlier"),
+    )

@@ -995,3 +995,98 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (SELECT UNNEST(w) AS tok FROM ws),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c1) AS t FROM uni),
+    bgs AS (
+        SELECT UNNEST(list_transform(range(2, len(w) + 1),
+                                     i -> w[i-1] || ' ' || w[i])) AS bg
+        FROM ws
+    ),
+    bi AS (SELECT bg, COUNT(*) AS c12 FROM bgs GROUP BY bg
+           HAVING COUNT(*) >= 5),
+    scored AS (
+        SELECT b.bg, b.c12, u1.c1 AS cx, u2.c1 AS cy,
+               ROUND(LN(CAST(b.c12 AS DOUBLE) * t.t
+                        / (CAST(u1.c1 AS DOUBLE) * u2.c1)), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.tok = STRING_SPLIT(b.bg, ' ')[1]
+        JOIN uni u2 ON u2.tok = STRING_SPLIT(b.bg, ' ')[2]
+        CROSS JOIN tot t
+    )
+    SELECT bg, c12, cx, cy, pmi
+    FROM scored
+    ORDER BY pmi DESC, bg
+    LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6n — collocation extraction by pointwise mutual information: the
+    top-50 adjacent word pairs whose co-occurrence beats chance,
+    ``PMI = ln(N·c(x,y) / (c(x)·c(y)))`` with a min-support floor of 5
+    (PMI without support explodes on hapax pairs — the standard guard).
+    This is how phrase vocabularies ("new york", "machine learning") are
+    mined before tokenizer training and how boilerplate n-grams surface.
+
+    Exactness: all counts are integers; PMI is one ln over an exact
+    rational, rounded to 6 (the unigram-logprob rule). Top-50 carries a
+    lexicographic tiebreak so the LIMIT is deterministic.
+
+    Scale: bigram construction is the codegen'd transform from
+    text_bigram_logprob; the two count tables key-join (the bigram table
+    outgrows broadcasts at corpus scale, and this plan already shuffles
+    by key); the final ORDER BY … LIMIT is TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = d.select(F.split(F.lower(F.trim(F.col("text"))), " ").alias("w"))
+    toks = ws.select(F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("t"))
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i - 1), F.element_at("w", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        ws.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("cx"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("cy"))
+    scored = (
+        bi.withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "c12",
+            "cx",
+            "cy",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("t")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(50)
