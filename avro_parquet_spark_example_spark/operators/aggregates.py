@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
 
 
 def dsum(col: Column | str, scale: int = 4, round_to: int | None = None) -> Column:
@@ -938,4 +938,44 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum.alias("wsum"),
         wtot.alias("wtot"),
         F.round(wsum / wtot, 6).alias("qty_weighted_avg_price"),
+    )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+    SELECT user_id,
+           ARG_MAX(event_id, LPAD(CAST(EPOCH_US(ts) AS VARCHAR), 20, '0')
+                             || LPAD(CAST(event_id AS VARCHAR), 12, '0'))
+               AS last_event_id,
+           ARG_MIN(event_id, LPAD(CAST(EPOCH_US(ts) AS VARCHAR), 20, '0')
+                             || LPAD(CAST(event_id AS VARCHAR), 12, '0'))
+               AS first_event_id,
+           ARG_MAX(event_type, LPAD(CAST(EPOCH_US(ts) AS VARCHAR), 20, '0')
+                               || LPAD(CAST(event_id AS VARCHAR), 12, '0'))
+               AS last_event_type
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6c — argument-extreme aggregates (``max_by``/``min_by`` / DuckDB
+    ``arg_max``/``arg_min``): each user's first and last event WITHOUT a
+    window — one map-side-combined aggregate instead of a full sort, the
+    cheap way to get "latest value per key" when you don't need ranks.
+    Engines leave arg-extremes under ties UNDEFINED, so the comparator is
+    a zero-padded (epoch-µs, event_id) string — totally ordered, making
+    the winner deterministic cross-engine (DuckDB's arg_max takes no
+    struct comparator; the padded key is the portable spelling).
+
+    Scale: single hash aggregate; the combiner keeps one (key, winner)
+    pair per group per partition — the minimal possible state."""
+    e = load(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(ts_us(e).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.min_by("event_id", key).alias("first_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
     )

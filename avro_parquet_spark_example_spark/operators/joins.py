@@ -785,3 +785,33 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_us")).alias("fresh_click_us"),
         F.when(fresh, F.col("ts_us") - F.col("asof_us")).alias("staleness_us"),
     )
+
+
+#: Identical SQL text on both engines: EXISTS/NOT EXISTS as projected flags.
+_EXISTENCE_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+           NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000) AS never_big
+    FROM customer c
+"""
+
+
+@register("join_existence_flag", oracle=_EXISTENCE_SQL)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4b — EXISTS as a projected BOOLEAN (existence join): unlike the
+    semi/anti joins that FILTER rows, this keeps every customer and adds
+    flag columns — the feature-engineering spelling ("has the user ever
+    X") that becomes model features and segmentation columns. Catalyst
+    plans each correlated EXISTS in the SELECT list as an ExistenceJoin
+    (a hash join emitting a boolean instead of dropping rows) — both
+    correlations here are equi-keyed, so they become BroadcastHashJoin /
+    shuffle-hash, never a nested loop. Identical SQL text runs on both
+    engines, pinning the three-valued EXISTS semantics themselves."""
+    from avro_parquet_spark_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTENCE_SQL)
