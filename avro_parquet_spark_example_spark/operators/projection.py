@@ -594,3 +594,113 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         (F.col("dev") > 2 * 1.4826 * F.col("mad")).alias("is_outlier"),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH q AS (
+        SELECT lang, source, n_chars // 100 AS len_bucket,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY lang, source, n_chars // 100
+    )
+    SELECT lang, source, len_bucket, group_size,
+           (group_size < 5) AS below_k
+    FROM q
+    WHERE group_size < 5
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-privacy — k-anonymity audit (k=5) over the quasi-identifier
+    tuple (lang, source, length-bucket): every equivalence class smaller
+    than k is a re-identification risk — the release gate run before
+    publishing "anonymized" corpora, and the pre-pass that decides which
+    rows need suppression or coarser bucketing. Bucketing the continuous
+    quasi-identifier (n_chars → 100-char buckets) is itself part of the
+    technique: raw lengths make every row its own class.
+
+    Integer-exact throughout (counts + integer division). One map-side-
+    combined aggregate over the quasi-identifier key at any scale; the
+    risky-class report is orders of magnitude smaller than the corpus."""
+    d = load(spark, sf_dir, "documents")
+    q = d.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 100").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return q.filter(F.col("group_size") < 5).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "group_size",
+        (F.col("group_size") < 5).alias("below_k"),
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type
+    ),
+    draw AS (
+        SELECT event_type, true_n,
+               (((STRPOS('0123456789abcdef',
+                         SUBSTR(MD5(event_type || ':dpseed42'), 1, 1)) - 1)
+                   * 4096
+                 + (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(event_type || ':dpseed42'), 2, 1)) - 1)
+                   * 256
+                 + (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(event_type || ':dpseed42'), 3, 1)) - 1)
+                   * 16
+                 + (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(event_type || ':dpseed42'), 4, 1)) - 1)
+               ) + 1) / 65537.0 AS u
+        FROM counts
+    )
+    SELECT event_type, true_n,
+           ROUND(CASE WHEN u < 0.5
+                      THEN (1.0 / 0.1) * LN(2 * u)
+                      ELSE -(1.0 / 0.1) * LN(2 * (1 - u)) END, 6) AS noise,
+           ROUND(true_n + CASE WHEN u < 0.5
+                               THEN (1.0 / 0.1) * LN(2 * u)
+                               ELSE -(1.0 / 0.1) * LN(2 * (1 - u)) END,
+                 6) AS noisy_n
+    FROM draw
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-privacy — the Laplace-mechanism release pipeline: per-group
+    counts plus Laplace(1/ε) noise (ε=0.1, sensitivity 1 for a count) via
+    the inverse-CDF transform ``sign·(1/ε)·ln(...)`` of a uniform draw.
+    The uniform here is DETERMINISTIC (md5 of the group key + a fixed
+    seed, first 4 hex digits → (0,1)) so the release is oracle-checkable
+    and reproducible — a production release swaps in a real entropy
+    source AND must not publish the seed (a known seed voids the DP
+    guarantee; this query demonstrates the mechanism's dataflow, not a
+    certified DP release — the docstring is the warning label).
+
+    Shape at scale: the noise is a per-GROUP map over the aggregate's
+    (tiny) output — the scan and aggregation dominate, identical to the
+    un-noised query; ln/division are one fixed IEEE sequence per group."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    hexes = "0123456789abcdef"
+    h = F.md5(F.concat(F.col("event_type"), F.lit(":dpseed42")))
+    digit = lambda i: F.instr(F.lit(hexes), F.substring(h, i, 1)) - 1  # noqa: E731
+    u = (
+        digit(1) * 16 * 16 * 16 + digit(2) * 16 * 16 + digit(3) * 16 + digit(4)
+        + 1
+    ) / 65537.0
+    eps = 0.1
+    noise = F.when(u < 0.5, (1.0 / eps) * F.log(2 * u)).otherwise(
+        -(1.0 / eps) * F.log(2 * (1 - u))
+    )
+    return counts.select(
+        "event_type",
+        "true_n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    )

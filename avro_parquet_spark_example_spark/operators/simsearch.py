@@ -1097,3 +1097,47 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg10"),
     )
+
+
+@register(
+    "vec_l2_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               SQRT((SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                                * CAST(e.embedding[g.i] AS DOUBLE))
+                     FROM GENERATE_SERIES(1, 64) g(i))) AS norm
+        FROM embeddings e
+    )
+    SELECT vec_id, label,
+           ROUND(norm, 6) AS l2_norm,
+           list_transform(embedding,
+                          x -> ROUND(CAST(x AS DOUBLE) / norm, 6)) AS unit
+    FROM n WHERE norm > 0
+    """,
+)
+def vec_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3c — L2 normalization of the embedding column: cosine similarity
+    degenerates to a dot product on unit vectors, so EVERY retrieval tier
+    in this repo gets cheaper when the corpus is normalized once at
+    ingest — this is that ingest pass. Norm via the ordered-fold dot
+    product (deterministic summation, the repo's cross-engine rule);
+    zero vectors are dropped rather than emitted as NaN/NULL garbage (the
+    int8-quantization query documents the same convention). Each unit
+    component is rounded to 6 for the hash — storage would keep full
+    precision.
+
+    Map-only: one codegen'd fold + one transform per row, no shuffle, no
+    Python — at 100 TB this fuses into whatever scan follows it."""
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    n = e.withColumn("norm", norm).filter(F.col("norm") > 0)
+    return n.select(
+        "vec_id",
+        "label",
+        F.round("norm", 6).alias("l2_norm"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("norm"), 6),
+        ).alias("unit"),
+    )
