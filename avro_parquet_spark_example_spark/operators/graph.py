@@ -597,3 +597,82 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round(F.col("rank").cast("double"), 6).alias("rank"))
+
+
+def _kcore_round_sql(prev: str, out: str, k: int) -> str:
+    """One k-core peel: degrees over the surviving edge set, keep nodes
+    with degree ≥ k, keep edges between kept nodes."""
+    return f"""
+    {out}_deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM {prev}
+            UNION ALL
+            SELECT v FROM {prev}
+        ) GROUP BY node
+    ),
+    {out}_keep AS (SELECT node FROM {out}_deg WHERE d >= {k}),
+    {out} AS (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN {out}_keep a ON a.node = e.u
+        JOIN {out}_keep b ON b.node = e.v
+    )"""
+
+
+#: k-core parameters: threshold and fixed peel rounds (unrolled in SQL).
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_edges_sql()
+    + ", e0 AS (SELECT u, v FROM edges),"
+    + ",".join(
+        _kcore_round_sql(f"e{i}", f"e{i+1}", KCORE_K)
+        for i in range(KCORE_ROUNDS)
+    )
+    + f"""
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e{KCORE_ROUNDS}
+        UNION ALL
+        SELECT v FROM e{KCORE_ROUNDS}
+    ) GROUP BY node
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR7 — k-core decomposition by iterative peeling (k=5, 3 unrolled
+    rounds): repeatedly remove nodes with fewer than k surviving
+    neighbors; what's left approaches the 5-core — the dense backbone
+    used to separate engaged communities from drive-by noise, and the
+    third ORACLE-CHECKED iterative graph algorithm here (min-relaxation
+    BFS, label propagation, now subgraph-restriction peeling — each with
+    a different fixpoint structure). Fixed round count keeps the oracle
+    an exact unrolled-CTE twin; peeling is monotone, so 3 rounds is a
+    sound over-approximation of the core that converges from above
+    (documented, not hidden).
+
+    Scale: per round one degree aggregation (map-side combining) + one
+    semi-join-shaped edge filter; edge set only shrinks. localCheckpoint
+    per round cuts lineage — the same Pregel-on-DataFrames profile as
+    BFS/LPA."""
+    e = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -815,3 +815,92 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EXISTENCE_SQL)
+
+
+#: DuckDB oracle for the nearest as-of: both directional carries via
+#: windows, then pick the closer (ties to the earlier click). The Spark
+#: side is the same algorithm in DataFrame form (the engines disagree on
+#: IGNORE NULLS syntax placement, so the text cannot be shared).
+_ASOF_NEAREST_SQL = """
+    WITH unioned AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, 1 AS side,
+               CAST(NULL AS BIGINT) AS click_us
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT NULL, user_id, EPOCH_US(ts), 0, EPOCH_US(ts)
+        FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+        SELECT event_id, user_id, ts_us, side,
+               LAST_VALUE(click_us IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS prev_click,
+               FIRST_VALUE(click_us IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_click
+        FROM unioned
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE
+             WHEN prev_click IS NULL THEN next_click
+             WHEN next_click IS NULL THEN prev_click
+             WHEN ts_us - prev_click <= next_click - ts_us THEN prev_click
+             ELSE next_click
+           END AS nearest_click_us
+    FROM carried WHERE side = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8c — NEAREST as-of join: each purchase matched to the same user's
+    closest click in EITHER direction (ties to the earlier one) —
+    pandas' ``merge_asof(direction='nearest')``, the alignment rule for
+    sensor fusion and feature snapping where "latest before" is wrong
+    half the time. Completes the repo's as-of family: backward
+    (join_asof_event), backward+TTL (join_asof_tolerance), forward
+    (join_asof_forward), nearest (this).
+
+    Same single-shuffle plan as the others — union both sides, ONE
+    exchange by user, and now TWO ordered carries (last-before and
+    first-after) over the same sort, so the nearest pick is a per-row
+    CASE with no extra shuffle. Same-timestamp clicks sort before
+    purchases (side 0 < 1), making a co-timed click 'before' — distance
+    0, always wins — identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    us = ts_us(ev)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("click_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(0).alias("side"),
+        us.alias("click_us"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_us", "side")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = (
+        purchases.unionByName(clicks)
+        .withColumn("prev_click", F.last("click_us", ignorenulls=True).over(w_prev))
+        .withColumn("next_click", F.first("click_us", ignorenulls=True).over(w_next))
+        .filter(F.col("side") == 1)
+    )
+    t, p, n = F.col("ts_us"), F.col("prev_click"), F.col("next_click")
+    nearest = (
+        F.when(p.isNull(), n)
+        .when(n.isNull(), p)
+        .when(t - p <= n - t, p)
+        .otherwise(n)
+    )
+    return carried.select(
+        "event_id", "user_id", "ts_us", nearest.alias("nearest_click_us")
+    )

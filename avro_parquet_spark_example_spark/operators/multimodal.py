@@ -194,3 +194,109 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("long").alias("frame_no"),
         (F.floor(F.col("n_bytes") / 10) * F.col("frame_no")).cast("int").alias("frame_offset"),
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, MD5(text) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    docs AS (
+        SELECT doc_id, SUBSTR(h, 1, 16) AS ph FROM base
+        UNION ALL
+        SELECT doc_id + 100000, SUBSTR(h, 1, 16) FROM base WHERE doc_id < 50
+    ),
+    bands AS (
+        SELECT doc_id, ph, g.i AS band,
+               SUBSTR(ph, (g.i - 1) * 4 + 1, 4) AS key
+        FROM docs, GENERATE_SERIES(1, 4) g(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+               a.ph AS pi, b.ph AS pj
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT cand.i, cand.j,
+               CAST(SUM(BIT_COUNT(XOR(
+                   STRPOS('0123456789abcdef', SUBSTR(pi, g.p, 1)) - 1,
+                   STRPOS('0123456789abcdef', SUBSTR(pj, g.p, 1)) - 1)))
+                    AS BIGINT) AS hamming
+        FROM cand, GENERATE_SERIES(1, 16) g(p)
+        GROUP BY cand.i, cand.j
+    )
+    SELECT i, j, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hx-dedup — perceptual-hash image dedup, the full pipeline shape:
+    binary payload → 64-bit pHash → 4×16-bit band index → bucketed
+    candidate join → bit-Hamming verify (≤3) — how image corpora are
+    deduped at scale (banding makes it sub-quadratic; Hamming tolerance
+    catches re-encodes and resizes a byte-hash misses). The pHash kernel
+    is the repo's STUB convention (first 64 bits of md5 over the payload
+    — a real deployment swaps a DCT pHash into the same slot; a crypto
+    hash has no visual locality, so only exact payloads land within the
+    tolerance here, which the injected exact duplicates make non-vacuous
+    and the oracle verifies end-to-end including the Hamming math: XOR +
+    popcount per nibble on both engines).
+
+    Scale: identical profile to dedup_simhash — band join on 16-bit
+    keys bounds candidates; the verify touches pairs, not the corpus."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("h")
+    )
+    docs = base.select(
+        "doc_id", F.substring("h", 1, 16).alias("ph")
+    ).unionByName(
+        base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.substring("h", 1, 16).alias("ph"),
+        )
+    )
+    bands = docs.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("ph", (i - 1) * 4 + 1, 4).alias("key"),
+                )
+                for i in range(1, 5)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.ph").alias("pi"),
+            F.col("b.ph").alias("pj"),
+        )
+        .distinct()
+    )
+    hexes = "0123456789abcdef"
+    hamming = sum(
+        F.bit_count(
+            F.expr(
+                f"(instr('{hexes}', substr(pi, {i}, 1)) - 1) "
+                f"^ (instr('{hexes}', substr(pj, {i}, 1)) - 1)"
+            )
+        )
+        for i in range(1, 17)
+    )
+    return cand.select(
+        "i", "j", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= 3)

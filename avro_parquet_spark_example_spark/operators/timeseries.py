@@ -1116,3 +1116,81 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_value",
         F.col("vf").alias("valid_from_us"),
     )
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT event_type, day, n,
+               SUM(n) OVER w AS hist_sum,
+               COUNT(*) OVER w AS hist_n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type, dow ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               ROUND(hist_sum * 1.0 / hist_n, 6) AS forecast,
+               ROUND(ABS(n - hist_sum * 1.0 / hist_n), 6) AS abs_err
+        FROM pred WHERE hist_n > 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           ROUND(SUM(CAST(ROUND(ABS(n - CAST(forecast AS DOUBLE)), 9)
+                          AS DECIMAL(18,9))) / COUNT(*), 6) AS mae
+    FROM scored GROUP BY event_type
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — seasonal-naive forecasting BACKTEST: predict each day's volume
+    as the expanding mean of the same weekday's history, score with MAE
+    per type — the baseline every real forecasting model must beat, and
+    the query that runs it honestly (the expanding window ends at
+    1 PRECEDING, so no day ever sees itself or the future — the leakage
+    rule backtests live or die on).
+
+    Exactness: daily counts are integers; the expanding mean is an exact
+    rational rendered once through a fixed IEEE divide + ROUND; MAE terms
+    are rounded to 9 and summed as DECIMAL(18,9) (the dsum rule) before
+    the final per-type division.
+
+    Scale: one daily aggregation, one (type, weekday)-keyed window over
+    the (types × days) grid, one final roll-up — the raw scan dominates
+    at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pred = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("hist_sum"),
+        F.count(F.lit(1)).over(w).alias("hist_n"),
+    ).filter(F.col("hist_n") > 0)
+    forecast = F.round(F.col("hist_sum") * 1.0 / F.col("hist_n"), 6)
+    err = F.round(F.abs(F.col("n") - forecast.cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        pred.withColumn("err", err)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.sum("err") / F.count(F.lit(1)), 6).alias("mae"),
+        )
+    )
