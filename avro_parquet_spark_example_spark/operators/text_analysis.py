@@ -1090,3 +1090,81 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(50)
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(r), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(LN(c), 9) AS DECIMAL(18,9)) AS y
+        FROM ranked
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx
+        FROM pts
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_slope
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6o — Zipf-law conformance: the OLS slope of ln(frequency) against
+    ln(rank) over the corpus vocabulary. Natural text sits near −1;
+    boilerplate-heavy or template-generated corpora flatten toward 0 and
+    spam blows the tail — a one-number corpus-health check run per crawl
+    snapshot. Same closed-form-OLS-on-exact-moments recipe as
+    ts_trend_ols: per-point logs rounded to 9 and summed as decimals
+    (order-independent), slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²) as one
+    fixed IEEE sequence. Rank ties broken lexicographically so the
+    rank assignment is engine-identical.
+
+    Scale: vocab aggregation combines map-side; the regression runs over
+    vocabulary cardinality, not corpus size. The global rank window IS a
+    single-partition sort — over the vocab, which is the one table where
+    that's fine (≤ millions of rows at 100 TB; document if yours isn't)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = freq.select("c", F.row_number().over(w).alias("r"))
+    x = F.round(F.log("r"), 9).cast("decimal(18,9)")
+    y = F.round(F.log("c"), 9).cast("decimal(18,9)")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -537,3 +537,40 @@ def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_types_7"),
         F.count(F.lit(1)).over(w).alias("n_events_7"),
     )
+
+
+@register(
+    "sample_fixed_k_per_group",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':ksample7'),
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10c — deterministic fixed-k sample PER GROUP (20 docs per
+    language): unlike fraction sampling (sample_stratified), the output
+    size is exact — what eval-set construction and human-review queues
+    need. Ranking by a seeded md5 of the key gives a uniform,
+    rerun-stable order (same trick as sample_train_test_split), and the
+    doc_id tiebreak makes the cut deterministic even under hash
+    collisions. Exactly the reservoir-sampling contract, without
+    reservoir state: one window per group, top-k rows kept.
+
+    Scale: one shuffle by group; Spark's WindowGroupLimit pushes the
+    rn ≤ k filter into the sort, so each partition keeps k rows, not the
+    group."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ksample7")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )

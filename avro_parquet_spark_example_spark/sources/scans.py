@@ -860,3 +860,51 @@ def layout_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("__file").cast("int").alias("n_files"),
     )
+
+
+@register(
+    "export_dataset_card",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           SUM((STRPOS('0123456789abcdef', SUBSTR(MD5(text), 1, 1)) - 1)
+               * 4096
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 2, 1)) - 1)
+               * 256
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 3, 1)) - 1)
+               * 16
+             + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 4, 1)) - 1))
+               AS content_checksum
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def export_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-export — dataset-card statistics row: the single-row summary
+    every published corpus ships (doc/lang/source counts, total size, id
+    range) plus an ORDER-INDEPENDENT content checksum — the sum of each
+    document's 16-bit md5 prefix — so two exports can be compared for
+    content drift without row-order agreement (a concatenated hash would
+    depend on ordering; a commutative sum doesn't, at the price of
+    weaker collision resistance — a drift DETECTOR, not an integrity
+    proof, which the per-doc fn_content_hash sha256 column provides).
+
+    One map-side-combined aggregate pass; at 100 TB the card costs one
+    scan and the checksum rides the same pass as the counts."""
+    hexes = "0123456789abcdef"
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = F.md5("text")
+    digit = lambda i: F.instr(F.lit(hexes), F.substring(h, i, 1)) - 1  # noqa: E731
+    chk = digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(chk).alias("content_checksum"),
+    )
