@@ -1137,16 +1137,36 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank assignment is engine-identical.
 
     Scale: vocab aggregation combines map-side; the regression runs over
-    vocabulary cardinality, not corpus size. The global rank window IS a
-    single-partition sort — over the vocab, which is the one table where
-    that's fine (≤ millions of rows at 100 TB; document if yours isn't)."""
+    vocabulary cardinality, not corpus size — and the global rank is the
+    two-phase bucketed numbering (log2-frequency shards + broadcast
+    offsets), so even a billion-term vocab never funnels through one
+    task."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = freq.select("c", F.row_number().over(w).alias("r"))
+    # Global rank WITHOUT a SinglePartition window (audited against): the
+    # export_global_rownum two-phase pattern, with log2-frequency buckets
+    # as the ordered shards (monotone in c, so bucket order == rank order;
+    # ties share a bucket). Offsets are O(64) driver scalars.
+    bucketed = freq.withColumn("bkt", F.floor(F.log2("c")).cast("long"))
+    w = Window.partitionBy("bkt").orderBy(F.desc("c"), F.asc("tok"))
+    within = bucketed.withColumn("rn", F.row_number().over(w))
+    counts = dict(
+        (r["bkt"], r["n"])
+        for r in bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    acc, offset_rows = 0, []
+    for bkt in sorted(counts, reverse=True):  # highest frequencies rank first
+        offset_rows.append((bkt, acc))
+        acc += counts[bkt]
+    offsets = F.broadcast(
+        spark.createDataFrame(offset_rows, "bkt long, offset long")
+    )
+    ranked = within.join(offsets, "bkt").select(
+        "c", (F.col("offset") + F.col("rn")).alias("r")
+    )
     x = F.round(F.log("r"), 9).cast("decimal(18,9)")
     y = F.round(F.log("c"), 9).cast("decimal(18,9)")
     pts = ranked.select(x.alias("x"), y.alias("y"))
