@@ -979,3 +979,39 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", key).alias("first_event_id"),
         F.max_by("event_type", key).alias("last_event_type"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4d — GROUPING()/grouping-id disambiguation: in a ROLLUP result a
+    NULL key can mean "subtotal row" OR "the data really was NULL" —
+    GROUPING() is the bit that tells them apart, and every BI layer on
+    top of cube results depends on it. Emitted per grouping column plus
+    the packed id (flag·2 + status — spelled out arithmetically because
+    Spark's GROUPING_ID() and DuckDB's GROUPING_ID() pack bits in
+    opposite argument orders; the explicit form is the portable one, and
+    discovering THAT is the point of cross-engine checking).
+
+    Same single-Expand rollup plan as agg_rollup — the grouping flags are
+    free metadata on rows the aggregation already produces."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        (
+            F.grouping("l_returnflag").cast("bigint") * 2
+            + F.grouping("l_linestatus").cast("bigint")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1260,3 +1260,63 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_final"))
     )
     return stage.join(final, "lang")
+
+
+@register(
+    "curation_epoch_plan",
+    oracle="""
+    WITH tok AS (
+        SELECT lang,
+               SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                   AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_langs FROM tok)
+    SELECT t.lang, t.n_tokens,
+           GREATEST(1, LEAST(4, CAST(2 * x.total AS BIGINT)
+                    // (x.n_langs * t.n_tokens))) AS epochs,
+           GREATEST(1, LEAST(4, CAST(2 * x.total AS BIGINT)
+                    // (x.n_langs * t.n_tokens))) * t.n_tokens
+               AS planned_tokens
+    FROM tok t CROSS JOIN tot x
+    """,
+)
+def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-curation — epoch allocation under a token budget (the
+    data-constrained-scaling planning step, Muennighoff et al. 2023:
+    repeating data beyond ~4 epochs stops helping, so a budget is spent
+    as bounded per-domain repeats): each language's fair budget slice is
+    budget/n_langs (budget = 2× the corpus), and its epoch count is
+    ``max(1, min(4, slice // tokens))`` — integer division on exact token
+    counts, floored at one epoch (a repeat plan never drops a domain),
+    so the plan is engine-identical with no float in sight. Low-resource
+    languages hit the 4-epoch cap (their slice dwarfs their data);
+    high-resource ones get 1-2 epochs — exactly the qualitative shape
+    multilingual training plans have.
+
+    One token-count aggregation (map-side combining over per-doc token
+    counts) + a broadcast of the 1-row total; the plan itself is
+    lang-cardinality rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.groupBy("lang").agg(
+        F.sum(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("n_tokens")
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    # every domain trains at least once (dropping a language entirely is
+    # never the intent of a repeat plan), at most 4 epochs (the repeat
+    # ceiling past which returns decay)
+    epochs = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(F.lit(4).cast("bigint"), F.expr("(2 * total) div (n_langs * n_tokens)")),
+    )
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        epochs.alias("epochs"),
+        (epochs * F.col("n_tokens")).alias("planned_tokens"),
+    )

@@ -908,3 +908,53 @@ def export_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum(chk).alias("content_checksum"),
     )
+
+
+@register(
+    "lakehouse_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'es')),
+         v2 AS (SELECT doc_id FROM documents)
+    SELECT (SELECT COUNT(*) FROM v1) AS v1_docs,
+           (SELECT COUNT(*) FROM v2) AS v2_docs,
+           (SELECT COUNT(*) FROM v2
+            WHERE doc_id NOT IN (SELECT doc_id FROM v1)) AS added_in_v2,
+           (SELECT MAX(doc_id) FROM v1) AS v1_max_id
+    """,
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-lakehouse — time-travel reads via immutable version directories:
+    write snapshot v1 (the en/es subset), then v2 (the full corpus) into
+    SIBLING version paths — never overwriting v1 — and answer "what did
+    the table look like at v1?" by reading that path after v2 exists.
+    This is the storage contract under Iceberg/Delta time travel
+    (snapshots are append-only directory trees; a manifest picks the
+    version), built from plain Parquet + a version-naming convention.
+    The query reads BOTH versions and reports the card a reviewer asks
+    for: row counts per version, rows added, and a v1 aggregate proving
+    v1 still answers queries untouched by the v2 write.
+
+    At 100 TB versions share unchanged files via the manifest instead of
+    copying — the read path (pin a version, scan its file set) is
+    exactly what this exercises."""
+    base = load(spark, sf_dir, "documents")
+    v1_path = _scratch("docs_version_v1", sf_dir)
+    v2_path = _scratch("docs_version_v2", sf_dir)
+    base.filter(F.col("lang").isin("en", "es")).write.mode("overwrite").parquet(
+        v1_path
+    )
+    base.write.mode("overwrite").parquet(v2_path)
+    v1 = spark.read.parquet(v1_path)
+    v2 = spark.read.parquet(v2_path)
+    added = v2.join(v1.select("doc_id"), "doc_id", "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                v1.count(),
+                v2.count(),
+                added,
+                v1.agg(F.max("doc_id")).first()[0],
+            )
+        ],
+        "v1_docs bigint, v2_docs bigint, added_in_v2 bigint, v1_max_id bigint",
+    )
