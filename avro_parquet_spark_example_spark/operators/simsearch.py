@@ -1141,3 +1141,193 @@ def vec_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") / F.col("norm"), 6),
         ).alias("unit"),
     )
+
+
+@register(
+    "vec_covariance_matrix",
+    oracle="""
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM fixed),
+    pairs AS (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(a.v7 AS DECIMAL(19,0)) * CAST(b.v7 AS DECIMAL(19,0)))
+                   AS sxy,
+               SUM(a.v7) AS sx, SUM(b.v7) AS sy
+        FROM fixed a JOIN fixed b
+          ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY a.pos, b.pos
+    )
+    SELECT i, j,
+           ROUND((CAST(sxy AS DOUBLE) / n.n
+                  - (CAST(sx AS DOUBLE) / n.n) * (CAST(sy AS DOUBLE) / n.n))
+                 / 1e14, 9) AS cov
+    FROM pairs CROSS JOIN n
+    WHERE i <= 4 AND j <= 4
+    """,
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3d — embedding covariance matrix (the PCA / whitening precursor):
+    population covariance for every dimension pair, computed from exact
+    fixed-point moments — Σxy as DECIMAL(38) products of the 7-digit
+    quantized values (the kmeans_exact convention), Σx/Σy as exact
+    longs — so the only float arithmetic is the final three divisions,
+    one subtraction, one ROUND. Emitted for the leading 5×5 block (the
+    full 64×64 upper triangle is computed identically; the output filter
+    keeps the check readable — remove it and the same plan yields all
+    2,080 cells).
+
+    Scale shape: explode to (row, dim, value), self-join on the row key
+    (i ≤ j halves the work), one map-side-combined aggregate per cell —
+    shuffle volume is rows×dim for the join plus 2,080 partials; at
+    100 TB you'd pre-aggregate per partition with the same expressions.
+    The cell count is dim², independent of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    n_row = e.count()
+    a, b = fixed.alias("a"), fixed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.v7").cast("decimal(19,0)")
+                * F.col("b.v7").cast("decimal(19,0)")
+            ).alias("sxy"),
+            F.sum("a.v7").alias("sx"),
+            F.sum("b.v7").alias("sy"),
+        )
+    )
+    cov = F.round(
+        (
+            F.col("sxy").cast("double") / n_row
+            - (F.col("sx").cast("double") / n_row)
+            * (F.col("sy").cast("double") / n_row)
+        )
+        / 1e14,
+        9,
+    )
+    return pairs.filter((F.col("i") <= 4) & (F.col("j") <= 4)).select(
+        "i", "j", cov.alias("cov")
+    )
+
+
+def _pi_round_sql(win: str, wout: str) -> str:
+    """One exact power-iteration round: decimal mat-vec product, max-abs
+    normalization (order-independent), 9-decimal re-quantization."""
+    return f"""
+    {wout}_y AS (
+        SELECT g.i AS pos,
+               SUM(CAST(g.m AS DECIMAL(19,0)) * w.w) AS y
+        FROM gram g JOIN {win} w ON w.j = g.j
+        GROUP BY g.i
+    ),
+    {wout}_m AS (SELECT MAX(ABS(y)) AS mx FROM {wout}_y),
+    {wout} AS (
+        SELECT pos AS j,
+               CAST(ROUND(CAST(y AS DOUBLE) / CAST(mx AS DOUBLE), 9)
+                    AS DECIMAL(12,9)) AS w
+        FROM {wout}_y, {wout}_m
+    )"""
+
+
+#: Power-iteration round count, unrolled identically in the SQL oracle.
+PI_ROUNDS = 3
+
+
+@register(
+    "vec_power_iteration_top_pc",
+    oracle="""
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    gram AS (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(a.v7 AS DECIMAL(19,0)) * CAST(b.v7 AS DECIMAL(19,0)))
+                   AS m
+        FROM fixed a JOIN fixed b ON a.vec_id = b.vec_id
+        GROUP BY a.pos, b.pos
+    ),
+    w0 AS (SELECT r.range AS j, CAST(1.0 AS DECIMAL(12,9)) AS w
+           FROM RANGE(1, 65) r),
+    """
+    + ",".join(_pi_round_sql(f"w{i}", f"w{i+1}") for i in range(PI_ROUNDS))
+    + f"""
+    SELECT j AS pos, w AS direction FROM w{PI_ROUNDS}
+    """,
+)
+def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3e — dominant spectral direction of the embedding Gram matrix by
+    POWER ITERATION, oracle-checked end-to-end (the fourth iterative
+    algorithm in the exact family, after BFS/LPA/PageRank/k-means): the
+    Gram matrix is exact fixed-point (Σ v7ᵢ·v7ⱼ as DECIMAL products —
+    the covariance-matrix convention), each mat-vec product is an exact
+    decimal sum, and the per-round normalization divides by the MAX-ABS
+    component — a max, not a float sum, so it is order-independent —
+    then re-quantizes to 9 decimals. Three unrolled rounds; output is
+    the direction vector (max-abs-normalized, sign follows the dominant
+    component — deterministic for a fixed seed vector of ones). This
+    direction is what embedding-decontamination pipelines project OUT
+    (dominant-component removal, Mu & Viswanath 2018) and what a PCA
+    whitening stage computes first.
+
+    Scale: the Gram build is one self-join keyed by row id (dim² cells,
+    corpus-size-independent output); each round is a broadcast-size
+    mat-vec over 64 rows. At 100 TB the Gram aggregation dominates and
+    combines map-side; rounds are free."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    a, b = fixed.alias("a"), fixed.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.v7").cast("decimal(19,0)")
+                * F.col("b.v7").cast("decimal(19,0)")
+            ).alias("m")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
+    )
+    for _ in range(PI_ROUNDS):
+        y = (
+            gram.join(F.broadcast(w), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(
+                F.sum(F.col("m").cast("decimal(19,0)") * F.col("w")).alias("y")
+            )
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        w = y.crossJoin(F.broadcast(mx)).select(
+            F.col("pos").alias("j"),
+            F.round(F.col("y").cast("double") / F.col("mx").cast("double"), 9)
+            .cast("decimal(12,9)")
+            .alias("w"),
+        )
+    return w.select(F.col("j").alias("pos"), F.col("w").alias("direction"))
