@@ -1331,3 +1331,139 @@ def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     return w.select(F.col("j").alias("pos"), F.col("w").alias("direction"))
+
+
+@register(
+    "vec_remove_top_component",
+    oracle="""
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    gram AS (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(a.v7 AS DECIMAL(19,0)) * CAST(b.v7 AS DECIMAL(19,0)))
+                   AS m
+        FROM fixed a JOIN fixed b ON a.vec_id = b.vec_id
+        GROUP BY a.pos, b.pos
+    ),
+    w0 AS (SELECT r.range AS j, CAST(1.0 AS DECIMAL(12,9)) AS w
+           FROM RANGE(1, 65) r),
+    """
+    + ",".join(_pi_round_sql(f"w{i}", f"w{i+1}") for i in range(PI_ROUNDS))
+    + f"""
+    , unit_n AS (
+        SELECT SUM(CAST(w * w AS DECIMAL(30,18))) AS n2 FROM w{PI_ROUNDS}
+    ),
+    unit AS (
+        SELECT j, CAST(ROUND(CAST(w AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)), 9)
+                       AS DECIMAL(12,9)) AS u
+        FROM w{PI_ROUNDS}, unit_n
+    ),
+    proj AS (
+        SELECT f.vec_id,
+               SUM(CAST(f.v7 AS DECIMAL(19,0)) * u.u) AS dot7
+        FROM fixed f JOIN unit u ON u.j = f.pos
+        WHERE f.vec_id < 50
+        GROUP BY f.vec_id
+    )
+    SELECT f.vec_id, f.pos,
+           ROUND(f.v7 / 1e7
+                 - (CAST(p.dot7 AS DOUBLE) / 1e7) * CAST(u.u AS DOUBLE),
+                 6) AS residual
+    FROM fixed f
+    JOIN proj p ON p.vec_id = f.vec_id
+    JOIN unit u ON u.j = f.pos
+    WHERE f.vec_id < 50
+    """,
+)
+def vec_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3f — dominant-component removal (Mu & Viswanath 2018, the
+    "all-but-the-top" post-processing): embeddings share a large common
+    direction that swamps cosine comparisons; subtracting each vector's
+    projection onto the top spectral direction measurably improves
+    retrieval. Composes vec_power_iteration_top_pc end-to-end: power
+    iteration → L2-unit direction (norm from an exact decimal sum of
+    squares, one sqrt) → per-vector projection (exact decimal dot) →
+    residual, all on the repo's fixed-point/quantization conventions, so
+    the whole three-stage pipeline is ONE oracle-checked query. Emitted
+    for a 50-vector sample in long form; the same plan maps over the
+    full corpus.
+
+    Scale: the direction is 64 rows (broadcast); the projection and
+    residual are map-side expressions over the exploded corpus — one
+    aggregate per vector, no extra shuffle beyond the Gram build it
+    shares with the power iteration."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    ).localCheckpoint(eager=True)
+    a, b = fixed.alias("a"), fixed.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.v7").cast("decimal(19,0)")
+                * F.col("b.v7").cast("decimal(19,0)")
+            ).alias("m")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
+    )
+    for _ in range(PI_ROUNDS):
+        y = (
+            gram.join(F.broadcast(w), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(
+                F.sum(F.col("m").cast("decimal(19,0)") * F.col("w")).alias("y")
+            )
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        w = y.crossJoin(F.broadcast(mx)).select(
+            F.col("pos").alias("j"),
+            F.round(F.col("y").cast("double") / F.col("mx").cast("double"), 9)
+            .cast("decimal(12,9)")
+            .alias("w"),
+        )
+    n2 = w.agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(30,18)")).alias("n2")
+    )
+    unit = w.crossJoin(F.broadcast(n2)).select(
+        "j",
+        F.round(
+            F.col("w").cast("double") / F.sqrt(F.col("n2").cast("double")), 9
+        )
+        .cast("decimal(12,9)")
+        .alias("u"),
+    )
+    sample = fixed.filter(F.col("vec_id") < 50)
+    proj = (
+        sample.join(F.broadcast(unit), sample["pos"] == unit["j"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v7").cast("decimal(19,0)") * F.col("u")).alias("dot7")
+        )
+    )
+    return (
+        sample.join(F.broadcast(proj), "vec_id")
+        .join(F.broadcast(unit), sample["pos"] == unit["j"])
+        .select(
+            "vec_id",
+            "pos",
+            F.round(
+                F.col("v7") / 1e7
+                - (F.col("dot7").cast("double") / 1e7)
+                * F.col("u").cast("double"),
+                6,
+            ).alias("residual"),
+        )
+    )
