@@ -47,6 +47,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "text_bigram_logprob": "broadcast 1-row vocab-size cross join",
         "eval_retrieval_metrics": "broadcast 5-row query batch (batch-cardinality by design)",
         "text_collocations_pmi": "broadcast 1-row token-total cross join",
+        "curation_epoch_plan": "broadcast 1-row corpus-total cross join",
+        "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
+        "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {
