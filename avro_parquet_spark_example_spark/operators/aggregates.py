@@ -1015,3 +1015,53 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_time_multigrain",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               DATE_TRUNC('week', CAST(ts AS DATE)) AS wk,
+               DATE_TRUNC('month', CAST(ts AS DATE)) AS mon
+        FROM events
+    )
+    SELECT event_type, day, wk, mon, COUNT(*) AS n,
+           GROUPING(day) * 4 + GROUPING(wk) * 2 + GROUPING(mon) AS grain
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, day), (event_type, wk),
+                            (event_type, mon))
+    """,
+)
+def agg_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4e — multi-grain time rollup in ONE pass: daily, weekly, and
+    monthly counts per event type from a single GROUPING SETS over
+    derived calendar columns — the OLAP pattern that replaces three
+    separate scans with one Expand (Spark materializes each row once per
+    grouping set and aggregates all grains in the same shuffle). The
+    grain id (packed GROUPING bits, spelled arithmetically per
+    agg_grouping_id's portability rule) tells a dashboard which grain a
+    row belongs to without NULL-sniffing the key columns.
+
+    At 100 TB this is 3× fewer scans than grain-per-query; the Expand
+    multiplies rows before the map-side combine, so partial aggregation
+    still bounds the shuffle to (types × (days + weeks + months))."""
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    base = e.select(
+        "event_type",
+        day.alias("day"),
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        F.date_trunc("month", day).cast("date").alias("mon"),
+    )
+    base.createOrReplaceTempView("__multigrain_base")
+    return spark.sql(
+        """
+        SELECT event_type, day, wk, mon, COUNT(*) AS n,
+               GROUPING(day) * 4 + GROUPING(wk) * 2 + GROUPING(mon) AS grain
+        FROM __multigrain_base
+        GROUP BY GROUPING SETS ((event_type, day), (event_type, wk),
+                                (event_type, mon))
+        """
+    )

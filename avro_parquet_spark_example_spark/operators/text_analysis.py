@@ -1188,3 +1188,74 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(4, len(w) + 1),
+                                     i -> w[i-3] || ' ' || w[i-2] || ' '
+                                          || w[i-1] || ' ' || w[i])) AS g
+        FROM ws
+    ),
+    df AS (SELECT g, COUNT(*) AS docs FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           (20 * SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END)
+              >= 19 * COUNT(*)) AS is_novel_doc
+    FROM grams JOIN df ON df.g = grams.g
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6p — n-gram NOVELTY scoring: per document, how many of its
+    distinct 4-grams appear in NO other document — the inverse of the
+    contamination check (dedup_contamination asks "is this eval data?";
+    novelty asks "is this document contributing anything the corpus
+    doesn't already have?"). Low-novelty docs are re-hashes — prime
+    dedup/downsample candidates; the ≥95% flag (cross-multiplied
+    ``20·novel ≥ 19·total``, integer-exact) marks genuinely fresh docs.
+
+    Scale: distinct doc-grams explode once, the document-frequency table
+    aggregates map-side, and the join back is by gram key — the inverted-
+    index profile. A doc's own duplicate grams are collapsed by the
+    DISTINCT before counting, so boilerplate inside one doc doesn't
+    inflate its novelty."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    n = F.size("w")
+    grams4 = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(4), n),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i - 3),
+                F.element_at("w", i - 2),
+                F.element_at("w", i - 1),
+                F.element_at("w", i),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = ws.select("doc_id", F.explode(grams4).alias("g")).distinct()
+    df_tbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
+    novel = F.sum(F.when(F.col("docs") == 1, 1).otherwise(0))
+    return (
+        grams.join(df_tbl, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (20 * novel >= 19 * F.count(F.lit(1))).alias("is_novel_doc"),
+        )
+    )

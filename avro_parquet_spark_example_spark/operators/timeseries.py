@@ -1194,3 +1194,45 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("err") / F.count(F.lit(1)), 6).alias("mae"),
         )
     )
+
+
+@register(
+    "ts_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type, DATE_TRUNC('week', CAST(ts AS DATE)) AS wk,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk, n,
+           LAG(n) OVER w AS prev_n,
+           ROUND((n - LAG(n) OVER w) * 1.0 / LAG(n) OVER w, 6) AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    """,
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — week-over-week growth per event type: the KPI delta every
+    operations dashboard leads with, as weekly truncation + one lag
+    window + an exact-integer-ratio growth rate (counts are integers, the
+    division is one IEEE op + ROUND). First week of each series keeps
+    NULL growth — the honest value, not 0. Week boundaries come from
+    DATE_TRUNC('week'), which both engines define as Monday-start ISO
+    weeks over DATE inputs.
+
+    Scale: the weekly grid is (types × weeks) rows; everything after the
+    map-side-combined weekly count is negligible at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "wk",
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) * 1.0 / prev, 6).alias("wow_growth"),
+    )
