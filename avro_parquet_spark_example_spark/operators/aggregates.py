@@ -1065,3 +1065,47 @@ def agg_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_type, mon))
         """
     )
+
+
+@register(
+    "agg_share_of_total",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_mktsegment
+    ),
+    t AS (SELECT SUM(n) AS tn, SUM(CAST(bal AS DECIMAL(30,4))) AS tb FROM g)
+    SELECT g.c_mktsegment, g.n, g.bal,
+           ROUND(g.n * 1.0 / t.tn, 6) AS n_share,
+           ROUND(g.bal / CAST(t.tb AS DOUBLE), 6) AS bal_share
+    FROM g CROSS JOIN t
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1b — percent-of-total per group: each segment's share of customers
+    and of balance — the normalization every mixture report and BI pie
+    needs. Spelled as aggregate + 1-row-total broadcast rather than a
+    ``SUM() OVER ()`` empty window, because the empty window is an
+    Exchange SinglePartition (audited against) while the broadcast total
+    costs one extra low-cardinality aggregate and keeps every stage
+    parallel. The balance total re-sums the group DOUBLES through a
+    decimal cast (exact: each group value carries ≤4 decimals by
+    construction), so shares are order-independent."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal").alias("bal"),
+    )
+    t = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum(F.col("bal").cast("decimal(30,4)")).alias("tb"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "c_mktsegment",
+        "n",
+        "bal",
+        F.round(F.col("n") * 1.0 / F.col("tn"), 6).alias("n_share"),
+        F.round(F.col("bal") / F.col("tb").cast("double"), 6).alias("bal_share"),
+    )

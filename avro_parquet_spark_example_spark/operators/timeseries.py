@@ -1236,3 +1236,52 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_n"),
         F.round((F.col("n") - prev) * 1.0 / prev, 6).alias("wow_growth"),
     )
+
+
+@register(
+    "ts_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+        SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    daily_new AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS n_new
+        FROM first_seen GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cum_users
+    FROM daily_new
+    """,
+)
+def ts_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — cumulative distinct users over time (the audience-growth
+    curve): naïvely a COUNT(DISTINCT) over an expanding window — which
+    engines either forbid (Spark) or evaluate by re-scanning the frame —
+    but a user's contribution to the curve is fully determined by their
+    FIRST day, so the exact curve is min-day per (type, user) → new-users
+    per day → one running integer sum. This reformulation is the
+    difference between O(days × users) window state and two shuffles at
+    100 TB, and it's exact, not a sketch.
+
+    Scale: one (type, user)-keyed min aggregate (map-side combining), a
+    (type, day) roll-up, and a running sum over the tiny daily grid."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
