@@ -396,6 +396,91 @@ def retrieval_scaleup(spark, factor: int = FACTOR) -> int:
     return 0
 
 
+def synthesize_vectors(spark, factor: int) -> str:
+    """×factor embeddings + events under /tmp: factor−1 extra copies of
+    every embedding (shifted vec_ids, SAME vectors/labels) and of every
+    event (shifted event_ids, SAME user/type/ts) — duplication leaves
+    population covariance, the Gram direction, and per-type distinct-user
+    counts mathematically unchanged, which is what the invariants pin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scaleup_vectors_x{factor}"
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+        parts = [emb]
+        for k in range(1, factor):
+            parts.append(
+                emb.withColumn("vec_id", F.col("vec_id") + 1_000_000 * k)
+            )
+        big_e = parts[0]
+        for p_ in parts[1:]:
+            big_e = big_e.unionByName(p_)
+        big_e.write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+        ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+        eparts = [ev]
+        for k in range(1, factor):
+            eparts.append(
+                ev.withColumn("event_id", F.col("event_id") + 10_000_000 * k)
+            )
+        big_v = eparts[0]
+        for p_ in eparts[1:]:
+            big_v = big_v.unionByName(p_)
+        big_v.write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
+    return out
+
+
+def vectors_scaleup(spark, factor: int = FACTOR) -> int:
+    """Spectral + bitmap ops at 1× vs ×factor with duplication invariants:
+    covariance and the power-iteration direction are invariant to exact
+    row duplication (sums and n scale together), and bitmap distincts are
+    invariant to duplicate events (same user ids OR to the same bits)."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    big = synthesize_vectors(spark, factor)
+    results = {}
+    for name in (
+        "vec_covariance_matrix",
+        "vec_power_iteration_top_pc",
+        "agg_bitmap_exact_distinct",
+    ):
+        raw = get_query(name).fn
+        t1, r1 = time_op(raw, spark, BASE)
+        tf_, rf = time_op(raw, spark, big)
+        alpha = math.log(tf_ / max(t1, 1e-9)) / math.log(factor)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {factor}x {tf_:.2f}s "
+            f"({rf} rows) | alpha {alpha:.2f}"
+        )
+        results[name] = (
+            sorted(map(tuple, raw(spark, BASE).collect())),
+            sorted(map(tuple, raw(spark, big).collect())),
+        )
+    # exact invariants
+    one, big_r = results["agg_bitmap_exact_distinct"]
+    assert one == big_r, "bitmap distincts changed under duplication"
+    one, big_r = results["vec_covariance_matrix"]
+    assert len(one) == len(big_r)
+    for a, b in zip(one, big_r):
+        assert a[:2] == b[:2] and abs(a[2] - b[2]) <= 1e-8, (a, b)
+    one, big_r = results["vec_power_iteration_top_pc"]
+    assert len(one) == len(big_r) == 64
+    for a, b in zip(one, big_r):
+        assert a[0] == b[0] and abs(float(a[1]) - float(b[1])) <= 1e-8, (a, b)
+    print(
+        "invariant OK: bitmap distincts exact-equal; covariance and "
+        "direction within 1e-8 under x%d duplication" % factor
+    )
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -434,9 +519,18 @@ def main() -> int:
         action="store_true",
         help="sparse-cosine/BM25 10x stress with the duplicate-copy invariant",
     )
+    ap.add_argument(
+        "--vectors",
+        type=int,
+        default=None,
+        metavar="FACTOR",
+        help="spectral/bitmap stress (covariance, power iteration, bitmap distinct) at the given factor",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
+    if args.vectors:
+        return vectors_scaleup(spark, args.vectors)
     if args.retrieval:
         from avro_parquet_spark_example_spark.session import configure
 
