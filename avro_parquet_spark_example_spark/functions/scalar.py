@@ -548,3 +548,35 @@ def fn_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_keyed"),
         F.substring(F.sha2("text", 256), 1, 16).alias("shard_key"),
     )
+
+
+@register(
+    "fn_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           TO_BASE64(CAST(SUBSTR(text, 1, 30) AS BLOB)) AS b64,
+           (CAST(FROM_BASE64(TO_BASE64(CAST(SUBSTR(text, 1, 30) AS BLOB)))
+                 AS VARCHAR) = SUBSTR(text, 1, 30)) AS roundtrip_ok,
+           LENGTH(TO_BASE64(CAST(SUBSTR(text, 1, 30) AS BLOB))) AS b64_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1e — base64 transport encoding: binary payloads cross JSON/HTTP
+    boundaries as base64 (webhook bodies, Avro-in-JSON, API blobs), and
+    the encode must be byte-portable — RFC 4648 with padding, no line
+    wrapping — or downstream systems see different ciphertext for the
+    same bytes. Encode, decode, verify the round-trip, and emit the
+    encoded length (⌈n/3⌉·4 with padding — the capacity-planning
+    number). Spark's base64/unbase64 and DuckDB's to/from_base64 must
+    render identical strings for the hash to pass, which is the
+    portability claim itself. Pure per-row JVM ops, map-only."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    head = F.substring("text", 1, 30)
+    b64 = F.base64(F.encode(head, "utf-8"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "utf-8") == head).alias("roundtrip_ok"),
+        F.length(b64).alias("b64_len"),
+    )

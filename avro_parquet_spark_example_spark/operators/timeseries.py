@@ -1285,3 +1285,79 @@ def ts_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+@register(
+    "ts_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, EPOCH_US(ts) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS c_id, user_id, EPOCH_US(ts) AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.p_id, p.user_id, c.c_id
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts > p.p_ts - 604800000000
+    ),
+    credits AS (
+        SELECT p_id, user_id, c_id,
+               CAST(ROUND(1.0 / COUNT(*) OVER (PARTITION BY p_id), 9)
+                    AS DECIMAL(18,9)) AS credit
+        FROM touches
+    )
+    SELECT user_id,
+           COUNT(DISTINCT p_id) AS n_attributed_purchases,
+           COUNT(*) AS n_touches,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS total_credit
+    FROM credits GROUP BY user_id
+    """,
+)
+def ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — LINEAR multi-touch attribution: every click in the 7 days
+    before a purchase shares the conversion credit equally (1/n per
+    touch) — the standard middle ground between first- and last-touch
+    (which the as-of family already computes). The 7-day lookback bounds
+    the join: equi on user + a time band, so it's a hash join with a
+    post-probe range predicate, never a full history cross product.
+
+    Exactness: credits are 1/n rationals rounded to 9 and summed as
+    DECIMAL(18,9) (order-independent); a purchase's credits sum to
+    round(1/n,9)·n ≈ 1 exactly-as-rounded on both engines.
+
+    At 100 TB the week-band join is the whole cost; partitioning both
+    sides by user and bucketing time (the interval-overlap recipe) keeps
+    probe state bounded."""
+    e = load(spark, sf_dir, "events")
+    us = ts_us(e)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", us.alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - 604_800_000_000),
+    ).select("p_id", "user_id", "c_id")
+    w = Window.partitionBy("p_id")
+    credits = touches.withColumn(
+        "credit",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 9).cast(
+            "decimal(18,9)"
+        ),
+    )
+    return credits.groupBy("user_id").agg(
+        F.countDistinct("p_id").alias("n_attributed_purchases"),
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+    )

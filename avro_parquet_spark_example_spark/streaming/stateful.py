@@ -821,3 +821,40 @@ def stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stream_window_unique_users",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS win_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — streaming DISTINCT users per hour window: Spark's streaming
+    engine forbids COUNT(DISTINCT) in aggregations, so the production
+    composition is ``dropDuplicates`` on (window-bucketed time, user) —
+    watermark-bounded dedup state — followed by an ordinary windowed
+    count. Two stateful operators chained in one stream, each with
+    bounded state (the dedup set and the window counts both expire with
+    the watermark); the oracle is the batch COUNT(DISTINCT) the stream
+    must converge to. Complete output mode emits the final count per
+    window at end-of-stream.
+
+    At scale this is THE uniques-per-window recipe (exact within the
+    watermark horizon; beyond it you'd swap the dedup for HLL state)."""
+    stream = read_events_stream(spark, sf_dir)
+    bucketed = (
+        stream.withWatermark("ts", "10 minutes")
+        .select(
+            F.window("ts", "1 hour").alias("win"),
+            "user_id",
+        )
+        .dropDuplicates(["win", "user_id"])
+    )
+    agg = bucketed.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.col("win.start").alias("win_start"), "n_users")
+    return run_to_table(agg, "complete")
