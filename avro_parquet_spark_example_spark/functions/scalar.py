@@ -580,3 +580,50 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.decode(F.unbase64(b64), "utf-8") == head).alias("roundtrip_ok"),
         F.length(b64).alias("b64_len"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> strlen(w) >= 6 AND w LIKE 'v%') AS l
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT b.doc_id, u.s.p AS pos, u.s.w AS word
+    FROM base b
+    LEFT JOIN LATERAL (
+        SELECT UNNEST(list_transform(range(1, len(b.l) + 1),
+                                     i -> {'p': i, 'w': b.l[i]})) AS s
+    ) u ON TRUE
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4b — OUTER generator semantics (``posexplode_outer``): exploding
+    an empty (or NULL) array normally DELETES the parent row — silent row
+    loss that corrupts any later per-document aggregate. The outer form
+    keeps the row with NULL position/value, and this query pins exactly
+    that contract: documents with no long v-words (~90% of the corpus)
+    survive as a single NULL-word row (the DuckDB twin spells it LEFT JOIN LATERAL UNNEST —
+    the relational meaning of an outer generator). Positions are
+    1-aligned on both sides.
+
+    Map-side generator, no shuffle; at 100 TB the outer-vs-inner choice
+    is a correctness decision, not a cost one — which is why it's pinned
+    here."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # ~90% of docs have NO ≥6-char v-word — the outer branch is the
+    # common case, not a corner (a predicate every doc satisfies would
+    # make the outer semantics vacuous)
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: (F.length(w) >= 6) & w.startswith("v"),
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+    )

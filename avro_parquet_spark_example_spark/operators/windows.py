@@ -574,3 +574,49 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@register(
+    "set_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0),
+         b AS (SELECT c_nationkey AS k FROM customer
+               WHERE c_mktsegment = 'BUILDING')
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+        SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ) GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, COUNT(*) FROM (
+        SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    ) GROUP BY k
+    """,
+)
+def set_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8b — BAG (multiset) set operations: INTERSECT ALL keeps
+    min(m, n) copies of a value present m and n times, EXCEPT ALL keeps
+    m − n — semantics the DISTINCT forms (set_intersect/set_except)
+    silently collapse, and the difference matters whenever rows carry
+    multiplicity meaning (inventory reconciliation, event diffing).
+    Summarized as per-key multiplicities so the hash pins the COUNTS the
+    bag semantics produce, not just membership.
+
+    Spark plans both as aggregate-then-join (counts per key, no row
+    explosion) — the same shape it uses at any scale."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select(F.col("c_nationkey").alias("k"))
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)
