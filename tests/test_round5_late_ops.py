@@ -1,0 +1,145 @@
+"""Invariant tests for the later round-5 additions (as-of family
+completion, spectral ops, k-core, pHash dedup, attribution, bag set ops).
+As in test_round5_ops: the oracle proves engine agreement; these pin the
+claimed SEMANTICS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def test_asof_nearest_is_no_farther_than_either_direction(spark, sf_dir):
+    near = {
+        r["event_id"]: (r["ts_us"], r["nearest_click_us"])
+        for r in get_query("join_asof_nearest").fn(spark, sf_dir).collect()
+    }
+    back = {
+        r["event_id"]: r["fresh_click_us"]
+        for r in get_query("join_asof_tolerance").fn(spark, sf_dir).collect()
+    }
+    assert near
+    for eid, (ts, nc) in near.items():
+        if nc is None:
+            continue
+        b = back.get(eid)
+        if b is not None:  # backward match exists (and was fresh): nearest
+            assert abs(ts - nc) <= ts - b  # must be at least as close
+
+
+def test_kcore_monotone_and_bounded(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.graph import (
+        KCORE_K,
+        cooccurrence_edges,
+    )
+
+    core = get_query("graph_kcore_peel").fn(spark, sf_dir)
+    nodes = {r["node"] for r in core.collect()}
+    e = cooccurrence_edges(spark, sf_dir)
+    deg0 = {
+        r["node"]: r["d"]
+        for r in e.selectExpr("u AS node")
+        .unionByName(e.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    # peeling only removes: survivors are original nodes whose ORIGINAL
+    # degree was at least k (necessary condition of surviving round 1)
+    assert nodes <= set(deg0)
+    assert all(deg0[n] >= KCORE_K for n in nodes)
+    # final degrees can't exceed original ones
+    for r in get_query("graph_kcore_peel").fn(spark, sf_dir).collect():
+        assert r["degree"] <= deg0[r["node"]]
+
+
+def test_phash_dedup_catches_all_injected_copies(spark, sf_dir):
+    pairs = {
+        (r["i"], r["j"])
+        for r in get_query("multimodal_phash_dedup").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("text").isNotNull() & (F.col("doc_id") < 50)
+        ).collect()
+    }
+    for d in injected:
+        assert (d, d + 100000) in pairs, f"missing injected pair for {d}"
+    # tolerance respected
+    for r in get_query("multimodal_phash_dedup").fn(spark, sf_dir).collect():
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_power_iteration_normalized_and_deterministic(spark, sf_dir):
+    a = get_query("vec_power_iteration_top_pc").fn(spark, sf_dir).collect()
+    b = get_query("vec_power_iteration_top_pc").fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    mx = max(abs(float(r["direction"])) for r in a)
+    assert abs(mx - 1.0) < 1e-9  # max-abs normalization
+    assert len(a) == 64
+
+
+def test_kmeans_exact_partitions_corpus(spark, sf_dir):
+    rows = get_query("cluster_kmeans_exact").fn(spark, sf_dir).collect()
+    clusters = {r["cluster"] for r in rows}
+    assert clusters == {0, 1, 2, 3}
+    n_total = {r["cluster"]: r["n"] for r in rows}
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(n_total.values()) == n_vecs
+    assert len(rows) == 4 * 64  # full centroid table
+
+
+def test_attribution_credits_conserve(spark, sf_dir):
+    rows = get_query("ts_attribution_linear").fn(spark, sf_dir).collect()
+    assert rows
+    total_purchases = sum(r["n_attributed_purchases"] for r in rows)
+    total_credit = sum(r["total_credit"] for r in rows)
+    # each attributed purchase distributes ~1.0 credit (round-9 per touch)
+    assert abs(total_credit - total_purchases) < 1e-3 * max(total_purchases, 1)
+    for r in rows:
+        assert r["n_touches"] >= r["n_attributed_purchases"]
+
+
+def test_bag_semantics_multiplicities(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ca = (
+        c.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    cb = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    m_a = {r["c_nationkey"]: r["count"] for r in ca}
+    m_b = {r["c_nationkey"]: r["count"] for r in cb}
+    got = get_query("set_bag_semantics").fn(spark, sf_dir).collect()
+    for r in got:
+        if r["op"] == "intersect_all":
+            assert r["n"] == min(m_a.get(r["k"], 0), m_b.get(r["k"], 0))
+        else:
+            assert r["n"] == m_a.get(r["k"], 0) - m_b.get(r["k"], 0)
+
+
+def test_seasonal_baseline_scores_only_with_history(spark, sf_dir):
+    rows = get_query("ts_seasonal_baseline").fn(spark, sf_dir).collect()
+    assert rows
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date"))
+        .count()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n_days = {r["event_type"]: r["count"] for r in daily}
+    for r in rows:
+        assert r["mae"] >= 0
+        # first occurrence of each weekday is unscored
+        assert r["n_scored"] < n_days[r["event_type"]]
