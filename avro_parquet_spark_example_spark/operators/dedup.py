@@ -1428,3 +1428,78 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
         )
     )
+
+
+@register(
+    "dedup_exact_quality_pick",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+    ),
+    inj AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT doc_id + 100000, text, lang FROM base WHERE doc_id < 50
+    ),
+    scored AS (
+        SELECT doc_id, lang, lower(trim(text)) AS norm,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               w -> strlen(w) >= 5)) AS quality
+        FROM inj
+    )
+    SELECT norm_hash, doc_id AS canonical_doc, quality, group_size
+    FROM (
+        SELECT MD5(norm) AS norm_hash, doc_id, quality,
+               COUNT(*) OVER (PARTITION BY norm) AS group_size,
+               ROW_NUMBER() OVER (PARTITION BY norm
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1 AND group_size >= 2
+    """,
+)
+def dedup_exact_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1b — QUALITY-AWARE canonical selection: exact dedup normally keeps
+    the lowest id (dedup_exact) — fine for byte-identical copies, but
+    near-canonical groups (same normalized text, different metadata)
+    should keep the BEST member. Here the winner is the doc with the most
+    ≥5-char words (a stand-in for any quality score — the Gopher
+    counters slot straight in), tiebreak doc_id; only groups with real
+    duplicates (size ≥ 2 — the injected copies) are reported. Same
+    hash-key shuffle as dedup_exact (32-byte md5 group keys in the
+    output; the window partitions on the normalized text itself, which
+    at production scale you'd replace with its hash — value-identical
+    here by md5 collision-freedom over the fixture).
+
+    The plan is one window over the dedup key — identical cost to
+    keep-lowest-id; quality-aware selection is free once a score column
+    exists, which is why pipelines should never settle for min(id)."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    inj = with_injected_duplicates(base)
+    norm = F.lower(F.trim(F.col("text")))
+    quality = F.size(
+        F.filter(
+            F.split(norm, r"\s+"), lambda w: F.length(w) >= 5
+        )
+    )
+    scored = inj.select(
+        "doc_id",
+        norm.alias("norm"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("norm")
+    wo = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter((F.col("rn") == 1) & (F.col("group_size") >= 2))
+        .select(
+            F.md5("norm").alias("norm_hash"),
+            F.col("doc_id").alias("canonical_doc"),
+            "quality",
+            "group_size",
+        )
+    )

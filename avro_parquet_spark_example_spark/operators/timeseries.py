@@ -1361,3 +1361,85 @@ def ts_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
     )
+
+
+@register(
+    "ts_changepoint_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sided AS (
+        SELECT event_type, day,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS prev_sum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS prev_n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+                   AS next_sum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+                   AS next_n
+        FROM daily
+    ),
+    full_windows AS (
+        SELECT event_type, day,
+               ABS(7 * next_sum - 7 * prev_sum) AS shift7
+        FROM sided WHERE prev_n = 7 AND next_n = 7
+    )
+    SELECT event_type, day AS changepoint_day,
+           ROUND(shift7 / 49.0, 6) AS mean_shift
+    FROM (
+        SELECT event_type, day, shift7,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY shift7 DESC, day) AS rn
+        FROM full_windows
+    ) WHERE rn = 1
+    """,
+)
+def ts_changepoint_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — change-point detection by two-sided window contrast: for every
+    day with a full week of history on each side, compare the 7-day mean
+    before vs after; the day with the largest absolute shift is the
+    series' level-change point (the piecewise-constant CUSUM shape,
+    deterministic and exact: counts are integers, means are
+    cross-multiplied — ``|7·Σnext − 7·Σprev|`` — so the ARGMAX compares
+    exact integers with a date tiebreak, and only the reported mean shift
+    touches floats, once, rounded).
+
+    Scale: one daily aggregation, two frame windows and one ranking
+    window over the (types × days) grid — the detection pass costs
+    nothing next to the scan at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_f = w.rowsBetween(-7, -1)
+    next_f = w.rowsBetween(Window.currentRow, 6)
+    sided = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(prev_f).alias("prev_sum"),
+        F.count(F.lit(1)).over(prev_f).alias("prev_n"),
+        F.sum("n").over(next_f).alias("next_sum"),
+        F.count(F.lit(1)).over(next_f).alias("next_n"),
+    ).filter((F.col("prev_n") == 7) & (F.col("next_n") == 7))
+    shift7 = F.abs(7 * F.col("next_sum") - 7 * F.col("prev_sum"))
+    ranked = sided.withColumn("shift7", shift7).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("shift7"), F.asc("day")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("changepoint_day"),
+        F.round(F.col("shift7") / 49.0, 6).alias("mean_shift"),
+    )
