@@ -300,3 +300,54 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "i", "j", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "multimodal_pair_build",
+    oracle="""
+    SELECT COALESCE(d.doc_id, e.vec_id) AS pair_id,
+           d.lang,
+           e.label,
+           (d.doc_id IS NOT NULL) AS has_text,
+           (e.vec_id IS NOT NULL) AS has_embedding,
+           CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                THEN 'paired'
+                WHEN d.doc_id IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS pair_status,
+           d.n_chars
+    FROM documents d
+    FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def multimodal_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hx-pairing — multimodal pair construction (the LAION/caption-pair
+    shape): align the text modality with the embedding modality by id
+    via FULL OUTER join, so BOTH failure modes stay visible — text
+    without an embedding (encoder backlog) and embeddings without text
+    (deleted source) — instead of being silently inner-joined away.
+    Each row carries modality-presence flags and a pair status the
+    downstream filter keys on; a training export takes 'paired', the
+    backfill queue takes the rest. This id-aligned outer join IS the
+    dataset-assembly step for contrastive multimodal training.
+
+    Scale: one key-partitioned outer join; the modality flags are free.
+    Skew lives on missing-modality ids only if id spaces diverge wildly
+    — at which point you bucket by id range (the layout both tables
+    already share)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full")
+    has_t = F.col("doc_id").isNotNull()
+    has_e = F.col("vec_id").isNotNull()
+    return j.select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("pair_id"),
+        "lang",
+        "label",
+        has_t.alias("has_text"),
+        has_e.alias("has_embedding"),
+        F.when(has_t & has_e, "paired")
+        .when(has_t, "text_only")
+        .otherwise("embedding_only")
+        .alias("pair_status"),
+        "n_chars",
+    )

@@ -1443,3 +1443,48 @@ def ts_changepoint_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("changepoint_day"),
         F.round(F.col("shift7") / 49.0, 6).alias("mean_shift"),
     )
+
+
+@register(
+    "ts_active_users_dau_wau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM user_days)
+    SELECT g.day,
+           (SELECT COUNT(*) FROM user_days u WHERE u.day = g.day) AS dau,
+           (SELECT COUNT(DISTINCT u.user_id) FROM user_days u
+            WHERE u.day BETWEEN g.day - 6 AND g.day) AS wau
+    FROM grid g
+    """,
+)
+def ts_active_users_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — daily and trailing-7-day active users (DAU/WAU), EXACT: the
+    engagement curve every product review starts with. DAU is a per-day
+    distinct count; WAU is a distinct count over a SLIDING range — the
+    op engines can't window directly — computed here by banding the
+    distinct (user, day) pairs against the day grid (each pair joins to
+    ≤7 grid days) and distinct-counting per grid day. Exact, not an HLL
+    sketch; the (user, day) projection — not raw events — is what keeps
+    the band join linear in active-pairs × 7.
+
+    At 100 TB the same plan holds because user_days collapses events by
+    ~events-per-user-per-day first; if the 7× replication ever dominates,
+    the sliding-bitmap variant (agg_bitmap_exact_distinct's words, OR'd
+    over a 7-day frame) is the escalation path."""
+    e = load(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    grid = user_days.select("day").distinct()
+    banded = grid.alias("g").join(
+        user_days.alias("u"),
+        (F.col("u.day") >= F.date_sub(F.col("g.day"), 6))
+        & (F.col("u.day") <= F.col("g.day")),
+    )
+    wau = banded.groupBy(F.col("g.day").alias("day")).agg(
+        F.countDistinct("u.user_id").alias("wau")
+    )
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

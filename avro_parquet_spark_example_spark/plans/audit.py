@@ -49,6 +49,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "text_collocations_pmi": "broadcast 1-row token-total cross join",
         "curation_epoch_plan": "broadcast 1-row corpus-total cross join",
         "agg_share_of_total": "broadcast 1-row grand-total cross join",
+        "ts_active_users_dau_wau": "broadcast day-grid band join (days-cardinality, ~30 rows)",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
     },
