@@ -1467,3 +1467,65 @@ def vec_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+@register(
+    "search_hard_negatives",
+    oracle=f"""
+    WITH qs AS (
+        SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               (SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                           * CAST(q.qvec[g.i] AS DOUBLE))
+                FROM GENERATE_SERIES(1, 64) g(i)) AS dot
+        FROM embeddings e, qs q
+        WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+    )
+    SELECT qid, vec_id, label, ROUND(dot, 5) AS score
+    FROM (
+        SELECT qid, vec_id, label, dot,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-train — HARD-NEGATIVE mining for contrastive training: for each
+    query, the most-similar vectors with a DIFFERENT label — the examples
+    a retrieval model learns the most from (random negatives are trivial
+    to separate; hard negatives define the decision boundary, and mining
+    them is a corpus-scale batch job run between training rounds). Same
+    one-scan batch shape as simsearch_batch_topk with the label-mismatch
+    predicate pushed into the scan side of the scored join, so the
+    per-query candidate set shrinks before ranking.
+
+    Exactness via the ordered-fold dot product; top-5 per query carries
+    the vec_id tiebreak. At 100 TB the scan dominates, negatives fold per
+    query id, and the mined set ships straight into the training
+    dataloader."""
+    e = load(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        e.crossJoin(qs)
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .withColumn("dot", dot_product(F.col("embedding"), F.col("qvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "label", F.round("dot", 5).alias("score"))
+    )

@@ -46,6 +46,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "search_rerank_stub": "broadcast 1-row query vector/norm cross joins (tier inputs)",
         "text_bigram_logprob": "broadcast 1-row vocab-size cross join",
         "eval_retrieval_metrics": "broadcast 5-row query batch (batch-cardinality by design)",
+        "search_hard_negatives": "broadcast 5-row query batch (batch-cardinality by design)",
         "text_collocations_pmi": "broadcast 1-row token-total cross join",
         "curation_epoch_plan": "broadcast 1-row corpus-total cross join",
         "agg_share_of_total": "broadcast 1-row grand-total cross join",
