@@ -1109,3 +1109,57 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("tn"), 6).alias("n_share"),
         F.round(F.col("bal") / F.col("tb").cast("double"), 6).alias("bal_share"),
     )
+
+
+@register(
+    "agg_pareto_cut",
+    oracle="""
+    WITH rev AS (
+        SELECT l_returnflag, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS r
+        FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    tot AS (SELECT l_returnflag, SUM(r) AS t FROM rev GROUP BY l_returnflag),
+    ranked AS (
+        SELECT rev.l_returnflag, rev.l_suppkey, rev.r, tot.t,
+               SUM(rev.r) OVER (PARTITION BY rev.l_returnflag
+                                ORDER BY rev.r DESC, rev.l_suppkey) AS cum
+        FROM rev JOIN tot ON tot.l_returnflag = rev.l_returnflag
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CASE WHEN 5 * (cum - r) < 4 * t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_head_80pct
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1c — Pareto (80/20) concentration cut: per return flag, how many
+    suppliers it takes to cover 80% of revenue — the concentration metric
+    behind vendor-risk and long-tail analyses. A supplier is in the head
+    while the cumulative revenue BEFORE it is under 80% of the total
+    (``5·(cum−r) < 4·t`` — exact decimal cross-multiplication: revenue
+    sums are exact DECIMAL(30,4), so the cut decision never touches a
+    float), cumulated over a deterministic (revenue DESC, key) order.
+
+    One supplier-keyed aggregate, one flag-partitioned window over
+    supplier-cardinality rows, one roll-up — the fact scan dominates at
+    any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias("r")
+    )
+    tot = rev.groupBy("l_returnflag").agg(F.sum("r").alias("t"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.desc("r"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.join(F.broadcast(tot), "l_returnflag").withColumn(
+        "cum", F.sum("r").over(w)
+    )
+    in_head = 5 * (F.col("cum") - F.col("r")) < 4 * F.col("t")
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.when(in_head, 1).otherwise(0)).alias("n_head_80pct"),
+    )

@@ -1503,3 +1503,90 @@ def dedup_exact_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT 10 * c // (sa.sz + sb.sz - c) AS decile
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+    ),
+    grid AS (SELECT UNNEST([5, 6, 7, 8, 9]) AS thr10)
+    SELECT g.thr10 * 1.0 / 10 AS threshold,
+           CAST(COALESCE(SUM(CASE WHEN j.decile >= g.thr10
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_pairs
+    FROM grid g LEFT JOIN jac j ON TRUE
+    GROUP BY g.thr10
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2g — dedup threshold TUNING table: how many candidate pairs
+    survive at Jaccard ≥ 0.5/0.6/0.7/0.8/0.9 — the sweep a data engineer
+    runs before committing a near-dup threshold (too low merges distinct
+    docs; too high leaves templates in; the elbow of this curve is the
+    decision). Jaccard is bucketed by EXACT integer cross-multiplication
+    (``10·c // (sa+sb−c)`` — no float comparison anywhere near the
+    threshold boundary, which is precisely where a float would flip), so
+    the counts are engine-identical; pairs come from the same bounded
+    inverted-index join as neardup_jaccard.
+
+    At 100 TB the sweep reuses the banded-LSH candidate set instead of
+    the exact pair join — one pass, five counters, same decision
+    table."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("pa"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("pb"), F.col("sz").alias("szb"))
+    jac = (
+        pairs.join(sa, "pa")
+        .join(sb, "pb")
+        .select(
+            F.expr("(10 * c) div (sza + szb - c)").alias("decile")
+        )
+    )
+    grid = spark.createDataFrame([(t,) for t in (5, 6, 7, 8, 9)], "thr10 int")
+    return (
+        F.broadcast(grid)
+        .crossJoin(jac)
+        .groupBy("thr10")
+        .agg(
+            F.sum(
+                F.when(F.col("decile") >= F.col("thr10"), 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+        .select(
+            (F.col("thr10") * 1.0 / 10).alias("threshold"),
+            F.col("n_pairs"),
+        )
+    )

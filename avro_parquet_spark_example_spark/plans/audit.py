@@ -51,6 +51,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "curation_epoch_plan": "broadcast 1-row corpus-total cross join",
         "agg_share_of_total": "broadcast 1-row grand-total cross join",
         "ts_active_users_dau_wau": "broadcast day-grid band join (days-cardinality, ~30 rows)",
+        "dedup_threshold_sweep": "broadcast 5-row threshold grid cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
     },
