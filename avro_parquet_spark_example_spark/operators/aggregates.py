@@ -649,7 +649,8 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
         SELECT event_type, user_id // 62 AS word,
                BIT_OR(1::BIGINT << (user_id % 62)) AS bits
-        FROM events GROUP BY event_type, user_id // 62
+        FROM events WHERE user_id >= 0
+        GROUP BY event_type, user_id // 62
     )
     SELECT event_type,
            CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_distinct_users,
@@ -675,7 +676,11 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: distinct-counting users per type shuffles ~(types ×
     max_user/62) longs — data-independent once ids are dense, which is
     why bitmap distinct is THE exact answer when HLL's ±2% won't do."""
-    e = load(spark, sf_dir, "events")
+    # the bitmap layout is defined for NON-NEGATIVE ids only (a negative id
+    # would floor-div/mod inconsistently and shift by a negative count —
+    # identically wrong on both engines, i.e. invisible to the oracle), so
+    # the domain contract is an explicit filter, not an assumption
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") >= 0)
     words = (
         e.select(
             "event_type",
@@ -697,7 +702,8 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
         SELECT event_type, user_id // 62 AS word,
                BIT_OR(1::BIGINT << (user_id % 62)) AS bits
-        FROM events GROUP BY event_type, user_id // 62
+        FROM events WHERE user_id >= 0
+        GROUP BY event_type, user_id // 62
     ),
     tot AS (
         SELECT event_type, CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n
@@ -734,7 +740,8 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix costs one word-keyed self-join of that compact table — the
     exact-set-ops equivalent of a theta-sketch union/intersection, with
     zero approximation error."""
-    e = load(spark, sf_dir, "events")
+    # same non-negative id contract as agg_bitmap_exact_distinct
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") >= 0)
     words = (
         e.select(
             "event_type",
