@@ -858,3 +858,83 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users")
     ).select(F.col("win.start").alias("win_start"), "n_users")
     return run_to_table(agg, "complete")
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN event_type = 'click' THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 2 HOUR END AS gap
+        FROM events
+    ),
+    s AS (
+        -- an event joins the open session iff its start lies strictly
+        -- inside the session's RUNNING max end (touching half-open
+        -- windows do not merge), so the break test is against
+        -- max(ts+gap) over all preceding events, not just the last one
+        SELECT user_id, ts, gap,
+               CASE WHEN MAX(ts + gap) OVER w IS NULL
+                      OR ts >= MAX(ts + gap) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+        SELECT user_id, ts, gap,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts + gap) AS session_end,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess, m
+    WHERE session_end <= mx - INTERVAL 1 HOUR
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10b — session windows with a DYNAMIC gap (Spark 4:
+    ``session_window(ts, gap_expression)``): the inactivity timeout
+    depends on the event — clicks close after 30 min, everything else
+    after 2 h — which is how real products define sessions (a checkout
+    page deserves a longer timeout than a scroll). Statically-gapped
+    sessionization can't express this; per-event gaps change BOTH the
+    merge rule (an event extends its session to ts + its own gap) and
+    the close rule, and the oracle's gaps-and-islands twin encodes
+    exactly those semantics: an event merges into the open session iff
+    its start lies strictly inside the session's RUNNING max end
+    (max(ts + gap) over preceding members — NOT just the previous
+    event's end; touching half-open windows do not merge — both rules
+    discovered by hash-mismatch against Spark's own implementation), and
+    a session ends at max(ts + gap) over its members. Same append-mode watermark emission contract as
+    the fixed-gap query (sessions closed ≤ watermark emit; the tail
+    stays in state).
+
+    The state store merges per-event expiry times instead of one fixed
+    horizon — same bounded rate × max(gap) memory."""
+    # the gap expression must be CalendarIntervalType: interval-literal
+    # STRINGS coerce to it (DayTimeInterval F.expr("INTERVAL ...") does not)
+    gap_expr = F.when(
+        F.col("event_type") == "click", F.lit("30 minutes")
+    ).otherwise(F.lit("2 hours"))
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap_expr))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_table(agg, "append")
