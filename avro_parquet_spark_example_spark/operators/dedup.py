@@ -1590,3 +1590,40 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs"),
         )
     )
+
+
+@register(
+    "dedup_lsh_scurve",
+    oracle=f"""
+    SELECT g.j * 1.0 / 20 AS jaccard,
+           ROUND(1 - POW(1 - POW(g.j * 1.0 / 20, {ROWS_PER_BAND}),
+                         {N_BANDS}), 6) AS p_candidate
+    FROM GENERATE_SERIES(1, 19) g(j)
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2h — the LSH banding S-CURVE for THIS engine's configuration
+    (16 bands × 4 rows over 64 MinHashes): the candidate probability
+    ``P = 1 − (1 − J^r)^b`` at Jaccard 0.05..0.95 — the table an
+    engineer reads before trusting the near-dup pass (where is the 50%
+    threshold? how sharp is the transition? what slips through at
+    J = 0.4?). Computing it as an oracle-checked query does two jobs:
+    it documents the configured banding IN the registry (the constants
+    are imported, not copied, so retuning N_BANDS re-derives the curve),
+    and it pins pow() parity between engines on the exact expressions the
+    dedup math relies on.
+
+    Pure generate_series computation — no table scan; the curve is the
+    same at any corpus size, which is rather the point of banding."""
+    g = spark.range(1, 20).select((F.col("id") * 1.0 / 20).alias("jaccard"))
+    return g.select(
+        "jaccard",
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("jaccard"), F.lit(ROWS_PER_BAND)),
+                F.lit(N_BANDS),
+            ),
+            6,
+        ).alias("p_candidate"),
+    )
