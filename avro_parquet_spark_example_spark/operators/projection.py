@@ -15,7 +15,7 @@ sequence of IEEE ops, bit-identical in Spark and DuckDB — no rounding needed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
@@ -703,4 +703,69 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    )
+
+
+@register(
+    "dq_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, event_id, EPOCH_US(ts) AS ts_us,
+               MAX(EPOCH_US(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   AS frontier_us
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               frontier_us - ts_us AS lateness_us
+        FROM arr
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           MAX(lateness_us) AS max_lateness_us,
+           CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY lateness_us)
+                AS BIGINT) AS p95_lateness_us
+    FROM late GROUP BY event_type
+    """,
+)
+def dq_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-streaming — event-time LATENESS profile: with event_id as the
+    arrival order, each event's lateness is how far it lags the running
+    event-time frontier (max ts seen so far) — exactly the quantity a
+    watermark bounds. The per-type late-event count, max, and p95
+    lateness are THE inputs to choosing ``withWatermark``: a 10-minute
+    watermark is right only if p95 lateness sits under it (this fixture's
+    profile is what justified the streaming queries' 10-minute choice).
+    ``percentile_disc`` picks an actual observed value — integer-exact
+    cross-engine, per the winsorize convention.
+
+    One shuffle by type for the frontier window (arrival order within
+    type), then a map-side-combined profile aggregate. On a live stream
+    the same frontier is what the engine maintains internally; this
+    query measures it offline from history."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = e.select(
+        "event_type",
+        "event_id",
+        ts_us(e).alias("ts_us"),
+    ).withColumn("frontier_us", F.max("ts_us").over(w))
+    late = arr.select(
+        "event_type", (F.col("frontier_us") - F.col("ts_us")).alias("lateness_us")
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0)).alias("n_late"),
+        F.max("lateness_us").alias("max_lateness_us"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY lateness_us)")
+        .cast("bigint")
+        .alias("p95_lateness_us"),
     )
