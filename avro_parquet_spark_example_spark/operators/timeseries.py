@@ -1488,3 +1488,52 @@ def ts_active_users_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@register(
+    "ts_hour_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.hr, h.n,
+           ROUND(h.n * 1.0 / t.t, 6) AS share,
+           (h.n = MAX(h.n) OVER (PARTITION BY h.event_type)
+            AND h.hr = MIN(CASE WHEN h.n = MAX(h.n)
+                                     OVER (PARTITION BY h.event_type)
+                                THEN h.hr END)
+                       OVER (PARTITION BY h.event_type)) AS is_peak_hour
+    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    """,
+)
+def ts_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — hour-of-day activity profile per event type: the diurnal
+    shape (counts + shares per hour) with the peak hour flagged — what
+    capacity planning reads to place maintenance windows and what
+    anomaly baselines condition on. The peak flag is a deterministic
+    argmax spelled windowed (equal to the max AND the earliest such hour
+    — the tie rule made explicit rather than left to engine whim).
+
+    One map-side-combined hourly aggregate; windows run over ≤24 rows
+    per type. Hours come from UTC timestamps on both engines (the
+    session pins UTC — a timezone-dependent profile would be a different
+    query)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hourly.groupBy("event_type").agg(F.sum("n").alias("t"))
+    w = Window.partitionBy("event_type")
+    mx = F.max("n").over(w)
+    first_peak_hr = F.min(F.when(F.col("n") == mx, F.col("hr"))).over(w)
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+        ((F.col("n") == mx) & (F.col("hr") == first_peak_hr)).alias(
+            "is_peak_hour"
+        ),
+    )
