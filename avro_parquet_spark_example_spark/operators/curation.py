@@ -142,7 +142,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM placed
     GROUP BY lang, CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT)
     """,
@@ -444,7 +444,8 @@ def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT doc_id, n_tokens, score,
-               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS cum_tokens
         FROM scored
     )
     SELECT doc_id, n_tokens, ROUND(score, 6) AS score, cum_tokens
@@ -732,9 +733,9 @@ def temperature_selection(
     )
     SELECT d.lang,
            MIN(r.n) AS n_docs,
-           SUM(CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+           CAST(SUM(CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                          < printf('%04x', r.thr)
-                    THEN 1 ELSE 0 END) AS n_selected,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
            MIN(CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                          < printf('%04x', r.thr)
                     THEN d.doc_id END) AS first_selected
@@ -840,8 +841,10 @@ def export_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.lang, b.p5, b.p95,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN c.low THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN c.high THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN c.low THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN c.high THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
            ROUND(CAST(SUM(CAST(c.v AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
              AS winsorized_mean
     FROM clipped c JOIN bounds b ON b.lang = c.lang
@@ -1206,9 +1209,10 @@ def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.lang, s.n_input, s.n_quality, s.n_clean, f.n_final
     FROM (
         SELECT lang, COUNT(*) AS n_input,
-               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality,
-               SUM(CASE WHEN keep AND NOT blocked THEN 1 ELSE 0 END)
-                   AS n_clean
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(SUM(CASE WHEN keep AND NOT blocked THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean
         FROM flags GROUP BY lang
     ) s
     JOIN (SELECT lang, COUNT(*) AS n_final FROM final GROUP BY lang) f
@@ -1267,17 +1271,21 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT lang,
-               SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
-                   AS n_tokens
+               CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
         FROM documents WHERE text IS NOT NULL
         GROUP BY lang
     ),
-    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_langs FROM tok)
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               COUNT(*) AS n_langs
+        FROM tok
+    )
     SELECT t.lang, t.n_tokens,
-           GREATEST(1, LEAST(4, CAST(2 * x.total AS BIGINT)
-                    // (x.n_langs * t.n_tokens))) AS epochs,
-           GREATEST(1, LEAST(4, CAST(2 * x.total AS BIGINT)
-                    // (x.n_langs * t.n_tokens))) * t.n_tokens
+           CAST(GREATEST(1, LEAST(4, (2 * x.total)
+                    // (x.n_langs * t.n_tokens))) AS BIGINT) AS epochs,
+           CAST(GREATEST(1, LEAST(4, (2 * x.total)
+                    // (x.n_langs * t.n_tokens))) * t.n_tokens AS BIGINT)
                AS planned_tokens
     FROM tok t CROSS JOIN tot x
     """,

@@ -297,8 +297,8 @@ def diag_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_bucket AS (
         SELECT b.range AS bucket,
-               COALESCE(a.c_ref, 0) AS c_ref,
-               COALESCE(a.c_cur, 0) AS c_cur
+               CAST(COALESCE(a.c_ref, 0) AS BIGINT) AS c_ref,
+               CAST(COALESCE(a.c_cur, 0) AS BIGINT) AS c_cur
         FROM RANGE(0, 10) b LEFT JOIN agg a ON a.bucket = b.range
     )
     SELECT bucket,

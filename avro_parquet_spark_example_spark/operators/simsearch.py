@@ -449,7 +449,7 @@ def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, RANGE(1, 65) r
     )
     SELECT label, pos,
-           SUM(v7) AS sum_v7,
+           CAST(SUM(v7) AS BIGINT) AS sum_v7,
            COUNT(*) AS n,
            ROUND(SUM(v7) / 1e7 / COUNT(*), 6) AS mean_val
     FROM fixed
@@ -550,10 +550,10 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT MAX(ABS(CAST(embedding[g.i] AS DOUBLE)
                            - ROUND(CAST(embedding[g.i] AS DOUBLE) / scale) * scale))
             FROM GENERATE_SERIES(1, 64) g(i)) <= scale / 2 + 1e-12 END AS err_bounded,
-           CASE WHEN scale = 0 THEN 64 ELSE
+           CAST(CASE WHEN scale = 0 THEN 64 ELSE
            (SELECT SUM(CASE WHEN ROUND(CAST(embedding[g.i] AS DOUBLE) / scale)
                                  BETWEEN -127 AND 127 THEN 1 ELSE 0 END)
-            FROM GENERATE_SERIES(1, 64) g(i)) END AS n_in_range
+            FROM GENERATE_SERIES(1, 64) g(i)) END AS BIGINT) AS n_in_range
     FROM scaled
     """,
 )

@@ -704,7 +704,7 @@ SPARSE_QUERY_DOC = 0
     q AS (SELECT term, tf AS qtf FROM tf WHERE doc_id = {SPARSE_QUERY_DOC}),
     qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = {SPARSE_QUERY_DOC}),
     dots AS (
-        SELECT t.doc_id, SUM(t.tf * q.qtf) AS dot
+        SELECT t.doc_id, CAST(SUM(t.tf * q.qtf) AS BIGINT) AS dot
         FROM tf t JOIN q ON q.term = t.term
         WHERE t.doc_id <> {SPARSE_QUERY_DOC}
         GROUP BY t.doc_id

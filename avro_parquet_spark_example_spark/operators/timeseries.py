@@ -902,7 +902,7 @@ def sessionize_capped(
                   AND a.anchor <= i.ts) AS sub
         FROM isl i
     )
-    SELECT u AS user_id, island, sub,
+    SELECT u AS user_id, CAST(island AS BIGINT) AS island, sub,
            COUNT(*) AS n_events, MIN(ts) AS start_us, MAX(ts) AS end_us
     FROM assigned GROUP BY u, island, sub
     """,
@@ -1191,7 +1191,14 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
-            F.round(F.sum("err") / F.count(F.lit(1)), 6).alias("mae"),
+            # cast the exact decimal sum to double BEFORE the divide —
+            # DuckDB's SUM(decimal)/COUNT renders DOUBLE, and a decimal
+            # `mae` here would hash-fail the driver's render-sensitive
+            # comparison (same class as the round-5 HUGEINT bug; caught by
+            # the aligned comparator, tools/check_oracle.py)
+            F.round(
+                F.sum("err").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae"),
         )
     )
 
@@ -1497,15 +1504,22 @@ def ts_active_users_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
         FROM events GROUP BY 1, 2
     ),
-    tot AS (SELECT event_type, SUM(n) AS t FROM hourly GROUP BY event_type)
-    SELECT h.event_type, h.hr, h.n,
-           ROUND(h.n * 1.0 / t.t, 6) AS share,
-           (h.n = MAX(h.n) OVER (PARTITION BY h.event_type)
-            AND h.hr = MIN(CASE WHEN h.n = MAX(h.n)
-                                     OVER (PARTITION BY h.event_type)
-                                THEN h.hr END)
-                       OVER (PARTITION BY h.event_type)) AS is_peak_hour
-    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    tot AS (SELECT event_type, SUM(n) AS t FROM hourly GROUP BY event_type),
+    mx AS (
+        SELECT event_type, hr, n,
+               MAX(n) OVER (PARTITION BY event_type) AS mx_n
+        FROM hourly
+    ),
+    pk AS (
+        SELECT event_type, hr, n, mx_n,
+               MIN(CASE WHEN n = mx_n THEN hr END)
+                   OVER (PARTITION BY event_type) AS peak_hr
+        FROM mx
+    )
+    SELECT p.event_type, p.hr, p.n,
+           ROUND(p.n * 1.0 / t.t, 6) AS share,
+           (p.n = p.mx_n AND p.hr = p.peak_hr) AS is_peak_hour
+    FROM pk p JOIN tot t ON t.event_type = p.event_type
     """,
 )
 def ts_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -868,17 +868,17 @@ def layout_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id,
-           SUM((STRPOS('0123456789abcdef', SUBSTR(MD5(text), 1, 1)) - 1)
+           CAST(SUM((STRPOS('0123456789abcdef', SUBSTR(MD5(text), 1, 1)) - 1)
                * 4096
              + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 2, 1)) - 1)
                * 256
              + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 3, 1)) - 1)
                * 16
              + (STRPOS('0123456789abcdef', SUBSTR(MD5(text), 4, 1)) - 1))
-               AS content_checksum
+               % 140737488355328 AS BIGINT) AS content_checksum
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -906,7 +906,12 @@ def export_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
-        F.sum(chk).alias("content_checksum"),
+        # mod-reduce to 2^47 on BOTH engines: DuckDB sums in int128 while
+        # Spark sums in int64, so without the shared modulus the two sides
+        # would diverge exactly when the sum exceeds int64 range
+        (F.sum(chk) % F.lit(140737488355328).cast("bigint")).alias(
+            "content_checksum"
+        ),
     )
 
 

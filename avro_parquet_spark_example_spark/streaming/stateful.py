@@ -734,7 +734,7 @@ from avro_parquet_spark_example_spark.operators.timeseries import (
                         AND e.ts > a.anchor + {_SESS_CAP_US})
     )
     SELECT i.u AS user_id,
-           MAX(i.island) AS n_islands,
+           CAST(MAX(i.island) AS BIGINT) AS n_islands,
            (SELECT COUNT(*) FROM anchors a WHERE a.u = i.u) AS n_sessions,
            COUNT(*) AS n_events
     FROM isl i GROUP BY i.u

@@ -45,8 +45,13 @@ def canon_cell(v):
         # be fixed by aligning output types on both engines.
         return repr(v)
     if isinstance(v, Decimal):
-        f = float(v)
-        return canon_cell(f)
+        # render decimals AS decimals (scale-preserving str): the driver's
+        # hash distinguishes decimal from float/int renders, and the round-5
+        # postmortem traced two rounds of misdiagnosis to this branch
+        # collapsing Decimal→float. Spark and DuckDB both return
+        # decimal(p,s) values as Python Decimal with the scale intact, so
+        # equal types + equal values ⇒ equal strings here.
+        return f"dec:{v}"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, (int, str)):
@@ -104,15 +109,37 @@ def main(names: list[str]) -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb raised")
             traceback.print_exc()
             n_fail += 1
             continue
         problems = []
+        # driver-render type lint (see tests/test_oracles.py): a HUGEINT
+        # column hashes differently from Spark's BIGINT on the driver even
+        # when fetchall() values compare equal below — fail it here so the
+        # local gate can never again pass what the driver fails.
+        hug = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if hug:
+            problems.append(f"oracle emits HUGEINT (driver render bug): {hug}")
+        spark_dec = {
+            f.name: f.dataType.simpleString()
+            for f in sdf.schema.fields
+            if f.dataType.typeName() == "decimal"
+        }
+        for c, t in zip(dcols, dtypes):
+            if "DECIMAL" in t:
+                want = "decimal" + t.split("DECIMAL", 1)[1].replace(" ", "")
+                got = spark_dec.get(str(c).lower())
+                if got != want.lower():
+                    problems.append(
+                        f"decimal render mismatch on {c}: duck={t} "
+                        f"spark={got or sdf.schema[str(c).lower()].dataType}"
+                    )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(c.lower() for c in map(str, dcols)):
