@@ -265,23 +265,7 @@ def minhash_candidate_pairs(
     # below — materialize once instead of recomputing the hash pipeline twice
     # (at full scale this would be a persisted/bucketed signature table).
     sig = minhash_signatures_df(docs, id_col, text_col).localCheckpoint(eager=True)
-    bands = sig.select(
-        "id",
-        "sig",
-        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
-    )
-    left = bands.select(
-        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
-    )
-    right = bands.select(
-        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .dropDuplicates(["a", "b"])
-    )
+    pairs = lsh_band_pairs(sig)
     est = (
         F.size(
             F.filter(
@@ -291,8 +275,37 @@ def minhash_candidate_pairs(
         )
         / F.lit(N_HASHES)
     )
-    return pairs.select("a", "b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= sim_threshold
+    return (
+        pairs.join(sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= sim_threshold)
+    )
+
+
+def lsh_band_pairs(sig: DataFrame) -> DataFrame:
+    """Deduplicated band-sharing candidate pairs (a, b) from a signature
+    table (id, sig). The bucket self-join runs on SLIM (id, band_id,
+    band_hash) rows — the 64-long signature arrays stay out of the band
+    shuffle entirely (they would multiply its volume ~20×: one array per
+    exploded band copy, both sides). Callers needing est-Jaccard join the
+    pair list back to the signature table (``minhash_candidate_pairs``);
+    callers that verify exactly (``dedup_minhash_verified``) consume the
+    pairs directly — a band collision is already the candidate predicate,
+    and the exact-Jaccard gate subsumes any signature-estimate filter."""
+    bands = sig.select(
+        "id",
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
+    )
+    return (
+        bands.select(F.col("id").alias("a"), "band_id", "band_hash")
+        .join(
+            bands.select(F.col("id").alias("b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -399,25 +412,26 @@ def connected_components(
     ``localCheckpoint`` cutting lineage so plans stay bounded; converges in
     O(diameter) rounds (near-dup clusters are shallow); ``max_iter`` bounds
     the worst case."""
-    # Materialize the edge list once — every propagation round re-reads it,
-    # and without this the full upstream pipeline (e.g. MinHash + LSH join)
-    # would re-execute per iteration.
+    # One action answers BOTH "how big?" and "give me the edges": a limit
+    # of threshold+1 rows that comes back under the limit IS the complete
+    # edge set, while an over-threshold graph stops collecting at the cap
+    # instead of pulling the whole edge list to the driver. The probe runs
+    # the upstream pipeline ONCE with no checkpoint barrier first — in the
+    # common small-graph case that saves a full materialization job; only
+    # the over-threshold path (where per-round re-reads would otherwise
+    # re-execute the upstream pipeline) pays for a checkpoint, and its one
+    # redundant upstream run is amortized over the propagation rounds.
+    head = edges.select("a", "b").limit(local_threshold + 1).collect()
+    if len(head) <= local_threshold:
+        labels = _cc_union_find([(r.a, r.b) for r in head])
+        return edges.sparkSession.createDataFrame(
+            list(labels.items()), schema="id long, cluster_id long"
+        )
     sym = (
         edges.select("a", "b")
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
     )
-    # One action answers BOTH "how big?" and "give me the edges": a limit
-    # of threshold+1 rows that comes back under the limit IS the complete
-    # edge set (sym carries 2 rows per edge), while an over-threshold graph
-    # stops collecting at the cap instead of pulling the whole edge list to
-    # the driver. Saves a separate count() job per pipeline run.
-    head = sym.limit(2 * local_threshold + 1).collect()
-    if len(head) <= 2 * local_threshold:
-        labels = _cc_union_find([(r.a, r.b) for r in head])
-        return edges.sparkSession.createDataFrame(
-            list(labels.items()), schema="id long, cluster_id long"
-        )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -476,26 +490,35 @@ def exact_verified_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     bounded: bool = True,
+    doc_filter: Column | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs (a, b): only
     docs appearing in some pair are re-shingled (semi-join first), each
     pair keeps iff true Jaccard >= threshold. ``bounded`` adds broadcast
     hints — sound only when the candidate set is known small (the
     injected-universe contract); pass False for unbounded candidate sets
-    and let AQE pick. Shared by ``dedup_minhash_verified`` and
+    and let AQE pick. ``doc_filter``, when given, must be a predicate
+    SUPERSETTING the candidate ids (e.g. a static id-range universe): the
+    shingle side then prunes by a pushed-down filter on the doc scan
+    instead of computing + broadcasting the distinct candidate-id set —
+    one less plan and one less broadcast job when the caller statically
+    knows the universe. Shared by ``dedup_minhash_verified`` and
     ``tools/minhash_profile.py`` so the profiler can never measure a
     stale copy of the stage."""
     hint = F.broadcast if bounded else (lambda df: df)
-    cand_ids = (
-        cands.select(F.col("a").alias("vid"))
-        .unionByName(cands.select(F.col("b").alias("vid")))
-        .distinct()
-    )
-    sh = with_shingles(
-        docs.filter(F.col(text_col).isNotNull()).join(
+    if doc_filter is not None:
+        doc_side = docs.filter(doc_filter)
+    else:
+        cand_ids = (
+            cands.select(F.col("a").alias("vid"))
+            .unionByName(cands.select(F.col("b").alias("vid")))
+            .distinct()
+        )
+        doc_side = docs.join(
             hint(cand_ids), F.col(id_col) == F.col("vid"), "leftsemi"
-        ),
-        text_col=text_col,
+        )
+    sh = with_shingles(
+        doc_side.filter(F.col(text_col).isNotNull()), text_col=text_col
     ).select(F.col(id_col).alias("vid"), "sh")
     true_j = F.size(F.array_intersect("sa.sh", "sb.sh")) * 1.0 / F.size(
         F.array_union("sa.sh", "sb.sh")
@@ -595,13 +618,20 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_injected_duplicates(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    # Candidates are consumed three times below (id semi-join + two
-    # verification joins) — materialize once; the candidate set is bounded
-    # by the LSH collision rate, never corpus-sized. The checkpoint also
-    # pins the full-corpus banding work: the universe filter below cannot
-    # be pushed into an already-materialized plan.
+    # Candidates are raw band-sharing pairs — no est-Jaccard stage: the
+    # exact-Jaccard gate below SUBSUMES any signature-estimate filter
+    # (everything est would drop, exact verification drops too, while a
+    # true pair est mis-scores below 0.5 now correctly reaches the exact
+    # gate — strictly closer to the oracle, which knows nothing of
+    # signatures). Skipping est also keeps the two signature re-joins out
+    # of this pipeline entirely. Candidates are consumed twice below —
+    # materialize once; the set is bounded by the LSH collision rate,
+    # never corpus-sized. The checkpoint also pins the full-corpus banding
+    # work: the universe filter below cannot be pushed into an
+    # already-materialized plan.
+    sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
     cands = (
-        minhash_candidate_pairs(docs, sim_threshold=0.5)
+        lsh_band_pairs(sig)
         .localCheckpoint(eager=True)
         .filter(in_injected_universe("a") & in_injected_universe("b"))
     )
@@ -611,7 +641,16 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at 100 TB: re-shingle ~0.1% of docs, not all). Everything below
     # cands is universe-bounded (≤ ~100 docs by construction), so
     # bounded=True's broadcast hints are safe BY DESIGN.
-    verified = exact_verified_pairs(cands, docs, threshold=0.7, bounded=True)
+    verified = exact_verified_pairs(
+        cands,
+        docs,
+        threshold=0.7,
+        bounded=True,
+        # the candidate ids are universe-filtered above, so the static
+        # universe range is a superset — the shingle side prunes by a
+        # pushed-down doc_id predicate instead of a broadcast semi-join
+        doc_filter=in_injected_universe("doc_id"),
+    )
     labeled = connected_components(verified, max_iter=25)
     nodes = docs.select("doc_id")
     return nodes.join(

@@ -39,7 +39,7 @@ def run_once(spark) -> dict[str, float]:
         connected_components,
         exact_verified_pairs,
         in_injected_universe,
-        minhash_candidate_pairs,
+        lsh_band_pairs,
         minhash_signatures_df,
         with_injected_duplicates,
     )
@@ -54,25 +54,23 @@ def run_once(spark) -> dict[str, float]:
     sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
     t["signatures"] = time.perf_counter() - t0
 
-    # Re-run candidate generation from the materialized signatures by
-    # monkey-free composition: the band join is everything in
-    # minhash_candidate_pairs after the signature checkpoint, so time the
-    # full call minus a fresh signature build is noisy — instead time the
-    # full candidate stage and subtract the measured signature time.
+    # slim band-bucket self-join — exactly what dedup_minhash_verified runs
+    # (no est-Jaccard stage there: the exact gate subsumes it)
     t0 = time.perf_counter()
-    cands_full = minhash_candidate_pairs(docs, sim_threshold=0.5).localCheckpoint(
-        eager=True
-    )
-    t["band_join"] = max(time.perf_counter() - t0 - t["signatures"], 0.0)
+    cands_full = lsh_band_pairs(sig).localCheckpoint(eager=True)
+    t["band_join"] = time.perf_counter() - t0
 
     cands = cands_full.filter(in_injected_universe("a") & in_injected_universe("b"))
 
     t0 = time.perf_counter()
     # the REAL verify stage (shared implementation — the profiler can never
     # measure a stale copy of the pipeline)
-    verified = exact_verified_pairs(cands, docs, threshold=0.7).localCheckpoint(
-        eager=True
-    )
+    verified = exact_verified_pairs(
+        cands,
+        docs,
+        threshold=0.7,
+        doc_filter=in_injected_universe("doc_id"),
+    ).localCheckpoint(eager=True)
     t["verify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
