@@ -249,9 +249,25 @@ def lsh_band_keys(sig: Column, n_bands: int = N_BANDS) -> Column:
     )
 
 
+#: Production default ceiling on LSH bucket size: a (band_id, band_hash)
+#: bucket holding more than this many docs is DROPPED from the pair
+#: self-join (it would contribute O(size²) candidate pairs — the measured
+#: 100 TB scale-killer, SCALING.md "exact-dup-rate boundary"). 256 keeps
+#: the worst admitted bucket at ≤32k pairs while sitting far above every
+#: organic bucket observed at sf0.001–0.1, so default results are
+#: oracle-identical to the uncapped form. Recall trade, explicitly: a true
+#: pair is lost only if EVERY band it collides in is oversized — for exact
+#: copies in groups > cap that is all 16 bands, which is exactly why the
+#: production composition collapses exact dups FIRST (minhash_clusters
+#: collapse_exact); for organic boilerplate mega-buckets the dropped pairs
+#: are the low-value quadratic mass a curation pipeline caps anyway.
+LSH_MAX_BUCKET = 256
+
+
 def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sim_threshold: float = 0.7,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified by estimated
     Jaccard (fraction of agreeing signature entries).
@@ -265,7 +281,7 @@ def minhash_candidate_pairs(
     # below — materialize once instead of recomputing the hash pipeline twice
     # (at full scale this would be a persisted/bucketed signature table).
     sig = minhash_signatures_df(docs, id_col, text_col).localCheckpoint(eager=True)
-    pairs = lsh_band_pairs(sig)
+    pairs = lsh_band_pairs(sig, max_bucket_size=max_bucket_size)
     est = (
         F.size(
             F.filter(
@@ -283,7 +299,28 @@ def minhash_candidate_pairs(
     )
 
 
-def lsh_band_pairs(sig: DataFrame) -> DataFrame:
+def lsh_oversized_buckets(
+    sig: DataFrame, max_bucket_size: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """(band_id, band_hash, bucket_size) for buckets the cap would drop —
+    the monitoring half of drop-with-log: production runs this alongside
+    ``lsh_band_pairs`` and alerts/samples the dropped buckets (they are
+    almost always one boilerplate family per bucket)."""
+    return (
+        sig.select(
+            F.posexplode(lsh_band_keys(F.col("sig"))).alias(
+                "band_id", "band_hash"
+            )
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_band_pairs(
+    sig: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Deduplicated band-sharing candidate pairs (a, b) from a signature
     table (id, sig). The bucket self-join runs on SLIM (id, band_id,
     band_hash) rows — the 64-long signature arrays stay out of the band
@@ -292,11 +329,30 @@ def lsh_band_pairs(sig: DataFrame) -> DataFrame:
     pair list back to the signature table (``minhash_candidate_pairs``);
     callers that verify exactly (``dedup_minhash_verified``) consume the
     pairs directly — a band collision is already the candidate predicate,
-    and the exact-Jaccard gate subsumes any signature-estimate filter."""
+    and the exact-Jaccard gate subsumes any signature-estimate filter.
+
+    ``max_bucket_size`` is the 100 TB skew dial: bucket sizes are counted
+    per (band_id, band_hash) with one map-side-combined aggregate on the
+    SAME key the self-join shuffles on (the exchange is shared, not
+    doubled), and buckets above the cap — or below 2, which cannot form a
+    pair — are filtered out BEFORE the self-join, so no executor ever
+    materializes a quadratic mega-bucket expansion. ``None`` disables the
+    cap (the exact pre-capped semantics, used by the uncapped-equivalence
+    test). Dropped buckets are observable via ``lsh_oversized_buckets``."""
     bands = sig.select(
         "id",
         F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        admitted = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(
+                (F.col("__bsz") >= 2) & (F.col("__bsz") <= max_bucket_size)
+            )
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(admitted, ["band_id", "band_hash"])
     return (
         bands.select(F.col("id").alias("a"), "band_id", "band_hash")
         .join(
@@ -315,6 +371,7 @@ def minhash_clusters(
     text_col: str = "text",
     sim_threshold: float = 0.7,
     collapse_exact: bool = True,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """(id, cluster_id) near-dup clusters — the production composition.
 
@@ -348,7 +405,7 @@ def minhash_clusters(
     if not collapse_exact:
         pairs = minhash_candidate_pairs(
             keyed.select("id", "__t"), id_col="id", text_col="__t",
-            sim_threshold=sim_threshold,
+            sim_threshold=sim_threshold, max_bucket_size=max_bucket_size,
         )
         return connected_components(pairs.select("a", "b"))
     w = Window.partitionBy("__k")
@@ -358,7 +415,8 @@ def minhash_clusters(
         F.col("__rep").alias("a"), F.col("id").alias("b")
     )
     rep_pairs = minhash_candidate_pairs(
-        reps, id_col="id", text_col="__t", sim_threshold=sim_threshold
+        reps, id_col="id", text_col="__t", sim_threshold=sim_threshold,
+        max_bucket_size=max_bucket_size,
     ).select("a", "b")
     return connected_components(rep_pairs.unionByName(member_edges))
 
@@ -581,11 +639,12 @@ def exact_verified_pairs(
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 (oracle-checked tier) — the full production near-dup pipeline with
-    an EXACT contract: LSH generates candidates (est-Jaccard ≥ 0.5, a
-    recall-side margin below the decision threshold), each candidate is then
-    verified by TRUE 3-word-shingle Jaccard ≥ 0.7 (one join back to the
-    shingle arrays — only candidate pairs pay it, never all pairs), and the
-    verified pairs resolve to connected components. Because verification is
+    an EXACT contract: LSH band collisions are consumed DIRECTLY as
+    candidates (no est-Jaccard stage — the exact gate below subsumes any
+    signature-estimate filter), each candidate is then verified by TRUE
+    3-word-shingle Jaccard ≥ 0.7 (one join back to the shingle arrays —
+    only candidate pairs pay it, never all pairs), and the verified pairs
+    resolve to connected components. Because verification is
     exact, the output is fully determined by the data — so unlike
     ``dedup_minhash_lsh`` (whose est-Jaccard output depends on hash seeds),
     this query hash-checks against a DuckDB oracle that recomputes shingle

@@ -907,8 +907,11 @@ def export_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         # mod-reduce to 2^47 on BOTH engines: DuckDB sums in int128 while
-        # Spark sums in int64, so without the shared modulus the two sides
-        # would diverge exactly when the sum exceeds int64 range
+        # Spark sums in int64. The modulus keeps DuckDB's HUGEINT sum
+        # castable to BIGINT and the two values aligned while Spark's
+        # int64 accumulator has not itself overflowed (~1.4e14 docs at
+        # 2^16 max per row — practically unreachable; past that Spark
+        # would wrap/throw and no shared modulus could reconcile them)
         (F.sum(chk) % F.lit(140737488355328).cast("bigint")).alias(
             "content_checksum"
         ),

@@ -390,3 +390,64 @@ def test_containment_finds_all_truncated_copies(spark, sf_dir):
     )
     expected = {(i, i + 200000) for i in range(n_src)}
     assert expected <= exact, sorted(expected - exact)[:5]
+
+
+def test_lsh_bucket_cap_bounds_organic_mega_bucket(spark):
+    """The 100 TB skew guard (VERDICT-r6 #1): an ORGANIC boilerplate
+    mega-bucket — near-identical but NOT exact-identical docs, so the
+    exact-dedup pre-stage cannot collapse them — makes the uncapped band
+    self-join quadratic (measured OOM at scale, SCALING.md). With
+    ``max_bucket_size`` the oversized buckets are dropped BEFORE the
+    self-join, so candidate pairs stay bounded by n_buckets · cap²."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        lsh_band_pairs,
+        lsh_oversized_buckets,
+        minhash_signatures_df,
+    )
+
+    n = 600  # > LSH_MAX_BUCKET so boilerplate buckets are oversized
+    boiler = " ".join(f"tok{i % 37}w{i}" for i in range(100))
+    rows = [(i, f"{boiler} unique-suffix-{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
+
+    oversized = lsh_oversized_buckets(sig).collect()
+    assert oversized, "fixture must actually produce >cap buckets"
+    assert max(r.bucket_size for r in oversized) > LSH_MAX_BUCKET
+
+    uncapped = lsh_band_pairs(sig, max_bucket_size=None).count()
+    capped = lsh_band_pairs(sig).count()
+    # quadratic blowup without the cap: ~C(bucket,2) pairs per mega bucket
+    assert uncapped > 50_000, uncapped
+    # cap drops the mega buckets; what remains is the small-variant tail
+    assert capped < uncapped / 10, (capped, uncapped)
+
+    # tightening the cap below every bucket size empties the candidates
+    assert lsh_band_pairs(sig, max_bucket_size=1).count() == 0
+
+
+def test_lsh_bucket_cap_identity_on_organic_corpus(spark, sf_dir):
+    """At the production default the cap NEVER fires on the organic
+    fixture corpora (max observed bucket ≤ 6 across sf0.001–0.1 incl. the
+    injected-duplicates universe), so the capped pair set is IDENTICAL to
+    the uncapped one — the oracle-checked queries are unaffected by
+    default. Guards the default against silently tightening."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures_df,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
+    capped = {(r.a, r.b) for r in lsh_band_pairs(sig).collect()}
+    uncapped = {
+        (r.a, r.b)
+        for r in lsh_band_pairs(sig, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped

@@ -136,9 +136,20 @@ def main(names: list[str]) -> int:
                 want = "decimal" + t.split("DECIMAL", 1)[1].replace(" ", "")
                 got = spark_dec.get(str(c).lower())
                 if got != want.lower():
+                    # guarded fallback: the column-name comparison runs
+                    # AFTER this lint, so a DuckDB DECIMAL column with no
+                    # Spark counterpart must report FAIL, not raise
+                    fallback = next(
+                        (
+                            f.dataType.simpleString()
+                            for f in sdf.schema.fields
+                            if f.name == str(c).lower()
+                        ),
+                        "missing-column",
+                    )
                     problems.append(
                         f"decimal render mismatch on {c}: duck={t} "
-                        f"spark={got or sdf.schema[str(c).lower()].dataType}"
+                        f"spark={got or fallback}"
                     )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")

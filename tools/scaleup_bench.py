@@ -228,6 +228,7 @@ def degenerate_dedup(spark, factor: int) -> int:
     from pyspark.sql import functions as F
 
     from avro_parquet_spark_example_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
         keep_first_per_text,
         minhash_candidate_pairs,
     )
@@ -253,7 +254,31 @@ def degenerate_dedup(spark, factor: int) -> int:
         f"canonicals in {t_exact:.1f}s (1x canonicals {n_base_canon:,}: {ok}) -> "
         f"minhash on canonicals: {n_pairs} candidate pairs in {t_near:.1f}s"
     )
-    return 0 if ok else 1
+    # Second line of defense (VERDICT-r6 #1): the CAPPED band join directly
+    # on the RAW degenerate corpus — NO exact-dedup pre-stage. Every doc's
+    # copy group (factor+1 members, identical signatures) fills each band
+    # bucket past the cap, which is exactly the organic-boilerplate shape
+    # exact-collapse cannot fix; the uncapped form OOMs here (measured,
+    # SCALING.md). The cap must be below the copy-group size to bite — at
+    # real scale the production default (LSH_MAX_BUCKET=256) is that cap;
+    # for factor ≤ 256 we tighten it to factor//2 so the same mechanism is
+    # exercised. Bound: pairs ≤ n_buckets · cap² by construction.
+    cap = LSH_MAX_BUCKET if factor > LSH_MAX_BUCKET else max(2, factor // 2)
+    t0 = _time.time()
+    n_capped = minhash_candidate_pairs(
+        docs, sim_threshold=0.5, max_bucket_size=cap
+    ).count()
+    t_capped = _time.time() - t0
+    # with every copy-group bucket (size factor+1 > cap) dropped, what
+    # remains is the organic near-dup tail — the same order as the 1×
+    # corpus, NOT the quadratic copy mass
+    bounded = n_capped <= max(10 * n_pairs, 1000)
+    print(
+        f"capped-no-collapse x{factor}: cap={cap} -> {n_capped} candidate "
+        f"pairs in {t_capped:.1f}s on {n_raw:,} raw docs "
+        f"(bounded vs canonical-path {n_pairs}: {bounded})"
+    )
+    return 0 if (ok and bounded) else 1
 
 
 def synthesize_graph(spark, factor: int) -> str:
