@@ -1485,10 +1485,15 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate pairs come from the inverted-index join (per shared
     token, never all-pairs) — the same posting-list shape as
-    text_sparse_cosine_topk, with the same production guard: a df-cap /
-    prefix-filter (SSJoin) on high-frequency tokens bounds per-token
-    fan-out; the demo bounds the universe instead (the
-    neardup_levenshtein precedent) to keep the checked query exact."""
+    text_sparse_cosine_topk, with the same production guard IMPLEMENTED:
+    the df-cap (``max_df_frac``, default ``TEXT_MAX_DF_FRAC``) keeps
+    stop-word posting lists out of the candidate self-join, and admitted
+    pairs are verified EXACTLY over their full token sets (intersection
+    on the pair row — the LSH verify precedent), so the result changes
+    only for pairs sharing NOTHING but stop words, which cannot reach
+    containment ≥ 0.9 anyway unless the smaller doc IS stop words. The
+    demo additionally bounds the universe (the neardup_levenshtein
+    precedent) to keep the checked query exact."""
     base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
     toks_arr = F.split("text", " ")
     half = F.ceil(F.size(toks_arr) / 2.0).cast("int")
@@ -1497,31 +1502,70 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks_arr, F.lit(1), half), " ").alias("text"),
     )
     universe = base.select("doc_id", "text").unionByName(truncated)
+    return containment_pairs(universe)
+
+
+def containment_pairs(
+    universe: DataFrame,
+    threshold: float = 0.9,
+    max_df_frac: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared, containment) — library form of
+    neardup_containment. Candidates are generated from the per-token
+    self-join restricted to below-cap tokens (``max_df_frac``; the
+    text_analysis df-cap, pass ``TEXT_MAX_DF_FRAC`` for the production
+    default), then each candidate pair is verified exactly by
+    intersecting the two full distinct-token sets — one join back to the
+    texts, paid per candidate pair, never per all-pairs. ``None``
+    disables the cap (the registered demo path: its universe is bounded
+    and duplicate-free, so the uncapped join is exact AND small; the
+    capped==uncapped identity on that universe is test-asserted)."""
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        df_capped_terms,
+    )
+
     toks = universe.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("term"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    shared = (
+    cand_toks = toks
+    if max_df_frac is not None:
+        cand_toks = toks.join(df_capped_terms(toks, max_df_frac), "term")
+    a = cand_toks.alias("a")
+    b = cand_toks.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("b.term") == F.col("a.term"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .distinct()
     )
+    ta = universe.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(F.split(text_col, " ")).alias("__ta"),
+    )
+    tb = universe.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(F.split(text_col, " ")).alias("__tb"),
+    )
+    n_shared = F.size(F.array_intersect("__ta", "__tb"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_terms").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_terms").alias("nb"))
     cont = F.col("n_shared") * 1.0 / F.least(F.col("na"), F.col("nb"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", n_shared.alias("n_shared"))
+        .join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .filter(cont >= 0.9)
+        .filter(cont >= threshold)
         .select(
             "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
         )

@@ -15,6 +15,38 @@ from pyspark.sql import functions as F
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
+#: Production default document-frequency cap for posting-list joins: a term
+#: appearing in more than this fraction of the corpus is excluded from the
+#: inverted index / candidate generation (the stop-word guard — a df≈N
+#: posting list IS the corpus, and joining on it is the quadratic
+#: scale-killer of every term-keyed retrieval join, the same hazard class
+#: as dedup's LSH mega-buckets). 0.9 is a real stop-word threshold (terms
+#: in >90% of documents carry near-zero IDF: ln(0.1N/0.9N + 1) ≈ 0.105)
+#: chosen ABOVE every organic fixture term (max observed df fraction 0.84
+#: across sf0.001-0.1, incl. the bounded containment universe), so default
+#: results are oracle-identical — verified by capped==uncapped identity
+#: tests. Retrieval queries apply the cap to CANDIDATE GENERATION only and
+#: score admitted candidates exactly over ALL their terms (the SSJoin
+#: prefix-filter shape), so a firing cap loses a result only when a doc
+#: shares NOTHING BUT stop words with the query.
+TEXT_MAX_DF_FRAC = 0.9
+
+
+def df_capped_terms(
+    tf: DataFrame, max_df_frac: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(term) rows whose document frequency is ≤ max_df_frac of the corpus
+    — the admitted side of the df-cap. ``tf`` must hold one row per
+    (doc, term). Two map-side-combined aggregates (df per term, corpus
+    size), one broadcast 1-row cross join; no per-term state."""
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = tf.agg(F.count_distinct(id_col).alias("__n"))
+    return (
+        df_t.crossJoin(F.broadcast(n))
+        .filter(F.col("__df") <= F.col("__n") * F.lit(max_df_frac))
+        .select("term")
+    )
+
 
 @register(
     "text_stats",
@@ -510,13 +542,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
         FROM documents
     ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
     postings AS (
         SELECT tok,
                COUNT(*) AS df,
                ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:20], ',') AS posting_head
         FROM toks GROUP BY tok
     )
-    SELECT tok, df, posting_head FROM postings
+    SELECT tok, df, posting_head FROM postings CROSS JOIN n
+    WHERE df <= n.n_docs * 0.9
     """,
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,20 +564,44 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself); truncating the sorted list is deterministic, unlike
     sampling. At 100 TB the same plan emits (token, segment_no, ids) with
     a secondary segment key — identical shuffle shape. Posting heads are
-    sorted and string-joined for deterministic cross-engine hashing."""
+    sorted and string-joined for deterministic cross-engine hashing.
+
+    The df-cap (``TEXT_MAX_DF_FRAC``) is part of the index CONTRACT on
+    both engines — terms in >90% of documents are excluded at build time
+    (this oracle enforces the same rule in SQL), so no consumer of the
+    index can ever join a stop-word posting list."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
+    return inverted_index(d)
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_df_frac: float | None = TEXT_MAX_DF_FRAC,
+    head: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, df, posting_head) — library form of text_inverted_index with
+    the df-cap dial; ``max_df_frac=None`` builds the uncapped index (used
+    by the capped==uncapped identity test)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), " "))
         ).alias("tok"),
     )
-    return toks.groupBy("tok").agg(
+    idx = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
         F.array_join(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, head), ","
         ).alias("posting_head"),
     )
+    if max_df_frac is None:
+        return idx
+    n = toks.agg(F.count_distinct("doc_id").alias("__n"))
+    return idx.crossJoin(F.broadcast(n)).filter(
+        F.col("df") <= F.col("__n") * F.lit(max_df_frac)
+    ).drop("__n")
 
 
 @register(
@@ -734,10 +792,13 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tf build is one explode + map-side-combined count; the
     retrieval join shuffles on term — posting-list skew from stop-words
-    is THE hazard at 100 TB, handled in production by a df-cap on the
-    index build (drop terms with df > x% of corpus, exactly the
-    band-size ceiling pattern from dedup's LSH); the query side is
-    term-cardinality and broadcast. Norms are one agg reused via join."""
+    is THE hazard at 100 TB, handled by the df-cap (``max_df_frac``,
+    default ``TEXT_MAX_DF_FRAC``): candidate documents are generated from
+    below-cap query terms only (no stop-word posting list is ever the
+    join's fan-out side), then admitted candidates are scored EXACTLY
+    over all their terms — the SSJoin prefix-filter shape, same ceiling
+    pattern as dedup's LSH bucket cap; the query side is term-cardinality
+    and broadcast. Norms are one agg reused via join."""
     d = load(spark, sf_dir, "documents")
     return sparse_cosine_topk(d, SPARSE_QUERY_DOC, k=10)
 
@@ -748,10 +809,14 @@ def sparse_cosine_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_frac: float | None = TEXT_MAX_DF_FRAC,
 ) -> DataFrame:
     """(doc_id, dot, cosine) — the library form of text_sparse_cosine_topk
     (Engine.sparse_topk); see that docstring for the retrieval/scale
-    analysis."""
+    analysis. ``max_df_frac`` caps CANDIDATE GENERATION only: candidates
+    come from below-cap query terms, their dot/norm use all terms, so
+    scores are exact and a firing cap only drops docs sharing nothing but
+    stop words with the query; ``None`` disables (identity test path)."""
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -775,9 +840,18 @@ def sparse_cosine_topk(
             F.col("nrm").alias("qnrm")
         )
     )
+    corpus = tf.filter(F.col("doc_id") != query_doc_id)
+    if max_df_frac is not None:
+        # below-cap query terms (small: ≤ query-term cardinality) drive
+        # candidate generation; the scoring join then runs restricted to
+        # those candidates, so no posting list fans out past the cap
+        qsel = F.broadcast(
+            q.join(df_capped_terms(tf, max_df_frac), "term").select("term")
+        )
+        cand = corpus.join(qsel, "term").select("doc_id").distinct()
+        corpus = corpus.join(cand, "doc_id", "left_semi")
     dots = (
-        tf.filter(F.col("doc_id") != query_doc_id)
-        .join(q, "term")
+        corpus.join(q, "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("qtf")).alias("dot"))
     )
@@ -854,12 +928,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing doubles across a shuffle never arises.
 
     Scale shape: identical to the sparse-cosine retrieval — posting-list
-    join on term (df-cap for stop-word skew in production), doc-length
-    and df sides are one aggregate each, corpus stats are a broadcast
-    1-row cross join."""
+    join on term, with the same df-cap candidate guard (``max_df_frac``:
+    candidates from below-cap query terms, exact scoring of admitted
+    docs over all matched terms — stop-word IDF is ≈0.1 anyway, but the
+    cap's job is the JOIN bound, not the score); doc-length and df sides
+    are one aggregate each, corpus stats are a broadcast 1-row cross
+    join."""
     d = load(spark, sf_dir, "documents")
+    return bm25_topk(d, SPARSE_QUERY_DOC, k=20)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float | None = TEXT_MAX_DF_FRAC,
+) -> DataFrame:
+    """(doc_id, n_terms_matched, score) — library form of text_bm25_topk;
+    see that docstring. ``max_df_frac`` restricts candidate generation to
+    below-cap query terms (scores of admitted docs stay exact over all
+    matched terms); ``None`` disables the cap."""
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(text_col, " ")).alias("term"),
+        )
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -874,8 +969,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = F.broadcast(
-        tf.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select("term").distinct()
+        tf.filter(F.col("doc_id") == query_doc_id).select("term").distinct()
     )
+    corpus = tf.filter(F.col("doc_id") != query_doc_id)
+    if max_df_frac is not None:
+        # reuse the df and corpus-size aggregates this query already
+        # builds: below-cap query terms generate candidates, the scoring
+        # joins run semi-join-restricted to them (no stop-word fan-out)
+        qsel = F.broadcast(
+            q.join(
+                df_t.crossJoin(stats).filter(
+                    F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
+                ).select("term"),
+                "term",
+            )
+        )
+        cand = corpus.join(qsel, "term").select("doc_id").distinct()
+        corpus = corpus.join(cand, "doc_id", "left_semi")
     idf = F.round(
         F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
     )
@@ -884,8 +994,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     partials = (
-        tf.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
-        .join(q, "term")
+        corpus.join(q, "term")
         .join(df_t, "term")
         .join(dl, "doc_id")
         .crossJoin(stats)
@@ -901,7 +1010,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("partial").alias("s"),
         )
         .orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(20)
+        .limit(k)
         .select(
             "doc_id",
             "n_terms_matched",
