@@ -41,6 +41,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",
+        "text_inverted_index": "broadcast 1-row corpus-size cross join (df-cap contract)",
         "dq_benford_digits": "broadcast 1-row digit-total cross join",
         "search_hybrid_rrf": "broadcast 1-row query vector/norm cross joins (tier inputs)",
         "search_rerank_stub": "broadcast 1-row query vector/norm cross joins (tier inputs)",
@@ -71,10 +72,19 @@ def _tree_indent(line: str) -> int:
 
 
 def window_over_single_partition(plan: str) -> bool:
-    """True iff some Window operator's subtree contains a SinglePartition
-    Exchange. The tree rendering carries only operator names + ids; the
-    partitioning argument lives in the per-operator detail block, so scope
-    by subtree ids and join against the details."""
+    """True iff some Window operator's DIRECT INPUT is a SinglePartition
+    Exchange — i.e. the window itself pulls every row into one task (a
+    global, unpartitioned window over unbounded input: the real hazard).
+
+    The walk follows the window's first-child spine through pass-through
+    operators (Sort/Project/Filter) only. Scanning the WHOLE subtree is
+    wrong: any bounded 1-row global aggregate (a corpus total, the df-cap
+    corpus size) plans its own final-agg SinglePartition exchange deep in
+    the input tree, and a window fed by a TakeOrderedAndProject (already
+    one K-row partition, so Spark inserts NO exchange for it) would be
+    falsely flagged for containing one. The tree rendering carries only
+    operator names + ids; the partitioning argument lives in the
+    per-operator detail block, so ids are joined against the details."""
     blocks = plan.split("\n\n")
     tree = blocks[0].splitlines()
     # ids of Exchange operators whose own detail block says SinglePartition
@@ -85,16 +95,27 @@ def window_over_single_partition(plan: str) -> bool:
             single_ids.add(m.group(1))
     if not single_ids:
         return False
+    passthrough = re.compile(r"\b(Sort|Project|Filter)\b")
     for i, line in enumerate(tree):
         if not re.search(r"\bWindow", line):
             continue
         depth = _tree_indent(line)
-        for child in tree[i + 1 :]:
-            if child.strip() and _tree_indent(child) <= depth:
+        # walk the first-child spine: consecutive lines one level deeper,
+        # skipping pass-through operators
+        j = i + 1
+        while j < len(tree) and tree[j].strip():
+            d = _tree_indent(tree[j])
+            if d <= depth:
                 break
-            m = re.search(r"\((\d+)\)\s*$", child)
+            node = tree[j]
+            if passthrough.search(node):
+                depth = d
+                j += 1
+                continue
+            m = re.search(r"\bExchange.*\((\d+)\)\s*$", node)
             if m and m.group(1) in single_ids:
                 return True
+            break
     return False
 
 

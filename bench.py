@@ -1,8 +1,10 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line. Query keys match BASELINE.md so the per-round BENCH_r{N}.json is
-directly comparable (bar: within 2× of the frozen PySpark baseline, warm,
-startup excluded).
+directly comparable (bar: within 2× of the frozen PySpark baseline,
+startup excluded). The headline ``value``/``queries`` are the FRESH
+(plan-rebuilt-per-run) series — the honest match for BASELINE.md's
+protocol; the plan-cached warm series is secondary (``warm_*``).
 """
 
 from __future__ import annotations
@@ -105,19 +107,25 @@ def main() -> None:
             for out in outs:
                 out[bench_key] = round(min(runs[1:]), 4)
 
+    # The FRESH (plan-rebuilt) series is the headline: it is the honest
+    # twin of BASELINE.md's protocol (re-run the query text, report 2nd
+    # timing — full execution including every shuffle). The plan-cached
+    # warm series is kept as secondary for r1..r6 continuity; its
+    # stage-skip makes it flattering and it must NOT be held against the
+    # baseline (VERDICT-r6 #7).
     print(
         json.dumps(
             {
-                "metric": "warm_headline_queries",
+                "metric": "fresh_headline_queries",
                 "value": round(
-                    sum(v for k, v in timings.items() if k in BASELINE_KEYS), 4
-                ),
-                "unit": "sec",
-                "queries": timings,
-                "fresh_value": round(
                     sum(v for k, v in fresh.items() if k in BASELINE_KEYS), 4
                 ),
-                "fresh_queries": fresh,
+                "unit": "sec",
+                "queries": fresh,
+                "warm_value": round(
+                    sum(v for k, v in timings.items() if k in BASELINE_KEYS), 4
+                ),
+                "warm_queries": timings,
                 "sf": float(sf),
                 "calib_sec": calib,
             }

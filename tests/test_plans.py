@@ -307,6 +307,42 @@ def test_plan_audit_full_registry(spark, sf_dir):
     assert n_audited >= 170, f"registry shrank? only {n_audited} plans audited"
 
 
+def test_window_detector_direct_input_only(spark, sf_dir):
+    """The single-partition-window detector flags only a window whose
+    DIRECT input spine carries the SinglePartition exchange (a genuine
+    global window over unbounded input), not a window whose input TREE
+    merely contains a bounded 1-row global aggregate's final-agg exchange
+    (the df-cap corpus-size count, broadcast totals) — the round-7
+    false-positive the detector was sharpened against."""
+    from pyspark.sql import Window
+
+    from avro_parquet_spark_example_spark.plans.audit import (
+        window_over_single_partition,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # genuine hazard: unpartitioned window straight over the scan
+    hazard = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert window_over_single_partition(formatted_plan(hazard))
+    # partitioned window: no flag
+    fine = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    )
+    assert not window_over_single_partition(formatted_plan(fine))
+    # bounded: window over a TakeOrderedAndProject K-row list whose input
+    # tree contains a 1-row global-agg SinglePartition exchange
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    topk = (
+        d.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("doc_id"))
+        .limit(10)
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("doc_id"))))
+    )
+    assert not window_over_single_partition(formatted_plan(topk))
+
+
 def test_compaction_collapses_file_count(spark, sf_dir):
     """layout_compact_small_files: the fragmented layout has ~64 files, the
     compacted rewrite has the byte-size-derived target count (1 at test
