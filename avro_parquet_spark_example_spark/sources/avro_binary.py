@@ -11,7 +11,14 @@ the Object Container File format (magic ``Obj\\x01``, header metadata map,
 Avro library dependency (none ships in this environment).
 
 Binary encoding implemented per the public Avro 1.11 spec
-(https://avro.apache.org/docs/1.11.1/specification/):
+(https://avro.apache.org/docs/1.11.1/specification/), and CROSS-VALIDATED
+against the reference Java implementation (avro-1.12.1 on Spark's JVM
+classpath, driven via py4j — tests/test_avro_binary.py): Java's
+DataFileReader decodes Python-written containers (both codecs, all-types
+schema incl. logical types), the Python reader decodes Java-written
+containers back to the original values, and the byte-split ownership rule
+below agrees with Java's own sync()/pastSync() partition for arbitrary
+split boundaries:
 
   int/long     zigzag varint          float/double  little-endian IEEE754
   string/bytes varint length + bytes  boolean       single byte 0/1

@@ -1,6 +1,10 @@
 """Avro binary codec + object-container tests (SURVEY.md §5 model: pin the
-storage layer with round-trip and split-coverage properties, since no
-external Avro implementation exists in this environment to cross-check)."""
+storage layer with round-trip and split-coverage properties). Round 7 adds
+CROSS-IMPLEMENTATION validation against the reference Java Avro library
+(avro-1.12.1, already on Spark's JVM classpath, driven via py4j) — the
+codec is no longer only self-consistent: Java must parse Python-written
+containers and Python must parse Java-written ones, and the split protocol
+must agree with Java's own sync()/pastSync()."""
 
 from __future__ import annotations
 
@@ -212,6 +216,95 @@ def test_datasource_rejects_heterogeneous_schemas(tmp_path):
     ab.write_container(str(tmp_path / "b.avro"), s2, [("u",)])
     with pytest.raises(ValueError, match="heterogeneous"):
         AvroContainerReader({"path": str(tmp_path)}).partitions()
+
+
+@pytest.mark.parametrize("py_codec,j_codec", [("null", "deflate"), ("deflate", "null")])
+def test_java_avro_cross_validation(spark, tmp_path, py_codec, j_codec):
+    """The reference implementation gate: the Java Avro library
+    (org.apache.avro 1.12.1, on Spark's classpath) must (a) open and
+    fully decode a Python-written container — magic, header meta map,
+    schema JSON, blocks, codec, sync markers, every record of the
+    all-types schema — and (b) produce a container (GenericDatumWriter +
+    DataFileWriter, its own random sync, its own codec) that the Python
+    codec decodes back to the ORIGINAL values. Logical types (decimal,
+    date, timestamps) pass through Java as their raw encodings, so value
+    equality after the Java round-trip proves the Python logical
+    encodings are the spec's. Both codec directions are exercised."""
+    jvm = spark._jvm
+    p_py = str(tmp_path / "py_written.avro")
+    p_j = str(tmp_path / "java_written.avro")
+    ab.write_container(p_py, FULL_SCHEMA, ROWS, codec=py_codec, block_records=13)
+
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p_py), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    jschema = reader.getSchema()
+    assert jschema.getFullName() == "example.avro.Everything"
+    assert reader.getMetaString("avro.codec") == py_codec
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    if j_codec == "deflate":
+        writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(jschema, jvm.java.io.File(p_j))
+    n = 0
+    while reader.hasNext():
+        writer.append(reader.next())
+        n += 1
+    writer.close()
+    reader.close()
+    assert n == len(ROWS), "Java reader must see every Python-written record"
+
+    schema_json, it = ab.read_container(p_j)
+    assert list(it) == ROWS, "values must survive the Java decode/encode cycle"
+
+
+def test_java_avro_split_protocol_agrees(spark, tmp_path):
+    """Splittability against the REFERENCE split protocol: for arbitrary
+    byte ranges [lo, hi), Java's DataFileReader.sync(lo) + pastSync(hi)
+    (exactly Hadoop AvroInputFormat's ownership rule) must yield the same
+    per-split record partition as ab.read_container_split — same counts,
+    same first field values, exact-once union."""
+    schema = {
+        "type": "record",
+        "name": "S",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    rows = [(i, f"value-{i:04d}" * (i % 4 + 1)) for i in range(211)]
+    path = str(tmp_path / "split_xcheck.avro")
+    ab.write_container(path, schema, rows, codec="null", block_records=9)
+    with open(path, "rb") as fo:
+        schema_json, codec, sync, body_offset = ab.read_header(fo)
+    size = os.path.getsize(path)
+
+    jvm = spark._jvm
+    for split_bytes in (97, 512, 2048):
+        lo = body_offset - ab.SYNC_SIZE
+        union: list = []
+        while lo < size:
+            hi = min(lo + split_bytes, size)
+            ours = list(
+                ab.read_container_split(path, lo, hi, schema_json, codec, sync.hex())
+            )
+            reader = jvm.org.apache.avro.file.DataFileReader(
+                jvm.java.io.File(path),
+                jvm.org.apache.avro.generic.GenericDatumReader(),
+            )
+            reader.sync(lo)
+            theirs = []
+            while reader.hasNext() and not reader.pastSync(hi):
+                theirs.append(reader.next().get(0))
+            reader.close()
+            assert [r[0] for r in ours] == theirs, (
+                f"split [{lo},{hi}) disagrees with Java: "
+                f"ours={len(ours)} theirs={len(theirs)}"
+            )
+            union.extend(ours)
+            lo = hi
+        assert union == rows
 
 
 def test_write_distributed_leaves_no_tmp_files(spark, sf_dir, tmp_path):
