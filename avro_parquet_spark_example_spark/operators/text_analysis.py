@@ -236,6 +236,98 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hashed-feature dimensionality for the linear quality scorer (2^10 —
+#: production fastText-style filters use 2^20+; the shape is identical).
+LINEAR_SCORE_DIM = 1024
+#: Knuth multiplicative constant — derives the deterministic stand-in
+#: weight for bucket b: ((b*K) % 2003) - 1001 ∈ [-1001, 1001].
+_LINEAR_SCORE_K = 2654435761
+
+
+@register(
+    "text_quality_linear_score",
+    oracle=f"""
+    WITH weights AS (
+        SELECT CAST(r.range AS INTEGER) AS bucket,
+               (CAST(r.range AS BIGINT) * {_LINEAR_SCORE_K}) % 2003 - 1001 AS w
+        FROM RANGE({LINEAR_SCORE_DIM}) r
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 4)) AS INTEGER)
+                 % {LINEAR_SCORE_DIM} AS bucket
+        FROM toks WHERE tok <> ''
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_tok,
+           CAST(SUM(w.w) AS BIGINT) AS feat_sum,
+           ROUND(SUM(w.w) / (1001.0 * COUNT(*)), 6) AS score,
+           SUM(w.w) > 0 AS keep
+    FROM feats f JOIN weights w USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6q — MODEL-BASED quality filtering, the fastText-classifier stage
+    of CCNet/LLaMA-class pipelines (a learned linear model over hashed
+    token features decides keep/drop), as a Spark shape: tokenize →
+    feature-hash each token into one of ``LINEAR_SCORE_DIM`` buckets
+    (the hashing trick, Weinberger et al. 2009 — md5-hex prefix so both
+    engines hash identically) → broadcast-join the 1024-row weight table
+    → one map-side-combined integer aggregation per document. The
+    weights here are a deterministic arithmetic stand-in derived from
+    the bucket index (no learned artifact ships offline); a production
+    run broadcast-joins its trained weight vector through the IDENTICAL
+    plan — same explode, same broadcast, same exchange.
+
+    Exactness: weights are integers in [-1001, 1001], so the per-doc
+    accumulation is an exact BIGINT sum (no float fold order at any
+    parallelism); the single division + round happens per GROUP. Scale:
+    the weight side is O(dim) and broadcast; the token stream never
+    shuffles raw text — only (doc_id, bucket) ints reach the exchange,
+    and the final agg is doc-keyed with map-side combine."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    weights = F.broadcast(
+        spark.range(LINEAR_SCORE_DIM).select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") * F.lit(_LINEAR_SCORE_K)) % 2003 - 1001).alias("w"),
+        )
+    )
+    feats = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+                % F.lit(LINEAR_SCORE_DIM)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        feats.join(weights, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("__s").cast("bigint").alias("feat_sum"),
+            F.round(F.col("__s") / (1001.0 * F.col("n_tok")), 6).alias("score"),
+            (F.col("__s") > 0).alias("keep"),
+        )
+    )
+
+
 @register(
     "text_token_count",
     oracle=r"""
