@@ -978,6 +978,137 @@ def search_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MMR re-ranking constants: candidate-pool depth, picks, and the
+#: relevance/diversity trade-off λ (Carbonell & Goldstein 1998). The
+#: diversity complement is written as the LITERAL 0.3 on both engines —
+#: computing 1-0.7 in IEEE gives 0.30000000000000004, a different double.
+MMR_CANDIDATES = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+_MMR_LAMBDA_C = 0.3
+
+#: Pair dot between a candidate row (c.emb) and a selected row (s.emb) —
+#: the same index-order float→double fold as _DOT_SQL.
+_MMR_PAIR_DOT = """(SELECT SUM(CAST(c.emb[g.i] AS DOUBLE) * CAST(s.emb[g.i] AS DOUBLE))
+                    FROM GENERATE_SERIES(1, 64) g(i))"""
+
+
+def _mmr_steps_sql() -> str:
+    """Unrolled greedy-MMR CTE chain s1..s{MMR_K}: the selection loop is
+    bounded (K picks), so the 'iterative' algorithm IS expressible as
+    static SQL — which is what lets this query be hash-checked instead of
+    rows-only."""
+    steps = [
+        """,
+    s1 AS (SELECT vec_id, emb, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, emb FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f""",
+    s{i} AS (
+        SELECT c.vec_id, c.emb, c.rel
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev}) p)
+        ORDER BY {MMR_LAMBDA} * c.rel - {_MMR_LAMBDA_C} * (
+                   SELECT MAX({_MMR_PAIR_DOT}) FROM ({prev}) s
+                 ) DESC, c.vec_id
+        LIMIT 1
+    )""")
+    return "".join(steps)
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.embedding AS emb, {_DOT_SQL} AS rel
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {_DOT_SQL} DESC, e.vec_id
+        LIMIT {MMR_CANDIDATES}
+    ){_mmr_steps_sql()}
+    {" UNION ALL ".join(f"SELECT {i} AS rank, vec_id, ROUND(rel, 5) AS rel FROM s{i}" for i in range(1, MMR_K + 1))}
+    """,
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4h — maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998, λ=0.7): greedily re-rank the dense top-20 so each
+    pick maximizes λ·rel(d) − 0.3·max_{s∈S} sim(d, s) — the standard
+    RAG-stack answer to near-duplicate retrieval lists (a corpus with
+    near-dup documents fills plain top-k with copies; MMR's second term
+    suppresses them, which is why retrieval-time diversification and
+    offline dedup are the same family).
+
+    Exactness: rel and pair sims are the index-order float→double fold
+    (bit-identical cross-engine), the MMR combination is a fixed IEEE
+    sequence with LITERAL 0.7/0.3 coefficients, ties break on vec_id —
+    and because the greedy loop is BOUNDED (K=5), it unrolls into a
+    static SQL CTE chain, so the whole algorithm is hash-checked against
+    DuckDB rather than rows-only.
+
+    Scale: the candidate pool is K-bounded by the dense tier
+    (TakeOrderedAndProject — corpus-size-independent), each of the K−1
+    selection rounds is one ≤20×≤5 broadcast cross join + a 1-row
+    argmax collect (the bounded-scalar iterative pattern of
+    kmeans/power-iteration); model cost is O(K²·dim) per query
+    regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(e)
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("rel", dot_product(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            "rel",
+        )
+        .localCheckpoint(eager=True)  # ≤20 rows; feeds every greedy round
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("emb", "semb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    selected: list[int] = []
+    picks: list[tuple[int, int]] = []
+    for rank in range(1, MMR_K + 1):
+        rem = cand.filter(~F.col("vec_id").isin(selected)) if selected else cand
+        if not selected:
+            scored = rem.select("vec_id", F.col("rel").alias("mmr"))
+        else:
+            sel_embs = F.broadcast(
+                cand.filter(F.col("vec_id").isin(selected)).select(
+                    F.col("emb").alias("semb")
+                )
+            )
+            scored = (
+                rem.crossJoin(sel_embs)
+                .withColumn("pd", pair_dot)
+                .groupBy("vec_id")
+                .agg(F.first("rel").alias("rel"), F.max("pd").alias("maxsim"))
+                .select(
+                    "vec_id",
+                    (
+                        F.col("rel") * F.lit(MMR_LAMBDA)
+                        - F.lit(_MMR_LAMBDA_C) * F.col("maxsim")
+                    ).alias("mmr"),
+                )
+            )
+        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append(top.vec_id)
+        picks.append((rank, top.vec_id))
+    ranks = spark.createDataFrame(picks, schema="rank INT, vec_id BIGINT")
+    return ranks.join(
+        cand.select("vec_id", F.round("rel", 5).alias("rel")), "vec_id"
+    ).select("rank", "vec_id", "rel")
+
+
 @register(
     "eval_retrieval_metrics",
     oracle=f"""
