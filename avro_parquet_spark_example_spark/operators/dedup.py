@@ -319,7 +319,9 @@ def lsh_oversized_buckets(
 
 
 def lsh_band_pairs(
-    sig: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+    sig: DataFrame,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """Deduplicated band-sharing candidate pairs (a, b) from a signature
     table (id, sig). The bucket self-join runs on SLIM (id, band_id,
@@ -338,20 +340,59 @@ def lsh_band_pairs(
     pair — are filtered out BEFORE the self-join, so no executor ever
     materializes a quadratic mega-bucket expansion. ``None`` disables the
     cap (the exact pre-capped semantics, used by the uncapped-equivalence
-    test). Dropped buckets are observable via ``lsh_oversized_buckets``."""
+    test). Dropped buckets are observable via ``lsh_oversized_buckets``.
+
+    ``on_oversized`` picks what a >cap bucket does:
+
+    * ``"drop"`` (production default) — drop-with-log: the bucket is
+      excluded and observable via ``lsh_oversized_buckets``. Output is
+      then cap-DEPENDENT (pairs that only collide in a dropped bucket
+      vanish), which is the intended skew trade at 100 TB but NOT an
+      exact contract.
+    * ``"error"`` — exact-or-fail: an ``assert_true`` on the bucket-size
+      aggregate raises at execution time if ANY bucket exceeds the cap,
+      so whenever the query *succeeds* its output is bit-identical to the
+      uncapped semantics. This is what oracle-hash-checked callers
+      (``dedup_minhash_verified``) use: the capped/uncapped equivalence
+      is no longer a data-dependent assumption verified only on the
+      sf0.001–0.1 fixtures — a future fixture (or real corpus) with an
+      organic mega-bucket turns into a loud failure instead of a silent
+      engine-vs-oracle divergence. Zero extra jobs: the assert rides the
+      already-computed ``__bsz`` column inside the shared exchange."""
     bands = sig.select(
         "id",
         F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
     if max_bucket_size is not None:
-        admitted = (
+        if on_oversized not in ("drop", "error"):
+            raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
+        sized = (
             bands.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(
-                (F.col("__bsz") >= 2) & (F.col("__bsz") <= max_bucket_size)
-            )
-            .select("band_id", "band_hash")
+            .filter(F.col("__bsz") >= 2)
         )
+        if on_oversized == "error":
+            # assert_true returns NULL when the predicate holds and raises
+            # at execution time when it does not; filtering on isNull keeps
+            # every row while forcing the check into the plan (a selected-
+            # then-dropped column would be pruned by Catalyst).
+            admitted = sized.filter(
+                F.assert_true(
+                    F.col("__bsz") <= F.lit(max_bucket_size),
+                    F.concat(
+                        F.lit("LSH band bucket exceeds max_bucket_size="),
+                        F.lit(str(max_bucket_size)),
+                        F.lit(": band_id="),
+                        F.col("band_id").cast("string"),
+                        F.lit(" size="),
+                        F.col("__bsz").cast("string"),
+                    ),
+                ).isNull()
+            ).select("band_id", "band_hash")
+        else:
+            admitted = sized.filter(
+                F.col("__bsz") <= max_bucket_size
+            ).select("band_id", "band_hash")
         bands = bands.join(admitted, ["band_id", "band_hash"])
     return (
         bands.select(F.col("id").alias("a"), "band_id", "band_hash")
@@ -689,8 +730,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work: the universe filter below cannot be pushed into an
     # already-materialized plan.
     sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
+    # on_oversized="error": this query's output hash-checks against an
+    # UNCAPPED DuckDB oracle, so the bucket cap must be exact-or-fail — a
+    # corpus with an organic >cap bucket raises here instead of silently
+    # dropping pairs the oracle still finds (ADVICE r7).
     cands = (
-        lsh_band_pairs(sig)
+        lsh_band_pairs(sig, on_oversized="error")
         .localCheckpoint(eager=True)
         .filter(in_injected_universe("a") & in_injected_universe("b"))
     )

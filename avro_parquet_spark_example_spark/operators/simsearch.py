@@ -1100,7 +1100,12 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("mmr"),
                 )
             )
-        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
+        rows = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()
+        if not rows:
+            # corpus smaller than MMR_K: return the shorter ranking (the
+            # oracle simply emits fewer rows) instead of IndexError
+            break
+        top = rows[0]
         selected.append(top.vec_id)
         picks.append((rank, top.vec_id))
     ranks = spark.createDataFrame(picks, schema="rank INT, vec_id BIGINT")

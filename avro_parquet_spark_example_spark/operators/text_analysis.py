@@ -629,7 +629,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_inverted_index",
-    oracle="""
+    # f-string: the df-cap is INTERPOLATED from TEXT_MAX_DF_FRAC so engine
+    # and oracle can never disagree on the cap constant (ADVICE r7; the
+    # iusum_sql precedent)
+    oracle=f"""
     WITH toks AS (
         SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
         FROM documents
@@ -642,7 +645,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks GROUP BY tok
     )
     SELECT tok, df, posting_head FROM postings CROSS JOIN n
-    WHERE df <= n.n_docs * 0.9
+    WHERE df <= n.n_docs * {TEXT_MAX_DF_FRAC}
     """,
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,10 +856,25 @@ SPARSE_QUERY_DOC = 0
     ),
     q AS (SELECT term, tf AS qtf FROM tf WHERE doc_id = {SPARSE_QUERY_DOC}),
     qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = {SPARSE_QUERY_DOC}),
+    -- df-cap twin (ADVICE r7): candidates come from BELOW-CAP query terms
+    -- only, then admitted docs are scored exactly over all shared terms —
+    -- the same {TEXT_MAX_DF_FRAC} cap the Spark side applies, so the two
+    -- engines agree by construction on any corpus, not just ones where
+    -- the cap never fires
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qsel AS (
+        SELECT q.term FROM q JOIN dfreq f ON f.term = q.term CROSS JOIN nd
+        WHERE f.df <= nd.n_docs * {TEXT_MAX_DF_FRAC}
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id FROM tf t JOIN qsel s ON s.term = t.term
+        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
+    ),
     dots AS (
         SELECT t.doc_id, CAST(SUM(t.tf * q.qtf) AS BIGINT) AS dot
         FROM tf t JOIN q ON q.term = t.term
-        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
+        JOIN cand c ON c.doc_id = t.doc_id
         GROUP BY t.doc_id
     )
     SELECT d.doc_id, d.dot,
@@ -980,6 +998,17 @@ BM25_B = 0.75
     ),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     q AS (SELECT DISTINCT term FROM tf WHERE doc_id = {SPARSE_QUERY_DOC}),
+    -- df-cap twin (ADVICE r7): same cap semantics as the Spark side —
+    -- below-cap query terms generate candidates, admitted docs score
+    -- exactly over all matched terms
+    qsel AS (
+        SELECT q.term FROM q JOIN df f ON f.term = q.term CROSS JOIN stats s
+        WHERE f.df <= s.n_docs * {TEXT_MAX_DF_FRAC}
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id FROM tf t JOIN qsel ON qsel.term = t.term
+        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
+    ),
     partials AS (
         SELECT t.doc_id,
                CAST(ROUND(
@@ -992,8 +1021,8 @@ BM25_B = 0.75
         JOIN q ON q.term = t.term
         JOIN df f ON f.term = t.term
         JOIN dl d ON d.doc_id = t.doc_id
+        JOIN cand c ON c.doc_id = t.doc_id
         CROSS JOIN stats s
-        WHERE t.doc_id <> {SPARSE_QUERY_DOC}
     )
     SELECT doc_id,
            COUNT(*) AS n_terms_matched,

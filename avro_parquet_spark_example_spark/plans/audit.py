@@ -95,7 +95,17 @@ def window_over_single_partition(plan: str) -> bool:
             single_ids.add(m.group(1))
     if not single_ids:
         return False
-    passthrough = re.compile(r"\b(Sort|Project|Filter)\b")
+    # Unary operators Spark can place between a Window and its input
+    # exchange without changing the partitioning: Sort/Project/Filter,
+    # WindowGroupLimit (rank-limit pushdown inserts a per-partition limit
+    # below the Window), and AQEShuffleRead (adaptive re-read wraps the
+    # exchange it reads — the SinglePartition exchange is its child, one
+    # level deeper on the same spine). Missing entries UNDER-flag: the
+    # walk stops at an unknown node and a genuine global window hides
+    # behind it (ADVICE r7).
+    passthrough = re.compile(
+        r"\b(Sort|Project|Filter|WindowGroupLimit|AQEShuffleRead)\b"
+    )
     for i, line in enumerate(tree):
         if not re.search(r"\bWindow", line):
             continue

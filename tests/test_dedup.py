@@ -427,6 +427,52 @@ def test_lsh_bucket_cap_bounds_organic_mega_bucket(spark):
     assert lsh_band_pairs(sig, max_bucket_size=1).count() == 0
 
 
+def test_lsh_bucket_cap_error_mode(spark, sf_dir):
+    """``on_oversized="error"`` (used by the oracle-hash-checked
+    dedup_minhash_verified, ADVICE r7): a >cap bucket RAISES at execution
+    time instead of silently dropping pairs the uncapped DuckDB oracle
+    still finds — so whenever the exact-contract query succeeds, its
+    output equals the uncapped semantics by construction, on any corpus.
+    On the organic fixture (max bucket ≤ 6) the error mode is a no-op
+    pass-through producing the identical pair set."""
+    import pytest
+
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures_df,
+        with_injected_duplicates,
+    )
+
+    # mega-bucket corpus: error mode must raise where drop mode drops
+    n = 600
+    boiler = " ".join(f"tok{i % 37}w{i}" for i in range(100))
+    rows = [(i, f"{boiler} unique-suffix-{i}") for i in range(n)]
+    sig_big = minhash_signatures_df(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).localCheckpoint(eager=True)
+    assert lsh_band_pairs(sig_big).count() >= 0  # drop mode: completes
+    with pytest.raises(Exception, match="max_bucket_size"):
+        lsh_band_pairs(sig_big, on_oversized="error").count()
+
+    # organic corpus: error mode passes and equals drop mode (no bucket
+    # fires, so both equal uncapped — covered by the identity test above)
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    sig = minhash_signatures_df(docs).localCheckpoint(eager=True)
+    strict = {
+        (r.a, r.b)
+        for r in lsh_band_pairs(sig, on_oversized="error").collect()
+    }
+    drop = {(r.a, r.b) for r in lsh_band_pairs(sig).collect()}
+    assert strict == drop
+
+    with pytest.raises(ValueError, match="drop\\|error"):
+        lsh_band_pairs(sig, on_oversized="bogus")
+
+
 def test_lsh_bucket_cap_identity_on_organic_corpus(spark, sf_dir):
     """At the production default the cap NEVER fires on the organic
     fixture corpora (max observed bucket ≤ 6 across sf0.001–0.1 incl. the

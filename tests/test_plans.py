@@ -341,6 +341,19 @@ def test_window_detector_direct_input_only(spark, sf_dir):
         .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("doc_id"))))
     )
     assert not window_over_single_partition(formatted_plan(topk))
+    # rank-limit pushdown: rk <= k over a global rank() window makes Spark
+    # insert a WindowGroupLimit BETWEEN the Window and its SinglePartition
+    # exchange (row_number would be rewritten to TakeOrderedAndProject,
+    # which is bounded; rank's ties resist that rewrite) — the spine walk
+    # must pass through it and still flag (ADVICE r7: an unknown unary
+    # node must not hide a global window)
+    ranked = (
+        d.withColumn("rk", F.rank().over(Window.orderBy("n_chars")))
+        .filter(F.col("rk") <= 3)
+    )
+    plan = formatted_plan(ranked)
+    assert "WindowGroupLimit" in plan, "fixture must exercise the pushdown"
+    assert window_over_single_partition(plan)
 
 
 def test_compaction_collapses_file_count(spark, sf_dir):

@@ -233,3 +233,35 @@ def test_bm25_self_terms_rank_duplicates_first(spark, sf_dir):
         assert 1 <= r.n_terms_matched <= q_terms
     ranked = sorted(rows, key=lambda r: (-r.score, r.doc_id))
     assert [r.doc_id for r in ranked] == [r.doc_id for r in rows]
+
+
+def test_mmr_short_corpus_returns_short_ranking(spark, tmp_path):
+    """ADVICE r7 (simsearch.py): with fewer than MMR_K candidates the
+    greedy loop must emit the shorter ranking — every candidate picked
+    once, ranks 1..n_candidates — not IndexError on the empty argmax."""
+    import pyspark.sql.types as T
+
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        MMR_K,
+        QUERY_VEC_ID,
+    )
+
+    n_cand = MMR_K - 2  # 3 candidates < K picks
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    vecs = [
+        (QUERY_VEC_ID, [1.0] + [0.0] * 63, 0),
+        (1, [0.9] + [0.1] * 63, 0),
+        (2, [0.5] + [0.2] * 63, 1),
+        (3, [0.1] + [0.3] * 63, 1),
+    ]
+    spark.createDataFrame(vecs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = get_query("search_mmr_rerank").fn(spark, str(tmp_path)).collect()
+    assert len(rows) == n_cand
+    assert sorted(r.rank for r in rows) == list(range(1, n_cand + 1))
+    assert {r.vec_id for r in rows} == {1, 2, 3}
