@@ -1,0 +1,125 @@
+"""Entity-resolution correctness: injected-corruption recall, blocking
+precision, transitive clustering, and survivorship (operators/entity.py).
+
+The injected universe is fully deterministic, so the tests pin the EXACT
+edge/cluster structure — every corruption class recalled, the known
+distance-3 pair matched only transitively, no cross-entity merges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.entity import (
+    ER_MAX_LEV,
+    ER_N_SOURCES,
+    ER_OFF_DEL,
+    ER_OFF_SUB,
+    ER_OFF_SWP,
+    blocked_match_pairs,
+    er_records,
+)
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def _kind(i: int) -> str:
+    if i >= ER_OFF_SWP:
+        return "swp"
+    if i >= ER_OFF_DEL:
+        return "del"
+    if i >= ER_OFF_SUB:
+        return "sub"
+    return "src"
+
+
+def test_blocked_match_exact_edge_structure(spark, sf_dir):
+    """Five edges per injected group — (src,sub)=1 (src,del)=1 (src,swp)=2
+    (sub,del)=2 (del,swp)=2 — and nothing else: full recall of every
+    within-threshold pair, zero cross-group or organic false positives."""
+    rows = get_query("er_blocked_match").fn(spark, sf_dir).collect()
+    assert len(rows) == 5 * ER_N_SOURCES
+    by_kind: dict[tuple[str, str, int], int] = {}
+    for r in rows:
+        # both sides must come from the same source group
+        assert r.id_a % 100_000 == r.id_b % 100_000
+        assert 1 <= r.lev <= ER_MAX_LEV
+        k = (_kind(r.id_a), _kind(r.id_b), r.lev)
+        by_kind[k] = by_kind.get(k, 0) + 1
+    assert by_kind == {
+        ("src", "sub", 1): ER_N_SOURCES,
+        ("src", "del", 1): ER_N_SOURCES,
+        ("src", "swp", 2): ER_N_SOURCES,
+        ("sub", "del", 2): ER_N_SOURCES,
+        ("del", "swp", 2): ER_N_SOURCES,
+    }
+
+
+def test_clusters_transitive_and_golden(spark, sf_dir):
+    """The (sub, swp) pair is at Levenshtein 3 — beyond the pairwise
+    threshold — yet clustering still lands all four records of each group
+    in ONE cluster labelled by the uncorrupted source (min id), which is
+    the golden record."""
+    rows = get_query("er_match_clusters").fn(spark, sf_dir).collect()
+    assert len(rows) == 4 * ER_N_SOURCES
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.id)
+        assert r.is_golden == (r.id == r.cluster_id)
+    assert set(by_cluster) == set(range(ER_N_SOURCES))
+    for src, members in by_cluster.items():
+        assert members == {
+            src,
+            src + ER_OFF_SUB,
+            src + ER_OFF_DEL,
+            src + ER_OFF_SWP,
+        }
+
+
+def test_golden_record_survivorship(spark, sf_dir):
+    """One golden row per entity: the survivor name is the uncorrupted
+    source name, with 4 members / 4 distinct name spellings."""
+    rows = get_query("er_golden_record").fn(spark, sf_dir).collect()
+    assert len(rows) == ER_N_SOURCES
+    names = {
+        r.c_custkey: r.c_name
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") < ER_N_SOURCES)
+        .collect()
+    }
+    for r in rows:
+        assert r.n_members == 4
+        assert r.n_name_variants == 4
+        assert r.golden_name == names[r.cluster_id]
+
+
+def test_blocking_key_survives_every_corruption_class(spark, sf_dir):
+    """The design invariant behind the blocking key: every corruption is
+    a prefix edit, so right(name, 6) is identical across all four
+    spellings of a group — each injected group is exactly one block."""
+    recs = er_records(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ).select(
+        "id", F.expr("right(name, 6)").alias("bkey")
+    )
+    groups = (
+        recs.filter(
+            (F.col("id") < ER_N_SOURCES) | (F.col("id") >= ER_OFF_SUB)
+        )
+        .groupBy(F.col("id") % 100_000)
+        .agg(F.count_distinct("bkey").alias("nk"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(groups) == ER_N_SOURCES
+    for g in groups:
+        assert g.n == 4 and g.nk == 1
+
+
+def test_match_threshold_tightening_drops_transposition(spark, sf_dir):
+    """max_lev=1 keeps only the substitution/deletion edges — the dial is
+    real, not decorative."""
+    recs = er_records(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    rows = blocked_match_pairs(recs, max_lev=1).collect()
+    assert len(rows) == 2 * ER_N_SOURCES
+    assert {( _kind(r.id_a), _kind(r.id_b)) for r in rows} == {
+        ("src", "sub"),
+        ("src", "del"),
+    }
