@@ -358,14 +358,34 @@ def lsh_band_pairs(
       sf0.001–0.1 fixtures — a future fixture (or real corpus) with an
       organic mega-bucket turns into a loud failure instead of a silent
       engine-vs-oracle divergence. Zero extra jobs: the assert rides the
-      already-computed ``__bsz`` column inside the shared exchange."""
+      already-computed ``__bsz`` column inside the shared exchange.
+    * ``"split"`` — recall-bounded availability: an oversized bucket is
+      sub-partitioned into ``ceil(size / cap)`` sub-buckets by a secondary
+      hash SALTED ON band_id (``xxhash64(id, band_id)``), and the
+      self-join runs WITHIN sub-buckets — per-task expansion stays ~cap²
+      no matter how hot the bucket. The band salt makes each band's
+      sub-partitioning independent, so a pair sharing an oversized bucket
+      in all b bands is caught with probability 1-(1-1/n_sub)^b (≈ 0.999
+      at n_sub=3, b=16) instead of the 1/n_sub an unsalted hash would give
+      — near-full recall at bounded memory. Buckets at-or-under the cap
+      are untouched (one sub-bucket, exact semantics). ``drop`` trades
+      recall to zero on hot buckets, ``error`` trades availability;
+      ``split`` is the middle dial for corpora where hot buckets carry
+      signal you can't afford to drop wholesale. NOT for hash-checked
+      callers: output depends on the sub-partitioning hash.
+
+    With ``max_bucket_size=None`` the cap machinery is skipped entirely and
+    ``on_oversized`` is a (still-validated) no-op."""
+    if on_oversized not in ("drop", "error", "split"):
+        raise ValueError(
+            f"on_oversized must be drop|error|split, got {on_oversized!r}"
+        )
     bands = sig.select(
         "id",
         F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
+    join_keys = ["band_id", "band_hash"]
     if max_bucket_size is not None:
-        if on_oversized not in ("drop", "error"):
-            raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
         sized = (
             bands.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__bsz"))
@@ -389,17 +409,37 @@ def lsh_band_pairs(
                     ),
                 ).isNull()
             ).select("band_id", "band_hash")
+            bands = bands.join(admitted, join_keys)
+        elif on_oversized == "split":
+            # Carry n_sub through the (shared-exchange) size aggregate and
+            # key each band row into a hash sub-bucket; ≤cap buckets get
+            # n_sub=1 → __sub=0 → semantics identical to uncapped.
+            subbed = sized.withColumn(
+                "__nsub",
+                F.when(
+                    F.col("__bsz") > max_bucket_size,
+                    F.ceil(F.col("__bsz") / F.lit(max_bucket_size)).cast("int"),
+                ).otherwise(F.lit(1)),
+            ).select("band_id", "band_hash", "__nsub")
+            bands = (
+                bands.join(subbed, join_keys)
+                .withColumn(
+                    "__sub",
+                    F.pmod(
+                        F.xxhash64("id", "band_id"), F.col("__nsub")
+                    ).cast("int"),
+                )
+                .select("id", "band_id", "band_hash", "__sub")
+            )
+            join_keys = join_keys + ["__sub"]
         else:
             admitted = sized.filter(
                 F.col("__bsz") <= max_bucket_size
             ).select("band_id", "band_hash")
-        bands = bands.join(admitted, ["band_id", "band_hash"])
+            bands = bands.join(admitted, join_keys)
     return (
-        bands.select(F.col("id").alias("a"), "band_id", "band_hash")
-        .join(
-            bands.select(F.col("id").alias("b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        )
+        bands.select(F.col("id").alias("a"), *join_keys)
+        .join(bands.select(F.col("id").alias("b"), *join_keys), join_keys)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])

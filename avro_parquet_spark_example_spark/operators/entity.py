@@ -32,11 +32,13 @@ the oracle exact, and multi-pass rotation is already demonstrated by
 Scale shape: blocking is one projection + a per-block self-join whose
 block sizes are data-bounded (here ≤ 4: one source + three variants; a
 skewed block is the same hazard class as an LSH mega-bucket and takes the
-same cap), Levenshtein runs only on candidate pairs, and clustering uses
-the shared ``connected_components`` (bounded per-round state). The
-pipeline runs over the FULL customer table — only the injected groups
-produce matches, so the output is fixture-determined (320 pairs) while
-the blocking/verify stages still scan corpus-sized input at every SF.
+same cap — ``max_block_size`` below, mirroring ``lsh_band_pairs``),
+Levenshtein runs only on candidate pairs, and clustering uses the shared
+``connected_components`` (bounded per-round state). The pipeline runs
+over the FULL customer table — only the injected groups produce matches,
+so the output is fixture-determined (400 match edges across 80 injected
+groups; 320 clustered records) while the blocking/verify stages still
+scan corpus-sized input at every SF.
 """
 
 from __future__ import annotations
@@ -56,10 +58,19 @@ ER_OFF_DEL = 900_000
 ER_OFF_SWP = 1_000_000
 
 #: Pairwise match threshold: max Levenshtein distance. 2 admits every
-#: (source, variant) pair and the (sub, del) variant pair, while the
-#: (sub, swp) / (del, swp) pairs sit at distance 3 — matched only
+#: (source, variant) pair plus the (sub, del) and (del, swp) variant
+#: pairs, while the (sub, swp) pair sits at distance 3 — matched only
 #: TRANSITIVELY through the source, which is exactly what stage 3 is for.
 ER_MAX_LEV = 2
+
+#: Block-size skew dial (the ``LSH_MAX_BUCKET`` twin, operators/dedup.py):
+#: the per-block self-join is quadratic in block size, so blocks above the
+#: cap are excluded BEFORE the join. Fixture blocks are ≤ 4 (one source +
+#: three variants — ``right(name, 6)`` is unique per custkey below 10^6),
+#: so 64 is pure headroom; the cap exists for real corpora where a hot
+#: suffix (shared surname, empty string, truncated field) would otherwise
+#: go quadratic with no defense.
+ER_MAX_BLOCK = 64
 
 #: The corrupted-variant UNION, shared verbatim by all three oracles.
 _ER_RECS_SQL = f"""
@@ -120,17 +131,85 @@ def er_records(cust: DataFrame) -> DataFrame:
     return base.unionByName(sub).unionByName(dele).unionByName(swp)
 
 
+def er_oversized_blocks(
+    recs: DataFrame,
+    block_tail: int = 6,
+    max_block_size: int = ER_MAX_BLOCK,
+) -> DataFrame:
+    """(bkey, block_size) for blocks the cap would drop — the monitoring
+    half of drop-with-log (the ``lsh_oversized_buckets`` twin,
+    operators/dedup.py): production runs this alongside
+    ``blocked_match_pairs`` and alerts/samples the dropped blocks."""
+    return (
+        recs.select(F.expr(f"right(name, {block_tail})").alias("bkey"))
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )
+
+
 def blocked_match_pairs(
-    recs: DataFrame, max_lev: int = ER_MAX_LEV, block_tail: int = 6
+    recs: DataFrame,
+    max_lev: int = ER_MAX_LEV,
+    block_tail: int = 6,
+    max_block_size: int | None = ER_MAX_BLOCK,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """(id_a, id_b, lev) — stage 1+2: block on the edit-surviving suffix
     key, self-join per block, verify candidates with exact Levenshtein.
     The join shuffles (id, name, bkey) rows hashed on bkey; Levenshtein
     cost is paid per CANDIDATE, bounded by sum-of-block-size² — the
-    all-pairs quadratic never materializes."""
+    all-pairs quadratic never materializes.
+
+    ``max_block_size`` is the skew dial: block sizes are counted with one
+    map-side-combined aggregate on the SAME key the self-join shuffles on,
+    and blocks above the cap — or below 2, which cannot form a pair — are
+    excluded BEFORE the join, so no executor ever materializes a quadratic
+    hot-block expansion. ``None`` disables the cap. ``on_oversized`` picks
+    what a >cap block does (the ``lsh_band_pairs`` contract verbatim):
+
+    * ``"drop"`` (production default) — drop-with-log; dropped blocks are
+      observable via ``er_oversized_blocks``. Output is cap-DEPENDENT.
+    * ``"error"`` — exact-or-fail: ``assert_true`` on the shared block-size
+      aggregate raises at execution time if ANY block exceeds the cap, so
+      a succeeding run is bit-identical to the uncapped semantics. This is
+      what the oracle-hash-checked ``er_*`` queries use — their DuckDB
+      oracles are uncapped, so a future corpus with an organic hot block
+      fails loudly instead of silently diverging from the oracle.
+    """
+    if on_oversized not in ("drop", "error"):
+        raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
     keyed = recs.select(
         "id", "name", F.expr(f"right(name, {block_tail})").alias("bkey")
     )
+    if max_block_size is not None:
+        sized = (
+            keyed.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") >= 2)
+        )
+        if on_oversized == "error":
+            # assert_true returns NULL when the predicate holds and raises
+            # at execution time when it does not; filtering on isNull keeps
+            # every row while forcing the check into the plan.
+            admitted = sized.filter(
+                F.assert_true(
+                    F.col("__bsz") <= F.lit(max_block_size),
+                    F.concat(
+                        F.lit("ER block exceeds max_block_size="),
+                        F.lit(str(max_block_size)),
+                        F.lit(": bkey="),
+                        F.col("bkey"),
+                        F.lit(" size="),
+                        F.col("__bsz").cast("string"),
+                    ),
+                ).isNull()
+            ).select("bkey")
+        else:
+            admitted = sized.filter(F.col("__bsz") <= max_block_size).select(
+                "bkey"
+            )
+        keyed = keyed.join(admitted, "bkey")
     a = keyed.alias("a")
     b = keyed.alias("b")
     lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
@@ -163,8 +242,12 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected group; the (sub, swp) pair sits at lev 3 and is matched only
     transitively (er_match_clusters). Zero edges elsewhere: uncorrupted
     names are pairwise-unique and share a block only with their own
-    group's variants. Integer Levenshtein on both engines ⇒ hash-exact."""
-    return blocked_match_pairs(er_records(load(spark, sf_dir, "customer")))
+    group's variants. Integer Levenshtein on both engines ⇒ hash-exact.
+    ``on_oversized="error"``: the oracle is uncapped, so the block cap
+    must be exact-or-fail (the ``dedup_minhash_verified`` precedent)."""
+    return blocked_match_pairs(
+        er_records(load(spark, sf_dir, "customer")), on_oversized="error"
+    )
 
 
 @register(
@@ -189,9 +272,9 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H12b — transitive entity clustering: matched pairs close under
     connectivity (min-reachable-id label, the shared
-    ``connected_components``), so the transposition variant — pairwise
-    distance 3 from its sibling variants, matched only to the source —
-    still lands in the same 4-record entity cluster. ``is_golden`` marks
+    ``connected_components``), so the (sub, swp) variant pair — pairwise
+    distance 3, never a direct edge — still lands in the same 4-record
+    entity cluster. ``is_golden`` marks
     the cluster representative (min id = the uncorrupted source, because
     variant offsets exceed every real key). Oracle: recursive-CTE
     transitive closure (the dedup_minhash_verified precedent)."""
@@ -200,7 +283,7 @@ def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = blocked_match_pairs(
-        er_records(load(spark, sf_dir, "customer"))
+        er_records(load(spark, sf_dir, "customer")), on_oversized="error"
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return connected_components(pairs).select(
         "id",
@@ -248,7 +331,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = er_records(load(spark, sf_dir, "customer")).localCheckpoint(
         eager=True
     )  # feeds the match pipeline AND the survivorship join-back
-    pairs = blocked_match_pairs(recs).select(
+    pairs = blocked_match_pairs(recs, on_oversized="error").select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     clusters = connected_components(pairs)

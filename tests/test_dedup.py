@@ -497,3 +497,56 @@ def test_lsh_bucket_cap_identity_on_organic_corpus(spark, sf_dir):
         for r in lsh_band_pairs(sig, max_bucket_size=None).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_bucket_cap_split_mode(spark):
+    """``on_oversized="split"``: oversized buckets are sub-partitioned by
+    a band-salted secondary hash instead of dropped — per-task expansion
+    stays ~cap² (each sub-bucket ≤ ~cap in expectation) while the
+    independent per-band sub-partitions keep recall near-full: a pair
+    colliding in all 16 bands at n_sub=3 is missed with probability
+    (2/3)^16 ≈ 0.15%. The split pair set must be a strict subset of the
+    uncapped one (no invented pairs), far above the drop-mode floor, and
+    IDENTICAL to uncapped when no bucket is oversized."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures_df,
+    )
+
+    n = 600  # > LSH_MAX_BUCKET: boilerplate forms oversized buckets
+    boiler = " ".join(f"tok{i % 37}w{i}" for i in range(100))
+    rows = [(i, f"{boiler} unique-suffix-{i}") for i in range(n)]
+    sig = minhash_signatures_df(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).localCheckpoint(eager=True)
+
+    uncapped = {
+        (r.a, r.b)
+        for r in lsh_band_pairs(sig, max_bucket_size=None).collect()
+    }
+    split = {
+        (r.a, r.b)
+        for r in lsh_band_pairs(sig, on_oversized="split").collect()
+    }
+    dropped = {(r.a, r.b) for r in lsh_band_pairs(sig).collect()}
+
+    assert split <= uncapped  # subset: sub-partitioning never invents pairs
+    # near-full recall (≥90% leaves slack for pairs colliding in few bands)
+    assert len(split) >= 0.9 * len(uncapped), (len(split), len(uncapped))
+    # and far above the drop-mode floor, which loses the mega-buckets
+    assert len(split) > 2 * len(dropped), (len(split), len(dropped))
+
+    # cap above every bucket: nothing oversized → n_sub=1 → exact identity
+    ident = {
+        (r.a, r.b)
+        for r in lsh_band_pairs(
+            sig, max_bucket_size=100_000, on_oversized="split"
+        ).collect()
+    }
+    assert ident == uncapped
+
+    # ADVICE r8: on_oversized is validated even when the cap is disabled
+    import pytest
+
+    with pytest.raises(ValueError, match="drop\\|error"):
+        lsh_band_pairs(sig, max_bucket_size=None, on_oversized="bogus")
