@@ -131,6 +131,47 @@ def er_records(cust: DataFrame) -> DataFrame:
     return base.unionByName(sub).unionByName(dele).unionByName(swp)
 
 
+def _cap_blocks(
+    keyed: DataFrame, max_block_size: int | None, on_oversized: str
+) -> DataFrame:
+    """Shared block-size-cap machinery: count rows per ``bkey`` with one
+    map-side-combined aggregate on the SAME key the downstream self-join
+    shuffles on, drop blocks below 2 (cannot form a pair), and apply the
+    skew cap — ``drop`` excludes >cap blocks, ``error`` raises at
+    execution time (``assert_true`` rides the shared aggregate, the
+    ``lsh_band_pairs`` contract). ``on_oversized`` is validated even when
+    the cap is disabled (ADVICE r8)."""
+    if on_oversized not in ("drop", "error"):
+        raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
+    if max_block_size is None:
+        return keyed
+    sized = (
+        keyed.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") >= 2)
+    )
+    if on_oversized == "error":
+        # assert_true returns NULL when the predicate holds and raises
+        # at execution time when it does not; filtering on isNull keeps
+        # every row while forcing the check into the plan.
+        admitted = sized.filter(
+            F.assert_true(
+                F.col("__bsz") <= F.lit(max_block_size),
+                F.concat(
+                    F.lit("ER block exceeds max_block_size="),
+                    F.lit(str(max_block_size)),
+                    F.lit(": bkey="),
+                    F.col("bkey").cast("string"),
+                    F.lit(" size="),
+                    F.col("__bsz").cast("string"),
+                ),
+            ).isNull()
+        ).select("bkey")
+    else:
+        admitted = sized.filter(F.col("__bsz") <= max_block_size).select("bkey")
+    return keyed.join(admitted, "bkey")
+
+
 def er_oversized_blocks(
     recs: DataFrame,
     block_tail: int = 6,
@@ -177,39 +218,10 @@ def blocked_match_pairs(
       oracles are uncapped, so a future corpus with an organic hot block
       fails loudly instead of silently diverging from the oracle.
     """
-    if on_oversized not in ("drop", "error"):
-        raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
     keyed = recs.select(
         "id", "name", F.expr(f"right(name, {block_tail})").alias("bkey")
     )
-    if max_block_size is not None:
-        sized = (
-            keyed.groupBy("bkey")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") >= 2)
-        )
-        if on_oversized == "error":
-            # assert_true returns NULL when the predicate holds and raises
-            # at execution time when it does not; filtering on isNull keeps
-            # every row while forcing the check into the plan.
-            admitted = sized.filter(
-                F.assert_true(
-                    F.col("__bsz") <= F.lit(max_block_size),
-                    F.concat(
-                        F.lit("ER block exceeds max_block_size="),
-                        F.lit(str(max_block_size)),
-                        F.lit(": bkey="),
-                        F.col("bkey"),
-                        F.lit(" size="),
-                        F.col("__bsz").cast("string"),
-                    ),
-                ).isNull()
-            ).select("bkey")
-        else:
-            admitted = sized.filter(F.col("__bsz") <= max_block_size).select(
-                "bkey"
-            )
-        keyed = keyed.join(admitted, "bkey")
+    keyed = _cap_blocks(keyed, max_block_size, on_oversized)
     a = keyed.alias("a")
     b = keyed.alias("b")
     lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
@@ -346,4 +358,295 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
             F.count_distinct("name").alias("n_name_variants"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-field records, multi-pass blocking, weighted (Fellegi–Sunter) match
+# ---------------------------------------------------------------------------
+
+#: Fourth corruption class (round 9): tail-APPEND — name || 'x'. Appending
+#: keeps variants injective across sources (any single-position tail
+#: substitution would collapse serial names differing only in that digit),
+#: BREAKS the suffix blocking key (right(name, 6) shifts), and leaves the
+#: phone field intact — the class the single-key suffix pass structurally
+#: misses and the phone pass recovers.
+ER_OFF_TAIL = 1_100_000
+
+#: Weighted-match acceptance threshold (integer Fellegi–Sunter-shape score,
+#: see er_weighted_match). 10 admits the high-agreement pairs and rejects
+#: pairs whose field evidence disagrees even when the name distance alone
+#: would have passed the pure-lev rule.
+ER_MATCH_THRESHOLD = 10
+
+#: Deterministic synthetic phone (the fixture has no c_phone column):
+#: multiplicative mixing by a prime coprime to 10^8 keeps it unique per
+#: custkey (< 10^8) while not being literally the key. Identical
+#: construction on both engines, so the field is hash-exact.
+_PHONE_SQL = "'P' || LPAD(CAST((c_custkey * 7919) % 100000000 AS VARCHAR), 8, '0')"
+
+#: Multi-field corrupted-variant UNION shared by the multipass/weighted
+#: oracles: prefix-name variants (sub/del/swp) additionally corrupt the
+#: phone (|| 'x'), the swp variant also corrupts the nation (+1 mod 25),
+#: and the tail variant corrupts ONLY the name tail — so every blocking
+#: pass and every score field has a class that exercises it.
+_ER_RECS_MF_SQL = f"""
+    recs AS (
+        SELECT c_custkey AS id, c_name AS name,
+               {_PHONE_SQL} AS phone, c_nationkey AS nk
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + {ER_OFF_SUB},
+               SUBSTR(c_name, 1, 5) || 'n' || SUBSTR(c_name, 7),
+               {_PHONE_SQL} || 'x', c_nationkey
+        FROM customer WHERE c_custkey < {ER_N_SOURCES}
+        UNION ALL
+        SELECT c_custkey + {ER_OFF_DEL},
+               SUBSTR(c_name, 1, 3) || SUBSTR(c_name, 5),
+               {_PHONE_SQL} || 'x', c_nationkey
+        FROM customer WHERE c_custkey < {ER_N_SOURCES}
+        UNION ALL
+        SELECT c_custkey + {ER_OFF_SWP},
+               SUBSTR(c_name, 1, 1) || SUBSTR(c_name, 3, 1)
+                 || SUBSTR(c_name, 2, 1) || SUBSTR(c_name, 4),
+               {_PHONE_SQL} || 'x', (c_nationkey + 1) % 25
+        FROM customer WHERE c_custkey < {ER_N_SOURCES}
+        UNION ALL
+        SELECT c_custkey + {ER_OFF_TAIL}, c_name || 'x',
+               {_PHONE_SQL}, c_nationkey
+        FROM customer WHERE c_custkey < {ER_N_SOURCES}
+    )"""
+
+
+def _phone_col() -> F.Column:
+    return F.concat(
+        F.lit("P"),
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % 100_000_000).cast("string"), 8, "0"
+        ),
+    )
+
+
+def er_records_mf(cust: DataFrame) -> DataFrame:
+    """(id, name, phone, nk): the multi-field twin of ``er_records`` —
+    full customer table plus FOUR injected variants per source key whose
+    corruptions are split across fields (the Spark twin of
+    ``_ER_RECS_MF_SQL``)."""
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        _phone_col().alias("phone"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    src = cust.filter(F.col("c_custkey") < ER_N_SOURCES)
+    badphone = F.concat(_phone_col(), F.lit("x"))
+    sub = src.select(
+        (F.col("c_custkey") + ER_OFF_SUB).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 5), F.lit("n"), F.substring("c_name", 7, 100)
+        ).alias("name"),
+        badphone.alias("phone"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    dele = src.select(
+        (F.col("c_custkey") + ER_OFF_DEL).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 3), F.substring("c_name", 5, 100)
+        ).alias("name"),
+        badphone.alias("phone"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    swp = src.select(
+        (F.col("c_custkey") + ER_OFF_SWP).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 1),
+            F.substring("c_name", 3, 1),
+            F.substring("c_name", 2, 1),
+            F.substring("c_name", 4, 100),
+        ).alias("name"),
+        badphone.alias("phone"),
+        ((F.col("c_nationkey") + 1) % 25).alias("nk"),
+    )
+    tail = src.select(
+        (F.col("c_custkey") + ER_OFF_TAIL).alias("id"),
+        F.concat(F.col("c_name"), F.lit("x")).alias("name"),
+        _phone_col().alias("phone"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return base.unionByName(sub).unionByName(dele).unionByName(swp).unionByName(tail)
+
+
+def block_pass_candidates(
+    recs: DataFrame,
+    block_expr: str,
+    max_block_size: int | None = ER_MAX_BLOCK,
+    on_oversized: str = "drop",
+) -> DataFrame:
+    """(id_a, id_b) candidate ids from ONE blocking pass on an arbitrary
+    key expression — the slim half of a multi-pass pipeline: only (id,
+    bkey) rows enter the per-block self-join shuffle; callers join the id
+    pairs back to the record table for field comparison (so N passes cost
+    N slim shuffles, never N copies of the wide records). Cap semantics
+    identical to ``blocked_match_pairs`` (``_cap_blocks``)."""
+    keyed = _cap_blocks(
+        recs.select("id", F.expr(block_expr).alias("bkey")),
+        max_block_size,
+        on_oversized,
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("b.bkey") == F.col("a.bkey")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+
+def multipass_candidates(
+    recs: DataFrame,
+    block_exprs: tuple[str, ...] = ("right(name, 6)", "phone"),
+    max_block_size: int | None = ER_MAX_BLOCK,
+    on_oversized: str = "drop",
+) -> DataFrame:
+    """(id_a, id_b) — union of independent blocking passes, deduplicated.
+    Multi-pass blocking is the standard recall fix for single-key
+    blocking: a record whose corruption hits the field a key is built
+    from evades THAT pass but is recovered by any pass keyed on an
+    untouched field (the ``dedup_sorted_neighborhood`` multi-pass
+    precedent). Each pass is independently capped, so one hot key in one
+    field cannot go quadratic."""
+    out: DataFrame | None = None
+    for expr in block_exprs:
+        p = block_pass_candidates(recs, expr, max_block_size, on_oversized)
+        out = p if out is None else out.unionByName(p)
+    assert out is not None
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+@register(
+    "er_multipass_match",
+    oracle=f"""
+    WITH {_ER_RECS_MF_SQL},
+    ka AS (SELECT id, name, RIGHT(name, 6) AS k FROM recs),
+    pa AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               LEVENSHTEIN(a.name, b.name) AS lev
+        FROM ka a JOIN ka b ON b.k = a.k AND a.id < b.id
+        WHERE LEVENSHTEIN(a.name, b.name) <= {ER_MAX_LEV}
+    ),
+    pb AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               LEVENSHTEIN(a.name, b.name) AS lev
+        FROM recs a JOIN recs b ON b.phone = a.phone AND a.id < b.id
+        WHERE LEVENSHTEIN(a.name, b.name) <= {ER_MAX_LEV}
+    )
+    SELECT id_a, id_b, lev FROM pa
+    UNION
+    SELECT id_a, id_b, lev FROM pb
+    """,
+)
+def er_multipass_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12d — multi-pass blocking: pass 1 keys on the name suffix, pass 2
+    on the phone field; candidate unions are deduplicated and verified
+    with exact Levenshtein on the name. The tail-append variant breaks
+    the suffix key but keeps its phone (recovered by pass 2 only:
+    + (src, tail) at lev 1), while the prefix variants corrupt the phone
+    but keep the suffix (recovered by pass 1) — six edges per injected
+    group where the single-pass query finds five, and a record must
+    corrupt BOTH fields to evade blocking entirely. ``on_oversized=
+    "error"``: uncapped oracle ⇒ exact-or-fail caps on every pass."""
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )  # feeds both blocking passes and the verify join-back
+    cands = multipass_candidates(recs, on_oversized="error")
+    ra = recs.select(F.col("id").alias("id_a"), F.col("name").alias("__na"))
+    rb = recs.select(F.col("id").alias("id_b"), F.col("name").alias("__nb"))
+    return (
+        cands.join(ra, "id_a")
+        .join(rb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__na"), F.col("__nb")).alias("lev"),
+        )
+        .filter(F.col("lev") <= ER_MAX_LEV)
+    )
+
+
+@register(
+    "er_weighted_match",
+    oracle=f"""
+    WITH {_ER_RECS_MF_SQL},
+    ka AS (SELECT id, RIGHT(name, 6) AS k FROM recs),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ka a JOIN ka b ON b.k = a.k AND a.id < b.id
+        UNION
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM recs a JOIN recs b ON b.phone = a.phone AND a.id < b.id
+    ),
+    scored AS (
+        SELECT id_a, id_b, lev,
+               (CASE WHEN lev <= 1 THEN 10 WHEN lev = 2 THEN 6
+                     WHEN lev = 3 THEN 3 ELSE -5 END
+                + CASE WHEN phone_a = phone_b THEN 4 ELSE -2 END
+                + CASE WHEN nk_a = nk_b THEN 2 ELSE -3 END) AS score
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   LEVENSHTEIN(ra.name, rb.name) AS lev,
+                   ra.phone AS phone_a, rb.phone AS phone_b,
+                   ra.nk AS nk_a, rb.nk AS nk_b
+            FROM cand c
+            JOIN recs ra ON ra.id = c.id_a
+            JOIN recs rb ON rb.id = c.id_b
+        )
+    )
+    SELECT id_a, id_b, lev, score FROM scored
+    WHERE score >= {ER_MATCH_THRESHOLD}
+    """,
+)
+def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12e — weighted multi-field match (Fellegi–Sunter-shape, integer
+    agreement weights so the score is hash-exact): every blocked
+    candidate pair is scored across THREE fields — name edit distance
+    (+10 / +6 / +3 / −5 by lev band), phone equality (+4 / −2), nation
+    equality (+2 / −3) — and accepted at score ≥ ER_MATCH_THRESHOLD.
+    Unlike the pure-lev rule, corroborating fields rescue borderline
+    names and disagreeing fields veto them: (del, swp) passes the lev ≤ 2
+    rule but is REJECTED here (6 + 4 − 3 = 7 — the swp variant's nation
+    corruption vetoes), while (src, tail) at full field agreement scores
+    16. Candidates come from the same two capped blocking passes as
+    er_multipass_match; no lev pre-filter — the weighted score IS the
+    decision rule."""
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )
+    cands = multipass_candidates(recs, on_oversized="error")
+    ra = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("__na"),
+        F.col("phone").alias("__pa"),
+        F.col("nk").alias("__ka"),
+    )
+    rb = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("__nb"),
+        F.col("phone").alias("__pb"),
+        F.col("nk").alias("__kb"),
+    )
+    lev = F.levenshtein(F.col("__na"), F.col("__nb"))
+    score = (
+        F.when(F.col("lev") <= 1, 10)
+        .when(F.col("lev") == 2, 6)
+        .when(F.col("lev") == 3, 3)
+        .otherwise(-5)
+        + F.when(F.col("__pa") == F.col("__pb"), 4).otherwise(-2)
+        + F.when(F.col("__ka") == F.col("__kb"), 2).otherwise(-3)
+    )
+    return (
+        cands.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn("lev", lev)
+        .withColumn("score", score)
+        .filter(F.col("score") >= ER_MATCH_THRESHOLD)
+        .select("id_a", "id_b", "lev", "score")
     )

@@ -179,3 +179,119 @@ def test_block_cap_identity_on_fixture(spark, sf_dir):
             for r in blocked_match_pairs(recs, on_oversized=mode).collect()
         }
         assert got == base
+
+
+def test_multipass_recovers_tail_class_single_pass_misses(spark, sf_dir):
+    """The multi-pass recall claim, asserted structurally: the suffix-key
+    pass alone finds exactly the five prefix-variant edges per group; the
+    phone pass adds exactly the (src, tail) edge the suffix key
+    structurally cannot see (the tail append shifts right(name, 6)) —
+    and nothing else. A record must corrupt BOTH fields to evade."""
+    from avro_parquet_spark_example_spark.operators.entity import (
+        ER_OFF_TAIL,
+        er_records_mf,
+        multipass_candidates,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )
+
+    def verified(cands):
+        ra = recs.select(F.col("id").alias("id_a"), F.col("name").alias("na"))
+        rb = recs.select(F.col("id").alias("id_b"), F.col("name").alias("nb"))
+        return {
+            (r.id_a, r.id_b)
+            for r in cands.join(ra, "id_a")
+            .join(rb, "id_b")
+            .filter(F.levenshtein("na", "nb") <= ER_MAX_LEV)
+            .select("id_a", "id_b")
+            .collect()
+        }
+
+    single = verified(multipass_candidates(recs, ("right(name, 6)",)))
+    multi = verified(multipass_candidates(recs))
+    assert len(single) == 5 * ER_N_SOURCES
+    assert len(multi) == 6 * ER_N_SOURCES
+    gained = multi - single
+    # the gained edges are exactly (src k, tail variant of k)
+    assert gained == {(k, k + ER_OFF_TAIL) for k in range(ER_N_SOURCES)}
+
+
+def test_weighted_match_threshold_sweep(spark, sf_dir):
+    """Fellegi–Sunter-shape score sweep: per injected group the seven
+    candidate pairs score {16, 12, 10, 10, 7, 4, 1} (name band + phone
+    agreement + nation agreement), so the accepted-pair count per group
+    steps 7 → 5 → 4 → 2 → 1 → 0 as the threshold tightens — monotone,
+    with the (del, swp) pair (a pure-lev match at lev 2) REJECTED at the
+    default threshold because the swp nation corruption vetoes it."""
+    from avro_parquet_spark_example_spark.operators.entity import (
+        ER_MATCH_THRESHOLD,
+        ER_OFF_DEL,
+        ER_OFF_SWP,
+        er_records_mf,
+        multipass_candidates,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )
+    cands = multipass_candidates(recs)
+    ra = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("na"),
+        F.col("phone").alias("pa"),
+        F.col("nk").alias("ka"),
+    )
+    rb = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("nb"),
+        F.col("phone").alias("pb"),
+        F.col("nk").alias("kb"),
+    )
+    lev = F.levenshtein("na", "nb")
+    scored = (
+        cands.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn("lev", lev)
+        .withColumn(
+            "score",
+            F.when(F.col("lev") <= 1, 10)
+            .when(F.col("lev") == 2, 6)
+            .when(F.col("lev") == 3, 3)
+            .otherwise(-5)
+            + F.when(F.col("pa") == F.col("pb"), 4).otherwise(-2)
+            + F.when(F.col("ka") == F.col("kb"), 2).otherwise(-3),
+        )
+        # restrict to injected groups: organic candidates (if any) are not
+        # part of the sweep contract
+        .filter(
+            (F.col("id_a") % 100_000 < ER_N_SOURCES)
+            & (F.col("id_b") % 100_000 < ER_N_SOURCES)
+            & (F.col("id_a") % 100_000 == F.col("id_b") % 100_000)
+        )
+        .select("id_a", "id_b", "score")
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        t: scored.filter(F.col("score") >= t).count()
+        for t in (0, 5, ER_MATCH_THRESHOLD, 11, 13, 17)
+    }
+    assert counts == {
+        0: 7 * ER_N_SOURCES,
+        5: 5 * ER_N_SOURCES,
+        ER_MATCH_THRESHOLD: 4 * ER_N_SOURCES,
+        11: 2 * ER_N_SOURCES,
+        13: 1 * ER_N_SOURCES,
+        17: 0,
+    }
+    # the (del, swp) veto: lev 2 (a pure-lev match) but score 7 < threshold
+    veto = scored.filter(
+        (F.col("id_a") >= ER_OFF_DEL)
+        & (F.col("id_a") < ER_OFF_SWP)
+        & (F.col("id_b") >= ER_OFF_SWP)
+    ).collect()
+    assert len(veto) == ER_N_SOURCES
+    assert all(r.score == 7 for r in veto)
