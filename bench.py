@@ -9,8 +9,10 @@ protocol; the plan-cached warm series is secondary (``warm_*``).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -60,6 +62,72 @@ def _calibrate(spark) -> float:
         spark.range(100_000).count()
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 4)
+
+
+#: Regression-flag margin, percentage points over the calibration delta.
+#: VERDICT-r8 #8: a real per-query regression (r8's dedup_minhash +10% on a
+#: +6% calib round) must be machine-flagged in the bench record, not
+#: judge-spotted. A query is flagged when its fresh delta vs the latest
+#: committed BENCH_r{N}.json exceeds the calib_sec delta by more than this
+#: many points — calib normalizes out machine contention, the margin
+#: absorbs per-query jitter.
+REGRESSION_MARGIN_PTS = 2.0
+
+
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r{N}.json (highest N) in the repo root."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # driver records wrap this script's JSON line under "parsed"
+    if isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(best[1]), data
+
+
+def _noise_guard(fresh: dict[str, float], calib: float) -> dict:
+    """Per-query and calib deltas vs the previous round's record, plus the
+    machine regression flags (delta > calib delta + margin)."""
+    prev = _prev_bench()
+    if prev is None:
+        return {}
+    ref, pdata = prev
+    out: dict = {"prev_ref": ref}
+    pcal = pdata.get("calib_sec")
+    calib_delta = (
+        round((calib - pcal) / pcal * 100, 1) if pcal else None
+    )
+    out["calib_delta_pct"] = calib_delta
+    deltas: dict[str, float] = {}
+    flags: list[str] = []
+    for k, v in fresh.items():
+        pv = (pdata.get("queries") or {}).get(k)
+        if not pv:
+            continue
+        d = round((v - pv) / pv * 100, 1)
+        deltas[k] = d
+        if calib_delta is not None and d - calib_delta > REGRESSION_MARGIN_PTS:
+            flags.append(k)
+    out["query_delta_pct"] = deltas
+    out["regression_flags"] = sorted(flags)
+    # An isolated flag is a real per-query regression signal; when MOST
+    # queries flag together while calib stays flat, the cause is machine
+    # contention the trivial-count calibration can't see (multi-stage
+    # shuffle queries are far more contention-sensitive than a single
+    # count job) — mark the record so a reader doesn't chase N phantom
+    # regressions.
+    out["flags_broad"] = len(flags) > len(deltas) / 2 if deltas else False
+    return out
 
 
 def main() -> None:
@@ -128,6 +196,7 @@ def main() -> None:
                 "warm_queries": timings,
                 "sf": float(sf),
                 "calib_sec": calib,
+                **_noise_guard(fresh, calib),
             }
         )
     )
