@@ -572,54 +572,15 @@ def er_multipass_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "er_weighted_match",
-    oracle=f"""
-    WITH {_ER_RECS_MF_SQL},
-    ka AS (SELECT id, RIGHT(name, 6) AS k FROM recs),
-    cand AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM ka a JOIN ka b ON b.k = a.k AND a.id < b.id
-        UNION
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM recs a JOIN recs b ON b.phone = a.phone AND a.id < b.id
-    ),
-    scored AS (
-        SELECT id_a, id_b, lev,
-               (CASE WHEN lev <= 1 THEN 10 WHEN lev = 2 THEN 6
-                     WHEN lev = 3 THEN 3 ELSE -5 END
-                + CASE WHEN phone_a = phone_b THEN 4 ELSE -2 END
-                + CASE WHEN nk_a = nk_b THEN 2 ELSE -3 END) AS score
-        FROM (
-            SELECT c.id_a, c.id_b,
-                   LEVENSHTEIN(ra.name, rb.name) AS lev,
-                   ra.phone AS phone_a, rb.phone AS phone_b,
-                   ra.nk AS nk_a, rb.nk AS nk_b
-            FROM cand c
-            JOIN recs ra ON ra.id = c.id_a
-            JOIN recs rb ON rb.id = c.id_b
-        )
-    )
-    SELECT id_a, id_b, lev, score FROM scored
-    WHERE score >= {ER_MATCH_THRESHOLD}
-    """,
-)
-def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H12e — weighted multi-field match (Fellegi–Sunter-shape, integer
-    agreement weights so the score is hash-exact): every blocked
-    candidate pair is scored across THREE fields — name edit distance
-    (+10 / +6 / +3 / −5 by lev band), phone equality (+4 / −2), nation
-    equality (+2 / −3) — and accepted at score ≥ ER_MATCH_THRESHOLD.
-    Unlike the pure-lev rule, corroborating fields rescue borderline
-    names and disagreeing fields veto them: (del, swp) passes the lev ≤ 2
-    rule but is REJECTED here (6 + 4 − 3 = 7 — the swp variant's nation
-    corruption vetoes), while (src, tail) at full field agreement scores
-    16. Candidates come from the same two capped blocking passes as
-    er_multipass_match; no lev pre-filter — the weighted score IS the
-    decision rule."""
-    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
-        eager=True
-    )
+def weighted_match_pairs(
+    recs: DataFrame, threshold: int = ER_MATCH_THRESHOLD
+) -> DataFrame:
+    """(id_a, id_b, lev, score) — multipass-blocked candidates scored with
+    the integer Fellegi-Sunter-shape agreement weights (name lev band
+    +10/+6/+3/-5, phone +4/-2, nation +2/-3) and accepted at
+    ``score >= threshold``. The shared match stage behind
+    ``er_weighted_match`` and ``er_weighted_clusters``; oracle-checked
+    callers pass error-mode-capped candidates via the default."""
     cands = multipass_candidates(recs, on_oversized="error")
     ra = recs.select(
         F.col("id").alias("id_a"),
@@ -647,6 +608,115 @@ def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rb, "id_b")
         .withColumn("lev", lev)
         .withColumn("score", score)
-        .filter(F.col("score") >= ER_MATCH_THRESHOLD)
+        .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "lev", "score")
+    )
+
+
+#: Weighted-match CTE chain (blocking passes -> union -> scored ->
+#: threshold-accepted ``wpairs``), appended after ``_ER_RECS_MF_SQL`` and
+#: shared by the er_weighted_match / er_weighted_clusters oracles.
+_ER_WEIGHTED_PAIRS_SQL = f"""
+    ka AS (SELECT id, RIGHT(name, 6) AS k FROM recs),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ka a JOIN ka b ON b.k = a.k AND a.id < b.id
+        UNION
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM recs a JOIN recs b ON b.phone = a.phone AND a.id < b.id
+    ),
+    scored AS (
+        SELECT id_a, id_b, lev,
+               (CASE WHEN lev <= 1 THEN 10 WHEN lev = 2 THEN 6
+                     WHEN lev = 3 THEN 3 ELSE -5 END
+                + CASE WHEN phone_a = phone_b THEN 4 ELSE -2 END
+                + CASE WHEN nk_a = nk_b THEN 2 ELSE -3 END) AS score
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   LEVENSHTEIN(ra.name, rb.name) AS lev,
+                   ra.phone AS phone_a, rb.phone AS phone_b,
+                   ra.nk AS nk_a, rb.nk AS nk_b
+            FROM cand c
+            JOIN recs ra ON ra.id = c.id_a
+            JOIN recs rb ON rb.id = c.id_b
+        )
+    ),
+    wpairs AS (
+        SELECT id_a, id_b, lev, score FROM scored
+        WHERE score >= {ER_MATCH_THRESHOLD}
+    )"""
+
+
+@register(
+    "er_weighted_match",
+    oracle=f"""
+    WITH {_ER_RECS_MF_SQL},
+    {_ER_WEIGHTED_PAIRS_SQL}
+    SELECT id_a, id_b, lev, score FROM wpairs
+    """,
+)
+def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12e — weighted multi-field match (Fellegi–Sunter-shape, integer
+    agreement weights so the score is hash-exact): every blocked
+    candidate pair is scored across THREE fields — name edit distance
+    (+10 / +6 / +3 / −5 by lev band), phone equality (+4 / −2), nation
+    equality (+2 / −3) — and accepted at score ≥ ER_MATCH_THRESHOLD.
+    Unlike the pure-lev rule, corroborating fields rescue borderline
+    names and disagreeing fields veto them: (del, swp) passes the lev ≤ 2
+    rule but is REJECTED here (6 + 4 − 3 = 7 — the swp variant's nation
+    corruption vetoes), while (src, tail) at full field agreement scores
+    16. Candidates come from the same two capped blocking passes as
+    er_multipass_match; no lev pre-filter — the weighted score IS the
+    decision rule."""
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )
+    return weighted_match_pairs(recs)
+
+
+@register(
+    "er_weighted_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ER_RECS_MF_SQL},
+    {_ER_WEIGHTED_PAIRS_SQL},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM wpairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM wpairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT node AS id, MIN(r) AS cluster_id, (MIN(r) = node) AS is_golden
+    FROM reach GROUP BY node
+    """,
+)
+def er_weighted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12f — the weighted pipeline closed end-to-end: transitive
+    clustering over the WEIGHTED matches instead of the pure-lev ones.
+    The observable difference from ``er_match_clusters``: the
+    nation-corrupted swp variant has NO accepted edge (every pair it
+    touches is vetoed by field disagreement — src 1, sub 4, del 7, all
+    below threshold), so each entity cluster is the 4-record
+    {src, sub, del, tail} set and swp is QUARANTINED (absent from the
+    edge-connected output) rather than merged — linkage conservatism a
+    pure edit-distance rule cannot express. Oracle: the shared weighted
+    CTE chain + recursive-CTE closure."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        connected_components,
+    )
+
+    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
+        eager=True
+    )
+    pairs = weighted_match_pairs(recs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return connected_components(pairs).select(
+        "id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_golden"),
     )

@@ -295,3 +295,26 @@ def test_weighted_match_threshold_sweep(spark, sf_dir):
     ).collect()
     assert len(veto) == ER_N_SOURCES
     assert all(r.score == 7 for r in veto)
+
+
+def test_weighted_clusters_quarantine_swp(spark, sf_dir):
+    """End-to-end weighted pipeline: clustering over weighted matches
+    yields 4-member clusters {src, sub, del, tail} — the nation-corrupted
+    swp variant has no accepted edge and is quarantined, where the
+    pure-lev clustering (er_match_clusters) merges it."""
+    from avro_parquet_spark_example_spark.operators.entity import ER_OFF_TAIL
+
+    rows = get_query("er_weighted_clusters").fn(spark, sf_dir).collect()
+    assert len(rows) == 4 * ER_N_SOURCES
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.id)
+        assert r.is_golden == (r.id == r.cluster_id)
+    assert set(by_cluster) == set(range(ER_N_SOURCES))
+    for src_id, members in by_cluster.items():
+        assert members == {
+            src_id,
+            src_id + ER_OFF_SUB,
+            src_id + ER_OFF_DEL,
+            src_id + ER_OFF_TAIL,
+        }
