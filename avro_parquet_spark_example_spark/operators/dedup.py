@@ -268,9 +268,11 @@ def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sim_threshold: float = 0.7,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified by estimated
-    Jaccard (fraction of agreeing signature entries).
+    Jaccard (fraction of agreeing signature entries). ``on_oversized``
+    passes through to :func:`lsh_band_pairs` (drop | error | split).
 
     Scale shape: signatures are map-side; the only shuffles are the band
     explode (n_bands rows per doc) and the equi self-join on
@@ -281,7 +283,9 @@ def minhash_candidate_pairs(
     # below — materialize once instead of recomputing the hash pipeline twice
     # (at full scale this would be a persisted/bucketed signature table).
     sig = minhash_signatures_df(docs, id_col, text_col).localCheckpoint(eager=True)
-    pairs = lsh_band_pairs(sig, max_bucket_size=max_bucket_size)
+    pairs = lsh_band_pairs(
+        sig, max_bucket_size=max_bucket_size, on_oversized=on_oversized
+    )
     est = (
         F.size(
             F.filter(
@@ -453,8 +457,12 @@ def minhash_clusters(
     sim_threshold: float = 0.7,
     collapse_exact: bool = True,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    on_oversized: str = "drop",
 ) -> DataFrame:
     """(id, cluster_id) near-dup clusters — the production composition.
+    ``on_oversized`` passes through to the banding stage (drop | error |
+    split — ``split`` keeps bounded memory at near-full recall on hot
+    boilerplate buckets the exact-collapse pre-stage cannot remove).
 
     With ``collapse_exact`` (default), EXACT duplicates are collapsed to
     their min-id representative BEFORE the MinHash pipeline and re-attached
@@ -487,6 +495,7 @@ def minhash_clusters(
         pairs = minhash_candidate_pairs(
             keyed.select("id", "__t"), id_col="id", text_col="__t",
             sim_threshold=sim_threshold, max_bucket_size=max_bucket_size,
+            on_oversized=on_oversized,
         )
         return connected_components(pairs.select("a", "b"))
     w = Window.partitionBy("__k")
@@ -497,7 +506,7 @@ def minhash_clusters(
     )
     rep_pairs = minhash_candidate_pairs(
         reps, id_col="id", text_col="__t", sim_threshold=sim_threshold,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, on_oversized=on_oversized,
     ).select("a", "b")
     return connected_components(rep_pairs.unionByName(member_edges))
 

@@ -550,3 +550,33 @@ def test_lsh_bucket_cap_split_mode(spark):
 
     with pytest.raises(ValueError, match="drop\\|error"):
         lsh_band_pairs(sig, max_bucket_size=None, on_oversized="bogus")
+
+
+def test_minhash_clusters_split_passthrough(spark):
+    """on_oversized threads through the production composition: on a
+    boilerplate mega-bucket corpus (near-identical, NOT exact-identical
+    docs — exact collapse can't remove it), drop mode loses the hot
+    buckets' pairs while split mode recovers near-full clustering at
+    bounded per-task expansion."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        minhash_clusters,
+    )
+
+    n = 400
+    boiler = " ".join(f"tok{i % 37}w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique-suffix-{i}") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    # drop: mega-buckets excluded -> few or no merged clusters
+    drop_clusters = minhash_clusters(docs, sim_threshold=0.9).collect()
+    drop_merged = sum(1 for r in drop_clusters if r.cluster_id != r.id)
+    # split: sub-partitioned buckets -> most docs merge into one family
+    split_clusters = minhash_clusters(
+        docs, sim_threshold=0.9, on_oversized="split"
+    ).collect()
+    split_merged = sum(1 for r in split_clusters if r.cluster_id != r.id)
+    assert split_merged > max(drop_merged * 2, n // 2), (
+        drop_merged,
+        split_merged,
+    )
