@@ -138,11 +138,20 @@ def _cap_blocks(
     map-side-combined aggregate on the SAME key the downstream self-join
     shuffles on, drop blocks below 2 (cannot form a pair), and apply the
     skew cap — ``drop`` excludes >cap blocks, ``error`` raises at
-    execution time (``assert_true`` rides the shared aggregate, the
-    ``lsh_band_pairs`` contract). ``on_oversized`` is validated even when
-    the cap is disabled (ADVICE r8)."""
-    if on_oversized not in ("drop", "error"):
-        raise ValueError(f"on_oversized must be drop|error, got {on_oversized!r}")
+    execution time (``assert_true`` rides the shared aggregate), and
+    ``split`` sub-partitions an oversized block into ``ceil(size / cap)``
+    hash sub-blocks (the key becomes ``struct(bkey, sub)``, so the
+    downstream equi-self-join pairs only within a sub-block: per-task
+    expansion stays ~cap² at ~1/n_sub recall inside the hot block per
+    pass; the sub-hash is salted on the block KEY, so independent
+    blocking passes in ``multipass_candidates`` sub-partition
+    independently and their union recovers 1-(1-1/n_sub)^passes). The
+    full ``lsh_band_pairs`` mode contract. ``on_oversized`` is validated
+    even when the cap is disabled (ADVICE r8)."""
+    if on_oversized not in ("drop", "error", "split"):
+        raise ValueError(
+            f"on_oversized must be drop|error|split, got {on_oversized!r}"
+        )
     if max_block_size is None:
         return keyed
     sized = (
@@ -150,6 +159,23 @@ def _cap_blocks(
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") >= 2)
     )
+    if on_oversized == "split":
+        subbed = sized.withColumn(
+            "__nsub",
+            F.when(
+                F.col("__bsz") > max_block_size,
+                F.ceil(F.col("__bsz") / F.lit(max_block_size)).cast("int"),
+            ).otherwise(F.lit(1)),
+        ).select("bkey", "__nsub")
+        return (
+            keyed.join(subbed, "bkey")
+            .withColumn(
+                "__sub",
+                F.pmod(F.xxhash64("id", "bkey"), F.col("__nsub")).cast("int"),
+            )
+            .withColumn("bkey", F.struct(F.col("bkey"), F.col("__sub")))
+            .drop("__nsub", "__sub")
+        )
     if on_oversized == "error":
         # assert_true returns NULL when the predicate holds and raises
         # at execution time when it does not; filtering on isNull keeps
@@ -176,13 +202,17 @@ def er_oversized_blocks(
     recs: DataFrame,
     block_tail: int = 6,
     max_block_size: int = ER_MAX_BLOCK,
+    block_expr: str | None = None,
 ) -> DataFrame:
     """(bkey, block_size) for blocks the cap would drop — the monitoring
     half of drop-with-log (the ``lsh_oversized_buckets`` twin,
     operators/dedup.py): production runs this alongside
-    ``blocked_match_pairs`` and alerts/samples the dropped blocks."""
+    ``blocked_match_pairs`` and alerts/samples the dropped blocks.
+    ``block_expr`` overrides the default suffix key so each pass of a
+    multi-pass pipeline (e.g. ``"phone"``) gets its own observer."""
+    key = block_expr if block_expr is not None else f"right(name, {block_tail})"
     return (
-        recs.select(F.expr(f"right(name, {block_tail})").alias("bkey"))
+        recs.select(F.expr(key).alias("bkey"))
         .groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("block_size"))
         .filter(F.col("block_size") > max_block_size)
@@ -217,6 +247,11 @@ def blocked_match_pairs(
       what the oracle-hash-checked ``er_*`` queries use — their DuckDB
       oracles are uncapped, so a future corpus with an organic hot block
       fails loudly instead of silently diverging from the oracle.
+    * ``"split"`` — bounded-memory at bounded recall loss: the oversized
+      block is sub-partitioned into ``ceil(size / cap)`` key-salted hash
+      sub-blocks and pairs form only within a sub-block (~1/n_sub recall
+      inside the hot block per pass; multi-pass unions recover most of
+      it — see ``_cap_blocks``). NOT for hash-checked callers.
     """
     keyed = recs.select(
         "id", "name", F.expr(f"right(name, {block_tail})").alias("bkey")

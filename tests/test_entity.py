@@ -318,3 +318,45 @@ def test_weighted_clusters_quarantine_swp(spark, sf_dir):
             src_id + ER_OFF_DEL,
             src_id + ER_OFF_TAIL,
         }
+
+
+def test_block_cap_split_mode(spark):
+    """ER split mode (the lsh_band_pairs 'split' twin): a hot block is
+    sub-partitioned instead of dropped — pairs stay a subset of uncapped,
+    per-sub expansion is bounded, recall inside the hot block ~1/n_sub
+    per pass — and because the sub-hash is salted on the block key, a
+    SECOND blocking pass over the same hot population sub-partitions
+    independently, so the multipass union recovers strictly more pairs
+    than either single pass."""
+    from avro_parquet_spark_example_spark.operators.entity import (
+        multipass_candidates,
+    )
+
+    n = 200  # hot on BOTH keys: shared name suffix AND shared phone
+    recs = spark.createDataFrame(
+        [(i, f"x{i % 7}-HOTSUF", "P555") for i in range(n)],
+        ["id", "name", "phone"],
+    )
+    uncapped = blocked_match_pairs(recs, max_block_size=None).count()
+    split = {
+        (r.id_a, r.id_b)
+        for r in blocked_match_pairs(recs, on_oversized="split").collect()
+    }
+    assert 0 < len(split) < uncapped
+    # per-pass recall ~1/n_sub = cap/n; allow wide tolerance for hash skew
+    assert 0.1 * uncapped < len(split) < 0.6 * uncapped, (
+        len(split),
+        uncapped,
+    )
+
+    def cand_count(exprs):
+        return multipass_candidates(
+            recs, exprs, on_oversized="split"
+        ).count()
+
+    single_a = cand_count(("right(name, 6)",))
+    single_b = cand_count(("phone",))
+    multi = cand_count(("right(name, 6)", "phone"))
+    # independent sub-partitions: the union recovers pairs either single
+    # pass misses (1-(1-1/k)^2 vs 1/k of the hot block's pairs)
+    assert multi > max(single_a, single_b)
