@@ -64,6 +64,32 @@ def _calibrate(spark) -> float:
     return round(min(runs), 4)
 
 
+def _calibrate_shuffle(spark) -> float:
+    """Shuffle-sensitive noise floor (round 9): the trivial-count calib is
+    nearly contention-blind (a single tiny job), so a busy machine can
+    show flat ``calib_sec`` while every real multi-stage query inflates
+    10-20% — observed when validating the regression flags. This probe
+    runs a small groupBy (one real exchange + aggregate over 2M rows,
+    ~0.1 s idle) whose wall time moves with the same CPU/scheduler
+    pressure the headline queries feel. Recorded as ``calib_shuffle_sec``;
+    from the first round where BOTH records carry it, the regression
+    flags normalize against whichever calib delta is LARGER (the more
+    honest noise estimate)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(2_000_000)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .agg(F.sum("id"))
+            .count()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 #: Regression-flag margin, percentage points over the calibration delta.
 #: VERDICT-r8 #8: a real per-query regression (r8's dedup_minhash +10% on a
 #: +6% calib round) must be machine-flagged in the bench record, not
@@ -95,7 +121,9 @@ def _prev_bench() -> tuple[str, dict] | None:
     return os.path.basename(best[1]), data
 
 
-def _noise_guard(fresh: dict[str, float], calib: float) -> dict:
+def _noise_guard(
+    fresh: dict[str, float], calib: float, calib_shuffle: float
+) -> dict:
     """Per-query and calib deltas vs the previous round's record, plus the
     machine regression flags (delta > calib delta + margin)."""
     prev = _prev_bench()
@@ -108,6 +136,13 @@ def _noise_guard(fresh: dict[str, float], calib: float) -> dict:
         round((calib - pcal) / pcal * 100, 1) if pcal else None
     )
     out["calib_delta_pct"] = calib_delta
+    pcal_sh = pdata.get("calib_shuffle_sec")
+    if pcal_sh:
+        sh_delta = round((calib_shuffle - pcal_sh) / pcal_sh * 100, 1)
+        out["calib_shuffle_delta_pct"] = sh_delta
+        # normalize against the larger (more honest) noise estimate
+        if calib_delta is None or sh_delta > calib_delta:
+            calib_delta = sh_delta
     deltas: dict[str, float] = {}
     flags: list[str] = []
     for k, v in fresh.items():
@@ -140,6 +175,7 @@ def main() -> None:
     configure(spark)
     queries = all_queries()
     calib = _calibrate(spark)
+    calib_shuffle = _calibrate_shuffle(spark)
 
     # Two timing protocols, both reported:
     #
@@ -196,7 +232,8 @@ def main() -> None:
                 "warm_queries": timings,
                 "sf": float(sf),
                 "calib_sec": calib,
-                **_noise_guard(fresh, calib),
+                "calib_shuffle_sec": calib_shuffle,
+                **_noise_guard(fresh, calib, calib_shuffle),
             }
         )
     )
