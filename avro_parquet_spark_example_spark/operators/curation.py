@@ -1328,3 +1328,95 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs * F.col("n_tokens")).alias("planned_tokens"),
     )
+
+
+#: Largest-remainder (Hamilton) apportionment budget: total documents to
+#: select across domains. Integer-exact by construction at any SF.
+QUOTA_BUDGET = 1000
+
+
+@register(
+    "mixture_largest_remainder_quota",
+    oracle=f"""
+    WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+    q AS (
+        SELECT lang, n,
+               (n * {QUOTA_BUDGET}) // tot AS fl,
+               (n * {QUOTA_BUDGET}) % tot AS rem
+        FROM g CROSS JOIN t
+    ),
+    f AS (SELECT CAST(SUM(fl) AS BIGINT) AS fsum FROM q),
+    r AS (
+        SELECT a.lang, a.n, a.fl,
+               (SELECT COUNT(*) FROM q b
+                WHERE b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang))
+                 AS ahead
+        FROM q a
+    )
+    SELECT lang, n AS n_docs,
+           fl + CASE WHEN ahead < {QUOTA_BUDGET} - fsum THEN 1 ELSE 0 END
+             AS quota
+    FROM r CROSS JOIN f
+    """,
+)
+def mixture_largest_remainder_quota(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H6q — exact largest-remainder (Hamilton) quota apportionment: a
+    total selection budget of QUOTA_BUDGET documents is split across
+    domains proportionally with INTEGER arithmetic — floor(n*K/N) per
+    domain, then the K - Σfloor leftover seats go to the largest
+    remainders (domain-name tiebreak) — so Σquota == K exactly, no
+    domain is over-allocated by more than 1, and the allocation is fully
+    deterministic (hash-exact; float shares would round to K±1). This is
+    the allocation step a data-mixture builder runs before per-domain
+    sampling (``mixture_downsample`` applies rates; this op decides exact
+    counts under a hard budget).
+
+    Scale shape: one corpus aggregate (map-side combined), then every
+    further stage — grand total, floor sum, remainder ranking via a theta
+    self-join — runs on the DOMAIN-cardinality aggregate (|domains| rows,
+    broadcast; the remainder rank is count-of-better rows, not a global
+    window, which would single-partition the frame)."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("tot"))
+    q = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n",
+            F.expr(f"(n * {QUOTA_BUDGET}) div tot").alias("fl"),
+            F.expr(f"(n * {QUOTA_BUDGET}) % tot").alias("rem"),
+        )
+        .localCheckpoint(eager=True)  # tiny; feeds rank join + floor sum
+    )
+    f_tot = q.agg(F.sum("fl").alias("fsum"))
+    a = q.alias("a")
+    b = q.select(
+        F.col("lang").alias("b_lang"), F.col("rem").alias("b_rem")
+    ).alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_rem") > F.col("a.rem"))
+            | (
+                (F.col("b_rem") == F.col("a.rem"))
+                & (F.col("b_lang") < F.col("a.lang"))
+            ),
+            "left",
+        )
+        .groupBy("a.lang", "a.n", "a.fl")
+        .agg(F.count("b_lang").alias("ahead"))
+    )
+    return ranked.crossJoin(F.broadcast(f_tot)).select(
+        F.col("lang"),
+        F.col("n").alias("n_docs"),
+        (
+            F.col("fl")
+            + F.when(
+                F.col("ahead") < F.lit(QUOTA_BUDGET) - F.col("fsum"), 1
+            ).otherwise(0)
+        ).alias("quota"),
+    )

@@ -1878,3 +1878,146 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_candidate"),
     )
+
+
+@register(
+    "eval_dedup_pair_metrics",
+    oracle=r"""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    d AS (
+        SELECT doc_id, LOWER(TRIM(text)) AS t FROM pool
+        WHERE text IS NOT NULL
+    ),
+    tk AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT_REGEX(t, '\s+')) AS tok
+        FROM d
+    ),
+    tsz AS (SELECT doc_id, COUNT(*) AS sz FROM tk GROUP BY doc_id),
+    tc AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a, b FROM tc
+        JOIN tsz sa ON sa.doc_id = a
+        JOIN tsz sb ON sb.doc_id = b
+        WHERE 9 * c >= 4 * (sa.sz + sb.sz)
+    ),
+    toks2 AS (SELECT doc_id, STRING_SPLIT_REGEX(t, '\s+') AS toks FROM d),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ') AS s
+        FROM toks2,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1))) AS t(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    sc AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT a, b FROM sc
+        JOIN ssz sa ON sa.doc_id = a
+        JOIN ssz sb ON sb.doc_id = b
+        WHERE 17 * c >= 7 * (sa.sz + sb.sz)
+    ),
+    m AS (
+        SELECT p.a AS pa, g.a AS ga
+        FROM p FULL JOIN g ON g.a = p.a AND g.b = p.b
+    ),
+    cnt AS (
+        SELECT COUNT(CASE WHEN pa IS NOT NULL AND ga IS NOT NULL THEN 1 END) AS tp,
+               COUNT(CASE WHEN pa IS NOT NULL AND ga IS NULL THEN 1 END) AS fp,
+               COUNT(CASE WHEN pa IS NULL AND ga IS NOT NULL THEN 1 END) AS fn
+        FROM m
+    )
+    SELECT tp, fp, fn,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS precision_,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall_,
+           ROUND(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+    FROM cnt
+    """,
+)
+def eval_dedup_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2-eval — dedup-detector evaluation: score a CHEAP pair detector
+    (distinct-unigram Jaccard ≥ 4/5) against the reference truth an
+    expensive detector defines (3-word-shingle Jaccard ≥ 0.7, the
+    ``dedup_minhash_verified`` gate) as pair-level tp/fp/fn +
+    precision/recall/F1 — the QA step a pipeline runs before swapping in
+    a cheaper candidate stage. Both similarity thresholds are evaluated
+    as cross-multiplied INTEGER comparisons (9c ≥ 4(sa+sb) and 17c ≥
+    7(sa+sb)) on both engines, so the confusion counts are hash-exact;
+    the ratio columns are ROUND(·, 6) doubles on both sides.
+
+    Both detectors run over the deterministic injected universe (the
+    ``in_injected_universe`` 100-doc contract — at scale this is the
+    labeled eval slice, not the corpus) via inverted-index self-joins:
+    pairs form per shared token/shingle, never all-pairs, and the
+    confusion matrix is one full-outer join of the two pair sets."""
+    docs = (
+        with_injected_duplicates(
+            load(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .filter(in_injected_universe("doc_id"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+        .localCheckpoint(eager=True)  # <=100 rows; feeds both detectors
+    )
+
+    def pair_set(exploded: DataFrame, num: int, den: int) -> DataFrame:
+        """(a, b) pairs with |A∩B|/|A∪B| >= num/den, integer-exact."""
+        sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = exploded.select(F.col("doc_id").alias("a"), "u")
+        b = exploded.select(F.col("doc_id").alias("b"), "u")
+        common = (
+            a.join(b, "u")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (
+            common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+            .filter(
+                (den + num) * F.col("c") >= num * (F.col("sa") + F.col("sb"))
+            )
+            .select("a", "b")
+        )
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("t"), r"\s+"))).alias("u"),
+    )
+    pred = pair_set(toks, 4, 5)  # unigram jaccard >= 4/5: 9c >= 4(sa+sb)
+    sh = with_shingles(docs, text_col="t").select(
+        "doc_id", F.explode("sh").alias("u")
+    )
+    gold = pair_set(sh, 7, 10)  # shingle jaccard >= 0.7: 17c >= 7(sa+sb)
+
+    m = pred.withColumn("p", F.lit(1)).join(
+        gold.withColumn("g", F.lit(1)), ["a", "b"], "full"
+    )
+    tp = F.count(F.when(F.col("p").isNotNull() & F.col("g").isNotNull(), 1))
+    fp = F.count(F.when(F.col("p").isNotNull() & F.col("g").isNull(), 1))
+    fn = F.count(F.when(F.col("p").isNull() & F.col("g").isNotNull(), 1))
+    return m.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn")).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )

@@ -55,6 +55,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dedup_threshold_sweep": "broadcast 5-row threshold grid cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
+        "mixture_largest_remainder_quota": "broadcast domain-cardinality remainder-rank / 1-row total cross joins (<= |domains| rows)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

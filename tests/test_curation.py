@@ -250,3 +250,25 @@ def test_token_budget_prefix_sum_matches_naive_window(spark):
             .collect()
         }
         assert dist == naive, f"case with {len(rows)} rows diverged"
+
+
+def test_largest_remainder_quota_invariants(spark, sf_dir):
+    """Hamilton apportionment invariants: quotas sum EXACTLY to the
+    budget, every domain gets floor or floor+1 of its proportional share
+    (no domain over- or under-allocated by more than 1), and monotone in
+    domain size up to the +1 seat."""
+    from avro_parquet_spark_example_spark.operators.curation import (
+        QUOTA_BUDGET,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = (
+        get_query("mixture_largest_remainder_quota")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    total = sum(r.n_docs for r in rows)
+    assert sum(r.quota for r in rows) == QUOTA_BUDGET
+    for r in rows:
+        fl = r.n_docs * QUOTA_BUDGET // total
+        assert r.quota in (fl, fl + 1), (r.lang, r.quota, fl)

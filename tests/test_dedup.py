@@ -580,3 +580,18 @@ def test_minhash_clusters_split_passthrough(spark):
         drop_merged,
         split_merged,
     )
+
+
+def test_eval_dedup_pair_metrics_consistency(spark, sf_dir):
+    """Confusion-matrix sanity on the injected universe: the 50 exact
+    copy pairs are caught by BOTH detectors (tp >= 50), identities
+    precision = tp/(tp+fp) and recall = tp/(tp+fn) hold, and recall is
+    1.0 — unigram-set similarity can never miss an exact copy that the
+    shingle truth contains."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    r = get_query("eval_dedup_pair_metrics").fn(spark, sf_dir).collect()[0]
+    assert r.tp >= 50
+    assert r.fn == 0 and r.recall_ == 1.0
+    assert abs(r.precision_ - r.tp / (r.tp + r.fp)) < 1e-6
+    assert abs(r.f1 - 2 * r.tp / (2 * r.tp + r.fp + r.fn)) < 1e-6
