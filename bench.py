@@ -39,6 +39,10 @@ HEADLINE = {
     "topk_docs": "text_stats",
     "knn_dot": "simsearch_bruteforce_topk",
     "dedup_minhash": "dedup_minhash_verified",
+    # round-9 tracker (no baseline twin, excluded from the aggregate):
+    # the entity-resolution multipass pipeline — two capped blocking
+    # self-joins + candidate Levenshtein over the full customer table.
+    "er_multipass": "er_multipass_match",
 }
 
 N_RUNS = 3  # timing = best of runs 2..N (warm; run 1 discarded as warm-up)
@@ -47,7 +51,7 @@ N_RUNS = 3  # timing = best of runs 2..N (warm; run 1 discarded as warm-up)
 #: localCheckpoint): the shared plan cache would freeze their real work into
 #: the warm-up run and time only the final stage. These rebuild the plan
 #: every run so build+execute is what the clock sees.
-REBUILD_EACH_RUN = {"dedup_minhash"}
+REBUILD_EACH_RUN = {"dedup_minhash", "er_multipass"}
 
 
 def _calibrate(spark) -> float:
