@@ -1379,16 +1379,30 @@ def mixture_largest_remainder_quota(
     self-join — runs on the DOMAIN-cardinality aggregate (|domains| rows,
     broadcast; the remainder rank is count-of-better rows, not a global
     window, which would single-partition the frame)."""
-    d = load(spark, sf_dir, "documents")
-    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return largest_remainder_quota(
+        load(spark, sf_dir, "documents"), "lang", QUOTA_BUDGET
+    )
+
+
+def largest_remainder_quota(
+    docs: DataFrame, domain_col: str, budget: int
+) -> DataFrame:
+    """(lang, n_docs, quota) — the reusable Hamilton apportionment behind
+    ``mixture_largest_remainder_quota`` (also exercised against a
+    pure-Python reference on adversarial distributions in
+    tests/test_curation.py, so the registered query and the tested
+    pipeline can never drift apart)."""
+    g = docs.groupBy(F.col(domain_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     t = g.agg(F.sum("n").alias("tot"))
     q = (
         g.crossJoin(F.broadcast(t))
         .select(
             "lang",
             "n",
-            F.expr(f"(n * {QUOTA_BUDGET}) div tot").alias("fl"),
-            F.expr(f"(n * {QUOTA_BUDGET}) % tot").alias("rem"),
+            F.expr(f"(n * {budget}) div tot").alias("fl"),
+            F.expr(f"(n * {budget}) % tot").alias("rem"),
         )
         .localCheckpoint(eager=True)  # tiny; feeds rank join + floor sum
     )
@@ -1416,7 +1430,7 @@ def mixture_largest_remainder_quota(
         (
             F.col("fl")
             + F.when(
-                F.col("ahead") < F.lit(QUOTA_BUDGET) - F.col("fsum"), 1
+                F.col("ahead") < F.lit(budget) - F.col("fsum"), 1
             ).otherwise(0)
         ).alias("quota"),
     )

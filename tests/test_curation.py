@@ -272,3 +272,47 @@ def test_largest_remainder_quota_invariants(spark, sf_dir):
     for r in rows:
         fl = r.n_docs * QUOTA_BUDGET // total
         assert r.quota in (fl, fl + 1), (r.lang, r.quota, fl)
+
+
+def test_largest_remainder_quota_matches_reference(spark):
+    """The Spark apportionment agrees with a pure-Python largest-remainder
+    reference on adversarial domain distributions: heavy skew, exact
+    divisibility (no leftover seats), remainder ties (name tiebreak), and
+    a domain smaller than one seat's worth."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.curation import (
+        QUOTA_BUDGET,
+    )
+
+    def reference(counts: dict[str, int]) -> dict[str, int]:
+        total = sum(counts.values())
+        floors = {d: n * QUOTA_BUDGET // total for d, n in counts.items()}
+        rems = {d: n * QUOTA_BUDGET % total for d, n in counts.items()}
+        leftover = QUOTA_BUDGET - sum(floors.values())
+        order = sorted(counts, key=lambda d: (-rems[d], d))
+        return {
+            d: floors[d] + (1 if i < leftover else 0)
+            for i, d in enumerate(order)
+        }
+
+    cases = [
+        {"en": 9000, "de": 500, "fr": 499, "zh": 1},     # heavy skew
+        {"a": 250, "b": 250, "c": 250, "d": 250},        # exact division
+        {"a": 333, "b": 333, "c": 334},                  # remainder ties
+        {"big": 999999, "tiny": 1},                      # sub-seat domain
+    ]
+    from avro_parquet_spark_example_spark.operators.curation import (
+        largest_remainder_quota,
+    )
+
+    for counts in cases:
+        rows = [(d, i) for d, n in counts.items() for i in range(n)]
+        docs = spark.createDataFrame(rows, ["lang", "x"])
+        got = {
+            r.lang: r.quota
+            for r in largest_remainder_quota(
+                docs, "lang", QUOTA_BUDGET
+            ).collect()
+        }
+        assert got == reference(counts), (counts, got)
