@@ -138,6 +138,33 @@ def _hits(tokens: Column, markers: list[str]) -> Column:
     return F.size(F.array_intersect(tokens, marker_arr))
 
 
+def langid_predictions(d: DataFrame) -> DataFrame:
+    """Per-doc marker-token language-ID frame (doc_id, lang, *_hits,
+    pred_lang) — shared by ``text_langid`` and the confusion-matrix
+    evaluator so the detector under test is the registered one, never a
+    copy."""
+    toks = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _hits(toks, _MARKERS["en"]).alias("en_hits"),
+        _hits(toks, _MARKERS["es"]).alias("es_hits"),
+        _hits(toks, _MARKERS["de"]).alias("de_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("es_hits") >= F.col("de_hits")) & (F.col("es_hits") > 0), "es")
+        .when(F.col("de_hits") > 0, "de")
+        .otherwise("und")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
 @register(
     "text_langid",
     oracle=f"""
@@ -163,27 +190,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6b — marker-token language ID (n-gram-class heuristic): count hits
     against small per-language marker sets, argmax with a fixed precedence
     (en > es > de > und). Map-side only; marker lists ride in the plan."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        _hits(toks, _MARKERS["en"]).alias("en_hits"),
-        _hits(toks, _MARKERS["es"]).alias("es_hits"),
-        _hits(toks, _MARKERS["de"]).alias("de_hits"),
-    )
-    pred = (
-        F.when(
-            (F.col("en_hits") >= F.col("es_hits"))
-            & (F.col("en_hits") >= F.col("de_hits"))
-            & (F.col("en_hits") > 0),
-            "en",
-        )
-        .when((F.col("es_hits") >= F.col("de_hits")) & (F.col("es_hits") > 0), "es")
-        .when(F.col("de_hits") > 0, "de")
-        .otherwise("und")
-    )
-    return scored.withColumn("pred_lang", pred)
+    return langid_predictions(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1488,4 +1495,62 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel.alias("n_novel"),
             (20 * novel >= 19 * F.count(F.lit(1))).alias("is_novel_doc"),
         )
+    )
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['en']!r})) AS en_hits,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['es']!r})) AS es_hits,
+               LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+                                  {_MARKERS['de']!r})) AS de_hits
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+                         AND en_hits > 0 THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                    WHEN de_hits > 0 THEN 'de'
+                    ELSE 'und' END AS pred_lang
+        FROM scored
+    ),
+    gt AS (SELECT lang, COUNT(*) AS gold_total FROM pred GROUP BY lang),
+    cm AS (
+        SELECT lang, pred_lang, COUNT(*) AS n
+        FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT cm.lang, cm.pred_lang, cm.n,
+           ROUND(cm.n * 1.0 / gt.gold_total, 6) AS share
+    FROM cm JOIN gt ON gt.lang = cm.lang
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6b-eval — language-ID confusion matrix: the marker-token detector
+    (the registered ``text_langid``, via the shared ``langid_predictions``
+    frame) scored against the gold ``lang`` column as per-(gold,
+    predicted) counts and per-gold-class shares — diagonal rows are
+    recall, off-diagonal rows show where the heuristic's coverage gap
+    lands (fr/zh have no marker set, so their mass flows to 'und'/false
+    classes). The detector-QA twin of ``eval_dedup_pair_metrics``.
+
+    Scale shape: the detector is map-side; the evaluation is one
+    (gold, pred) aggregate — |langs|² rows at most — plus a broadcast
+    join to the per-gold totals (an equi join on the gold key, not a
+    global window)."""
+    pred = langid_predictions(load(spark, sf_dir, "documents")).select(
+        "lang", "pred_lang"
+    )
+    gt = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("gold_total"))
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    return cm.join(F.broadcast(gt), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("gold_total"), 6).alias("share"),
     )

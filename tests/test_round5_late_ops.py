@@ -243,3 +243,25 @@ def test_kcore_matches_reference(spark, raw):
         .collect()
     }
     assert got == _ref_kcore(edges, k, rounds)
+
+
+def test_langid_confusion_matrix_consistency(spark, sf_dir):
+    """Confusion matrix is a complete partition of the corpus: shares per
+    gold language sum to 1, n sums to the document count, and the fr/zh
+    coverage gap is visible (no marker set -> zero diagonal mass)."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("eval_langid_confusion").fn(spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert sum(r.n for r in rows) == n_docs
+    by_gold: dict[str, float] = {}
+    for r in rows:
+        by_gold[r.lang] = by_gold.get(r.lang, 0.0) + r.share
+    for lang, s in by_gold.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+    # fr/zh have no marker set: the heuristic can never predict them
+    assert not any(r.pred_lang in ("fr", "zh") for r in rows)
