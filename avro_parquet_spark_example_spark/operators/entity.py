@@ -755,3 +755,129 @@ def er_weighted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("is_golden"),
     )
+
+
+#: Fifth corruption class, used ONLY by the incremental-assign fixture: a
+#: record corrupted in BOTH blocked fields (name tail append 'q' AND phone
+#: append 'x') — evades every blocking pass by construction, so it must
+#: surface as a NEW entity rather than silently joining a cluster.
+ER_OFF_LOST = 1_200_000
+
+#: Arg-min encoding base for deterministic best-match selection:
+#: enc = lev * ER_ENC + registry_id, minimized — picks lowest lev, then
+#: lowest registry id on ties, in ONE integer aggregate (no window, no
+#: engine-specific arg_min tie semantics). Valid while registry ids stay
+#: below ER_ENC.
+ER_ENC = 10_000_000
+
+
+@register(
+    "er_incremental_assign",
+    oracle=f"""
+    WITH {_ER_RECS_MF_SQL},
+    batch AS (
+        SELECT id, name, phone FROM recs WHERE id >= {ER_OFF_SUB}
+        UNION ALL
+        SELECT c_custkey + {ER_OFF_LOST}, c_name || 'q',
+               {_PHONE_SQL} || 'x'
+        FROM customer WHERE c_custkey < {ER_N_SOURCES}
+    ),
+    registry AS (
+        SELECT id, name, phone FROM recs WHERE id < {ER_OFF_SUB}
+    ),
+    ca AS (
+        SELECT b.id, r.id AS rid,
+               CAST(LEVENSHTEIN(b.name, r.name) AS BIGINT) AS lev
+        FROM batch b JOIN registry r
+          ON RIGHT(r.name, 6) = RIGHT(b.name, 6)
+    ),
+    cb AS (
+        SELECT b.id, r.id AS rid,
+               CAST(LEVENSHTEIN(b.name, r.name) AS BIGINT) AS lev
+        FROM batch b JOIN registry r ON r.phone = b.phone
+    ),
+    cand AS (
+        SELECT DISTINCT id, rid, lev
+        FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+        WHERE lev <= {ER_MAX_LEV}
+    ),
+    enc AS (
+        SELECT id, CAST(MIN(lev * {ER_ENC} + rid) AS BIGINT) AS e
+        FROM cand GROUP BY id
+    )
+    SELECT b.id,
+           COALESCE(e % {ER_ENC}, b.id) AS assigned_cluster,
+           COALESCE(e // {ER_ENC}, -1) AS lev,
+           e IS NULL AS is_new
+    FROM batch b LEFT JOIN enc ON enc.id = b.id
+    """,
+)
+def er_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12g — incremental entity assignment: a NEW batch of records is
+    matched against an EXISTING registry (batch × registry blocked joins,
+    never a registry self-join — the cost of an incremental tick scales
+    with the batch, not the registry; the ``dedup_minhash_incremental``
+    shape applied to record linkage). Each batch record gets its best
+    registry match (lowest Levenshtein, then lowest registry id, chosen
+    by one integer arg-min encoding — no window) or becomes a NEW entity
+    when no blocking pass surfaces a within-threshold candidate. The
+    fixture's fifth variant corrupts BOTH blocked fields and therefore
+    must come out ``is_new`` — blocking evasion is an observable outcome,
+    not a silent miss. ``lev`` is -1 for new entities (sentinel, keeps
+    the column non-null on both engines).
+
+    Scale shape: two slim batch×registry equi joins on block keys (the
+    registry side is the big one — partitioned/bucketed on the block key
+    in production, so each tick touches only matching blocks), one
+    map-side-combined arg-min aggregate on the batch cardinality, one
+    left join back to the batch."""
+    cust = load(spark, sf_dir, "customer")
+    allrecs = er_records_mf(cust).localCheckpoint(eager=True)
+    src = cust.filter(F.col("c_custkey") < ER_N_SOURCES)
+    lost = src.select(
+        (F.col("c_custkey") + ER_OFF_LOST).alias("id"),
+        F.concat(F.col("c_name"), F.lit("q")).alias("name"),
+        F.concat(_phone_col(), F.lit("x")).alias("phone"),
+    )
+    batch = (
+        allrecs.filter(F.col("id") >= ER_OFF_SUB)
+        .select("id", "name", "phone")
+        .unionByName(lost)
+        .localCheckpoint(eager=True)  # feeds both passes + the final join
+    )
+    registry = allrecs.filter(F.col("id") < ER_OFF_SUB).select(
+        "id", "name", "phone"
+    )
+
+    cands = None
+    for key in (f"right(name, 6)", "phone"):
+        bb = batch.select(
+            "id", F.expr(key).alias("bkey"), F.col("name").alias("__bn")
+        )
+        rb = registry.select(
+            F.col("id").alias("rid"),
+            F.expr(key).alias("bkey"),
+            F.col("name").alias("__rn"),
+        )
+        p = bb.join(rb, "bkey").select(
+            "id",
+            "rid",
+            F.levenshtein("__bn", "__rn").cast("long").alias("lev"),
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.filter(F.col("lev") <= ER_MAX_LEV).dropDuplicates(
+        ["id", "rid"]
+    )
+    enc = cands.groupBy("id").agg(
+        F.min(F.col("lev") * ER_ENC + F.col("rid")).alias("e")
+    )
+    return batch.join(enc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("e") % ER_ENC, F.col("id")).alias(
+            "assigned_cluster"
+        ),
+        F.coalesce(F.expr(f"e div {ER_ENC}"), F.lit(-1).cast("long")).alias(
+            "lev"
+        ),
+        F.col("e").isNull().alias("is_new"),
+    )

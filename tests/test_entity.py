@@ -360,3 +360,33 @@ def test_block_cap_split_mode(spark):
     # independent sub-partitions: the union recovers pairs either single
     # pass misses (1-(1-1/k)^2 vs 1/k of the hot block's pairs)
     assert multi > max(single_a, single_b)
+
+
+def test_incremental_assign_structure(spark, sf_dir):
+    """Incremental assignment pins the full outcome: every prefix/tail
+    variant is assigned to its own source cluster with the right lev
+    (sub/del/tail 1, swp 2), and the both-fields-corrupted 'lost' variant
+    is a NEW entity (blocking evasion is an observable outcome, not a
+    silent miss)."""
+    from avro_parquet_spark_example_spark.operators.entity import (
+        ER_OFF_LOST,
+        ER_OFF_TAIL,
+    )
+
+    rows = get_query("er_incremental_assign").fn(spark, sf_dir).collect()
+    assert len(rows) == 5 * ER_N_SOURCES
+    expected_lev = {
+        ER_OFF_SUB: 1,
+        ER_OFF_DEL: 1,
+        ER_OFF_SWP: 2,
+        ER_OFF_TAIL: 1,
+    }
+    for r in rows:
+        off = (r.id // 100_000) * 100_000
+        src_key = r.id - off
+        if off == ER_OFF_LOST:
+            assert r.is_new and r.assigned_cluster == r.id and r.lev == -1
+        else:
+            assert not r.is_new
+            assert r.assigned_cluster == src_key
+            assert r.lev == expected_lev[off], (r.id, r.lev)
