@@ -99,12 +99,35 @@ _ER_RECS_SQL = f"""
     )"""
 
 
+def _assert_ids_below_offsets(base: DataFrame) -> DataFrame:
+    """Exact-or-fail fixture guard: the variant-id scheme assumes every
+    REAL customer key sits below the first variant offset — at a large
+    enough SF that assumption breaks and base records would silently be
+    misread as injected variants (observed on a synthetic 10× key-shifted
+    table, SCALING.md round-9 note). One per-row predicate riding the
+    scan turns that into a loud execution-time error on BOTH the checked
+    queries and their fixtures."""
+    return base.filter(
+        F.assert_true(
+            F.col("id") < ER_OFF_SUB,
+            F.concat(
+                F.lit("er fixture: customer key >= variant offset "),
+                F.lit(str(ER_OFF_SUB)),
+                F.lit(": id="),
+                F.col("id").cast("string"),
+            ),
+        ).isNull()
+    )
+
+
 def er_records(cust: DataFrame) -> DataFrame:
     """(id, name): full customer table plus the three injected corrupted
     variants per source key < ER_N_SOURCES — the Spark twin of
     ``_ER_RECS_SQL``."""
-    base = cust.select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    base = _assert_ids_below_offsets(
+        cust.select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+        )
     )
     src = base.filter(F.col("id") < ER_N_SOURCES)
     sub = src.select(
@@ -467,11 +490,13 @@ def er_records_mf(cust: DataFrame) -> DataFrame:
     full customer table plus FOUR injected variants per source key whose
     corruptions are split across fields (the Spark twin of
     ``_ER_RECS_MF_SQL``)."""
-    base = cust.select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
-        _phone_col().alias("phone"),
-        F.col("c_nationkey").alias("nk"),
+    base = _assert_ids_below_offsets(
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            _phone_col().alias("phone"),
+            F.col("c_nationkey").alias("nk"),
+        )
     )
     src = cust.filter(F.col("c_custkey") < ER_N_SOURCES)
     badphone = F.concat(_phone_col(), F.lit("x"))

@@ -390,3 +390,18 @@ def test_incremental_assign_structure(spark, sf_dir):
             assert not r.is_new
             assert r.assigned_cluster == src_key
             assert r.lev == expected_lev[off], (r.id, r.lev)
+
+
+def test_fixture_guard_rejects_keys_above_offsets(spark):
+    """The variant-id scheme guard: a customer key at or above the first
+    variant offset raises at execution time instead of silently being
+    misread as an injected variant (the 10x key-shift hazard,
+    SCALING.md round-9 note)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, "Customer#000000001"), (900_001, "Customer#000900001")],
+        ["c_custkey", "c_name"],
+    )
+    with pytest.raises(Exception, match="variant offset"):
+        er_records(bad).count()
