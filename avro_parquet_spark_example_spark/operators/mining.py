@@ -1,0 +1,156 @@
+"""Frequent-itemset / association-rule mining over event baskets.
+
+Reference parity: the reconstructed reference (SURVEY.md §0) has no pattern
+miner; this module extends the engine's analytics surface the same way the
+entity-resolution and curation families do — with DataFrame-native,
+oracle-checked operators a production event pipeline actually runs. The
+operator here is the classic market-basket analysis (Agrawal & Srikant's
+Apriori at itemset size 2, the size that covers the overwhelming share of
+real-world rule mining): which pairs of event types co-occur in the same
+basket more often than chance, with support / confidence / lift.
+
+Basket definition: one basket per (user_id, calendar day) — "what a user
+did that day". The item domain is ``event_type`` (small, bounded), so the
+per-basket itemset is bounded by the type cardinality, NEVER by event
+volume: a basket with 10,000 click events still contributes ONE
+``(basket, click)`` row after the distinct. That bound is what makes the
+pair self-join linear at 100 TB:
+
+  * ``distinct(basket, item)`` — one shuffle, map-side combined, output
+    ≤ |baskets| × |types| rows;
+  * pair generation is an EQUI-join on the basket key (never a cross
+    join); per-basket pair fan-out ≤ C(|types|, 2), a compile-time-ish
+    constant (here C(5,2) = 10);
+  * per-item basket counts and the grand basket total are broadcast back
+    (|types| rows + 1 scalar) — the same 1-row-cross-join shape every
+    corpus-total operator in this engine uses.
+
+With an UNBOUNDED item domain (e.g. products), the same plan holds but the
+per-basket fan-out needs the engine's standard skew defense: cap items per
+basket (drop|error|split, exactly like ``lsh_band_pairs`` /
+``blocked_match_pairs``) — documented here so the parameter precedent is
+explicit, not implemented for the 5-type fixture where the bound is
+structural.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+#: Minimum co-occurrence count for a pair to be reported. Keeps the output
+#: support-thresholded like every real rule miner (and the fixture's counts
+#: far above it, so the threshold never flakes a hash).
+MIN_PAIR_SUPPORT = 5
+
+
+@register(
+    "mine_association_pairs",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    nb AS (
+        SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets
+        FROM baskets
+    ),
+    item_n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_n
+        FROM baskets a
+        JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.item_a, p.item_b, p.pair_n,
+           ROUND(p.pair_n * 1.0 / nb.n_baskets, 6) AS support,
+           ROUND(p.pair_n * 1.0 / na.n, 6) AS conf_a_to_b,
+           ROUND(p.pair_n * 1.0 / nbv.n, 6) AS conf_b_to_a,
+           ROUND(p.pair_n * 1.0 * nb.n_baskets / (na.n * nbv.n), 6) AS lift
+    FROM pairs p
+    JOIN item_n na ON na.event_type = p.item_a
+    JOIN item_n nbv ON nbv.event_type = p.item_b
+    CROSS JOIN nb
+    WHERE p.pair_n >= {MIN_PAIR_SUPPORT}
+    """,
+)
+def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — association-rule mining at itemset size 2 over (user, day)
+    baskets of event types: co-occurrence count, support (share of all
+    baskets containing both items), both directed confidences, and lift
+    (observed co-occurrence vs independence). lift > 1 = the pair
+    co-occurs MORE than independent rates predict — the "users who did X
+    that day also did Y" signal behind funnels, recommendations, and
+    anomaly rules (error co-occurring with purchase).
+
+    All counts are integers; the ratios divide those integers the same
+    way on both engines and round at 6dp, so the driver hash is safe.
+
+    Scale shape (module docstring has the full argument): distinct →
+    basket-key equi-join with a C(|types|, 2) per-basket fan-out bound →
+    map-side-combined pair aggregate; item counts (|types| rows) and the
+    basket total (1 row) are broadcast."""
+    baskets = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed 3x: total, item_n, pairs
+    )
+    n_baskets = F.broadcast(
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    item_n = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("item_a")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("item_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_PAIR_SUPPORT)
+    )
+    na = F.broadcast(
+        item_n.select(F.col("event_type").alias("item_a"), F.col("n").alias("na"))
+    )
+    nb = F.broadcast(
+        item_n.select(F.col("event_type").alias("item_b"), F.col("n").alias("nb"))
+    )
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(n_baskets)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            F.round(F.col("pair_n") * 1.0 / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n") * 1.0 / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("pair_n") * 1.0 / F.col("nb"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("pair_n") * 1.0 * F.col("n_baskets")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

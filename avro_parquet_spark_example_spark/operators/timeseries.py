@@ -1551,3 +1551,145 @@ def ts_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_peak_hour"
         ),
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    metric: str,
+    k: int,
+    tiebreak: str,
+    out_col: str,
+    descending: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``NTILE(k)`` over (metric, tiebreak) WITHOUT a global
+    window — the distributed two-phase rank every 100 TB deployment needs
+    (an unpartitioned NTILE plans ``Exchange SinglePartition`` → one task
+    sorts the world; the plan audit forbids it).
+
+    Same pattern as ``export_global_rownum`` / ``curation_token_budget_select``,
+    generalized to value-ordered rank: (1) range-bucket rows on a uniform
+    [min, max] grid — value-disjoint, so bucket order + within-bucket order
+    == total order, and deterministic (exact min/max aggregate, no sketch);
+    (2) per-bucket ``row_number`` (key-partitioned window); (3) broadcast
+    the ≤``n_buckets`` bucket counts as exclusive prefix offsets → exact
+    global rank; (4) apply the closed-form ISO NTILE remainder rule
+    (first ``n mod k`` tiles get the extra row) to the rank. Driver traffic
+    is O(n_buckets) scalars; every per-row stage is key-partitioned.
+
+    Ties in ``metric`` are broken by ``tiebreak`` (ascending) — the same
+    total order the DuckDB oracle's ``NTILE(k) OVER (ORDER BY …)`` uses,
+    so tile assignment is hash-identical."""
+    mm = df.agg(
+        F.min(metric).alias("mn"),
+        F.max(metric).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mn, mx, n = float(mm.mn), float(mm.mx), int(mm.n)
+    span = mx - mn
+    if span <= 0:
+        bucket = F.lit(0)
+    elif descending:
+        bucket = F.least(
+            F.floor((F.lit(mx) - F.col(metric)) / span * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    else:
+        bucket = F.least(
+            F.floor((F.col(metric) - F.lit(mn)) / span * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    bucketed = df.withColumn("__bkt", bucket)
+    counts = {
+        r["__bkt"]: r["c"]
+        for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    acc, offset_rows = 0, []
+    for bkt in sorted(counts):
+        offset_rows.append((bkt, acc))
+        acc += counts[bkt]
+    offsets = F.broadcast(
+        df.sparkSession.createDataFrame(offset_rows, "__bkt int, __off long")
+    )
+    order = (
+        F.col(metric).desc() if descending else F.col(metric).asc(),
+        F.col(tiebreak).asc(),
+    )
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    rn = (F.row_number().over(w) + F.col("__off")).alias("__rn")
+    q, r = divmod(n, k)
+    # ISO NTILE(k) of global rank rn: the first r tiles hold q+1 rows each.
+    tile = F.when(
+        F.col("__rn") <= r * (q + 1),
+        F.expr(f"(__rn + {q}) div {q + 1}"),
+    ).otherwise(F.lit(r) + F.expr(f"(__rn - {r * (q + 1)} + {max(q, 1) - 1}) div {max(q, 1)}"))
+    return (
+        bucketed.join(offsets, "__bkt")
+        .withColumn("__rn", rn)
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__bkt", "__off", "__rn")
+    )
+
+
+@register(
+    "ts_rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                    (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+    FROM cust
+    """,
+)
+def ts_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-rfm — RFM customer segmentation: per customer, Recency (days
+    since last order, vs the corpus max date), Frequency (order count),
+    Monetary (lifetime spend), each scored into exact global quintiles
+    (quintile 1 = best: most recent / most frequent / highest spend).
+    The classic lifecycle-marketing segmentation, and in a training-data
+    pipeline the same shape scores SOURCES by freshness / volume /
+    quality-mass before mixture allocation.
+
+    The oracle ranks with three global ``NTILE(5)`` windows — the
+    textbook form, and exactly what does NOT scale (one task sorts every
+    customer). The engine side computes the IDENTICAL tile assignment
+    with :func:`global_ntile`: range-bucketed two-phase rank + the
+    closed-form ISO remainder rule, all stages key-partitioned, driver
+    traffic O(buckets). Monetary ties are broken at 2dp-rounded values
+    on BOTH engines (same expression ranked), recency/frequency are
+    integer-exact."""
+    orders = load(spark, sf_dir, "orders")
+    max_date = F.broadcast(
+        orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("__maxd"))
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(max_date)
+        .select(
+            "o_custkey",
+            F.datediff("__maxd", "__last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)  # consumed by 3 independent rank passes
+    )
+    out = global_ntile(cust, "recency_days", 5, "o_custkey", "r_q")
+    out = global_ntile(out, "frequency", 5, "o_custkey", "f_q", descending=True)
+    out = global_ntile(out, "monetary", 5, "o_custkey", "m_q", descending=True)
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q"
+    )

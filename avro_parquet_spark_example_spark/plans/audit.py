@@ -56,6 +56,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
         "mixture_largest_remainder_quota": "broadcast domain-cardinality remainder-rank / 1-row total cross joins (<= |domains| rows)",
+        "mine_association_pairs": "broadcast 1-row basket-total cross join",
+        "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

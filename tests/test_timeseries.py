@@ -70,3 +70,63 @@ def test_benford_counts_conserve(spark, sf_dir):
     assert sum(r.n_obs for r in rows) == n_pos
     assert abs(sum(r.expected for r in rows) - n_pos) < 0.01
     assert sorted(r.digit for r in rows) == list(range(1, 10))
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile's two-phase rank + closed-form remainder rule must equal
+    Spark's own NTILE over a true global window on every adversarial shape:
+    heavy ties, skewed value ranges, n not divisible by k, and n < k."""
+    from pyspark.sql import Window
+
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        global_ntile,
+    )
+
+    cases = [
+        [(i, float(v)) for i, v in enumerate([5, 5, 5, 5, 1, 2, 2, 9, 9, 3, 7])],
+        [(i, 42.0) for i in range(13)],  # all-equal: one bucket, pure tiebreak
+        [(i, float(i**3)) for i in range(29)],  # skewed range
+        [(0, 1.0), (1, 2.0), (2, 3.0)],  # n < k
+    ]
+    for k in (4, 5):
+        for rows in cases:
+            df = spark.createDataFrame(rows, "id int, v double")
+            for desc in (False, True):
+                got = {
+                    r.id: r.tile
+                    for r in global_ntile(
+                        df, "v", k, "id", "tile", descending=desc
+                    ).collect()
+                }
+                order = (F.col("v").desc() if desc else F.col("v").asc(), F.col("id"))
+                want = {
+                    r.id: r.t
+                    for r in df.select(
+                        "id", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+                    ).collect()
+                }
+                assert got == want, (k, desc, rows[:4], got, want)
+
+
+def test_rfm_quintile_population_balance(spark, sf_dir):
+    """Each RFM dimension's quintile populations differ by at most 1 and
+    sum to the customer count; quintile 1 really is the best tier."""
+    rows = get_query("ts_rfm_segments").fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for dim, metric, best_is_min in (
+        ("r_q", "recency_days", True),
+        ("f_q", "frequency", False),
+        ("m_q", "monetary", False),
+    ):
+        sizes: dict[int, int] = {}
+        for r in rows:
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert sum(sizes.values()) == n
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+        tier1 = [r[metric] for r in rows if r[dim] == 1]
+        tier5 = [r[metric] for r in rows if r[dim] == max(sizes)]
+        if best_is_min:
+            assert max(tier1) <= min(tier5)
+        else:
+            assert min(tier1) >= max(tier5)
