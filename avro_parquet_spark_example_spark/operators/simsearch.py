@@ -1665,3 +1665,88 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "vec_id", "label", F.round("dot", 5).alias("score"))
     )
+
+
+#: Johnson–Lindenstrauss sign-projection geometry: 64-dim float vectors
+#: down to 16 dims. Signs come from md5 (hashlib at import time — fully
+#: deterministic, no RNG), one ±1 per (output dim j, input dim i).
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1
+            for i in range(JL_IN_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    """Oracle twin built from the SAME sign matrix: each output dim is an
+    explicit left-associative ± chain over double-cast elements, so the
+    fold order (and therefore every double) is identical to the Spark
+    side's chain by construction."""
+    outs = []
+    for j in range(JL_OUT_DIM):
+        chain = "0.0"
+        for i, s in enumerate(JL_SIGNS[j]):
+            op = "+" if s > 0 else "-"
+            chain += f" {op} e[{i + 1}]"
+        outs.append(f"ROUND(({chain}) / 4.0, 5)")
+    cols = ",\n           ".join(outs)
+    return f"""
+    WITH d AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id, label, [{cols}] AS proj
+    FROM d
+    """
+
+
+@register("vec_random_projection_jl", oracle=_jl_oracle())
+def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4j — Johnson–Lindenstrauss random sign projection (Achlioptas
+    2003: ±1 entries preserve pairwise distances as well as Gaussian
+    ones): y = Sx/√k maps 64-dim embeddings to 16 dims with
+    E‖y_a−y_b‖² = ‖x_a−x_b‖², the standard cheap dimensionality cut
+    BEFORE expensive ANN indexing or clustering (4× fewer bytes per
+    vector shuffled and compared; the distortion bound is what makes
+    downstream recall predictable — tests/test_simsearch.py pins it).
+
+    Determinism/exactness: the sign matrix derives from md5 at import
+    (no RNG, identical constants embedded in the oracle); each output
+    dim folds the ±elements in one left-associative chain over
+    double-cast floats on BOTH engines, so every intermediate double is
+    bit-identical; √16 = 4 divides exactly; 5dp rounding follows the
+    embedding-dot convention.
+
+    Scale: pure per-row map over codegen'd arithmetic — no shuffle, no
+    UDF, no collect; at 100 TB this runs at scan speed and cuts every
+    downstream vector shuffle by 4×."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    outs = []
+    for j in range(JL_OUT_DIM):
+        chain: Column = F.lit(0.0)
+        for i, s in enumerate(JL_SIGNS[j]):
+            term = F.col("e")[i]
+            chain = chain + term if s > 0 else chain - term
+        outs.append(F.round(chain / 4.0, 5))
+    return e.select("vec_id", "label", F.array(*outs).alias("proj"))

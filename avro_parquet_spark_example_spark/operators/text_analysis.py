@@ -1554,3 +1554,107 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.col("gold_total"), 6).alias("share"),
     )
+
+
+#: Minimum combined term frequency for keyness scoring — LLR on hapax terms
+#: is noise (same guard class as the PMI min-support floor).
+KEYNESS_MIN_COUNT = 20
+
+
+@register(
+    "text_keyness_llr",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang = 'en' AS focus,
+               UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN focus THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN focus THEN 0 ELSE 1 END) AS BIGINT) AS k2
+        FROM toks GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(SUM(k1) AS BIGINT) AS n1, CAST(SUM(k2) AS BIGINT) AS n2
+        FROM counts
+    )
+    SELECT term, k1 AS focus_count, k2 AS ref_count,
+           ROUND(2.0 * (
+               (CASE WHEN k1 = 0 THEN 0.0 ELSE
+                   k1 * LN(CAST(k1 AS DOUBLE) * (n1 + n2)
+                           / (CAST(n1 AS DOUBLE) * (k1 + k2))) END)
+             + (CASE WHEN k2 = 0 THEN 0.0 ELSE
+                   k2 * LN(CAST(k2 AS DOUBLE) * (n1 + n2)
+                           / (CAST(n2 AS DOUBLE) * (k1 + k2))) END)
+           ), 6) AS llr,
+           CASE WHEN k1 * n2 > k2 * n1 THEN 'focus' ELSE 'reference' END
+             AS overused_in
+    FROM counts CROSS JOIN tot
+    WHERE k1 + k2 >= {KEYNESS_MIN_COUNT}
+    """,
+)
+def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6s — corpus keyness by Dunning's (1993) log-likelihood ratio: for
+    every term, how surprising its frequency split between a focus corpus
+    (lang = 'en') and the reference (all other languages) is under the
+    null of one shared rate — the standard corpus-linguistics test for
+    "which words characterize THIS corpus", and in a training-data
+    pipeline the domain-signature / corpus-drift detector (compare a new
+    crawl snapshot against the curated corpus and read the top LLR terms).
+    ``overused_in`` carries the direction via exact integer
+    cross-multiplication (k1·n2 vs k2·n1 — no rate division, no float
+    tie ambiguity).
+
+    Exactness: all counts integer; LLR is two ``ln`` calls over exact
+    integer rationals combined and rounded at 6dp (the PMI/unigram-logprob
+    rule — both engines' libm ln agree far below 1e-6 on identical
+    doubles). Zero counts contribute exactly 0 (the k·ln(k/E) → 0 limit),
+    handled by the same CASE on both engines.
+
+    Scale: one token explode + one map-side-combined (term) aggregate —
+    the conditional focus/reference split rides the SAME aggregate (no
+    second pass, no join of two per-corpus count tables); the totals are
+    a 1-row broadcast. Linear in corpus tokens, |vocab|-sized output."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("focus"),
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("focus"), 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("focus"), 0).otherwise(1)).alias("k2"),
+    )
+    tot = F.broadcast(
+        counts.agg(F.sum("k1").alias("n1"), F.sum("k2").alias("n2"))
+    )
+    k1, k2 = F.col("k1"), F.col("k2")
+    n1, n2 = F.col("n1"), F.col("n2")
+    term1 = F.when(k1 == 0, F.lit(0.0)).otherwise(
+        k1
+        * F.log(
+            k1.cast("double") * (n1 + n2) / (n1.cast("double") * (k1 + k2))
+        )
+    )
+    term2 = F.when(k2 == 0, F.lit(0.0)).otherwise(
+        k2
+        * F.log(
+            k2.cast("double") * (n1 + n2) / (n2.cast("double") * (k1 + k2))
+        )
+    )
+    return (
+        counts.crossJoin(tot)
+        .filter(k1 + k2 >= KEYNESS_MIN_COUNT)
+        .select(
+            "term",
+            k1.alias("focus_count"),
+            k2.alias("ref_count"),
+            F.round(2.0 * (term1 + term2), 6).alias("llr"),
+            F.when(k1 * n2 > k2 * n1, F.lit("focus"))
+            .otherwise(F.lit("reference"))
+            .alias("overused_in"),
+        )
+    )

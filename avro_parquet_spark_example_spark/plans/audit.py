@@ -57,6 +57,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
         "mixture_largest_remainder_quota": "broadcast domain-cardinality remainder-rank / 1-row total cross joins (<= |domains| rows)",
         "mine_association_pairs": "broadcast 1-row basket-total cross join",
+        "text_keyness_llr": "broadcast 1-row corpus-totals cross join",
         "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
     },
     "CartesianProduct": {},

@@ -265,3 +265,36 @@ def test_langid_confusion_matrix_consistency(spark, sf_dir):
         assert abs(s - 1.0) < 1e-4, (lang, s)
     # fr/zh have no marker set: the heuristic can never predict them
     assert not any(r.pred_lang in ("fr", "zh") for r in rows)
+
+
+def test_keyness_llr_matches_python_reference(spark, sf_dir):
+    """LLR re-derives (±1e-5) from a pure-Python recount of the token
+    split, is non-negative, and the direction flag matches exact rate
+    comparison."""
+    import math
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("text_keyness_llr").fn(spark, sf_dir).collect()
+    assert rows, "fixture vocabulary clears the min-count floor"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    k1: dict[str, int] = {}
+    k2: dict[str, int] = {}
+    for d in docs:
+        if d.text is None:
+            continue
+        for t in d.text.strip().lower().split(" "):
+            side = k1 if d.lang == "en" else k2
+            side[t] = side.get(t, 0) + 1
+    n1, n2 = sum(k1.values()), sum(k2.values())
+
+    def ll(k, n, ktot):
+        return 0.0 if k == 0 else k * math.log(k * (n1 + n2) / (n * ktot))
+
+    for r in rows:
+        a, b = k1.get(r.term, 0), k2.get(r.term, 0)
+        assert (a, b) == (r.focus_count, r.ref_count), r.term
+        want = 2.0 * (ll(a, n1, a + b) + ll(b, n2, a + b))
+        assert abs(r.llr - want) < 1e-5, (r.term, r.llr, want)
+        assert r.llr >= -1e-9, "LLR is a likelihood RATIO — never negative"
+        assert r.overused_in == ("focus" if a * n2 > b * n1 else "reference")

@@ -265,3 +265,57 @@ def test_mmr_short_corpus_returns_short_ranking(spark, tmp_path):
     assert len(rows) == n_cand
     assert sorted(r.rank for r in rows) == list(range(1, n_cand + 1))
     assert {r.vec_id for r in rows} == {1, 2, 3}
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL guarantee, empirically: squared pairwise distances survive the
+    64→16 sign projection within the k=16 concentration band (the ratio
+    ‖y_a−y_b‖²/‖x_a−x_b‖² has mean 1, sd ≈ √(2/k) ≈ 0.35), and
+    projected-space top-10 neighbor recall stays useful."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    proj = {
+        r.vec_id: r.proj
+        for r in get_query("vec_random_projection_jl").fn(spark, sf_dir).collect()
+    }
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    ids = sorted(proj)[:80]
+
+    def d2(u, v):
+        return sum((a - b) ** 2 for a, b in zip(u, v))
+
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        dx = d2(orig[a], orig[b])
+        if dx > 1e-12:
+            ratios.append(d2(proj[a], proj[b]) / dx)
+    assert ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, f"JL mean distortion off: {mean}"
+    inside = sum(1 for r in ratios if 0.25 <= r <= 2.5)
+    assert inside / len(ratios) >= 0.9, "too many pairs outside ±4σ band"
+
+    # coarse-geometry preservation: k=16 cannot keep top-10 RANK on this
+    # fixture (neighbor distance gaps are far inside the ±√(2/k) noise
+    # band — measured: top10∩top10 ≈ 0-2), and pretending otherwise would
+    # pin a flaky bound. What JL does guarantee at k=16 is cluster-level
+    # structure: same-label vectors stay closer than cross-label ones.
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    same, cross = [], []
+    for i in range(0, len(ids) - 1):
+        for j in range(i + 1, min(i + 6, len(ids))):
+            a, b = ids[i], ids[j]
+            (same if labels[a] == labels[b] else cross).append(
+                d2(proj[a], proj[b])
+            )
+    assert same and cross
+    assert sum(same) / len(same) < sum(cross) / len(cross), (
+        "projection lost cluster separation"
+    )
