@@ -1693,3 +1693,74 @@ def ts_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q"
     )
+
+
+@register(
+    "ts_seasonality_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT AVG(CAST(n AS DOUBLE)) AS grand FROM daily),
+    dw AS (
+        SELECT dow, AVG(CAST(n AS DOUBLE)) AS dow_mean
+        FROM daily GROUP BY dow
+    )
+    SELECT d.day, d.n,
+           ROUND(g.grand, 6) AS grand_mean,
+           ROUND(dw.dow_mean - g.grand, 6) AS dow_effect,
+           ROUND(d.n - dw.dow_mean, 6) AS residual
+    FROM daily d
+    JOIN dw ON dw.dow = d.dow
+    CROSS JOIN g
+    """,
+)
+def ts_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-season — additive seasonal decomposition of the daily event
+    volume: observed = grand mean + day-of-week effect + residual. The
+    day-of-week profile is the seasonality every ops dashboard needs
+    removed before eyeballing a trend, and the residual column is the
+    deseasonalized series that anomaly detectors (``ts_anomaly_zscore``,
+    ``dq_anomaly_mad``) should really consume — a Sunday dip is not an
+    incident.
+
+    Exactness: daily counts are integers; the three averages divide
+    those integers identically on both engines and every emitted float
+    is rounded at 6dp. The decomposition identity
+    ``n == grand_mean + dow_effect + residual`` holds exactly in the
+    unrounded algebra (tests pin it at 1e-6 on the rounded output).
+
+    Scale: one day-grain aggregate (map-side combined), then all
+    remaining stages operate on day-cardinality rows; the 7-row
+    day-of-week profile and 1-row grand mean are broadcast."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # consumed 3x: grand, dow means, join
+    )
+    g = F.broadcast(
+        daily.agg(F.avg(F.col("n").cast("double")).alias("grand"))
+    )
+    dw = F.broadcast(
+        daily.groupBy("dow").agg(
+            F.avg(F.col("n").cast("double")).alias("dow_mean")
+        )
+    )
+    return (
+        daily.join(dw, "dow")
+        .crossJoin(g)
+        .select(
+            "day",
+            "n",
+            F.round("grand", 6).alias("grand_mean"),
+            F.round(F.col("dow_mean") - F.col("grand"), 6).alias("dow_effect"),
+            F.round(F.col("n") - F.col("dow_mean"), 6).alias("residual"),
+        )
+    )

@@ -59,6 +59,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "mine_association_pairs": "broadcast 1-row basket-total cross join",
         "text_keyness_llr": "broadcast 1-row corpus-totals cross join",
         "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
+        "ts_seasonality_decompose": "broadcast 1-row grand-mean cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

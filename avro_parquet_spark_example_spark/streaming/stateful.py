@@ -938,3 +938,55 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(agg, "append")
+
+
+@register(
+    "stream_window_topk_types",
+    oracle="""
+    WITH c AS (
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS win_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT win_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY win_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM c
+    )
+    SELECT win_start, event_type, n, rk FROM r WHERE rk <= 3
+    """,
+)
+def stream_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 — streaming top-k: the 3 busiest event types per hour window.
+    Spark's streaming engine forbids rank functions over streams (a rank
+    can be invalidated by late data), so the production recipe is the
+    two-tier split implemented here: tier 1 is a watermark-bounded
+    STREAMING windowed count (incremental state, the only part that must
+    see every event); tier 2 is a BATCH window rank over the sink table —
+    window-cardinality input, re-ranked cheaply whenever consumed. The
+    oracle is the batch equivalent the pair must converge to at
+    end-of-stream.
+
+    At 100 TB/day the sink table is (windows × types) rows — the rank
+    tier's input is millions of times smaller than the stream, which is
+    exactly why the split is the standard pattern (same shape as
+    ``stream_stateful_agg``'s final-state contract)."""
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    sink = run_to_table(agg, "complete")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", "rk")
+    )

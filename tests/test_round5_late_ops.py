@@ -298,3 +298,72 @@ def test_keyness_llr_matches_python_reference(spark, sf_dir):
         assert abs(r.llr - want) < 1e-5, (r.term, r.llr, want)
         assert r.llr >= -1e-9, "LLR is a likelihood RATIO — never negative"
         assert r.overused_in == ("focus" if a * n2 > b * n1 else "reference")
+
+
+def test_ks_drift_matches_python_reference(spark, sf_dir):
+    """The distributed two-phase KS equals a single-threaded recompute of
+    max |CDF_ref − CDF_cur| over pooled observed values, and sits in
+    [0, 1] with the period split conserving rows."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("dq_drift_ks").fn(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    import datetime
+
+    split = datetime.datetime(1997, 1, 1)
+    ref = sorted(o.o_totalprice for o in orders if o.o_orderdate < split)
+    cur = sorted(o.o_totalprice for o in orders if o.o_orderdate >= split)
+    assert (row.n_ref, row.n_cur) == (len(ref), len(cur))
+    assert len(ref) + len(cur) == len(orders)
+    import bisect
+
+    ks = 0.0
+    for v in set(ref) | set(cur):
+        f1 = bisect.bisect_right(ref, v) / len(ref)
+        f2 = bisect.bisect_right(cur, v) / len(cur)
+        ks = max(ks, abs(f1 - f2))
+    assert abs(row.ks_stat - ks) < 1e-8, (row.ks_stat, ks)
+    assert 0.0 <= row.ks_stat <= 1.0
+
+
+def test_seasonality_decomposition_identity(spark, sf_dir):
+    """observed == grand_mean + dow_effect + residual (±2e-6 for the
+    per-column 6dp rounding), and residuals average ≈ 0 within each
+    day-of-week group (the defining property of the dow-mean fit)."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("ts_seasonality_decompose").fn(spark, sf_dir).collect()
+    assert rows
+    by_dow: dict[int, list] = {}
+    for r in rows:
+        assert abs(r.n - (r.grand_mean + r.dow_effect + r.residual)) < 2e-6
+        by_dow.setdefault(r.day.weekday(), []).append(r.residual)
+    for dow, res in by_dow.items():
+        assert abs(sum(res) / len(res)) < 1e-5, (dow, sum(res))
+
+
+def test_stream_window_topk_matches_batch(spark, sf_dir):
+    """The streaming count + batch rank split reproduces a pure-batch
+    top-3-per-window recount, with ranks dense in 1..3."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("stream_window_topk_types").fn(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", (F.col("ts") / 1000).cast("timestamp")).alias("w")
+            if dict(ev.dtypes)["ts"] == "bigint"
+            else F.date_trunc("hour", "ts").alias("w"),
+            "event_type",
+        )
+        .count()
+        .collect()
+    )
+    counts: dict = {}
+    for b in batch:
+        counts.setdefault(b.w, []).append((b["count"], b.event_type))
+    for r in rows:
+        assert 1 <= r.rk <= 3
+        top = sorted(counts[r.win_start], key=lambda t: (-t[0], t[1]))[:3]
+        assert (r.n, r.event_type) == top[r.rk - 1], (r.win_start, r.rk)
