@@ -1239,3 +1239,123 @@ def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.when(in_head, 1).otherwise(0)).alias("n_head_80pct"),
     )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+        SELECT cells.o,
+               CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN n
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((SELECT (COUNT(*) - 1) FROM rt) AS BIGINT)
+             * (SELECT (COUNT(*) - 1) FROM ct) AS dof
+    FROM terms
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3c — Pearson chi-square test of independence on the
+    event_type × day-of-week contingency table: are event types
+    distributed evenly across weekdays, or does behavior shift by day?
+    The categorical complement to ``agg_corr_covar`` (numeric
+    association) and ``dq_drift_psi``/``dq_drift_ks`` (one-dimensional
+    drift) — this is THE test for "are these two categorical columns
+    related", used for feature screening and for validating that a
+    sampled corpus kept the source's category mix.
+
+    Exactness: observed counts and marginals are integers; each expected
+    count divides those integers identically on both engines, and the
+    single emitted statistic rounds at 6dp. Degrees of freedom
+    (rows−1)(cols−1) is integer-exact.
+
+    Scale: one (type × dow) aggregate — at most |types|·7 cells
+    regardless of event volume (map-side combined) — then every later
+    stage runs on cell-cardinality rows with broadcast marginals."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # cell table feeds 4 aggregates
+    )
+    rt = F.broadcast(cells.groupBy("event_type").agg(F.sum("o").alias("r")))
+    ct = F.broadcast(cells.groupBy("dow").agg(F.sum("o").alias("c")))
+    n = F.broadcast(cells.agg(F.sum("o").alias("n")))
+    n_rows = rt.count()
+    n_cols = ct.count()
+    terms = (
+        cells.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(n)
+        .select(
+            "o",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+    )
+
+
+@register("agg_hll_intersection")  # sketch estimate → rows-only check
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c — approximate audience OVERLAP between every pair of event
+    types via HLL inclusion-exclusion:
+    ``|A∩B| ≈ hll(A) + hll(B) − hll(A∪B)``. HLL sketches union natively
+    but not intersect — inclusion-exclusion over the mergeable union is
+    the standard recipe (error grows with |A∪B|/|A∩B|, which is why the
+    exact-bitmap twin ``agg_bitmap_set_ops`` exists for small domains;
+    this is the estimator that still works when user ids number in the
+    billions and bitmaps don't fit).
+
+    Approximate by design → rows-only driver check;
+    tests/test_sketches.py bounds the estimate against the exact overlap
+    on every pair.
+
+    Scale: ONE scan builds one DataSketches HLL per type (map-side, KB
+    each); the pair stage is pure sketch algebra over the |types|-row
+    sketch table (broadcast theta self-join) — raw user ids are never
+    rescanned or replicated per pair, which is the entire point of
+    mergeable sketches (the naive per-pair COUNT DISTINCT union rescans
+    the corpus |types|−1 times)."""
+    sk = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)  # |types| rows of sketch bytes
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    nd_a = F.hll_sketch_estimate("sk_a")
+    nd_b = F.hll_sketch_estimate("sk_b")
+    nd_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            nd_a.alias("nd_a"),
+            nd_b.alias("nd_b"),
+            nd_union.alias("nd_union"),
+            F.greatest(nd_a + nd_b - nd_union, F.lit(0)).alias("est_overlap"),
+        )
+    )

@@ -154,3 +154,61 @@ def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: Number of top paths reported by the sequential miner.
+TOP_PATHS = 20
+
+
+@register(
+    "mine_sequence_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT event_type AS t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, n
+    FROM tri
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {TOP_PATHS}
+    """,
+)
+def mine_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — sequential pattern mining at length 3: the most frequent
+    consecutive event-type paths across user timelines ("view → click →
+    purchase"), the order-2 extension of ``ts_transition_matrix``'s
+    order-1 Markov counts. This is the funnel-discovery primitive:
+    instead of checking a HYPOTHESIZED funnel (``ts_funnel_conversion``),
+    it surfaces which paths actually dominate.
+
+    Determinism: counts are integers and the top-20 carries a full
+    lexicographic tiebreak; the per-user ordering is total (ts, then
+    event_id) so window LEADs agree across engines.
+
+    Scale: one shuffle by user_id for the ordered window (per-user
+    sequences, never a global sort), then a map-side-combined trigram
+    aggregate whose key space is ≤ |types|³; top-20 is
+    TakeOrderedAndProject (no global sort of the aggregate either)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(TOP_PATHS)
+    )

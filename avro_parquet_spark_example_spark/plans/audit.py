@@ -58,6 +58,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "mixture_largest_remainder_quota": "broadcast domain-cardinality remainder-rank / 1-row total cross joins (<= |domains| rows)",
         "mine_association_pairs": "broadcast 1-row basket-total cross join",
         "text_keyness_llr": "broadcast 1-row corpus-totals cross join",
+        "agg_chi_square_independence": "broadcast 1-row grand-total cross join",
+        "agg_hll_intersection": "broadcast |types|-row sketch theta self-join",
         "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
         "ts_seasonality_decompose": "broadcast 1-row grand-mean cross join",
     },

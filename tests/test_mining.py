@@ -63,3 +63,53 @@ def test_confidence_dominates_support(spark, sf_dir):
     for r in get_query("mine_association_pairs").fn(spark, sf_dir).collect():
         assert r.conf_a_to_b >= r.support - 1e-9
         assert r.conf_b_to_a >= r.support - 1e-9
+
+
+def test_sequence_trigrams_recount(spark, sf_dir):
+    """Top trigram counts re-derive from a pure-Python replay of each
+    user's (ts, event_id)-ordered timeline, and the report is genuinely
+    the top-20 (no higher-count path is missing)."""
+    from avro_parquet_spark_example_spark.operators.mining import TOP_PATHS
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("mine_sequence_trigrams").fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for e in sorted(ev, key=lambda e: (e.user_id, e.ts, e.event_id)):
+        seqs.setdefault(e.user_id, []).append(e.event_type)
+    counts: dict[tuple, int] = {}
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            t = (s[i], s[i + 1], s[i + 2])
+            counts[t] = counts.get(t, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = ranked[: min(TOP_PATHS, len(ranked))]
+    got = [((r.t1, r.t2, r.t3), r.n) for r in rows]
+    assert got == want
+
+
+def test_chi_square_matches_python_reference(spark, sf_dir):
+    """chi2 re-derives (±1e-4) from a recounted contingency table; dof is
+    (rows−1)(cols−1)."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("agg_chi_square_independence").fn(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cells: dict[tuple, int] = {}
+    for e in ev:
+        # engine uses Spark dayofweek (1=Sunday); any consistent bucketing
+        # yields the same table, so weekday() is fine for the recount
+        key = (e.event_type, e.ts.weekday())
+        cells[key] = cells.get(key, 0) + 1
+    rt: dict[str, int] = {}
+    ct: dict[int, int] = {}
+    for (t, d), o in cells.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[d] = ct.get(d, 0) + o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rt[t] * ct[d] / n) ** 2 / (rt[t] * ct[d] / n)
+        for (t, d), o in cells.items()
+    )
+    assert abs(row.chi2 - chi2) < 1e-4, (row.chi2, chi2)
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)

@@ -70,3 +70,29 @@ def test_cms_estimate_bounds_and_determinism(spark, sf_dir):
         )
     again = {(r.token, r.true_c, r.est_c) for r in q(spark, sf_dir).collect()}
     assert again == {(r.token, r.true_c, r.est_c) for r in rows}
+
+
+def test_hll_intersection_bounds_exact_overlap(spark, sf_dir):
+    """Inclusion-exclusion over DataSketches HLL lands within 10% of the
+    exact per-pair user overlap (generous vs the ~1-2% union error, since
+    subtraction compounds), and the pair table is the full canonical
+    type-pair set."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("agg_hll_intersection").fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    users: dict[str, set] = {}
+    for e in ev:
+        users.setdefault(e.event_type, set()).add(e.user_id)
+    types = sorted(users)
+    expect_pairs = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert {(r.type_a, r.type_b) for r in rows} == expect_pairs
+    for r in rows:
+        exact = len(users[r.type_a] & users[r.type_b])
+        assert r.est_overlap >= 0
+        if exact >= 20:
+            assert abs(r.est_overlap - exact) <= 0.10 * exact, (
+                r.type_a, r.type_b, r.est_overlap, exact,
+            )
