@@ -771,6 +771,78 @@ def dq_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_value_cdfs(orders: DataFrame):
+    """Shared two-phase machinery for the value-distribution drift tests
+    (:func:`dq_drift_ks`, :func:`dq_drift_mannwhitney`): per distinct
+    order value ``v``, the EXACT cumulative counts at-or-below ``v`` for
+    the reference and current periods (1997-01-01 split), computed with
+    the engine's distributed prefix-sum pattern — distinct-value counts,
+    uniform range buckets on exact min/max, per-bucket running sums
+    (key-partitioned windows) plus broadcast exclusive bucket offsets.
+    Returns ``(df, n_ref, n_cur)`` where df carries one row per distinct
+    value: ``v, c_ref, c_cur`` (tie counts at v) and ``r_ref, r_cur``
+    (inclusive cumulative counts). Driver traffic is O(buckets) scalars;
+    no stage is single-partition."""
+    vals = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    d = (
+        vals.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+        )
+        .localCheckpoint(eager=True)  # consumed 3x: range, offsets, window
+    )
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    mn, mx = float(mm.mn), float(mm.mx)
+    span = mx - mn
+    n_buckets = 32
+    bucket = (
+        F.lit(0)
+        if span <= 0
+        else F.least(
+            F.floor((F.col("v") - F.lit(mn)) / span * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = d.withColumn("__bkt", bucket)
+    sums = {
+        r["__bkt"]: (r.sr, r.sc)
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.sum("c_ref").alias("sr"), F.sum("c_cur").alias("sc"))
+        .collect()
+    }
+    acc_r = acc_c = 0
+    offset_rows = []
+    for bkt in sorted(sums):
+        offset_rows.append((bkt, acc_r, acc_c))
+        acc_r += sums[bkt][0]
+        acc_c += sums[bkt][1]
+    n_ref, n_cur = acc_r, acc_c
+    offsets = F.broadcast(
+        d.sparkSession.createDataFrame(
+            offset_rows, "__bkt int, __or long, __oc long"
+        )
+    )
+    w = Window.partitionBy("__bkt").orderBy("v")
+    cdfs = (
+        bucketed.join(offsets, "__bkt")
+        .select(
+            "v",
+            "c_ref",
+            "c_cur",
+            (F.sum("c_ref").over(w) + F.col("__or")).alias("r_ref"),
+            (F.sum("c_cur").over(w) + F.col("__oc")).alias("r_cur"),
+        )
+    )
+    return cdfs, n_ref, n_cur
+
+
+
 @register(
     "dq_drift_ks",
     oracle="""
@@ -823,59 +895,7 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the driver sees O(buckets) scalars and no stage is
     single-partition; a hot value range is AQE-splittable because ties
     collapse into ONE distinct-value row before the window."""
-    vals = load(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("v"),
-        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
-            "is_ref"
-        ),
-    )
-    d = (
-        vals.groupBy("v")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
-        )
-        .localCheckpoint(eager=True)  # consumed 3x: range, offsets, window
-    )
-    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
-    mn, mx = float(mm.mn), float(mm.mx)
-    span = mx - mn
-    n_buckets = 32
-    bucket = (
-        F.lit(0)
-        if span <= 0
-        else F.least(
-            F.floor((F.col("v") - F.lit(mn)) / span * n_buckets).cast("int"),
-            F.lit(n_buckets - 1),
-        )
-    )
-    bucketed = d.withColumn("__bkt", bucket)
-    sums = {
-        r["__bkt"]: (r.sr, r.sc)
-        for r in bucketed.groupBy("__bkt")
-        .agg(F.sum("c_ref").alias("sr"), F.sum("c_cur").alias("sc"))
-        .collect()
-    }
-    acc_r = acc_c = 0
-    offset_rows = []
-    for bkt in sorted(sums):
-        offset_rows.append((bkt, acc_r, acc_c))
-        acc_r += sums[bkt][0]
-        acc_c += sums[bkt][1]
-    n_ref, n_cur = acc_r, acc_c
-    offsets = F.broadcast(
-        d.sparkSession.createDataFrame(
-            offset_rows, "__bkt int, __or long, __oc long"
-        )
-    )
-    w = Window.partitionBy("__bkt").orderBy("v")
-    cdfs = (
-        bucketed.join(offsets, "__bkt")
-        .select(
-            (F.sum("c_ref").over(w) + F.col("__or")).alias("r_ref"),
-            (F.sum("c_cur").over(w) + F.col("__oc")).alias("r_cur"),
-        )
-    )
+    cdfs, n_ref, n_cur = drift_value_cdfs(load(spark, sf_dir, "orders"))
     return cdfs.agg(
         F.round(
             F.max(
@@ -888,4 +908,139 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_stat"),
         F.lit(n_ref).cast("bigint").alias("n_ref"),
         F.lit(n_cur).cast("bigint").alias("n_cur"),
+    )
+
+
+@register(
+    "dq_drift_welch_ttest",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v,
+               (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS n2,
+               AVG(v) FILTER (is_ref) AS m1,
+               AVG(v) FILTER (NOT is_ref) AS m2,
+               VAR_SAMP(v) FILTER (is_ref) AS s1,
+               VAR_SAMP(v) FILTER (NOT is_ref) AS s2
+        FROM vals
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(s1 / n1 + s2 / n2), 6) AS t_stat,
+           ROUND(POW(s1 / n1 + s2 / n2, 2)
+                 / (POW(s1 / n1, 2) / (n1 - 1) + POW(s2 / n2, 2) / (n2 - 1)),
+                 4) AS dof
+    FROM s
+    """,
+)
+def dq_drift_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4c — Welch's unequal-variance two-sample t-test on the order
+    values of the reference vs current period (same 1997-01-01 split as
+    the PSI/KS drift pair): has the MEAN shifted, and by how many
+    standard errors? Welch's form (never pooled variance) is the correct
+    default when period sizes and variances differ — which in drift
+    monitoring they always do. With the Welch–Satterthwaite dof the
+    triple (KS = shape, t = location, PSI = binned mass) covers the
+    standard drift-report page.
+
+    Cross-engine exactness: both engines compute the two means and
+    sample variances over identical doubles with the same aggregate
+    semantics, and every emitted statistic rounds (6dp / 4dp for the
+    dof, whose quartic terms amplify ulps). One scan, one map-side
+    combined aggregate, 1-row output — trivially 100 TB-safe."""
+    vals = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    s = vals.agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n1"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n2"),
+        F.avg(F.when(F.col("is_ref"), F.col("v"))).alias("m1"),
+        F.avg(F.when(~F.col("is_ref"), F.col("v"))).alias("m2"),
+        F.var_samp(F.when(F.col("is_ref"), F.col("v"))).alias("s1"),
+        F.var_samp(F.when(~F.col("is_ref"), F.col("v"))).alias("s2"),
+    )
+    se2 = F.col("s1") / F.col("n1") + F.col("s2") / F.col("n2")
+    return s.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("s1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("s2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "dq_drift_mannwhitney",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v,
+               (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+        FROM orders
+    ),
+    ranked AS (
+        SELECT is_ref,
+               RANK() OVER (ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS avg_rank
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               SUM(CASE WHEN is_ref THEN avg_rank ELSE 0 END) AS r1
+        FROM ranked
+    )
+    SELECT n1, n2,
+           ROUND(r1, 1) AS rank_sum_ref,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_ref,
+           ROUND(n1 * CAST(n2 AS DOUBLE) - (r1 - n1 * (n1 + 1) / 2.0), 1)
+             AS u_cur
+    FROM s
+    """,
+)
+def dq_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4d — Mann–Whitney U (Wilcoxon rank-sum) between the reference
+    and current periods' order values: the NONPARAMETRIC location test
+    that ignores outliers and heavy tails where Welch's t does not —
+    U counts, across all cross-period pairs, how often a reference value
+    exceeds a current one (ties at half weight). Exact tie handling via
+    midranks; U values are exact multiples of 0.5.
+
+    The oracle ranks with a single-sequence global RANK — one task sorts
+    the world. The engine derives the SAME midrank sums from
+    :func:`drift_value_cdfs`'s distributed per-distinct-value cumulative
+    counts: a value with c ties and b = (cumulative − c) predecessors has
+    midrank b + (c+1)/2, so the reference rank-sum is
+    Σ c_ref·(b + (c+1)/2) — one more map over the CDF frame, no new
+    shuffle, no global window.
+
+    Identity U_ref + U_cur = n1·n2 holds exactly (tests pin it)."""
+    cdfs, n1, n2 = drift_value_cdfs(load(spark, sf_dir, "orders"))
+    c = F.col("c_ref") + F.col("c_cur")
+    b = F.col("r_ref") + F.col("r_cur") - c
+    r1 = cdfs.agg(
+        F.sum(F.col("c_ref") * (b + (c + 1) / 2.0)).alias("r1")
+    )
+    return r1.select(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.round(F.col("r1"), 1).alias("rank_sum_ref"),
+        F.round(F.col("r1") - F.lit(n1) * (n1 + 1) / 2.0, 1).alias("u_ref"),
+        F.round(
+            F.lit(float(n1) * n2) - (F.col("r1") - F.lit(n1) * (n1 + 1) / 2.0),
+            1,
+        ).alias("u_cur"),
     )

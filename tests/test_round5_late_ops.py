@@ -367,3 +367,60 @@ def test_stream_window_topk_matches_batch(spark, sf_dir):
         assert 1 <= r.rk <= 3
         top = sorted(counts[r.win_start], key=lambda t: (-t[0], t[1]))[:3]
         assert (r.n, r.event_type) == top[r.rk - 1], (r.win_start, r.rk)
+
+
+def test_welch_ttest_matches_python_reference(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("dq_drift_welch_ttest").fn(spark, sf_dir).collect()[0]
+    import datetime
+    import statistics
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    split = datetime.datetime(1997, 1, 1)
+    ref = [o.o_totalprice for o in orders if o.o_orderdate < split]
+    cur = [o.o_totalprice for o in orders if o.o_orderdate >= split]
+    assert (row.n1, row.n2) == (len(ref), len(cur))
+    m1, m2 = statistics.fmean(ref), statistics.fmean(cur)
+    s1, s2 = statistics.variance(ref), statistics.variance(cur)
+    se2 = s1 / len(ref) + s2 / len(cur)
+    t = (m1 - m2) / se2**0.5
+    dof = se2**2 / (
+        (s1 / len(ref)) ** 2 / (len(ref) - 1)
+        + (s2 / len(cur)) ** 2 / (len(cur) - 1)
+    )
+    assert abs(row.mean_diff - (m1 - m2)) < 1e-4
+    assert abs(row.t_stat - t) < 1e-4
+    assert abs(row.dof - dof) < 1e-2
+    assert min(len(ref), len(cur)) - 1 <= row.dof <= len(ref) + len(cur) - 2
+
+
+def test_mannwhitney_identities_and_reference(spark, sf_dir):
+    """U_ref + U_cur == n1·n2 exactly; rank-sum re-derives from a
+    pure-Python midrank computation."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("dq_drift_mannwhitney").fn(spark, sf_dir).collect()[0]
+    import datetime
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    split = datetime.datetime(1997, 1, 1)
+    pooled = sorted(
+        (o.o_totalprice, o.o_orderdate < split) for o in orders
+    )
+    n1 = sum(1 for _, r in pooled if r)
+    n2 = len(pooled) - n1
+    assert (row.n1, row.n2) == (n1, n2)
+    # midranks
+    r1 = 0.0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        midrank = (i + 1 + j) / 2.0  # ranks i+1..j
+        r1 += midrank * sum(1 for k in range(i, j) if pooled[k][1])
+        i = j
+    assert abs(row.rank_sum_ref - r1) < 0.51  # both rounded at 1dp
+    assert abs(row.u_ref - (r1 - n1 * (n1 + 1) / 2.0)) < 0.51
+    assert abs(row.u_ref + row.u_cur - n1 * n2) < 1e-6
