@@ -1034,13 +1034,16 @@ def dq_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = cdfs.agg(
         F.sum(F.col("c_ref") * (b + (c + 1) / 2.0)).alias("r1")
     )
+    # n1*(n1+1) exceeds int32 once n1 > ~46k, and a Column * python-int
+    # multiply stays 32-bit — compute the triangular term in Python
+    # (arbitrary-precision int, then the same /2.0 the oracle does).
+    tri1 = n1 * (n1 + 1) / 2.0
     return r1.select(
         F.lit(n1).cast("bigint").alias("n1"),
         F.lit(n2).cast("bigint").alias("n2"),
         F.round(F.col("r1"), 1).alias("rank_sum_ref"),
-        F.round(F.col("r1") - F.lit(n1) * (n1 + 1) / 2.0, 1).alias("u_ref"),
+        F.round(F.col("r1") - F.lit(tri1), 1).alias("u_ref"),
         F.round(
-            F.lit(float(n1) * n2) - (F.col("r1") - F.lit(n1) * (n1 + 1) / 2.0),
-            1,
+            F.lit(float(n1) * n2) - (F.col("r1") - F.lit(tri1)), 1
         ).alias("u_cur"),
     )
