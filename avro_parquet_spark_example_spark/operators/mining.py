@@ -35,7 +35,7 @@ structural.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
@@ -212,3 +212,94 @@ def mine_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(TOP_PATHS)
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 — Pareto-frontier (skyline) mining
+
+
+@register(
+    "mine_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ),
+    pairs AS (SELECT DISTINCT price_cents, size FROM pts),
+    sky AS (
+        SELECT price_cents, size FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs q
+            WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+              AND (q.price_cents < p.price_cents OR q.size > p.size)
+        )
+    )
+    SELECT t.p_partkey, t.price_cents, t.size
+    FROM pts t
+    JOIN sky s ON s.price_cents = t.price_cents AND s.size = t.size
+    """,
+)
+def mine_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — skyline / Pareto-frontier query over parts: every part for
+    which no other part is both cheaper-or-equal AND larger-or-equal
+    (with one strict) — the classic multi-objective "best trade-offs"
+    operator (Börzsönyi et al.'s SKYLINE OF, ICDE 2001), minimizing
+    ``p_retailprice`` while maximizing ``p_size``. Prices are compared
+    in exact integer cents.
+
+    Naïvely skyline is a quadratic NOT-EXISTS self-join (the oracle runs
+    exactly that — correct at oracle scale, wrong at 100 TB). The engine
+    uses the distributive structure instead:
+
+      1. ``distinct (price, size)`` pairs — one map-side-combined
+         shuffle; all dominance logic runs on pairs, never on rows.
+      2. LOCAL prune: pairs are salted into 32 hash groups; within a
+         group, sorted by (price asc, size desc), a pair survives iff
+         its size exceeds the running max size of all predecessors
+         (any predecessor with size >= mine dominates me: it is either
+         strictly cheaper, or equal-priced with strictly larger size —
+         equal-on-both is impossible among distinct pairs). One
+         PARTITIONED window, never a global sort; eliminates all but
+         O(frontier) pairs per group on any data distribution.
+      3. GLOBAL refine: the union of local survivors (≤ 32 × per-group
+         frontier, a few hundred rows worst-case here) runs the exact
+         dominance anti-join against its own broadcast copy.
+      4. Surviving (price, size) pairs equi-join back to parts so tied
+         parts all appear.
+
+    At 100 TB only step 1 touches the corpus; the frontier refine is
+    constant-sized. Output: every Pareto-optimal part (key, cents, size).
+    """
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    pairs = pts.select("price_cents", "size").distinct()
+    w = (
+        Window.partitionBy(F.pmod(F.hash("price_cents", "size"), F.lit(32)))
+        .orderBy(F.col("price_cents").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_sky = (
+        pairs.withColumn("prev_max", F.max("size").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("size")))
+        .select("price_cents", "size")
+    )
+    s, d = local_sky.alias("s"), local_sky.alias("d")
+    dominated = (
+        (F.col("d.price_cents") <= F.col("s.price_cents"))
+        & (F.col("d.size") >= F.col("s.size"))
+        & (
+            (F.col("d.price_cents") < F.col("s.price_cents"))
+            | (F.col("d.size") > F.col("s.size"))
+        )
+    )
+    sky = s.join(F.broadcast(d), dominated, "left_anti")
+    return pts.join(
+        F.broadcast(sky), ["price_cents", "size"]
+    ).select("p_partkey", "price_cents", "size")

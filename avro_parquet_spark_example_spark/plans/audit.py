@@ -62,6 +62,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "agg_hll_intersection": "broadcast |types|-row sketch theta self-join",
         "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
         "ts_seasonality_decompose": "broadcast 1-row grand-mean cross join",
+        "mine_skyline_pareto": "dominance anti-join on local-skyline survivors (frontier-bounded, <= 32x per-group frontier)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

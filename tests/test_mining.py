@@ -113,3 +113,65 @@ def test_chi_square_matches_python_reference(spark, sf_dir):
     )
     assert abs(row.chi2 - chi2) < 1e-4, (row.chi2, chi2)
     assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+
+
+# ---------------------------------------------------------------------------
+# mine_skyline_pareto
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The distributed (local-prune + global-refine) skyline equals the
+    O(n^2) brute-force dominance check on the raw parts."""
+    got = {
+        (r.p_partkey, r.price_cents, r.size)
+        for r in get_query("mine_skyline_pareto").fn(spark, sf_dir).collect()
+    }
+    parts = [
+        (r.p_partkey, int(round(r.p_retailprice * 100)), int(r.p_size))
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    ]
+    pairs = {(c, s) for _, c, s in parts}
+
+    def dominated(c, s):
+        return any(
+            qc <= c and qs >= s and (qc < c or qs > s) for qc, qs in pairs
+        )
+
+    want = {(k, c, s) for k, c, s in parts if not dominated(c, s)}
+    assert got == want
+
+
+def test_skyline_members_mutually_nondominating(spark, sf_dir):
+    rows = get_query("mine_skyline_pareto").fn(spark, sf_dir).collect()
+    assert rows, "frontier is never empty on non-empty input"
+    pts = [(r.price_cents, r.size) for r in rows]
+    for c, s in pts:
+        for qc, qs in pts:
+            assert not (qc <= c and qs >= s and (qc < c or qs > s)), (
+                "skyline members must not dominate each other",
+                (c, s),
+                (qc, qs),
+            )
+
+
+def test_skyline_hot_group_stays_frontier_bounded(spark):
+    """Adversarial distribution: all points on one anti-chain (every point
+    Pareto-optimal) plus dominated noise — the local prune may keep the
+    whole anti-chain (correctness requires it), and the refine must still
+    return exactly the anti-chain."""
+    n = 300
+    # true anti-chain: size rises with price, so no point dominates another
+    frontier = [(i, i) for i in range(n)]
+    # (i+1, i) is dominated by frontier point (i+1, i+1) (same price, bigger)
+    noise = [(i + 1, i) for i in range(n - 1)]
+    df = spark.createDataFrame(
+        [(k, float(c) / 100, s) for k, (c, s) in enumerate(frontier + noise)],
+        "p_partkey long, p_retailprice double, p_size long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/part.parquet")
+        rows = get_query("mine_skyline_pareto").fn(spark, d).collect()
+    got = {(r.price_cents, r.size) for r in rows}
+    assert got == set(frontier)
