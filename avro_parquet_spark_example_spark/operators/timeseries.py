@@ -1764,3 +1764,120 @@ def ts_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") - F.col("dow_mean"), 6).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS — sweep-line max concurrency
+
+#: Inactivity gap defining a "visit" for the concurrency sweep: 6 hours.
+#: Shorter than the 24 h sessionizer gap so days genuinely overlap in
+#: multi-visit patterns, long enough that visits span multiple events.
+CONC_GAP_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "ts_max_concurrency",
+    oracle=f"""
+    WITH e AS (SELECT user_id, EPOCH_US(ts) AS ts FROM events),
+    isl AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev IS NULL OR ts - prev > {CONC_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts) AS island
+        FROM (SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM e)
+    ),
+    sess AS (
+        SELECT user_id, island, MIN(ts) AS s, MAX(ts) AS e
+        FROM isl GROUP BY 1, 2
+    ),
+    bnd AS (
+        SELECT s AS ts_us, 1 AS d FROM sess
+        UNION ALL
+        SELECT e + 1, -1 FROM sess
+    ),
+    net AS (SELECT ts_us, SUM(d) AS delta FROM bnd GROUP BY ts_us),
+    run AS (
+        SELECT ts_us,
+               SUM(delta) OVER (ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS active
+        FROM net
+    )
+    SELECT CAST(MAKE_TIMESTAMP(ts_us) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+           CAST(MAX(active) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — peak concurrent user visits per day, exactly (the capacity-
+    planning number: "how many sessions were open at once?"). A visit is
+    a 6-hour-gap event island per user; concurrency at instant t counts
+    visits with start ≤ t ≤ end; the sweep-line (+1 at start, −1 at
+    end+1µs, running sum in boundary order) evaluates it exactly at
+    every boundary, and the per-day peak is the max over that day's
+    boundaries (days without boundaries have flat concurrency and are
+    not emitted — nothing changed that day).
+
+    The oracle's running sum is a single-sequence global window — one
+    task sorts every boundary. The engine never does that: boundaries
+    are netted per distinct µs (map-side combined), the running sum is
+    split into a WITHIN-DAY partitioned window plus a cross-day CARRY
+    (prefix sum of per-day net totals over the tiny day grid, computed
+    as a broadcast band join exactly like ``ts_active_users_dau_wau``).
+    peak(day) = carry(day) + max(within-day running). Exact integers
+    end-to-end.
+
+    Scale: one user-partitioned window (sessionize), one ts-keyed net
+    aggregate, one day-keyed aggregate, one |days|² broadcast band join
+    (|days| is the calendar, never the corpus). 100 TB-safe."""
+    e = load(spark, sf_dir, "events")
+    ev = e.select("user_id", ts_us(e).alias("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    isl = ev.withColumn(
+        "island",
+        F.sum(
+            F.when(prev.isNull() | (F.col("ts") - prev > CONC_GAP_US), 1)
+            .otherwise(0)
+        ).over(w),
+    )
+    sess = isl.groupBy("user_id", "island").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bnd = sess.select(
+        F.col("s").alias("ts_us"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select((F.col("e") + 1).alias("ts_us"), F.lit(-1).alias("d"))
+    )
+    net = (
+        bnd.groupBy("ts_us")
+        .agg(F.sum("d").alias("delta"))
+        .withColumn("day", F.timestamp_micros(F.col("ts_us")).cast("date"))
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_day = (
+        net.withColumn("run", F.sum("delta").over(w_day))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_boundaries"),
+            F.max("run").alias("mx"),
+            F.sum("delta").alias("tot"),
+        )
+    )
+    g1, g2 = per_day.alias("g1"), per_day.alias("g2")
+    carry = (
+        g1.join(F.broadcast(g2), F.col("g2.day") < F.col("g1.day"), "left")
+        .groupBy(F.col("g1.day").alias("day"))
+        .agg(F.coalesce(F.sum("g2.tot"), F.lit(0)).alias("carry"))
+    )
+    return per_day.join(carry, "day").select(
+        "day",
+        "n_boundaries",
+        (F.col("carry") + F.col("mx")).alias("peak_concurrency"),
+    )

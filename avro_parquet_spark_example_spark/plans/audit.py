@@ -63,6 +63,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "ts_rfm_segments": "broadcast 1-row corpus-max-date cross join",
         "ts_seasonality_decompose": "broadcast 1-row grand-mean cross join",
         "mine_skyline_pareto": "dominance anti-join on local-skyline survivors (frontier-bounded, <= 32x per-group frontier)",
+        "ts_max_concurrency": "broadcast day-grid band join for the cross-day carry (days-cardinality)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

@@ -130,3 +130,61 @@ def test_rfm_quintile_population_balance(spark, sf_dir):
             assert max(tier1) <= min(tier5)
         else:
             assert min(tier1) >= max(tier5)
+
+
+# ---------------------------------------------------------------------------
+# ts_max_concurrency
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_dir):
+    """Per-day peaks equal a straight Python sessionize + sweep-line —
+    validating the two-phase (within-day + carry) decomposition against
+    the single-sequence definition."""
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        CONC_GAP_US,
+    )
+
+    got = {
+        str(r.day): (r.n_boundaries, r.peak_concurrency)
+        for r in get_query("ts_max_concurrency").fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per_user: dict[int, list[int]] = {}
+    for e in ev:
+        us = e.ts if isinstance(e.ts, int) else int(e.ts.timestamp() * 1e6)
+        us = us // 1000 if isinstance(e.ts, int) else us  # raw nanos → µs
+        per_user.setdefault(e.user_id, []).append(us)
+    deltas: dict[int, int] = {}
+    for times in per_user.values():
+        times.sort()
+        start = times[0]
+        prev = times[0]
+        for t in times[1:]:
+            if t - prev > CONC_GAP_US:
+                deltas[start] = deltas.get(start, 0) + 1
+                deltas[prev + 1] = deltas.get(prev + 1, 0) - 1
+                start = t
+            prev = t
+        deltas[start] = deltas.get(start, 0) + 1
+        deltas[prev + 1] = deltas.get(prev + 1, 0) - 1
+    active = 0
+    want: dict[str, list[int]] = {}
+    from datetime import datetime, timezone
+
+    for t in sorted(deltas):
+        active += deltas[t]
+        day = datetime.fromtimestamp(t / 1e6, tz=timezone.utc).date()
+        want.setdefault(str(day), []).append(active)
+    assert got == {
+        d: (len(v), max(v)) for d, v in want.items()
+    }
+
+
+def test_max_concurrency_conservation(spark, sf_dir):
+    """Every visit opens and closes: summing all net deltas is zero, so
+    the final running value is zero and peaks are non-negative."""
+    rows = get_query("ts_max_concurrency").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a close-only day can legitimately bottom out at 0 active
+        assert r.peak_concurrency >= 0
