@@ -676,3 +676,160 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted bounded-hop shortest path (Bellman–Ford, K rounds)
+
+#: Node cap for the shortest-path demo (quadratic ORACLE cost: the 3-hop
+#: path union in DuckDB is |edges|·deg² — the engine itself is per-round
+#: linear in edges and needs no cap).
+SP_MAX_USER = 300
+
+#: Hop bound K: 3 relaxation rounds = exact distances over paths of ≤ 3
+#: edges (the "friends-of-friends-of-friends" radius).
+SP_ROUNDS = 3
+
+
+def weighted_cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, max_user: int | None = None
+) -> DataFrame:
+    """(u, v, n_shared, cost) oriented u < v: like
+    :func:`cooccurrence_edges` but keeping the shared-bucket COUNT as a
+    tie-strength weight, mapped to an integer traversal cost
+    ``floor(1e6 / n_shared) + 1`` (stronger ties are cheaper; exact
+    integer arithmetic in both engines)."""
+    e = load(spark, sf_dir, "events")
+    if max_user is not None:
+        e = e.filter(F.col("user_id") < max_user)
+    m = (
+        e.select("event_type", ts_us(e).alias("ts_us"), "user_id")
+        .select(
+            "event_type",
+            F.expr(f"ts_us div {BUCKET_US}").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "cost",
+            (F.floor(F.lit(1_000_000) / F.col("n_shared")) + 1).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def _wedges_sql(max_user: int) -> str:
+    """DuckDB twin of weighted_cooccurrence_edges + symmetrization."""
+    return f"""
+    WITH m AS (
+        SELECT DISTINCT event_type,
+               EPOCH_US(ts) // {BUCKET_US} AS bucket,
+               user_id
+        FROM events WHERE user_id < {max_user}
+    ),
+    wedges AS (
+        SELECT a.user_id AS u, b.user_id AS v,
+               CAST(FLOOR(1000000 / COUNT(*)) AS BIGINT) + 1 AS cost
+        FROM m a JOIN m b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT u, v, cost FROM wedges
+        UNION ALL
+        SELECT v, u, cost FROM wedges
+    )
+"""
+
+
+@register(
+    "graph_shortest_path_k3",
+    oracle=_wedges_sql(SP_MAX_USER)
+    + """
+    , src AS (SELECT DISTINCT u AS s FROM sym WHERE u < 5),
+    p1 AS (
+        SELECT s.s, e1.v AS node, e1.cost AS d
+        FROM src s JOIN sym e1 ON e1.u = s.s
+    ),
+    p2 AS (
+        SELECT p1.s, e2.v AS node, p1.d + e2.cost AS d
+        FROM p1 JOIN sym e2 ON e2.u = p1.node
+    ),
+    p3 AS (
+        SELECT p2.s, e3.v AS node, p2.d + e3.cost AS d
+        FROM p2 JOIN sym e3 ON e3.u = p2.node
+    ),
+    allp AS (
+        SELECT s, s AS node, CAST(0 AS BIGINT) AS d FROM src
+        UNION ALL SELECT * FROM p1
+        UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3
+    )
+    SELECT s AS source, node, MIN(d) AS dist
+    FROM allp GROUP BY 1, 2
+    """,
+)
+def graph_shortest_path_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G — single-source shortest path, weighted, hop-bounded: exact
+    min-cost distances from each source (nodes with id < 5) over paths of
+    at most ``SP_ROUNDS`` edges in the tie-strength-weighted co-occurrence
+    graph. This is distributed Bellman–Ford with a fixed round count —
+    the bounded-hop semantics every large-graph engine actually ships
+    (unbounded Dijkstra doesn't distribute; K-round relaxation is one
+    equi-join + one min-aggregate per round, all shuffles keyed on node).
+
+    The oracle expands the path space explicitly (1-, 2-, 3-edge unions,
+    then MIN) — correct and quadratic, hence ``SP_MAX_USER``; the engine
+    relaxes a frontier whose size is bounded by |nodes|·|sources|, linear
+    in edges per round at any scale.
+
+    Determinism: integer costs, MIN over exact integers; sources and the
+    node cap are value-pinned, not data-ordered."""
+    we = weighted_cooccurrence_edges(spark, sf_dir, max_user=SP_MAX_USER)
+    sym = (
+        we.select("u", "v", "cost")
+        .unionByName(
+            we.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "cost"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        sym.select(F.col("u").alias("source"))
+        .filter(F.col("source") < 5)
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    for _ in range(SP_ROUNDS):
+        ext = dist.join(sym, dist["node"] == sym["u"]).select(
+            "source",
+            F.col("v").alias("__node"),
+            (F.col("dist") + F.col("cost")).alias("__d"),
+        ).withColumnRenamed("__node", "node").withColumnRenamed("__d", "dist")
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

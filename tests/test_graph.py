@@ -7,6 +7,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.registry import get_query
+
 from avro_parquet_spark_example_spark.operators.graph import (
     cooccurrence_edges,
     graph_pagerank,
@@ -59,3 +61,68 @@ def test_pagerank_degree_correlation(spark, sf_dir, edges):
     lo, hi = by_deg[0], by_deg[-1]
     assert ranks[hi.n] > ranks[lo.n]
     assert abs(ranks[hi.n] - 1.0) > 1e-3  # moved off the uniform init
+
+
+# ---------------------------------------------------------------------------
+# graph_shortest_path_k3
+
+
+def _py_bounded_dists(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.graph import (
+        SP_MAX_USER,
+        SP_ROUNDS,
+        weighted_cooccurrence_edges,
+    )
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in weighted_cooccurrence_edges(
+        spark, sf_dir, max_user=SP_MAX_USER
+    ).collect():
+        adj.setdefault(r.u, []).append((r.v, r.cost))
+        adj.setdefault(r.v, []).append((r.u, r.cost))
+    out: dict[tuple[int, int], int] = {}
+    for s in [n for n in adj if n < 5]:
+        dist = {s: 0}
+        for _ in range(SP_ROUNDS):
+            nxt = dict(dist)
+            for u, d in dist.items():
+                for v, c in adj.get(u, []):
+                    if d + c < nxt.get(v, 1 << 62):
+                        nxt[v] = d + c
+            dist = nxt
+        for n, d in dist.items():
+            out[(s, n)] = d
+    return out
+
+
+def test_shortest_path_matches_python_bellman_ford(spark, sf_dir):
+    got = {
+        (r.source, r.node): r.dist
+        for r in get_query("graph_shortest_path_k3").fn(spark, sf_dir).collect()
+    }
+    assert got == _py_bounded_dists(spark, sf_dir)
+
+
+def test_shortest_path_relaxation_monotone(spark, sf_dir):
+    """d(source, source) = 0 and every emitted distance is positive
+    elsewhere and no larger than any single-edge cost from the source."""
+    from avro_parquet_spark_example_spark.operators.graph import (
+        SP_MAX_USER,
+        weighted_cooccurrence_edges,
+    )
+
+    rows = get_query("graph_shortest_path_k3").fn(spark, sf_dir).collect()
+    dists = {(r.source, r.node): r.dist for r in rows}
+    edge = {}
+    for r in weighted_cooccurrence_edges(
+        spark, sf_dir, max_user=SP_MAX_USER
+    ).collect():
+        edge[(r.u, r.v)] = r.cost
+        edge[(r.v, r.u)] = r.cost
+    for (s, n), d in dists.items():
+        if s == n:
+            assert d == 0
+        else:
+            assert d > 0
+            if (s, n) in edge:
+                assert d <= edge[(s, n)]
