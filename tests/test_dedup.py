@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.registry import get_query
+
 from avro_parquet_spark_example_spark.operators.dedup import (
     connected_components,
     minhash_candidate_pairs,
@@ -595,3 +597,101 @@ def test_eval_dedup_pair_metrics_consistency(spark, sf_dir):
     assert r.fn == 0 and r.recall_ == 1.0
     assert abs(r.precision_ - r.tp / (r.tp + r.fp)) < 1e-6
     assert abs(r.f1 - 2 * r.tp / (2 * r.tp + r.fp + r.fn)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# neardup_jaccard_prefix_filter
+
+
+def test_prefix_filter_equals_naive_plan(spark, sf_dir):
+    """Prefix-filtered output is bit-identical to the unfiltered
+    inverted-index plan — the losslessness claim, checked engine-side
+    (the oracle checks it cross-engine)."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        PREFIX_JACCARD_MAX_DOC,
+        PREFIX_JACCARD_T,
+    )
+
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in get_query("neardup_jaccard_prefix_filter")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < PREFIX_JACCARD_MAX_DOC)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shingles = {}
+    for d in docs:
+        ws = d.text.strip().lower().split(" ")
+        shingles[d.doc_id] = {
+            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+        }
+    want = {}
+    ids = sorted(shingles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles[a], shingles[b]
+            c = len(sa & sb)
+            if not c:
+                continue
+            j = c / (len(sa) + len(sb) - c)
+            if j >= PREFIX_JACCARD_T:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert want, "fixture must exercise the threshold"
+
+
+def test_prefix_filter_candidates_prune(spark, sf_dir):
+    """The prefix join's fan-out is strictly smaller than the naive
+    inverted-index join's — the operator's reason to exist."""
+    from avro_parquet_spark_example_spark.operators.dedup import (
+        PREFIX_JACCARD_MAX_DOC,
+        PREFIX_JACCARD_T,
+    )
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < PREFIX_JACCARD_MAX_DOC)
+        .select("doc_id", "text")
+    )
+    toks = docs.withColumn(
+        "ws", F.split(F.lower(F.trim(F.col("text"))), " ")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "filter(transform(ws, (x, i) -> IF(i < size(ws) - 1, "
+                    "concat(x, ' ', ws[i + 1]), NULL)), s -> s IS NOT NULL)"
+                )
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok"))
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("sz") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("sz")) + 1
+        )
+        .select("doc_id", "tok")
+    )
+
+    def fanout(t):
+        a, b = t.alias("a"), t.alias("b")
+        return a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+
+    assert fanout(prefix) < fanout(toks) / 2
