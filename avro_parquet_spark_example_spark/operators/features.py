@@ -1,0 +1,193 @@
+"""ML feature-engineering operators: the bridge between this engine's
+curation surface and model training.
+
+Reference parity: the reconstructed reference (SURVEY.md §0) stops at SQL
+analytics; this module extends the surface the way the curation/mining
+families do — with the distributed primitives a training pipeline runs
+directly on the lakehouse: sufficient statistics for linear models (the
+"fit OLS without moving data" pattern: ship Σzzᵀ, not rows) and
+leakage-safe categorical target encoding.
+
+Float determinism follows the engine-wide fixed-point convention
+(``vec_covariance_matrix``): quantize inputs to integer fixed-point,
+aggregate exactly (BIGINT / DECIMAL(38)), convert to double only for the
+final rounded division — so cross-engine hash checks are exact and the
+answer is independent of partition order at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+#: Leading embedding dimensions used as regression features (the full
+#: 64-dim Gram is the same plan; d² cells are output-bounded either way).
+OLS_DIMS = 4
+
+
+@register(
+    "ml_normal_equations",
+    oracle=f"""
+    WITH z AS (
+        SELECT vec_id, 0 AS pos, CAST(10000000 AS BIGINT) AS v7
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, {OLS_DIMS + 1}) r
+        UNION ALL
+        SELECT vec_id, {OLS_DIMS + 1} AS pos,
+               CAST(label AS BIGINT) * 10000000 AS v7
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT a.pos AS i, b.pos AS j,
+           (SELECT n FROM n) AS n,
+           ROUND(CAST(SUM(CAST(a.v7 AS DECIMAL(19,0))
+                          * CAST(b.v7 AS DECIMAL(19,0))) AS DOUBLE)
+                 / 1e14, 9) AS moment
+    FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY a.pos, b.pos
+    """,
+)
+def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML1 — distributed sufficient statistics for ordinary least
+    squares: the upper triangle of the AUGMENTED Gram matrix Σ z·zᵀ for
+    z = [1, x₁..x₄, y] (intercept, leading embedding dims, label). The
+    (d+1)×(d+1) block is XᵀX, the last column is Xᵀy, the corner is
+    yᵀy — everything a driver (or any single node) needs to solve
+    β = (XᵀX)⁻¹Xᵀy and compute R², from ONE pass over the corpus. This
+    is how linear models are actually fit at 100 TB: the cluster ships
+    d² numbers, the solve is a 5×5 on the driver (pytest does exactly
+    that and checks the residuals are orthogonal to the features).
+
+    Exactness: inputs quantized to 7-digit fixed point (intercept and
+    label share the same ×1e7 grid), products summed as DECIMAL(38) —
+    the only float op is the final /1e14 + ROUND, so both engines hash
+    identically regardless of partition order.
+
+    Scale: explode to (row, pos, value) — (d+2) rows per record — one
+    row-keyed equi self-join (i ≤ j halves it), one map-side-combined
+    aggregate into (d+2)²/2 cells. At 100 TB you'd fuse the explode into
+    per-partition partial Grams; the emitted statistics are identical."""
+    e = load(spark, sf_dir, "embeddings")
+    n_row = e.count()
+    dims = e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, OLS_DIMS)).alias(
+            "pos0", "val"
+        )
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    ones = e.select(
+        "vec_id",
+        F.lit(0).cast("bigint").alias("pos"),
+        F.lit(10000000).cast("bigint").alias("v7"),
+    )
+    ys = e.select(
+        "vec_id",
+        F.lit(OLS_DIMS + 1).cast("bigint").alias("pos"),
+        (F.col("label").cast("bigint") * 10000000).alias("v7"),
+    )
+    z = ones.unionByName(dims).unionByName(ys)
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.v7").cast("decimal(19,0)")
+                * F.col("b.v7").cast("decimal(19,0)")
+            ).alias("s")
+        )
+        .select(
+            "i",
+            "j",
+            F.lit(n_row).cast("bigint").alias("n"),
+            F.round(F.col("s").cast("double") / 1e14, 9).alias("moment"),
+        )
+    )
+
+
+@register(
+    "ml_target_encode_loo",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderkey, c.c_nationkey AS nation,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT nation, SUM(cents) AS s, COUNT(*) AS n
+        FROM base GROUP BY nation
+    )
+    SELECT b.o_orderkey, b.nation,
+           CAST(g.s - b.cents AS BIGINT) AS loo_sum_cents,
+           CAST(g.n - 1 AS BIGINT) AS loo_n,
+           CASE WHEN g.n > 1
+                THEN CAST((CAST(g.s - b.cents AS BIGINT) * 200 + (g.n - 1))
+                          // (2 * (g.n - 1)) AS BIGINT)
+                END AS loo_mean_centicents
+    FROM base b JOIN g ON g.nation = b.nation
+    """,
+)
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2 — leave-one-out target encoding of a categorical feature
+    (customer nation) against a continuous target (order price): each
+    row's encode is the mean target of ITS OWN GROUP EXCLUDING ITSELF —
+    the standard leakage guard (plain group means let a model read each
+    row's own label through its category; LOO breaks that, Micci-Barreca
+    KDD'01). Computed without any per-row window: one group aggregate
+    (Σ, n), joined back, encode = (Σ − own)/(n−1); singleton groups emit
+    NULL (no information without leaking).
+
+    Exactness: prices quantized to integer cents, sums exact BIGINT, and
+    the mean itself is emitted as an EXACT integer in 0.01-cent units via
+    half-up integer division ((200·Σ + n)/(2n)) — no double quotient
+    anywhere. (A ROUND(double, 6) here is NOT cross-engine-stable: the
+    quotients carry ~14 significant digits and DuckDB's scale-multiply
+    rounding diverges from Spark's BigDecimal HALF_UP at the ulp — found
+    by this query's own gate and designed out rather than papered over.)
+    The raw numerator/denominator are also emitted, pinning the algebra.
+
+    Scale: one map-side-combined aggregate (|categories| rows) broadcast
+    back over the fact — the same 1-aggregate-join shape as
+    ``agg_share_of_total``; no shuffle of the fact beyond the customer
+    dim join (broadcastable)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "nation", "cents"
+    )
+    g = base.groupBy("nation").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    joined = base.join(F.broadcast(g), "nation").select(
+        "o_orderkey",
+        "nation",
+        (F.col("s") - F.col("cents")).alias("loo_sum_cents"),
+        (F.col("n") - 1).alias("loo_n"),
+    )
+    return joined.withColumn(
+        "loo_mean_centicents",
+        F.when(
+            F.col("loo_n") > 0,
+            F.expr("(loo_sum_cents * 200 + loo_n) div (2 * loo_n)"),
+        ),
+    )

@@ -1,0 +1,105 @@
+"""Feature-engineering invariants beyond the oracle hash: the normal-
+equation moments must actually solve to a least-squares fit (residuals
+orthogonal to every feature), and the LOO encode must reconstruct the
+group totals while provably excluding each row's own target."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.features import OLS_DIMS
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def _gram(spark, sf_dir):
+    rows = get_query("ml_normal_equations").fn(spark, sf_dir).collect()
+    d = OLS_DIMS + 2  # intercept + dims + y
+    g = np.zeros((d, d))
+    n = rows[0].n
+    for r in rows:
+        g[r.i, r.j] = r.moment
+        g[r.j, r.i] = r.moment
+    return g, n
+
+
+def test_normal_equations_solve_to_least_squares(spark, sf_dir):
+    """β from the emitted moments satisfies the normal equations, and the
+    implied residuals are orthogonal to every feature (the defining OLS
+    property) — checked against a direct numpy lstsq on the raw data."""
+    g, n = _gram(spark, sf_dir)
+    k = OLS_DIMS + 1
+    xtx, xty = g[:k, :k], g[:k, k]
+    beta = np.linalg.solve(xtx, xty)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [[1.0] + [np.floor(float(v) * 1e7) / 1e7 for v in r.embedding[:OLS_DIMS]]
+         for r in emb]
+    )
+    y = np.array([float(r.label) for r in emb])
+    beta_ref = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert n == len(emb)
+    assert np.allclose(beta, beta_ref, atol=1e-5), (beta, beta_ref)
+    # residual orthogonality straight from the moments: Xᵀy − XᵀXβ = 0
+    assert np.allclose(xty - xtx @ beta, 0, atol=1e-6)
+
+
+def test_gram_is_positive_semidefinite(spark, sf_dir):
+    g, _ = _gram(spark, sf_dir)
+    eig = np.linalg.eigvalsh(g)
+    assert eig.min() > -1e-6, eig
+
+
+def test_target_encode_loo_excludes_own_row(spark, sf_dir):
+    """For every row: loo_sum = group_sum − own_cents and loo_n =
+    group_n − 1 (recomputed from raw data), and the integer mean is the
+    half-up quotient."""
+    rows = get_query("ml_target_encode_loo").fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    c = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    cents = {}
+    gsum: dict[int, int] = {}
+    gn: dict[int, int] = {}
+    for r in o:
+        nat = c[r.o_custkey]
+        v = int(round(r.o_totalprice * 100))
+        cents[r.o_orderkey] = (nat, v)
+        gsum[nat] = gsum.get(nat, 0) + v
+        gn[nat] = gn.get(nat, 0) + 1
+    assert len(rows) == len(o)
+    for r in rows:
+        nat, own = cents[r.o_orderkey]
+        assert r.nation == nat
+        assert r.loo_sum_cents == gsum[nat] - own
+        assert r.loo_n == gn[nat] - 1
+        if r.loo_n > 0:
+            want = (r.loo_sum_cents * 200 + r.loo_n) // (2 * r.loo_n)
+            assert r.loo_mean_centicents == want
+        else:
+            assert r.loo_mean_centicents is None
+
+
+def test_target_encode_loo_group_identity(spark, sf_dir):
+    """Summing (loo_sum + own) over a group gives n × group_sum — i.e.
+    each row excluded exactly its own contribution, nothing else."""
+    df = get_query("ml_target_encode_loo").fn(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("own"),
+    )
+    j = df.join(o, "o_orderkey")
+    agg = (
+        j.groupBy("nation")
+        .agg(
+            F.sum(F.col("loo_sum_cents") + F.col("own")).alias("lhs"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("own").alias("s"),
+        )
+        .collect()
+    )
+    for r in agg:
+        assert r.lhs == r.n * r.s
