@@ -1359,3 +1359,84 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(nd_a + nd_b - nd_union, F.lit(0)).alias("est_overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D3c — exact distributed median via rank selection (no per-group sort agg)
+
+
+@register(
+    "agg_exact_median_distributed",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    r AS (
+        SELECT g, cents,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM v
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END)
+                AS BIGINT) AS median_x2_cents
+    FROM r GROUP BY g
+    """,
+)
+def agg_exact_median_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D3c — EXACT per-group median as a rank-selection problem, never a
+    sort aggregate: ``agg_percentiles``' F.percentile collects each
+    group's values into one task's memory (fine until one group is a
+    terabyte); this twin computes the same middle element(s) from
+    per-distinct-value COUNTS — state per task is the group's distinct-
+    value histogram slice, not its rows. Shape: (group, value) count
+    aggregate (map-side combined), cumulative counts over the distinct
+    values (window partitioned BY GROUP — a per-group frame over the
+    value domain, never the corpus; at a 100 TB value domain you'd
+    range-bucket the cumulative exactly like ``ts_rfm_segments``), the
+    group totals broadcast back, then the value(s) covering ranks
+    ⌈n/2⌉ and ⌊n/2⌋+1 selected by two range predicates.
+
+    Exactness: prices in integer cents; even-sized groups emit the SUM
+    of the two middles (median × 2) rather than a halved double — the
+    oracle's ROW_NUMBER selection reduces to the same integers."""
+    v = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    dv = v.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dv.withColumn("cum", F.sum("cnt").over(w))
+    totals = dv.groupBy("g").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(totals), "g")
+    lo_rank = F.expr("(n + 1) div 2")
+    hi_rank = F.expr("(n + 2) div 2")
+    m_lo = (
+        j.filter(
+            (F.col("cum") - F.col("cnt") < lo_rank) & (F.col("cum") >= lo_rank)
+        )
+        .select("g", "n", F.col("cents").alias("m_lo"))
+    )
+    m_hi = (
+        j.filter(
+            (F.col("cum") - F.col("cnt") < hi_rank) & (F.col("cum") >= hi_rank)
+        )
+        .select("g", F.col("cents").alias("m_hi"))
+    )
+    return m_lo.join(m_hi, "g").select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        (F.col("m_lo") + F.col("m_hi")).alias("median_x2_cents"),
+    )

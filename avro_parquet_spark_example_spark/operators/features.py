@@ -191,3 +191,160 @@ def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(loo_sum_cents * 200 + loo_n) div (2 * loo_n)"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML3 — multinomial Naive Bayes sufficient statistics
+
+
+@register(
+    "ml_naive_bayes_model",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    cls AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS class_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS class_vocab
+        FROM toks GROUP BY lang
+    ),
+    docs AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS class_docs FROM documents
+        GROUP BY lang
+    )
+    SELECT t.lang, t.tok,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           c.class_tokens,
+           d.class_docs,
+           (SELECT v FROM vocab) AS vocab
+    FROM toks t
+    JOIN cls c ON c.lang = t.lang
+    JOIN docs d ON d.lang = t.lang
+    GROUP BY t.lang, t.tok, c.class_tokens, d.class_docs
+    """,
+)
+def ml_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3 — multinomial Naive Bayes "training" as a pure aggregation:
+    per-(class, token) counts plus the class totals and vocabulary size —
+    the complete sufficient statistics for the Laplace-smoothed
+    classifier P(tok|class) = (cnt+1)/(class_tokens+V) and prior
+    P(class) = class_docs/N. Training an NB language model at 100 TB IS
+    this query: two map-side-combined aggregates and a broadcast join of
+    |classes| totals; no iteration, no solver, no Python. The model
+    (|classes| × |vocab| rows) ships to wherever inference runs — a
+    pytest builds the classifier from these rows and checks it
+    reproduces the corpus labels far above chance.
+
+    Exactness: every emitted statistic is an exact integer — the log-
+    probability arithmetic happens AFTER the cluster, so no
+    transcendental cross-engine drift is possible by construction.
+
+    Scale: token aggregate keyed (class, token) with map-side combine;
+    class totals are |classes| rows broadcast back; the global vocab
+    count is the engine's standard 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    per = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cls = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("class_tokens")
+    )
+    ndocs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("class_docs"))
+    vocab = toks.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        per.join(F.broadcast(cls), "lang")
+        .join(F.broadcast(ndocs), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "tok", "cnt", "class_tokens", "class_docs", "vocab"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML4 — hashing-trick feature vectors
+
+#: Hashed feature space size. Small on purpose: collisions are the
+#: hashing trick's defining behavior and the fixture must exercise them.
+HASH_BUCKETS = 64
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   list_transform(ws, (x, i) ->
+                       IF(i < LEN(ws), x || ' ' || ws[i + 1], NULL)),
+                   s -> s IS NOT NULL)) AS tok
+        FROM d
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT % {HASH_BUCKETS}
+                    AS BIGINT) AS bucket,
+               CASE WHEN ('0x' || SUBSTR(MD5(tok), 9, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM sh
+    )
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feature
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4 — the hashing trick (Weinberger et al., ICML'09): unbounded
+    token features → a FIXED d-dimensional vector via bucket =
+    h(token) mod d with a second hash bit choosing ±1, so collisions
+    cancel in expectation instead of biasing upward. This is the
+    standard way to featurize open-vocabulary text at corpus scale: no
+    vocabulary build, no dictionary broadcast, memory O(d) per doc
+    regardless of corpus growth. Tokens here are word bigrams (913
+    shingles on this corpus vs 31 unigrams — collisions at d=64 are
+    real, which is the point).
+
+    Cross-engine determinism: the hash is md5 (both engines bit-identical
+    on strings) — first 8 hex chars mod d for the bucket, next hex char's
+    parity for the sign — the same md5-derived convention as
+    ``vec_random_projection_jl``. All outputs exact integers.
+
+    Scale: explode + one (doc, bucket)-keyed map-side-combined aggregate;
+    output is ≤ d rows per doc by construction."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.withColumn(
+        "ws", F.split(F.lower(F.trim(F.col("text"))), " ")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(ws, (x, i) -> IF(i < size(ws) - 1, "
+                "concat(x, ' ', ws[i + 1]), NULL)), s -> s IS NOT NULL)"
+            )
+        ).alias("tok"),
+    )
+    md5 = F.md5(F.col("tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint"),
+        F.lit(HASH_BUCKETS),
+    ).cast("bigint")
+    sign = F.when(
+        F.pmod(F.conv(F.substring(md5, 9, 1), 16, 10).cast("bigint"), F.lit(2))
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        sh.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("feature"))
+    )

@@ -103,3 +103,90 @@ def test_target_encode_loo_group_identity(spark, sf_dir):
     )
     for r in agg:
         assert r.lhs == r.n * r.s
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes_model / ml_feature_hashing
+
+
+def test_naive_bayes_model_classifies_training_corpus(spark, sf_dir):
+    """Building the Laplace-smoothed classifier from the emitted
+    statistics reproduces the corpus labels far above chance — i.e. the
+    statistics really are the model."""
+    import math
+
+    rows = get_query("ml_naive_bayes_model").fn(spark, sf_dir).collect()
+    vocab = rows[0].vocab
+    cls_tokens = {r.lang: r.class_tokens for r in rows}
+    cls_docs = {r.lang: r.class_docs for r in rows}
+    n_docs = sum(cls_docs.values())
+    logp = {
+        (r.lang, r.tok): math.log((r.cnt + 1) / (r.class_tokens + vocab))
+        for r in rows
+    }
+
+    def score(lang, toks):
+        s = math.log(cls_docs[lang] / n_docs)
+        for t in toks:
+            s += logp.get(
+                (lang, t),
+                math.log(1 / (cls_tokens[lang] + vocab)),
+            )
+        return s
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    hits = 0
+    for d in docs:
+        toks = d.text.strip().lower().split(" ")
+        pred = max(cls_docs, key=lambda g: score(g, toks))
+        hits += pred == d.lang
+    # the synthetic corpus' lang labels are only weakly text-dependent;
+    # "the statistics are a working model" = beats the majority-class
+    # baseline, the strongest text-blind predictor
+    majority = max(cls_docs.values()) / n_docs
+    assert hits / len(docs) > majority, (hits, len(docs), majority)
+
+
+def test_naive_bayes_counts_are_consistent(spark, sf_dir):
+    """Σ cnt over a class == class_tokens; vocab == |distinct toks|."""
+    rows = get_query("ml_naive_bayes_model").fn(spark, sf_dir).collect()
+    per_class: dict[str, int] = {}
+    toks = set()
+    for r in rows:
+        per_class[r.lang] = per_class.get(r.lang, 0) + r.cnt
+        toks.add(r.tok)
+    for r in rows:
+        assert per_class[r.lang] == r.class_tokens
+        assert r.vocab == len(toks)
+
+
+def test_feature_hashing_reconstructs_from_shingles(spark, sf_dir):
+    """Each doc's hashed vector equals a Python recount through the same
+    md5 bucket/sign derivation, and the fixture genuinely collides
+    (some bucket holds >1 distinct shingle)."""
+    import hashlib
+
+    from avro_parquet_spark_example_spark.operators.features import (
+        HASH_BUCKETS,
+    )
+
+    got: dict[tuple, int] = {
+        (r.doc_id, r.bucket): r.feature
+        for r in get_query("ml_feature_hashing").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want: dict[tuple, int] = {}
+    bucket_tokens: dict[int, set] = {}
+    for d in docs:
+        ws = d.text.strip().lower().split(" ")
+        for i in range(len(ws) - 1):
+            tok = f"{ws[i]} {ws[i + 1]}"
+            h = hashlib.md5(tok.encode()).hexdigest()
+            b = int(h[:8], 16) % HASH_BUCKETS
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            want[(d.doc_id, b)] = want.get((d.doc_id, b), 0) + s
+            bucket_tokens.setdefault(b, set()).add(tok)
+    assert got == want
+    assert any(len(v) > 1 for v in bucket_tokens.values()), (
+        "fixture must exercise collisions"
+    )

@@ -217,3 +217,25 @@ def test_weighted_sample_key_order_matches_float_formula(pairs):
     # keys are all distinct
     if len({a for a, _ in approx}) == len(approx):
         assert [i for _, i in sorted(exact)] == [i for _, i in sorted(approx)]
+
+
+def test_exact_median_distributed_matches_statistics(spark, sf_dir):
+    """Rank-selection median equals Python statistics.median on the raw
+    cents (x2 to stay integer)."""
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = (
+        get_query("agg_exact_median_distributed").fn(spark, sf_dir).collect()
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups: dict[str, list[int]] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            int(round(r.l_extendedprice * 100))
+        )
+    assert {r.l_returnflag for r in rows} == set(groups)
+    for r in rows:
+        vals = sorted(groups[r.l_returnflag])
+        n = len(vals)
+        assert r.n == n
+        assert r.median_x2_cents == vals[(n + 1) // 2 - 1] + vals[(n + 2) // 2 - 1]
