@@ -1440,3 +1440,68 @@ def agg_exact_median_distributed(
         "n",
         (F.col("m_lo") + F.col("m_hi")).alias("median_x2_cents"),
     )
+
+
+@register(
+    "agg_weighted_median_distributed",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    dv AS (SELECT g, cents, SUM(wt) AS w FROM v GROUP BY g, cents),
+    r AS (
+        SELECT g, cents, w,
+               SUM(w) OVER (PARTITION BY g ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER (PARTITION BY g) AS tot
+        FROM dv
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+               AS weighted_median_cents
+    FROM r GROUP BY g
+    """,
+)
+def agg_weighted_median_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D3d — exact per-group WEIGHTED median (lower weighted median: the
+    smallest value whose cumulative weight reaches half the total —
+    here "the price point splitting each return-class's shipped
+    QUANTITY in half", the inventory-planning median, not the row
+    median). Same rank-selection shape as
+    ``agg_exact_median_distributed``: per-(group, value) weight sums,
+    a group-partitioned cumulative window over distinct values, totals
+    broadcast back, one range predicate — no per-group sort aggregate,
+    no global window, integer weights and cents throughout."""
+    v = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    dv = v.groupBy("g", "cents").agg(F.sum("wt").alias("w"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dv.withColumn("cum", F.sum("w").over(w))
+    totals = dv.groupBy("g").agg(F.sum("w").alias("tot"))
+    return (
+        cum.join(F.broadcast(totals), "g")
+        .filter(
+            (2 * (F.col("cum") - F.col("w")) < F.col("tot"))
+            & (2 * F.col("cum") >= F.col("tot"))
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("tot").alias("total_weight"),
+            F.col("cents").alias("weighted_median_cents"),
+        )
+    )

@@ -348,3 +348,137 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.sum("sign").alias("feature"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ML5 — exact fixed-point distributed gradient descent (3 rounds)
+
+#: GD rounds (unrolled identically in the DuckDB oracle).
+GD_ROUNDS = 3
+
+#: Fixed-point scales: features/betas ×1e7, residuals ×1e14.
+_S7 = 10_000_000
+_S14 = _S7 * _S7
+
+
+def _gd_oracle() -> str:
+    """Unrolled DuckDB twin of ml_linreg_gd: identical fixed-point
+    arithmetic round by round (HUGEINT vs Spark DECIMAL(38,0))."""
+    parts = [
+        f"""
+    WITH x AS (
+        SELECT vec_id, 0 AS j, CAST({_S7} AS BIGINT) AS x7 FROM embeddings
+        UNION ALL
+        SELECT vec_id, r.range AS j,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * {_S7}) AS BIGINT) AS x7
+        FROM embeddings, RANGE(1, {OLS_DIMS + 1}) r
+    ),
+    y AS (
+        SELECT vec_id, CAST(label % 2 AS HUGEINT) * {_S14} AS y14
+        FROM embeddings
+    ),
+    den AS (
+        SELECT 4 * COUNT(*) * CAST({_S14} AS HUGEINT) AS d FROM embeddings
+    ),
+    b0 AS (
+        SELECT j, CAST(0 AS HUGEINT) AS b7 FROM RANGE(0, {OLS_DIMS + 1}) t(j)
+    )"""
+    ]
+    for k in range(1, GD_ROUNDS + 1):
+        parts.append(
+            f""",
+    r{k} AS (
+        SELECT x.vec_id,
+               SUM(CAST(b.b7 AS HUGEINT) * x.x7) - MAX(y.y14) AS r14
+        FROM x JOIN b{k - 1} b ON b.j = x.j
+               JOIN y ON y.vec_id = x.vec_id
+        GROUP BY x.vec_id
+    ),
+    g{k} AS (
+        SELECT x.j, SUM(CAST(x.x7 AS HUGEINT) * r.r14) AS g21
+        FROM x JOIN r{k} r ON r.vec_id = x.vec_id GROUP BY x.j
+    ),
+    b{k} AS (
+        SELECT g.j,
+               b.b7 - CASE WHEN g.g21 >= 0
+                           THEN (2 * g.g21 + d.d) // (2 * d.d)
+                           ELSE -((2 * (-g.g21) + d.d) // (2 * d.d))
+                      END AS b7
+        FROM g{k} g JOIN b{k - 1} b ON b.j = g.j CROSS JOIN den d
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT j, CAST(b7 AS BIGINT) AS beta7,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n
+    FROM b{GD_ROUNDS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("ml_linreg_gd", oracle=_gd_oracle())
+def ml_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5 — distributed batch gradient descent, EXACTLY: 3 rounds of
+    β ← β − η·Xᵀ(Xβ − y)/n (η = 1/4, y = label parity, features =
+    intercept + leading embedding dims) in pure fixed-point integer
+    arithmetic — features ×1e7, residuals ×1e14, the update a half-up
+    integer division — so the trajectory is bit-identical across
+    engines and partition orders, and the DuckDB oracle replays the
+    SAME three rounds unrolled as CTEs. This is the iterative-ML
+    pattern (the thing ``ml_normal_equations`` one-shots, done the way
+    models that DON'T close-form — logistic, matrix factorization —
+    must run at 100 TB): per round, one map-side-combined aggregate
+    produces d+1 gradient numbers; the β update is driver-side on d+1
+    integers (the kmeans-centroid precedent); nothing else leaves the
+    cluster.
+
+    A pytest checks the fixed-point trajectory tracks float GD and that
+    the exact quadratic loss strictly decreases round over round."""
+    e = load(spark, sf_dir, "embeddings")
+    wide = e.select(
+        "vec_id",
+        F.lit(_S7).cast("bigint").alias("x0"),
+        *[
+            F.floor(
+                F.element_at("embedding", j).cast("double") * _S7
+            ).alias(f"x{j}")
+            for j in range(1, OLS_DIMS + 1)
+        ],
+        ((F.col("label") % 2).cast("decimal(38,0)") * _S14).alias("y14"),
+    )
+    n = e.count()
+    den = 4 * n * _S14
+    beta = [0] * (OLS_DIMS + 1)
+    for _ in range(GD_ROUNDS):
+        r14 = (
+            sum(
+                (
+                    F.lit(beta[j]).cast("decimal(19,0)") * F.col(f"x{j}")
+                    for j in range(OLS_DIMS + 1)
+                ),
+                start=F.lit(0).cast("decimal(38,0)"),
+            )
+            - F.col("y14")
+        )
+        grads = wide.agg(
+            *[
+                F.sum(F.col(f"x{j}").cast("decimal(19,0)") * r14).alias(
+                    f"g{j}"
+                )
+                for j in range(OLS_DIMS + 1)
+            ]
+        ).collect()[0]
+        for j in range(OLS_DIMS + 1):
+            g = int(grads[f"g{j}"])
+            step = (
+                (2 * g + den) // (2 * den)
+                if g >= 0
+                else -((2 * -g + den) // (2 * den))
+            )
+            beta[j] -= step
+    return spark.createDataFrame(
+        [(j, beta[j], n) for j in range(OLS_DIMS + 1)],
+        "j bigint, beta7 bigint, n bigint",
+    )

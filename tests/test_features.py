@@ -190,3 +190,55 @@ def test_feature_hashing_reconstructs_from_shingles(spark, sf_dir):
     assert any(len(v) > 1 for v in bucket_tokens.values()), (
         "fixture must exercise collisions"
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_linreg_gd
+
+
+def _gd_fixture(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [
+            [1.0]
+            + [np.floor(float(v) * 1e7) / 1e7 for v in r.embedding[:OLS_DIMS]]
+            for r in emb
+        ]
+    )
+    y = np.array([float(r.label % 2) for r in emb])
+    return X, y
+
+
+def test_linreg_gd_tracks_float_descent(spark, sf_dir):
+    """The fixed-point trajectory matches float batch GD to within the
+    accumulated quantization (1e-4 per coefficient after 3 rounds)."""
+    import numpy as np
+
+    rows = get_query("ml_linreg_gd").fn(spark, sf_dir).collect()
+    beta7 = {r.j: r.beta7 for r in rows}
+    X, y = _gd_fixture(spark, sf_dir)
+    n = len(y)
+    assert rows[0].n == n
+    b = np.zeros(X.shape[1])
+    for _ in range(3):
+        b = b - (X.T @ (X @ b - y)) / (4 * n)
+    for j in range(X.shape[1]):
+        assert abs(beta7[j] / 1e7 - b[j]) < 1e-4, (j, beta7[j] / 1e7, b[j])
+
+
+def test_linreg_gd_loss_decreases(spark, sf_dir):
+    """Replaying the exact integer updates in Python, the quadratic loss
+    strictly decreases each round (η = 1/4 is inside the stable region
+    for these features)."""
+    import numpy as np
+
+    X, y = _gd_fixture(spark, sf_dir)
+    n = len(y)
+    b = np.zeros(X.shape[1])
+    losses = [float(((X @ b - y) ** 2).mean())]
+    for _ in range(3):
+        b = b - (X.T @ (X @ b - y)) / (4 * n)
+        losses.append(float(((X @ b - y) ** 2).mean()))
+    assert all(a > b_ for a, b_ in zip(losses, losses[1:])), losses
