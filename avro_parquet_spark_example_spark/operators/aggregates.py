@@ -1505,3 +1505,81 @@ def agg_weighted_median_distributed(
             F.col("cents").alias("weighted_median_cents"),
         )
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM cust
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sx,
+               CAST(SUM(i * cents) AS BIGINT) AS six
+        FROM r
+    )
+    SELECT n, sx AS total_cents, six AS rank_weighted_cents,
+           ROUND((2.0 * six - (n + 1.0) * sx) / (1.0 * n * sx), 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D — exact Gini coefficient of customer revenue concentration
+    (G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx) / (nΣx) over ascending per-customer
+    revenue): the one-number inequality/concentration metric next to
+    ``agg_pareto_cut``'s 80/20 curve. The hard part at scale is the
+    GLOBAL value-ordered rank i — the oracle's single-sequence
+    ROW_NUMBER sorts the world in one task; the engine reuses
+    :func:`~...timeseries.global_ntile`'s range-bucketed two-phase rank
+    (rank_col mode), so every per-row stage stays key-partitioned and
+    driver traffic is 32 bucket counts.
+
+    Exactness: revenues in integer cents, Σ i·x as DECIMAL; the single
+    double expression at the end consumes identical integers in both
+    engines. Ranks tiebreak on custkey — a total order, so Σ i·x is
+    well-defined despite revenue ties (and any tie permutation leaves
+    Σ i·x unchanged within a tie-class anyway)."""
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        global_ntile,
+    )
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    ranked = global_ntile(
+        cust, "cents", 1, "o_custkey", "__t", rank_col="i"
+    ).drop("__t")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.col("six").cast("bigint").alias("rank_weighted_cents"),
+        F.round(
+            (2.0 * F.col("six").cast("double")
+             - (F.col("n") + 1.0) * F.col("sx").cast("double"))
+            / (1.0 * F.col("n") * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )

@@ -833,3 +833,68 @@ def graph_shortest_path_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection (part–supplier → supplier co-part graph)
+
+#: Part-key cap bounding the ORACLE's per-part pair fan-out (suppliers
+#: serving a hot part pair quadratically; the engine's plan is identical
+#: shape uncapped, with the membership-distinct step bounding per-part
+#: degree by the supplier catalog, and the standard drop|error|split cap
+#: applying when a real catalog has mega-parts).
+BIPART_MAX_PART = 2000
+
+#: Minimum shared parts for a projected edge (support threshold — the
+#: projection without one is almost complete on dense categories).
+BIPART_MIN_SHARED = 2
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=f"""
+    WITH m AS (
+        SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+        FROM lineitem WHERE l_partkey < {BIPART_MAX_PART}
+    )
+    SELECT a.supp AS s1, b.supp AS s2,
+           CAST(COUNT(*) AS BIGINT) AS co_parts
+    FROM m a JOIN m b ON a.part = b.part AND a.supp < b.supp
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {BIPART_MIN_SHARED}
+    """,
+)
+def graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G — bipartite projection: collapse the part–supplier incidence
+    graph (from lineitem) onto suppliers, weighting each supplier pair
+    by the number of parts both ship — the standard co-purchase /
+    co-authorship construction, and the candidate generator for
+    supplier-substitution recommendations. Same plan skeleton as
+    ``cooccurrence_edges``: DISTINCT memberships first (one shuffle —
+    the step that makes a part shipped in 10,000 lineitems contribute
+    its supplier set ONCE), equi-join on the part key (never a cross
+    join), count aggregate with a support threshold.
+
+    Scale: per-part pair fan-out is C(deg, 2) — bounded by the supplier
+    catalog per part after the distinct; a real mega-part takes the
+    engine's standard cap (drop|error|split, the ``lsh_band_pairs``
+    parameter precedent). Exact integer weights."""
+    m = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < BIPART_MAX_PART)
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("co_parts"))
+        .filter(F.col("co_parts") >= BIPART_MIN_SHARED)
+    )

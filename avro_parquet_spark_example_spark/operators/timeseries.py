@@ -1561,6 +1561,7 @@ def global_ntile(
     out_col: str,
     descending: bool = False,
     n_buckets: int = 32,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact global ``NTILE(k)`` over (metric, tiebreak) WITHOUT a global
     window — the distributed two-phase rank every 100 TB deployment needs
@@ -1579,7 +1580,12 @@ def global_ntile(
 
     Ties in ``metric`` are broken by ``tiebreak`` (ascending) — the same
     total order the DuckDB oracle's ``NTILE(k) OVER (ORDER BY …)`` uses,
-    so tile assignment is hash-identical."""
+    so tile assignment is hash-identical.
+
+    ``rank_col``: when set, the exact global ROW_NUMBER itself (1-based,
+    same total order) is kept under that name — the rank-consumers'
+    entry point (Gini, systematic sampling) so the two-phase machinery
+    lives once."""
     mm = df.agg(
         F.min(metric).alias("mn"),
         F.max(metric).alias("mx"),
@@ -1623,12 +1629,14 @@ def global_ntile(
         F.col("__rn") <= r * (q + 1),
         F.expr(f"(__rn + {q}) div {q + 1}"),
     ).otherwise(F.lit(r) + F.expr(f"(__rn - {r * (q + 1)} + {max(q, 1) - 1}) div {max(q, 1)}"))
-    return (
+    out = (
         bucketed.join(offsets, "__bkt")
         .withColumn("__rn", rn)
         .withColumn(out_col, tile.cast("int"))
-        .drop("__bkt", "__off", "__rn")
     )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__rn"))
+    return out.drop("__bkt", "__off", "__rn")
 
 
 @register(

@@ -620,3 +620,44 @@ def set_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return ia.unionByName(ea)
+
+
+#: Systematic sampling stride: keep every K-th row of the sorted sequence.
+SYSTEMATIC_K = 10
+
+
+@register(
+    "sample_systematic_every_k",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, n_chars, rn
+    FROM r WHERE rn % {SYSTEMATIC_K} = 1
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S — systematic (every-K-th) sampling over a SORTED sequence: order
+    docs by (n_chars, doc_id), keep ranks 1, K+1, 2K+1, … — the sampling
+    design that guarantees even coverage of the size distribution (a
+    uniform hash sample can cluster; the systematic stride cannot), the
+    standard way to draw eval/holdout slices that look like the corpus.
+    Deterministic by construction — no RNG, so unlike ``sample_scan``'s
+    engine-specific sampler this IS oracle-hash-checkable.
+
+    The global sort-rank is the usual hazard; the engine reuses
+    :func:`~...timeseries.global_ntile`'s range-bucketed two-phase rank
+    (rank_col mode) — no single-task sort at any scale."""
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        global_ntile,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_ntile(
+        docs, "n_chars", 1, "doc_id", "__t", rank_col="rn"
+    ).drop("__t")
+    return ranked.filter(
+        F.pmod(F.col("rn"), F.lit(SYSTEMATIC_K)) == 1
+    ).select("doc_id", "n_chars", "rn")

@@ -239,3 +239,74 @@ def test_exact_median_distributed_matches_statistics(spark, sf_dir):
         n = len(vals)
         assert r.n == n
         assert r.median_x2_cents == vals[(n + 1) // 2 - 1] + vals[(n + 2) // 2 - 1]
+
+
+def test_gini_matches_python_reference(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("agg_gini_concentration").fn(spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    per: dict[int, int] = {}
+    for r in o:
+        per[r.o_custkey] = per.get(r.o_custkey, 0) + int(
+            round(r.o_totalprice * 100)
+        )
+    xs = [per[k] for k in sorted(per, key=lambda k: (per[k], k))]
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (row.n, row.total_cents, row.rank_weighted_cents) == (n, sx, six)
+    gini = (2.0 * six - (n + 1.0) * sx) / (1.0 * n * sx)
+    assert abs(row.gini - round(gini, 6)) < 1e-9
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_systematic_sample_covers_distribution(spark, sf_dir):
+    """Ranks are exactly 1, K+1, 2K+1, …, and the sample's size quantiles
+    bracket the population's (the design's point)."""
+    from avro_parquet_spark_example_spark.operators.windows import (
+        SYSTEMATIC_K,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("sample_systematic_every_k").fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = len(docs)
+    assert sorted(r.rn for r in rows) == list(
+        range(1, n + 1, SYSTEMATIC_K)
+    )
+    pop = sorted(d.n_chars for d in docs)
+    samp = sorted(r.n_chars for r in rows)
+    assert samp[0] == pop[0]  # rank 1 is the population minimum
+    assert samp[-1] >= pop[int(0.9 * (n - 1))]  # tail covered
+
+
+def test_bipartite_projection_matches_python(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.graph import (
+        BIPART_MAX_PART,
+        BIPART_MIN_SHARED,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    got = {
+        (r.s1, r.s2): r.co_parts
+        for r in get_query("graph_bipartite_projection")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    members = {
+        (r.l_partkey, r.l_suppkey)
+        for r in li
+        if r.l_partkey < BIPART_MAX_PART
+    }
+    per_part: dict[int, list[int]] = {}
+    for part, supp in members:
+        per_part.setdefault(part, []).append(supp)
+    want: dict[tuple, int] = {}
+    for supps in per_part.values():
+        supps.sort()
+        for i, s1 in enumerate(supps):
+            for s2 in supps[i + 1 :]:
+                want[(s1, s2)] = want.get((s1, s2), 0) + 1
+    want = {k: v for k, v in want.items() if v >= BIPART_MIN_SHARED}
+    assert got == want
