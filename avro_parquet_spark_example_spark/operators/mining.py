@@ -303,3 +303,126 @@ def mine_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(
         F.broadcast(sky), ["price_cents", "size"]
     ).select("p_partkey", "price_cents", "size")
+
+
+# ---------------------------------------------------------------------------
+# M4 — Apriori size-3 itemsets with candidate pruning
+
+#: Minimum basket support for a triple (and for the pairs that may
+#: extend to one — the Apriori downward-closure prune).
+MIN_TRIPLE_SUPPORT = 5
+
+
+@register(
+    "mine_itemset_triples",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    )
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           c.event_type AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS triple_n
+    FROM baskets a
+    JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                  AND a.event_type < b.event_type
+    JOIN baskets c ON a.user_id = c.user_id AND a.day = c.day
+                  AND b.event_type < c.event_type
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {MIN_TRIPLE_SUPPORT}
+    """,
+)
+def mine_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — frequent 3-itemsets with the actual Apriori prune (Agrawal &
+    Srikant VLDB'94 downward closure): a triple can only be frequent if
+    all three of its pairs are, so candidate triples are built by
+    JOINING THE FREQUENT-PAIR LIST WITH ITSELF on a shared first item
+    (the classic candidate-generation step) and each basket only
+    extends pairs that survived the pair pass. The oracle runs the
+    naive 3-way basket self-join — correct, and exactly the plan whose
+    per-basket fan-out (C(|items|,2) → C(|items|,3)) the prune exists
+    to cut at scale.
+
+    Engine shape: pair counts (one equi-join, the ``mine_association_
+    pairs`` plan), frequent pairs broadcast (≤ |types|² rows), candidate
+    triples from the pair list (driver-free join), then ONE pass
+    joining baskets to candidates via the (a, b) pair and checking c —
+    three map-side-combined aggregates, no triple self-join of the
+    corpus ever materializes.
+
+    Downward closure is also pinned by a pytest: every emitted triple's
+    three sub-pairs appear in ``mine_association_pairs``-style counts
+    at ≥ the triple's support."""
+    ev = load(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("pa"),
+            F.col("b.event_type").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_TRIPLE_SUPPORT)
+        .select("pa", "pb")
+    )
+    # Apriori candidate generation: join frequent pairs sharing the first
+    # item; (x,y)+(x,z) with y<z → candidate (x,y,z); the third sub-pair
+    # (y,z) must itself be frequent (full downward closure).
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    cands = (
+        p1.join(
+            p2,
+            (F.col("p1.pa") == F.col("p2.pa"))
+            & (F.col("p1.pb") < F.col("p2.pb")),
+        )
+        .join(
+            p3,
+            (F.col("p3.pa") == F.col("p1.pb"))
+            & (F.col("p3.pb") == F.col("p2.pb")),
+            "left_semi",
+        )
+        .select(
+            F.col("p1.pa").alias("ca"),
+            F.col("p1.pb").alias("cb"),
+            F.col("p2.pb").alias("cc"),
+        )
+    )
+    # one basket pass: attach candidate (a,b,c) via the (a,b) items, then
+    # require the basket to also hold c
+    ba, bb, bc = baskets.alias("ba"), baskets.alias("bb"), baskets.alias("bc")
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.user_id") == F.col("bb.user_id"))
+            & (F.col("ba.day") == F.col("bb.day")),
+        )
+        .join(
+            F.broadcast(cands),
+            (F.col("ba.event_type") == F.col("ca"))
+            & (F.col("bb.event_type") == F.col("cb")),
+        )
+        .join(
+            bc,
+            (F.col("bc.user_id") == F.col("ba.user_id"))
+            & (F.col("bc.day") == F.col("ba.day"))
+            & (F.col("bc.event_type") == F.col("cc")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("ca").alias("item_a"),
+            F.col("cb").alias("item_b"),
+            F.col("cc").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("triple_n"))
+        .filter(F.col("triple_n") >= MIN_TRIPLE_SUPPORT)
+    )

@@ -1047,3 +1047,121 @@ def dq_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(n1) * n2) - (F.col("r1") - F.lit(tri1)), 1
         ).alias("u_cur"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphan_children,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT) AS childless_parents
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_nationkey = n.n_nationkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — referential-integrity audit across the schema's FK chain
+    (lineitem→orders→customer→nation): per edge, ORPHAN CHILDREN (fact
+    rows whose parent key is missing — broken ingestion, the rows every
+    downstream join silently drops) and CHILDLESS PARENTS (dimension
+    rows no fact references — not an error, but the dead weight a
+    broadcast-dim build should know about). The generated fixture is
+    orphan-free, which is itself the assertion a DQ gate exists to make
+    loudly; childless-parent counts are non-trivial.
+
+    Shape: each side is one LEFT ANTI join (the null-rejecting FK
+    semantics — no null keys in this schema) + a 1-row count; anti joins
+    against the smaller side broadcast. Linear, map-side combinable,
+    100 TB-safe."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(fk, child, ckey, parent, pkey):
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphan_children"))
+        childless = parent.join(
+            child, parent[pkey] == child[ckey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("childless_parents"))
+        return orphans.crossJoin(childless).select(
+            F.lit(fk).alias("fk"), "orphan_children", "childless_parents"
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            audit("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS pct,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    )
+    SELECT pct AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_returned,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS observed_rate
+    FROM scored GROUP BY pct
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — calibration / reliability-diagram bins: bucket a candidate
+    predictor (discount percentage) and report each bucket's observed
+    outcome rate (lineitem returns) — the table behind every
+    calibration curve and the uplift sanity-check ("does the signal's
+    level actually track the outcome?"). Counts exact; one
+    map-side-combined aggregate over ≤ |buckets| cells; the rate
+    divides exact integers identically on both engines. At 100 TB this
+    is the same single-pass shape — bucket cardinality, not corpus
+    size, bounds the output."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias(
+                "discount_pct"
+            ),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_returned"),
+        )
+        .withColumn(
+            "observed_rate",
+            F.round(F.col("n_returned") * 1.0 / F.col("n"), 6),
+        )
+    )

@@ -65,6 +65,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "mine_skyline_pareto": "dominance anti-join on local-skyline survivors (frontier-bounded, <= 32x per-group frontier)",
         "ts_max_concurrency": "broadcast day-grid band join for the cross-day carry (days-cardinality)",
         "ml_naive_bayes_model": "broadcast 1-row vocab-size cross join",
+        "dq_referential_integrity": "broadcast 1-row orphan/childless count cross joins",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

@@ -175,3 +175,42 @@ def test_skyline_hot_group_stays_frontier_bounded(spark):
         rows = get_query("mine_skyline_pareto").fn(spark, d).collect()
     got = {(r.price_cents, r.size) for r in rows}
     assert got == set(frontier)
+
+
+# ---------------------------------------------------------------------------
+# mine_itemset_triples
+
+
+def test_triples_downward_closure_and_recount(spark, sf_dir):
+    """Every emitted triple matches a Python basket recount, and each of
+    its three sub-pairs is at least as frequent (Apriori downward
+    closure)."""
+    from avro_parquet_spark_example_spark.operators.mining import (
+        MIN_TRIPLE_SUPPORT,
+    )
+
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.triple_n
+        for r in get_query("mine_itemset_triples").fn(spark, sf_dir).collect()
+    }
+    b = _baskets(spark, sf_dir).collect()
+    items: dict[tuple, set] = {}
+    for r in b:
+        items.setdefault((r.user_id, r.day), set()).add(r.event_type)
+    triple_n: dict[tuple, int] = {}
+    pair_n: dict[tuple, int] = {}
+    from itertools import combinations
+
+    for s in items.values():
+        for t in combinations(sorted(s), 3):
+            triple_n[t] = triple_n.get(t, 0) + 1
+        for p in combinations(sorted(s), 2):
+            pair_n[p] = pair_n.get(p, 0) + 1
+    want = {
+        t: n for t, n in triple_n.items() if n >= MIN_TRIPLE_SUPPORT
+    }
+    assert got == want
+    assert got, "fixture produces frequent triples"
+    for (a, b_, c), n in got.items():
+        for p in ((a, b_), (a, c), (b_, c)):
+            assert pair_n[p] >= n

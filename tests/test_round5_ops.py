@@ -310,3 +310,37 @@ def test_bipartite_projection_matches_python(spark, sf_dir):
                 want[(s1, s2)] = want.get((s1, s2), 0) + 1
     want = {k: v for k, v in want.items() if v >= BIPART_MIN_SHARED}
     assert got == want
+
+
+def test_referential_integrity_fixture_is_orphan_free(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = {
+        r.fk: r
+        for r in get_query("dq_referential_integrity").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "lineitem->orders",
+        "orders->customer",
+        "customer->nation",
+    }
+    for r in rows.values():
+        assert r.orphan_children == 0
+    # the generated key spaces leave some parents childless at small SFs
+    # (wider customer range than order fan-out); the counts are pinned by
+    # the oracle — here just shape-check non-negativity
+    for r in rows.values():
+        assert r.childless_parents >= 0
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("eval_calibration_bins").fn(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r.n for r in rows) == li.count()
+    ret = li.filter(F.col("l_returnflag") == "R").count()
+    assert sum(r.n_returned for r in rows) == ret
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n
+        assert abs(r.observed_rate - round(r.n_returned / r.n, 6)) < 1e-9
