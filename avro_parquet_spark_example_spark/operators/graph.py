@@ -898,3 +898,136 @@ def graph_bipartite_projection(
         .agg(F.count(F.lit(1)).alias("co_parts"))
         .filter(F.col("co_parts") >= BIPART_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (quantized power iteration, oracle-checked)
+
+#: HITS round count — unrolled identically in the SQL oracle.
+HITS_ROUNDS = 3
+
+
+def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:
+    """One exact HITS round: authority = Σ incident hub scores, hub =
+    Σ incident authority scores, each max-normalized and quantized to
+    12 decimals so sums stay order-independent."""
+    return f"""
+    {a_out}_raw AS (
+        SELECT e.part, CAST(SUM(h.score) AS DECIMAL(38,12)) AS s
+        FROM inc e JOIN {h_prev} h ON h.supp = e.supp GROUP BY e.part
+    ),
+    {a_out} AS (
+        SELECT part,
+               CAST(ROUND(CAST(s AS DOUBLE)
+                          / (SELECT CAST(MAX(s) AS DOUBLE) FROM {a_out}_raw),
+                          12) AS DECIMAL(20,12)) AS score
+        FROM {a_out}_raw
+    ),
+    {h_out}_raw AS (
+        SELECT e.supp, CAST(SUM(a.score) AS DECIMAL(38,12)) AS s
+        FROM inc e JOIN {a_out} a ON a.part = e.part GROUP BY e.supp
+    ),
+    {h_out} AS (
+        SELECT supp,
+               CAST(ROUND(CAST(s AS DOUBLE)
+                          / (SELECT CAST(MAX(s) AS DOUBLE) FROM {h_out}_raw),
+                          12) AS DECIMAL(20,12)) AS score
+        FROM {h_out}_raw
+    )"""
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle="""
+    WITH inc AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    h0 AS (
+        SELECT DISTINCT supp, CAST(1.0 AS DECIMAL(20,12)) AS score FROM inc
+    ),
+    """
+    + ",".join(
+        _hits_round_sql(f"h{i}", f"a{i + 1}", f"h{i + 1}")
+        for i in range(HITS_ROUNDS)
+    )
+    + f"""
+    SELECT 'hub' AS kind, supp AS id,
+           ROUND(CAST(score AS DOUBLE), 6) AS score
+    FROM h{HITS_ROUNDS}
+    UNION ALL
+    SELECT 'authority', part, ROUND(CAST(score AS DOUBLE), 6)
+    FROM a{HITS_ROUNDS}
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR — HITS (Kleinberg's hubs & authorities) on the supplier→part
+    incidence graph: a supplier is a strong HUB if it ships many strong-
+    authority parts; a part is a strong AUTHORITY if strong hubs ship
+    it — the mutual-reinforcement ranking PageRank can't express on
+    bipartite incidence (and on a symmetric graph the two scores
+    degenerate into one, so the DIRECTED bipartite edge set is the
+    honest fixture). Three power-iteration rounds, max-normalized —
+    the ``vec_power_iteration_top_pc`` normalizer precedent — with each
+    score quantized to DECIMAL(20,12) per round (the
+    ``graph_pagerank_exact`` dsum rule), so every per-node sum is exact
+    and order-independent and the DuckDB unrolled-CTE twin matches
+    bit-for-bit at 6dp.
+
+    Scale: per round, two incidence-keyed equi-joins + two map-side-
+    combined decimal sums + two 1-row max normalizers — linear in
+    edges, the same profile as PageRank; localCheckpoint cuts lineage
+    per round."""
+    inc = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = inc.select("supp").distinct().select(
+        "supp", F.lit(1.0).cast("decimal(20,12)").alias("score")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            inc.join(h, "supp")
+            .groupBy("part")
+            .agg(F.sum("score").alias("s"))
+        )
+        a_mx = a_raw.agg(F.max("s").cast("double").alias("mx"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_mx))
+            .select(
+                "part",
+                F.round(F.col("s").cast("double") / F.col("mx"), 12)
+                .cast("decimal(20,12)")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            inc.join(a, "part")
+            .groupBy("supp")
+            .agg(F.sum("score").alias("s"))
+        )
+        h_mx = h_raw.agg(F.max("s").cast("double").alias("mx"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_mx))
+            .select(
+                "supp",
+                F.round(F.col("s").cast("double") / F.col("mx"), 12)
+                .cast("decimal(20,12)")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    hubs = h.select(
+        F.lit("hub").alias("kind"),
+        F.col("supp").alias("id"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("kind"),
+        F.col("part").alias("id"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -126,3 +126,48 @@ def test_shortest_path_relaxation_monotone(spark, sf_dir):
             assert d > 0
             if (s, n) in edge:
                 assert d <= edge[(s, n)]
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_bipartite
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    """Scores equal a pure-Python replay of the same quantized max-
+    normalized iteration (12dp per round, 6dp report)."""
+    from avro_parquet_spark_example_spark.operators.graph import HITS_ROUNDS
+
+    rows = get_query("graph_hits_bipartite").fn(spark, sf_dir).collect()
+    inc = {
+        (r.l_suppkey, r.l_partkey)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    }
+    supps = {s for s, _ in inc}
+    h = {s: 1.0 for s in supps}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        a_raw: dict[int, float] = {}
+        for s, p in inc:
+            a_raw[p] = round(a_raw.get(p, 0.0) + h[s], 12)
+        mx = max(a_raw.values())
+        a = {p: round(v / mx, 12) for p, v in a_raw.items()}
+        h_raw: dict[int, float] = {}
+        for s, p in inc:
+            h_raw[s] = round(h_raw.get(s, 0.0) + a[p], 12)
+        mx = max(h_raw.values())
+        h = {s: round(v / mx, 12) for s, v in h_raw.items()}
+    got_h = {r.id: r.score for r in rows if r.kind == "hub"}
+    got_a = {r.id: r.score for r in rows if r.kind == "authority"}
+    assert set(got_h) == set(h) and set(got_a) == set(a)
+    for s, v in h.items():
+        assert abs(got_h[s] - v) < 2e-6, (s, got_h[s], v)
+    for p, v in a.items():
+        assert abs(got_a[p] - v) < 2e-6, (p, got_a[p], v)
+
+
+def test_hits_scores_normalized_and_positive(spark, sf_dir):
+    rows = get_query("graph_hits_bipartite").fn(spark, sf_dir).collect()
+    for kind in ("hub", "authority"):
+        scores = [r.score for r in rows if r.kind == kind]
+        assert scores and max(scores) == 1.0
+        assert all(0 < s <= 1.0 for s in scores)
