@@ -789,6 +789,16 @@ def drift_value_cdfs(orders: DataFrame):
             "is_ref"
         ),
     )
+    return two_class_value_cdfs(vals)
+
+
+def two_class_value_cdfs(vals: DataFrame):
+    """Generic core of :func:`drift_value_cdfs`: given a ``(v, is_ref)``
+    frame, return ``(df, n_ref, n_cur)`` of per-distinct-value tie
+    counts + inclusive cumulative counts for both classes — the shared
+    substrate for KS / Mann–Whitney drift AND rank statistics like
+    exact ROC AUC (``eval_auc_exact``), which is the same midrank
+    algebra with (positive, negative) as the two classes."""
     d = (
         vals.groupBy("v")
         .agg(
@@ -1164,4 +1174,73 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_rate",
             F.round(F.col("n_returned") * 1.0 / F.col("n"), 6),
         )
+    )
+
+
+@register(
+    "eval_auc_exact",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+               (l_returnflag = 'R') AS is_ref
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT is_ref,
+               RANK() OVER (ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS avg_rank
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN is_ref THEN 2 * avg_rank ELSE 0 END)
+                    AS BIGINT) AS r2
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(r2 - np * (np + 1) AS BIGINT) AS u_x2,
+           ROUND(CAST(r2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6)
+               AS auc
+    FROM s
+    """,
+)
+def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — EXACT ROC AUC (ties at half credit) of a score against a
+    binary outcome — here "does the discount level discriminate
+    returned lineitems?", the same signal ``eval_calibration_bins``
+    tabulates, reduced to the one-number ranking metric. AUC is the
+    Mann–Whitney statistic in disguise (AUC = U/(n⁺n⁻)), so the engine
+    reuses :func:`two_class_value_cdfs`' distributed midrank algebra:
+    per-distinct-value class counts + cumulative prefix counts give
+    each value's midrank without any global sort; the oracle runs the
+    single-sequence RANK definition. Twice-the-rank-sum is an exact
+    INTEGER (midranks are half-integers), so u_x2 hash-pins the
+    statistic and the double division happens once, identically, at
+    the end.
+
+    Scale: identical to the drift tests — one distinct-value aggregate,
+    32-bucket two-phase prefix sums, O(buckets) driver scalars."""
+    vals = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        (F.col("l_returnflag") == "R").alias("is_ref"),
+    )
+    cdfs, n_pos, n_neg = two_class_value_cdfs(vals)
+    c = F.col("c_ref") + F.col("c_cur")
+    b = F.col("r_ref") + F.col("r_cur") - c
+    # midrank = b + (c+1)/2 → 2·midrank = 2b + c + 1 (integer); the
+    # positives' doubled rank-sum is Σ c_ref·(2b + c + 1), exact.
+    r2 = cdfs.agg(
+        F.sum(F.col("c_ref") * (2 * b + c + 1)).alias("r2")
+    )
+    tri = n_pos * (n_pos + 1)  # python arbitrary precision (int32 trap)
+    return r2.select(
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
+        F.lit(n_neg).cast("bigint").alias("n_neg"),
+        (F.col("r2") - F.lit(tri)).cast("bigint").alias("u_x2"),
+        F.round(
+            (F.col("r2") - F.lit(tri)).cast("double")
+            / F.lit(2.0 * n_pos * n_neg),
+            6,
+        ).alias("auc"),
     )

@@ -1889,3 +1889,73 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boundaries",
         (F.col("carry") + F.col("mx")).alias("peak_concurrency"),
     )
+
+
+@register(
+    "ts_anomaly_seasonal_residual",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    dw AS (SELECT dow, AVG(CAST(n AS DOUBLE)) AS dow_mean
+           FROM daily GROUP BY dow),
+    resid AS (
+        SELECT d.day, d.n, d.n - dw.dow_mean AS r
+        FROM daily d JOIN dw ON dw.dow = d.dow
+    ),
+    med AS (SELECT MEDIAN(r) AS m FROM resid),
+    mad AS (SELECT MEDIAN(ABS(r - (SELECT m FROM med))) AS mad FROM resid)
+    SELECT day, n, ROUND(r, 6) AS residual,
+           (ABS(r - (SELECT m FROM med))
+             > 3 * 1.4826 * (SELECT mad FROM mad)) AS is_anomaly
+    FROM resid
+    """,
+)
+def ts_anomaly_seasonal_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TS — seasonality-aware anomaly days: deseasonalize the daily event
+    count by its day-of-week mean (the ``ts_seasonality_decompose``
+    model), then flag days whose residual deviates from the residual
+    median by > 3 robust sigmas (MAD × 1.4826) — the composition that
+    makes ``dq_anomaly_mad``'s flat threshold weekly-pattern-proof (a
+    normal Saturday dip is not an anomaly; the same count on a Tuesday
+    is). Determinism: integer daily counts; the dow mean divides an
+    exact integer sum; medians SELECT existing doubles (no reordered
+    accumulation); one fixed IEEE comparison — identical in both
+    engines.
+
+    Scale: day-grid aggregates end-to-end (the corpus collapses at the
+    first groupBy); the medians are 1-row aggregates over the tiny
+    grid, broadcast back."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dw = daily.groupBy("dow").agg(
+        (F.sum("n") * 1.0 / F.count(F.lit(1))).alias("dow_mean")
+    )
+    resid = daily.join(F.broadcast(dw), "dow").select(
+        "day", "n", (F.col("n") - F.col("dow_mean")).alias("r")
+    )
+    med = resid.agg(F.percentile("r", F.lit(0.5)).alias("m"))
+    with_med = resid.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("r") - F.col("m")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            F.round(F.col("r"), 6).alias("residual"),
+            (
+                F.abs(F.col("r") - F.col("m"))
+                > 3 * 1.4826 * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )

@@ -66,6 +66,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "ts_max_concurrency": "broadcast day-grid band join for the cross-day carry (days-cardinality)",
         "ml_naive_bayes_model": "broadcast 1-row vocab-size cross join",
         "dq_referential_integrity": "broadcast 1-row orphan/childless count cross joins",
+        "ts_anomaly_seasonal_residual": "broadcast 1-row median/MAD cross joins over the day grid",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

@@ -344,3 +344,59 @@ def test_calibration_bins_partition_the_corpus(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_returned <= r.n
         assert abs(r.observed_rate - round(r.n_returned / r.n, 6)) < 1e-9
+
+
+def test_auc_exact_matches_python_rank_sum(spark, sf_dir):
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    row = get_query("eval_auc_exact").fn(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    pairs = [
+        (int(round(r.l_discount * 100)), r.l_returnflag == "R") for r in li
+    ]
+    pos = sorted(v for v, y in pairs if y)
+    neg = sorted(v for v, y in pairs if not y)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    # U = #(pos > neg) + 0.5 #(pos == neg), doubled to stay integer
+    import bisect
+
+    u_x2 = 0
+    for v in pos:
+        lt = bisect.bisect_left(neg, v)
+        eq = bisect.bisect_right(neg, v) - lt
+        u_x2 += 2 * lt + eq
+    assert row.u_x2 == u_x2
+    assert abs(row.auc - round(u_x2 / (2 * len(pos) * len(neg)), 6)) < 1e-9
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_seasonal_residual_anomaly_consistency(spark, sf_dir):
+    """Residuals reconstruct from daily counts and dow means; flags obey
+    the 3-robust-sigma rule recomputed in Python."""
+    import statistics
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = (
+        get_query("ts_anomaly_seasonal_residual").fn(spark, sf_dir).collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily: dict = {}
+    for e in ev:
+        d = e.ts.date()
+        daily[d] = daily.get(d, 0) + 1
+    dow_groups: dict[int, list[int]] = {}
+    for d, n in daily.items():
+        dow_groups.setdefault(d.isoweekday() % 7, []).append(n)
+    dow_mean = {k: sum(v) / len(v) for k, v in dow_groups.items()}
+    resid = {
+        d: n - dow_mean[d.isoweekday() % 7] for d, n in daily.items()
+    }
+    med = statistics.median(resid.values())
+    mad = statistics.median(abs(r - med) for r in resid.values())
+    assert len(rows) == len(daily)
+    for r in rows:
+        d = r.day
+        assert r.n == daily[d]
+        assert abs(r.residual - round(resid[d], 6)) < 1e-6
+        assert r.is_anomaly == (abs(resid[d] - med) > 3 * 1.4826 * mad)
