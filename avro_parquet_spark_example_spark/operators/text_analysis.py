@@ -1658,3 +1658,148 @@ def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overused_in"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al., ACL'16) — distributed, exact
+
+#: Number of learned merges (unrolled identically in the SQL oracle).
+BPE_MERGES = 10
+
+#: Doc-id cap bounding the ORACLE's 10-round recount; the engine's
+#: per-round cost is one pair-count aggregate + one per-row rewrite,
+#: linear in corpus size, and needs no cap.
+BPE_MAX_DOC = 600
+
+
+def _bpe_sql() -> str:
+    """Unrolled DuckDB twin: same init (space → '_', char symbols), same
+    greedy left-to-right REPLACE rewrite, same (count DESC, pair) argmax."""
+    sql = [
+        f"""
+    WITH d0 AS MATERIALIZED (
+        SELECT doc_id,
+               ' ' || array_to_string(
+                   string_split(REPLACE(LOWER(TRIM(text)), ' ', '_'), ''),
+                   ' ') || ' ' AS s
+        FROM documents WHERE doc_id < {BPE_MAX_DOC}
+    )"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        sql.append(
+            f""",
+    p{k} AS MATERIALIZED (
+        SELECT SPLIT_PART(pair, CHR(1), 1) AS pa,
+               SPLIT_PART(pair, CHR(1), 2) AS pb,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT UNNEST(list_filter(
+                list_transform(ws, (x, i) ->
+                    IF(i < LEN(ws), x || CHR(1) || ws[i + 1], NULL)),
+                v -> v IS NOT NULL)) AS pair
+            FROM (SELECT string_split(TRIM(s), ' ') AS ws FROM d{k - 1})
+        ) GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT {k} AS step, pa, pb, pa || pb AS merged, cnt
+        FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT doc_id,
+               REPLACE(s,
+                       ' ' || (SELECT pa FROM m{k}) || ' '
+                           || (SELECT pb FROM m{k}) || ' ',
+                       ' ' || (SELECT merged FROM m{k}) || ' ') AS s
+        FROM d{k - 1}
+    )"""
+        )
+    sql.append(
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT step, pa AS left_sym, pb AS right_sym, merged, cnt FROM m{k}"
+            for k in range(1, BPE_MERGES + 1)
+        )
+    )
+    return "".join(sql)
+
+
+@register("text_bpe_train", oracle=_bpe_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T — byte-pair-encoding merge training (Sennrich et al. ACL'16 —
+    the tokenizer-training algorithm under GPT/Llama vocabularies),
+    distributed and EXACT: init every doc as a space-joined character
+    sequence (corpus spaces become the '_' word-boundary symbol), then
+    ``BPE_MERGES`` rounds of (1) count adjacent symbol pairs across the
+    corpus — one map-side-combined aggregate, (2) pick the most frequent
+    pair (count DESC, then lexicographic — a deterministic 1-row
+    TakeOrdered), (3) rewrite every doc, merging that pair's
+    non-overlapping occurrences left-to-right (single-pass string
+    REPLACE — measured identical greedy semantics in both engines; the
+    trailing-separator consumption IS the non-overlap rule). Output: the
+    learned merge table (step, pair, merged symbol, support).
+
+    This is the canonical "driver ships K scalars per round, corpus
+    never leaves the cluster" iterative shape: per round one aggregate
+    + one narrow per-row map; at 100 TB each round is a single shuffle
+    of (pair, count) partials bounded by the symbol-pair vocabulary,
+    not the corpus. The oracle replays all ten rounds as unrolled CTEs
+    (CHR(1)-delimited pair keys, scalar-subquery rewrites).
+
+    A pytest replays the algorithm in pure Python (dict counts + list
+    scan) and checks the merge table matches step for step."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BPE_MAX_DOC)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.split(
+                        F.replace(
+                            F.lower(F.trim(F.col("text"))),
+                            F.lit(" "),
+                            F.lit("_"),
+                        ),
+                        "",
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = docs
+    for step in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "filter(transform(split(trim(s), ' '), (x, i) -> "
+                        "IF(i < size(split(trim(s), ' ')) - 1, "
+                        "struct(x AS pa, element_at(split(trim(s), ' '), "
+                        "i + 2) AS pb), NULL)), v -> v IS NOT NULL)"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+        )
+        top = pairs.collect()[0]
+        merges.append((step, top.pa, top.pb, top.pa + top.pb, top.cnt))
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top.pa} {top.pb} "),
+                F.lit(f" {top.pa}{top.pb} "),
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step bigint, left_sym string, right_sym string, merged string, cnt bigint"
+    )

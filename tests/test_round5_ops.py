@@ -400,3 +400,49 @@ def test_seasonal_residual_anomaly_consistency(spark, sf_dir):
         assert r.n == daily[d]
         assert abs(r.residual - round(resid[d], 6)) < 1e-6
         assert r.is_anomaly == (abs(resid[d] - med) > 3 * 1.4826 * mad)
+
+
+def test_bpe_train_matches_python_replay(spark, sf_dir):
+    """The merge table equals a pure-Python BPE replay: dict pair counts,
+    (count desc, pair) argmax, greedy left-to-right non-overlapping
+    merge per doc."""
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        BPE_MAX_DOC,
+        BPE_MERGES,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.cnt)
+        for r in get_query("text_bpe_train").fn(spark, sf_dir).collect()
+    ]
+    docs = [
+        list(d.text.strip().lower().replace(" ", "_"))
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if d.doc_id < BPE_MAX_DOC
+    ]
+    want = []
+    for step in range(1, BPE_MERGES + 1):
+        counts: dict[tuple, int] = {}
+        for seq in docs:
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = (
+                    counts.get((seq[i], seq[i + 1]), 0) + 1
+                )
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append((step, pa, pb, pa + pb, cnt))
+        for di, seq in enumerate(docs):
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == pa and seq[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            docs[di] = out
+    assert sorted(got) == want
+    # merged symbols actually compress: later rounds can pick earlier merges
+    assert any(len(m) > 2 for _, _, _, m, _ in got) or BPE_MERGES < 4
