@@ -1750,3 +1750,45 @@ def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
             chain = chain + term if s > 0 else chain - term
         outs.append(F.round(chain / 4.0, 5))
     return e.select("vec_id", "label", F.array(*outs).alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# H3e — similarity RANGE query (threshold, not top-k)
+
+#: Similarity floor for the range query (≈ the corpus's 99th percentile
+#: dot score — selective but non-trivial at every SF).
+RANGE_QUERY_TAU = 0.25
+
+
+@register(
+    "simsearch_range_threshold",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, ROUND({_DOT_SQL}, 5) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND {_DOT_SQL} >= {RANGE_QUERY_TAU}
+    """,
+)
+def simsearch_range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3e — similarity RANGE query: every vector scoring ≥ τ against
+    the query — the retrieval mode dedup/contamination sweeps actually
+    need ("give me EVERYTHING similar enough", where top-k silently
+    truncates dense neighborhoods and pads sparse ones). Same broadcast-
+    query + ordered-fold dot product as ``simsearch_bruteforce_topk``,
+    but the result is filter-defined: no TakeOrdered, no k — output
+    cardinality is data-driven, and at 100 TB the scan-heavy plan is
+    IVF-prunable exactly like the top-k tiers (score ≥ τ implies the
+    query's cell neighborhood under the same geometry).
+
+    τ sits at the corpus's ~99th score percentile, so the result is
+    selective (~1%) but non-empty at every SF; both engines evaluate
+    the identical fold-ordered double sum against the same literal."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(_query_vector(e))
+        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .filter(F.col("score") >= RANGE_QUERY_TAU)
+        .select("vec_id", "label", F.round("score", 5).alias("score"))
+    )

@@ -319,3 +319,33 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     assert sum(same) / len(same) < sum(cross) / len(cross), (
         "projection lost cluster separation"
     )
+
+
+def test_range_threshold_is_exact_filter(spark, sf_dir):
+    """Range result == brute-force score filter recomputed in Python, and
+    every top-k hit above tau is included (no truncation)."""
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        QUERY_VEC_ID,
+        RANGE_QUERY_TAU,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("simsearch_range_threshold").fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    q = next(r.embedding for r in emb if r.vec_id == QUERY_VEC_ID)
+
+    def dot(v):
+        acc = 0.0
+        for a, b in zip(v, q):
+            acc += float(a) * float(b)
+        return acc
+
+    want = {
+        r.vec_id
+        for r in emb
+        if r.vec_id != QUERY_VEC_ID and dot(r.embedding) >= RANGE_QUERY_TAU
+    }
+    assert {r.vec_id for r in rows} == want
+    assert want, "tau must keep the fixture non-trivial"
+    for r in rows:
+        assert r.score >= round(RANGE_QUERY_TAU, 5) - 1e-9
