@@ -26,11 +26,13 @@ pair self-join linear at 100 TB:
     corpus-total operator in this engine uses.
 
 With an UNBOUNDED item domain (e.g. products), the same plan holds but the
-per-basket fan-out needs the engine's standard skew defense: cap items per
-basket (drop|error|split, exactly like ``lsh_band_pairs`` /
-``blocked_match_pairs``) — documented here so the parameter precedent is
-explicit, not implemented for the 5-type fixture where the bound is
-structural.
+per-basket fan-out needs the engine's standard skew defense — and it is
+IMPLEMENTED here: :func:`basket_items` caps items per basket with the
+``drop`` | ``error`` modes of ``lsh_band_pairs`` / ``blocked_match_pairs``
+plus the :func:`oversized_baskets` observer; the registered queries run
+``error`` mode (exact-or-fail: bit-identical to uncapped semantics or a
+loud failure — never a silent oracle divergence), and a synthetic
+mega-basket pytest pins both modes.
 """
 
 from __future__ import annotations
@@ -45,6 +47,80 @@ from avro_parquet_spark_example_spark.sources.catalog import load
 #: support-thresholded like every real rule miner (and the fixture's counts
 #: far above it, so the threshold never flakes a hash).
 MIN_PAIR_SUPPORT = 5
+
+
+
+#: Per-basket item cap for unbounded item domains (the skew defense the
+#: module docstring promises). The fixture's domain is structurally
+#: bounded (|event types| = 5), so the registered queries run the
+#: exact-or-fail ``error`` mode with a far-above-fixture cap — the same
+#: contract ``dedup_minhash_verified`` uses: output is bit-identical to
+#: uncapped semantics, and a future fixture (or real corpus) with a
+#: mega-basket fails LOUDLY instead of silently diverging from the
+#: uncapped oracle.
+MINING_MAX_BASKET_ITEMS = 64
+
+
+def oversized_baskets(
+    baskets: DataFrame, max_items: int = MINING_MAX_BASKET_ITEMS
+) -> DataFrame:
+    """(user_id, day, n_items) for baskets the cap would drop — the
+    monitoring half of drop-with-log (``lsh_oversized_buckets`` twin)."""
+    return (
+        baskets.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > max_items)
+    )
+
+
+def basket_items(
+    ev: DataFrame,
+    max_items_per_basket: int | None = MINING_MAX_BASKET_ITEMS,
+    on_oversized: str = "error",
+) -> DataFrame:
+    """Distinct (user_id, day, event_type) basket memberships with the
+    engine's standard per-key skew cap: pair/triple generation is
+    quadratic/cubic in basket size, so a mega-basket (one user-day with
+    thousands of distinct items on an unbounded domain) is the same
+    hazard class as an LSH mega-bucket and takes the same dial —
+    basket sizes are counted on the SAME (user, day) key the pair join
+    shuffles on, and ``on_oversized`` picks ``drop`` (exclude + observe
+    via :func:`oversized_baskets`) or ``error`` (assert_true riding the
+    size aggregate: exact-or-fail, for hash-checked callers). ``None``
+    disables the cap."""
+    if on_oversized not in ("drop", "error"):
+        raise ValueError(
+            f"on_oversized must be drop|error, got {on_oversized!r}"
+        )
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    if max_items_per_basket is None:
+        return baskets
+    sized = baskets.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("__bsz")
+    )
+    if on_oversized == "error":
+        admitted = sized.filter(
+            F.assert_true(
+                F.col("__bsz") <= F.lit(max_items_per_basket),
+                F.concat(
+                    F.lit("basket exceeds max_items_per_basket="),
+                    F.lit(str(max_items_per_basket)),
+                    F.lit(": user_id="),
+                    F.col("user_id").cast("string"),
+                    F.lit(" day="),
+                    F.col("day").cast("string"),
+                    F.lit(" items="),
+                    F.col("__bsz").cast("string"),
+                ),
+            ).isNull()
+        ).select("user_id", "day")
+    else:
+        admitted = sized.filter(
+            F.col("__bsz") <= max_items_per_basket
+        ).select("user_id", "day")
+    return baskets.join(admitted, ["user_id", "day"])
 
 
 @register(
@@ -99,12 +175,9 @@ def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-key equi-join with a C(|types|, 2) per-basket fan-out bound →
     map-side-combined pair aggregate; item counts (|types| rows) and the
     basket total (1 row) are broadcast."""
-    baskets = (
+    baskets = basket_items(
         load(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("day"), "event_type")
-        .distinct()
-        .localCheckpoint(eager=True)  # consumed 3x: total, item_n, pairs
-    )
+    ).localCheckpoint(eager=True)  # consumed 3x: total, item_n, pairs
     n_baskets = F.broadcast(
         baskets.select("user_id", "day")
         .distinct()
@@ -353,12 +426,9 @@ def mine_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Downward closure is also pinned by a pytest: every emitted triple's
     three sub-pairs appear in ``mine_association_pairs``-style counts
     at ≥ the triple's support."""
-    ev = load(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id",
-        F.to_date("ts").alias("day"),
-        "event_type",
-    ).distinct()
+    baskets = basket_items(load(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
         a.join(

@@ -214,3 +214,70 @@ def test_triples_downward_closure_and_recount(spark, sf_dir):
     for (a, b_, c), n in got.items():
         for p in ((a, b_), (a, c), (b_, c)):
             assert pair_n[p] >= n
+
+
+# ---------------------------------------------------------------------------
+# basket_items cap (mega-basket skew defense)
+
+
+def _hot_basket_events(spark):
+    """One user-day basket with 200 distinct items + two normal baskets."""
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1, 10, 0, i % 60), 1, f"item_{i:03d}")
+        for i in range(200)
+    ]
+    rows += [
+        (1000, datetime(2024, 1, 2, 10, 0, 0), 2, "a"),
+        (1001, datetime(2024, 1, 2, 10, 0, 1), 2, "b"),
+        (1002, datetime(2024, 1, 2, 10, 0, 2), 3, "a"),
+        (1003, datetime(2024, 1, 2, 10, 0, 3), 3, "b"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_basket_cap_drop_excludes_only_the_hot_basket(spark):
+    from avro_parquet_spark_example_spark.operators.mining import (
+        basket_items,
+        oversized_baskets,
+    )
+
+    ev = _hot_basket_events(spark)
+    capped = basket_items(ev, max_items_per_basket=64, on_oversized="drop")
+    rows = capped.collect()
+    assert len(rows) == 4  # the 200-item basket is gone, both pairs remain
+    assert {r.user_id for r in rows} == {2, 3}
+    over = oversized_baskets(
+        basket_items(ev, max_items_per_basket=None), max_items=64
+    ).collect()
+    assert [(o.user_id, o.n_items) for o in over] == [(1, 200)]
+
+
+def test_basket_cap_error_raises_on_hot_basket(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from avro_parquet_spark_example_spark.operators.mining import basket_items
+
+    ev = _hot_basket_events(spark)
+    with pytest.raises(SparkRuntimeException, match="max_items_per_basket"):
+        basket_items(ev, max_items_per_basket=64, on_oversized="error").collect()
+    # and an adequate cap passes exactly (uncapped row identity)
+    ok = basket_items(ev, max_items_per_basket=256, on_oversized="error")
+    assert ok.count() == 204
+
+
+def test_basket_cap_validates_mode(spark):
+    import pytest
+
+    from avro_parquet_spark_example_spark.operators.mining import basket_items
+
+    with pytest.raises(ValueError, match="drop|error"):
+        basket_items(
+            _hot_basket_events(spark),
+            max_items_per_basket=None,
+            on_oversized="bogus",
+        )
