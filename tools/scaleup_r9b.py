@@ -1,0 +1,142 @@
+"""10× scale-up stress for the round-9 second-wave operators
+(SCALING.md §Round-9 second-wave measured scale-up).
+
+Extends tools/events_scaleup_r9.py's key-shifted ×10 synthesis to EVERY
+table the new operators consume — events, orders, customer (FK-consistent
+with orders), lineitem (order/part/supp keys all shifted so the bipartite
+graph genuinely grows), documents, embeddings — then times each operator
+warm at 1× vs 10×. Operators whose inputs are value-capped (BPE doc cap,
+prefix-filter doc cap, shortest-path user cap, skyline's unscaled part
+table) ride along as fixed-input controls: their 10× time should be flat.
+
+Usage: python tools/scaleup_r9b.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SCALEUP_BASE", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/avro_parquet_spark_example_spark_scaleup_r9b"
+FACTOR = 10
+
+#: (query, scaling tables or "control")
+OPS = [
+    ("ts_max_concurrency", "events"),
+    ("mine_itemset_triples", "events"),
+    ("ts_anomaly_seasonal_residual", "events"),
+    ("agg_exact_median_distributed", "lineitem"),
+    ("agg_weighted_median_distributed", "lineitem"),
+    ("eval_auc_exact", "lineitem"),
+    ("eval_calibration_bins", "lineitem"),
+    ("graph_bipartite_projection", "lineitem"),
+    ("graph_hits_bipartite", "lineitem"),
+    ("dq_referential_integrity", "lineitem+orders+customer"),
+    ("agg_gini_concentration", "orders"),
+    ("ml_target_encode_loo", "orders+customer"),
+    ("ml_normal_equations", "embeddings"),
+    ("ml_linreg_gd", "embeddings"),
+    ("simsearch_range_threshold", "embeddings"),
+    ("ml_naive_bayes_model", "documents"),
+    ("ml_feature_hashing", "documents"),
+    ("sample_systematic_every_k", "documents"),
+    ("mine_skyline_pareto", "control (part 1x)"),
+    ("neardup_jaccard_prefix_filter", "control (doc cap)"),
+    ("text_bpe_train", "control (doc cap)"),
+    ("graph_shortest_path_k3", "control (user cap)"),
+]
+
+
+def synthesize(spark) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"x{FACTOR}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def mx(df, col):
+        return df.agg(F.max(col)).collect()[0][0] + 1
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    od = spark.read.parquet(f"{BASE}/orders.parquet")
+    cu = spark.read.parquet(f"{BASE}/customer.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    dc = spark.read.parquet(f"{BASE}/documents.parquet")
+    em = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_user, n_evt = mx(ev, "user_id"), ev.count()
+    n_cust, n_ord = mx(od, "o_custkey"), mx(od, "o_orderkey")
+    n_part, n_supp = mx(li, "l_partkey"), mx(li, "l_suppkey")
+    n_doc, n_vec = mx(dc, "doc_id"), mx(em, "vec_id")
+
+    def rep(df, shifts):
+        big = None
+        for i in range(FACTOR):
+            d = df
+            for col, base in shifts:
+                d = d.withColumn(col, F.col(col) + F.lit(i * base))
+            big = d if big is None else big.unionByName(d)
+        return big
+
+    rep(ev, [("user_id", n_user), ("event_id", n_evt)]).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
+    rep(od, [("o_custkey", n_cust), ("o_orderkey", n_ord)]).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    rep(cu, [("c_custkey", n_cust)]).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+    rep(
+        li,
+        [("l_orderkey", n_ord), ("l_partkey", n_part), ("l_suppkey", n_supp)],
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    rep(dc, [("doc_id", n_doc)]).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    rep(em, [("vec_id", n_vec)]).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for t in ("region", "nation", "supplier", "part"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
+def time_op(fn, spark, sf_dir: str) -> tuple[float, int]:
+    fn(spark, sf_dir).collect()  # warm
+    t0 = time.time()
+    rows = fn(spark, sf_dir).collect()
+    return time.time() - t0, len(rows)
+
+
+def main() -> None:
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.session import get_session
+
+    spark = get_session(
+        app_name="scaleup-r9b", master="local[32]", shuffle_partitions=32
+    )
+    big = synthesize(spark)
+    print(f"# {FACTOR}x all-tables stress ({BASE} -> {big})")
+    for name, scaling in OPS:
+        fn = get_query(name).fn
+        t1, r1 = time_op(fn, spark, BASE)
+        t10, r10 = time_op(fn, spark, big)
+        print(
+            f"{name}: 1x {t1:.2f}s ({r1} rows) | {FACTOR}x {t10:.2f}s "
+            f"({r10} rows) | ratio {t10 / max(t1, 1e-9):.1f}x | {scaling}"
+        )
+
+
+if __name__ == "__main__":
+    main()
