@@ -1959,3 +1959,138 @@ def ts_anomaly_seasonal_residual(
             ).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing — exact fixed-point recursion
+
+#: Micro-unit scale for the Holt state (level/trend ×1e6).
+_HOLT_S = 1_000_000
+
+
+def _holt_sdiv4(expr: str, op: str = "//") -> str:
+    """Sign-safe truncating /4 in SQL (Spark `div` truncates toward zero,
+    DuckDB `//` floors — they agree only via explicit sign handling; the
+    division operator itself is dialect-specific: `//` for DuckDB,
+    `div` for Spark SQL)."""
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN ({expr}) {op} 4"
+        f" ELSE -((-({expr})) {op} 4) END"
+    )
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rn
+        FROM daily
+    ),
+    hw AS (
+        SELECT event_type, rn, day, n,
+               n * {_HOLT_S} AS lvl, CAST(0 AS BIGINT) AS trd
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn, i.day, i.n,
+               {_holt_sdiv4(f"i.n * {_HOLT_S} + 3 * (h.lvl + h.trd)")},
+               {_holt_sdiv4(
+                   "("
+                   + _holt_sdiv4(f"i.n * {_HOLT_S} + 3 * (h.lvl + h.trd)")
+                   + ") - h.lvl + 3 * h.trd"
+               )}
+        FROM idx i JOIN hw h
+          ON h.event_type = i.event_type AND i.rn = h.rn + 1
+    )
+    SELECT event_type, day, n,
+           CAST(lvl AS BIGINT) AS level_micro,
+           CAST(trd AS BIGINT) AS trend_micro
+    FROM hw
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — Holt linear (double-exponential) smoothing of each event
+    type's daily volume, EXACTLY: level ← α·y + (1−α)(level+trend),
+    trend ← β·(Δlevel) + (1−β)·trend with α = β = 1/4, in fixed-point
+    micro-units with a sign-safe truncating division per step — so the
+    (inherently sequential) recursion is bit-identical between the
+    engine and the oracle's recursive CTE. Unlike ``ts_ewma`` (whose
+    α = 1/2 recursion telescopes into a closed-form window sum), Holt's
+    two-state recursion has no closed form once each step floors — this
+    operator is the engine's pattern for EXACT stateful recursions:
+    aggregate the corpus down to the per-key day grid (that's the
+    distributed part, and the only part that sees data volume), then
+    fold each key's grid with a higher-order array aggregate — per-key
+    sequential, cross-key parallel, zero driver involvement.
+
+    The smoothed level tracks weekly-seasonal data poorly by design
+    (use ``ts_seasonality_decompose`` for that); Holt is the
+    trend-following baseline and its one-step forecast is
+    level + trend."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grids = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("g")
+    )
+
+    def sdiv4(expr: str) -> str:
+        return _holt_sdiv4(expr, op="div")
+    folded = grids.withColumn(
+        "out",
+        F.expr(
+            f"""
+            aggregate(
+                g,
+                struct(
+                    CAST(array() AS array<struct<day:date,n:bigint,
+                                                 lvl:bigint,trd:bigint>>)
+                        AS out,
+                    CAST(0 AS BIGINT) AS l,
+                    CAST(0 AS BIGINT) AS b,
+                    false AS started
+                ),
+                (acc, x) -> CASE WHEN NOT acc.started THEN struct(
+                    array(struct(x.day AS day, x.n AS n,
+                                 x.n * {_HOLT_S} AS lvl,
+                                 CAST(0 AS BIGINT) AS trd)) AS out,
+                    x.n * {_HOLT_S} AS l, CAST(0 AS BIGINT) AS b,
+                    true AS started)
+                ELSE struct(
+                    acc.out || array(struct(
+                        x.day AS day, x.n AS n,
+                        CAST({sdiv4(f"x.n * {_HOLT_S} + 3 * (acc.l + acc.b)")}
+                             AS BIGINT) AS lvl,
+                        CAST({sdiv4(
+                            "("
+                            + sdiv4(f"x.n * {_HOLT_S} + 3 * (acc.l + acc.b)")
+                            + ") - acc.l + 3 * acc.b"
+                        )} AS BIGINT) AS trd)) AS out,
+                    CAST({sdiv4(f"x.n * {_HOLT_S} + 3 * (acc.l + acc.b)")}
+                         AS BIGINT) AS l,
+                    CAST({sdiv4(
+                        "("
+                        + sdiv4(f"x.n * {_HOLT_S} + 3 * (acc.l + acc.b)")
+                        + ") - acc.l + 3 * acc.b"
+                    )} AS BIGINT) AS b,
+                    true AS started)
+                END
+            ).out
+            """
+        ),
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n"),
+        F.col("r.lvl").alias("level_micro"),
+        F.col("r.trd").alias("trend_micro"),
+    )

@@ -188,3 +188,44 @@ def test_max_concurrency_conservation(spark, sf_dir):
     for r in rows:
         # a close-only day can legitimately bottom out at 0 active
         assert r.peak_concurrency >= 0
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear
+
+
+def test_holt_linear_matches_python_recursion(spark, sf_dir):
+    """Level/trend replay exactly in Python integer arithmetic (trunc-
+    toward-zero /4), per event type over the sorted day grid."""
+    rows = get_query("ts_holt_linear").fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily: dict[tuple, int] = {}
+    for e in ev:
+        daily[(e.event_type, e.ts.date())] = (
+            daily.get((e.event_type, e.ts.date()), 0) + 1
+        )
+    grids: dict[str, list] = {}
+    for (t, d), n in daily.items():
+        grids.setdefault(t, []).append((d, n))
+
+    def sdiv4(v: int) -> int:
+        return v // 4 if v >= 0 else -((-v) // 4)
+
+    want = {}
+    for t, g in grids.items():
+        g.sort()
+        l = g[0][1] * 1_000_000
+        b = 0
+        want[(t, g[0][0])] = (g[0][1], l, 0)
+        for d, n in g[1:]:
+            nl = sdiv4(n * 1_000_000 + 3 * (l + b))
+            b = sdiv4(nl - l + 3 * b)
+            l = nl
+            want[(t, d)] = (n, l, b)
+    got = {
+        (r.event_type, r.day): (r.n, r.level_micro, r.trend_micro)
+        for r in rows
+    }
+    assert got == want
+    # the recursion genuinely exercises negative-trend division
+    assert any(tr < 0 for _, _, tr in want.values())
