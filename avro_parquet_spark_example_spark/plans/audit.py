@@ -38,6 +38,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_drift_psi": "broadcast 1-row period-totals cross join",
         "dq_freshness_completeness": "broadcast 1-row global-freshness cross join",
         "simsearch_hamming_topk": "broadcast 1-row query vector+code",
+        "simsearch_range_threshold": "broadcast 1-row query vector",
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",
