@@ -1031,3 +1031,99 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score").cast("double"), 6).alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+@register(
+    "graph_modularity",
+    oracle=_edges_sql()
+    + """
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    lbl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+    """
+    + ",".join(
+        _lpa_round_sql(f"lbl{i}", f"lbl{i + 1}") for i in range(LPA_ROUNDS)
+    )
+    + f""",
+    comm AS (SELECT node, lbl AS community FROM lbl{LPA_ROUNDS}),
+    mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    internal AS (
+        SELECT ca.community, CAST(COUNT(*) AS BIGINT) AS m_c
+        FROM edges e
+        JOIN comm ca ON ca.node = e.u
+        JOIN comm cb ON cb.node = e.v AND cb.community = ca.community
+        GROUP BY ca.community
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+    dsum AS (
+        SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.d) AS BIGINT) AS d_c
+        FROM comm c JOIN deg d ON d.node = c.node
+        GROUP BY c.community
+    )
+    SELECT ds.community, ds.n_nodes,
+           COALESCE(i.m_c, 0) AS internal_edges,
+           ds.d_c AS degree_sum,
+           ROUND(COALESCE(i.m_c, 0) * 1.0 / mt.m
+                 - (ds.d_c * 0.5 / mt.m) * (ds.d_c * 0.5 / mt.m), 9)
+               AS modularity_term
+    FROM dsum ds LEFT JOIN internal i ON i.community = ds.community
+    CROSS JOIN mtot mt
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR — Newman modularity of the label-propagation communities:
+    per community c, Q_c = m_c/m − (d_c/2m)² (internal-edge share minus
+    the share a degree-preserving random graph would put inside c);
+    Σ Q_c is THE standard "did the community detection find real
+    structure" score, and the quantity Louvain greedily optimizes —
+    this operator is that algorithm's evaluation step, computed from
+    exact integers (edge counts, degree sums) with one fixed IEEE
+    expression per community. Composes two existing oracle-checked
+    pieces: ``cooccurrence_edges`` and the deterministic synchronous
+    LPA (same unrolled rounds in the oracle).
+
+    Scale: the partition join (edges ⋈ community×2) is edge-linear and
+    key-shuffled; degree/count aggregates are map-side combined; the
+    1-row edge total broadcasts. 100 TB-safe."""
+    e = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    comm = graph_label_propagation(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    m_row = F.broadcast(e.agg(F.count(F.lit(1)).alias("m")))
+    ca = comm.select(F.col("node").alias("u"), F.col("community"))
+    cb = comm.select(
+        F.col("node").alias("v"), F.col("community").alias("community_b")
+    )
+    internal = (
+        e.join(ca, "u")
+        .join(cb, "v")
+        .filter(F.col("community") == F.col("community_b"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    sym = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    dsum = comm.join(deg, "node").groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_c")
+    )
+    mc = F.coalesce(F.col("m_c"), F.lit(0))
+    half_share = F.col("d_c") * 0.5 / F.col("m")
+    return (
+        dsum.join(internal, "community", "left")
+        .crossJoin(m_row)
+        .select(
+            "community",
+            "n_nodes",
+            mc.alias("internal_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                mc * 1.0 / F.col("m") - half_share * half_share, 9
+            ).alias("modularity_term"),
+        )
+    )

@@ -496,3 +496,78 @@ def mine_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("triple_n"))
         .filter(F.col("triple_n") >= MIN_TRIPLE_SUPPORT)
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — high-utility pair mining
+
+#: Minimum total pair utility (integer cents) for a pair to be reported.
+MIN_PAIR_UTILITY_CENTS = 1000
+
+
+@register(
+    "mine_utility_pairs",
+    oracle=f"""
+    WITH bi AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS util
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_n,
+           CAST(SUM(a.util + b.util) AS BIGINT) AS utility_cents
+    FROM bi a JOIN bi b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    HAVING SUM(a.util + b.util) >= {MIN_PAIR_UTILITY_CENTS}
+    """,
+)
+def mine_utility_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — high-utility itemset mining at size 2 (Yao et al.'s HUI
+    framing): rank co-occurring pairs not by how OFTEN they co-occur
+    (support — ``mine_association_pairs``) but by how much VALUE the
+    two items carry in the baskets where they co-occur — Σ over
+    co-baskets of (u_a + u_b), the standard transaction-utility measure
+    that surfaces low-frequency/high-value pairs support-based mining
+    throws away. Utilities are exact integer cents (event values
+    quantized, summed per basket-item first, so a basket with 10,000
+    click events still contributes ONE utility row per item — the same
+    per-basket bound as the association miner, and the same
+    ``basket_items``-class cap argument applies on unbounded domains).
+
+    One (basket, item) utility aggregate, one basket-key equi-join,
+    one map-side-combined pair aggregate. All-integer output."""
+    ev = load(spark, sf_dir, "events")
+    bi = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "util"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = bi.alias("a"), bi.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pair_n"),
+            F.sum(F.col("a.util") + F.col("b.util")).alias(
+                "utility_cents"
+            ),
+        )
+        .filter(F.col("utility_cents") >= MIN_PAIR_UTILITY_CENTS)
+    )

@@ -1792,3 +1792,80 @@ def simsearch_range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= RANGE_QUERY_TAU)
         .select("vec_id", "label", F.round("score", 5).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# H3f — exact kNN graph (all-pairs, capped demo of the graph-build stage)
+
+#: Vector-id cap bounding the quadratic all-pairs demo (the candidate
+#: stage at scale is IVF-cell-blocked — ``simsearch_ivf_topk``'s cell
+#: join feeding exactly this rank stage).
+KNN_GRAPH_MAX_VEC = 300
+
+#: Neighbors per node in the graph.
+KNN_GRAPH_K = 3
+
+
+@register(
+    "vec_knn_graph",
+    oracle=f"""
+    WITH pool AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {KNN_GRAPH_MAX_VEC}
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               (SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE)
+                           * CAST(b.embedding[g.i] AS DOUBLE))
+                FROM GENERATE_SERIES(1, 64) g(i)) AS score
+        FROM pool a JOIN pool b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, score,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst) AS rnk
+        FROM scored
+    )
+    SELECT src, dst, CAST(rnk AS BIGINT) AS rnk, ROUND(score, 5) AS score
+    FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+    """,
+)
+def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3f — the exact k-nearest-neighbor GRAPH (every node's top-k by
+    dot score, ties broken by id): the substrate under SemDeDup-style
+    semantic dedup, kNN-graph clustering, and graph-based ANN indexes
+    (HNSW's ground-truth layer). All-pairs here (capped pool — the
+    honest quadratic demo, like ``neardup_levenshtein``); at corpus
+    scale the candidate stage is IVF-cell blocking
+    (``simsearch_ivf_kmeans_topk``'s cell equi-join) feeding THIS exact
+    per-source rank stage, so the rank/window shape is the at-scale
+    code path. Per-source windows partition by src — never a global
+    sort; the ordered-fold dot product is the engine-wide deterministic
+    convention."""
+    pool = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_GRAPH_MAX_VEC)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        a.join(b, F.col("dst") != F.col("src"))
+        .withColumn("score", dot_product(F.col("ea"), F.col("eb")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select(
+            "src",
+            "dst",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("score", 5).alias("score"),
+        )
+    )

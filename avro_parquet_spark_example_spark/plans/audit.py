@@ -39,6 +39,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_freshness_completeness": "broadcast 1-row global-freshness cross join",
         "simsearch_hamming_topk": "broadcast 1-row query vector+code",
         "simsearch_range_threshold": "broadcast 1-row query vector",
+        "graph_modularity": "broadcast 1-row edge-total cross join",
+        "vec_knn_graph": "capped 300-vector all-pairs demo (id<> theta join, bounded; at-scale candidates are IVF-cell-blocked)",
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",

@@ -171,3 +171,45 @@ def test_hits_scores_normalized_and_positive(spark, sf_dir):
         scores = [r.score for r in rows if r.kind == kind]
         assert scores and max(scores) == 1.0
         assert all(0 < s <= 1.0 for s in scores)
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity
+
+
+def test_modularity_terms_reconstruct_and_bound(spark, sf_dir):
+    """Per-community terms re-derive from recounted edges/degrees over
+    the LPA partition, and total modularity sits in [-0.5, 1]."""
+    rows = get_query("graph_modularity").fn(spark, sf_dir).collect()
+    comm = {
+        r.node: r.community
+        for r in get_query("graph_label_propagation").fn(spark, sf_dir).collect()
+    }
+    edges = [
+        (r.u, r.v)
+        for r in __import__(
+            "avro_parquet_spark_example_spark.operators.graph",
+            fromlist=["cooccurrence_edges"],
+        ).cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    m = len(edges)
+    m_c: dict[int, int] = {}
+    d_c: dict[int, int] = {}
+    n_c: dict[int, int] = {}
+    for u, v in edges:
+        if comm[u] == comm[v]:
+            m_c[comm[u]] = m_c.get(comm[u], 0) + 1
+        d_c[comm[u]] = d_c.get(comm[u], 0) + 1
+        d_c[comm[v]] = d_c.get(comm[v], 0) + 1
+    for node, c in comm.items():
+        n_c[c] = n_c.get(c, 0) + 1
+    assert {r.community for r in rows} == set(n_c)
+    total = 0.0
+    for r in rows:
+        assert r.n_nodes == n_c[r.community]
+        assert r.internal_edges == m_c.get(r.community, 0)
+        assert r.degree_sum == d_c.get(r.community, 0)
+        term = r.internal_edges / m - (r.degree_sum / (2 * m)) ** 2
+        assert abs(r.modularity_term - round(term, 9)) < 1e-9
+        total += r.modularity_term
+    assert -0.5 <= total <= 1.0

@@ -281,3 +281,35 @@ def test_basket_cap_validates_mode(spark):
             max_items_per_basket=None,
             on_oversized="bogus",
         )
+
+
+def test_utility_pairs_recount(spark, sf_dir):
+    """Pair utilities re-derive from raw events (basket-item utility sums
+    in exact cents)."""
+    from avro_parquet_spark_example_spark.operators.mining import (
+        MIN_PAIR_UTILITY_CENTS,
+    )
+
+    got = {
+        (r.item_a, r.item_b): (r.pair_n, r.utility_cents)
+        for r in get_query("mine_utility_pairs").fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    util: dict[tuple, int] = {}
+    for e in ev:
+        k = (e.user_id, e.ts.date(), e.event_type)
+        util[k] = util.get(k, 0) + int(round(e.value * 100))
+    baskets: dict[tuple, dict] = {}
+    for (u, d, t), v in util.items():
+        baskets.setdefault((u, d), {})[t] = v
+    want: dict[tuple, list] = {}
+    from itertools import combinations
+
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            n, s = want.get((a, b), (0, 0))
+            want[(a, b)] = (n + 1, s + items[a] + items[b])
+    want = {
+        k: v for k, v in want.items() if v[1] >= MIN_PAIR_UTILITY_CENTS
+    }
+    assert got == want and got

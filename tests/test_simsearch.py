@@ -349,3 +349,40 @@ def test_range_threshold_is_exact_filter(spark, sf_dir):
     assert want, "tau must keep the fixture non-trivial"
     for r in rows:
         assert r.score >= round(RANGE_QUERY_TAU, 5) - 1e-9
+
+
+def test_knn_graph_matches_numpy(spark, sf_dir):
+    """Every node's k neighbors equal a numpy argsort ground truth
+    (score desc, id asc ties)."""
+    import numpy as np
+
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_MAX_VEC,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("vec_knn_graph").fn(spark, sf_dir).collect()
+    emb = sorted(
+        (
+            r
+            for r in spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).collect()
+            if r.vec_id < KNN_GRAPH_MAX_VEC
+        ),
+        key=lambda r: r.vec_id,
+    )
+    ids = [r.vec_id for r in emb]
+    X = np.array([[float(v) for v in r.embedding] for r in emb])
+    S = X @ X.T
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.src, []).append((r.rnk, r.dst))
+    assert set(got) == set(ids)
+    for i, src in enumerate(ids):
+        order = sorted(
+            ((-S[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:KNN_GRAPH_K]
+        want = [(k + 1, d) for k, (_, d) in enumerate(order)]
+        assert sorted(got[src]) == want, src
