@@ -1869,3 +1869,122 @@ def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 5).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# H3g — exact silhouette score of a cluster assignment
+
+#: Pool cap for the quadratic silhouette demo (same rationale/mechanics
+#: as KNN_GRAPH_MAX_VEC; the at-scale variant samples the pool).
+SIL_MAX_VEC = 300
+
+
+@register(
+    "vec_cluster_silhouette",
+    oracle=f"""
+    WITH pool AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id < {SIL_MAX_VEC}
+    ),
+    pd AS (
+        SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+               CAST(FLOOR((SELECT SUM(
+                   (CAST(a.embedding[g.i] AS DOUBLE)
+                    - CAST(b.embedding[g.i] AS DOUBLE))
+                   * (CAST(a.embedding[g.i] AS DOUBLE)
+                      - CAST(b.embedding[g.i] AS DOUBLE)))
+                 FROM GENERATE_SERIES(1, 64) g(i)) * 10000000) AS BIGINT)
+                   AS d7
+        FROM pool a JOIN pool b ON b.vec_id <> a.vec_id
+    ),
+    per AS (
+        SELECT i, li, lj, CAST(SUM(d7) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pd GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT i, li,
+               MAX(CASE WHEN lj = li
+                        THEN CAST(s AS DOUBLE) / n END) AS a_mean,
+               MIN(CASE WHEN lj <> li
+                        THEN CAST(s AS DOUBLE) / n END) AS b_mean
+        FROM per GROUP BY 1, 2
+    )
+    SELECT i AS vec_id, li AS label,
+           ROUND(a_mean / 1e7, 6) AS a_intra,
+           ROUND(b_mean / 1e7, 6) AS b_inter,
+           CASE WHEN a_mean IS NULL THEN 0.0
+                ELSE ROUND((b_mean - a_mean)
+                           / GREATEST(a_mean, b_mean), 6) END AS silhouette
+    FROM ab
+    """,
+)
+def vec_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3g — EXACT silhouette coefficient (Rousseeuw 1987) of the
+    embeddings' cluster assignment: per vector, a = mean squared
+    distance to its own cluster, b = the closest other cluster's mean,
+    s = (b−a)/max(a,b) ∈ [−1, 1] — the standard "is this clustering
+    real" score, the evaluation step for every clustering operator in
+    this engine (k-means, semantic cells, IVF cells). Pairwise squared
+    distances are quantized to 7-digit fixed point and summed as exact
+    integers per (vector, cluster) — the engine-wide dsum rule — so the
+    two mean divisions and the final ratio are single IEEE expressions
+    over identical integers in both engines.
+
+    All-pairs over the capped pool (the ``vec_knn_graph`` demo
+    rationale); at scale, silhouette is computed on a uniform sample
+    with exactly this plan. Singleton clusters emit s = 0 per the
+    original paper's convention."""
+    pool = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SIL_MAX_VEC)
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("li"),
+        F.col("embedding").alias("ea"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lj"),
+        F.col("embedding").alias("eb"),
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pd = (
+        a.join(b, F.col("j") != F.col("i"))
+        .withColumn("d7", F.floor(diff2 * 10000000).cast("bigint"))
+    )
+    per = pd.groupBy("i", "li", "lj").agg(
+        F.sum("d7").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    ab = per.groupBy("i", "li").agg(
+        F.max(F.when(F.col("lj") == F.col("li"), mean)).alias("a_mean"),
+        F.min(F.when(F.col("lj") != F.col("li"), mean)).alias("b_mean"),
+    )
+    return ab.select(
+        F.col("i").alias("vec_id"),
+        F.col("li").alias("label"),
+        F.round(F.col("a_mean") / 1e7, 6).alias("a_intra"),
+        F.round(F.col("b_mean") / 1e7, 6).alias("b_inter"),
+        F.when(F.col("a_mean").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("b_mean") - F.col("a_mean"))
+                / F.greatest(F.col("a_mean"), F.col("b_mean")),
+                6,
+            )
+        )
+        .alias("silhouette"),
+    )

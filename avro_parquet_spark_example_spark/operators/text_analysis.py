@@ -1811,3 +1811,170 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step bigint, left_sym string, right_sym string, merged string, cnt bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04)
+
+#: Co-occurrence window (token positions within ±2 form an edge).
+TEXTRANK_WINDOW = 2
+
+#: Power-iteration rounds (unrolled identically in the SQL oracle).
+TEXTRANK_ROUNDS = 3
+
+#: Keywords reported.
+TEXTRANK_TOP = 20
+
+
+def _tr_round_sql(prev: str, out: str) -> str:
+    """One weighted-PageRank round over the token graph: per-edge share
+    = rank·w/strength quantized to 12 decimals; damped update."""
+    return f"""
+    {out}_c AS (
+        SELECT s.dst AS t,
+               CAST(ROUND(CAST(p.rank AS DOUBLE) * s.w / st.str, 12)
+                    AS DECIMAL(20,12)) AS share
+        FROM {prev} p
+        JOIN tsym s ON s.src = p.t
+        JOIN strength st ON st.t = p.t
+    ),
+    {out} AS (
+        SELECT t,
+               CAST(ROUND(0.15 + 0.85 * CAST(SUM(share) AS DOUBLE), 12)
+                    AS DECIMAL(20,12)) AS rank
+        FROM {out}_c GROUP BY t
+    )"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS ws
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               CAST(SPLIT_PART(e, CHR(1), 1) AS INT) AS pos,
+               SPLIT_PART(e, CHR(1), 2) AS t
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(ws, (x, i) ->
+                         i || CHR(1) || x)) AS e
+              FROM d)
+    ),
+    tedges AS (
+        SELECT LEAST(a.t, b.t) AS u, GREATEST(a.t, b.t) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.pos > a.pos AND b.pos - a.pos <= {TEXTRANK_WINDOW}
+         AND a.t <> b.t
+        GROUP BY 1, 2
+    ),
+    tsym AS (
+        SELECT u AS src, v AS dst, w FROM tedges
+        UNION ALL
+        SELECT v, u, w FROM tedges
+    ),
+    strength AS (
+        SELECT src AS t, CAST(SUM(w) AS DOUBLE) AS str
+        FROM tsym GROUP BY src
+    ),
+    r0 AS (SELECT t, CAST(1.0 AS DECIMAL(20,12)) AS rank FROM strength),
+    """
+    + ",".join(
+        _tr_round_sql(f"r{i}", f"r{i + 1}") for i in range(TEXTRANK_ROUNDS)
+    )
+    + f"""
+    SELECT t AS token, ROUND(CAST(rank AS DOUBLE), 6) AS rank
+    FROM r{TEXTRANK_ROUNDS}
+    ORDER BY rank DESC, t LIMIT {TEXTRANK_TOP}
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T — TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): build
+    the token co-occurrence graph (tokens within ±2 positions in a doc,
+    edge weight = corpus co-occurrence count) and rank tokens by
+    weighted PageRank — the classic unsupervised keyword scorer, and
+    the text-side sibling of ``graph_pagerank_exact``, whose 12-decimal
+    share-quantization discipline makes the three damped rounds
+    bit-identical across engines (shares here are rank·w/strength, the
+    weighted generalization). Top-20 by (rank desc, token).
+
+    Scale: edge building is a per-doc positional self-join bounded by
+    doc length × window (never cross-doc), one map-side-combined edge
+    aggregate; each PR round is one join + one decimal sum keyed on the
+    token — vocabulary-sized state, corpus-sized scan only at edge
+    build."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("pos", "t"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    tedges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") <= TEXTRANK_WINDOW)
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .groupBy(
+            F.least(F.col("a.t"), F.col("b.t")).alias("u"),
+            F.greatest(F.col("a.t"), F.col("b.t")).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tsym = (
+        tedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            tedges.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    strength = tsym.groupBy(F.col("src").alias("t")).agg(
+        F.sum("w").cast("double").alias("str")
+    ).localCheckpoint(eager=True)
+    ranks = strength.select(
+        "t", F.lit(1.0).cast("decimal(20,12)").alias("rank")
+    )
+    for _ in range(TEXTRANK_ROUNDS):
+        shares = (
+            ranks.join(strength, "t")
+            .join(tsym, F.col("t") == F.col("src"))
+            .select(
+                F.col("dst").alias("t2"),
+                F.round(
+                    F.col("rank").cast("double") * F.col("w") / F.col("str"),
+                    12,
+                )
+                .cast("decimal(20,12)")
+                .alias("share"),
+            )
+        )
+        ranks = (
+            shares.groupBy(F.col("t2").alias("t"))
+            .agg(
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85) * F.sum("share").cast("double"),
+                    12,
+                )
+                .cast("decimal(20,12)")
+                .alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("t").alias("token"),
+            F.round(F.col("rank").cast("double"), 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "token")
+        .limit(TEXTRANK_TOP)
+    )

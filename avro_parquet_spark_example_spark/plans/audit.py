@@ -41,6 +41,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "simsearch_range_threshold": "broadcast 1-row query vector",
         "graph_modularity": "broadcast 1-row edge-total cross join",
         "vec_knn_graph": "capped 300-vector all-pairs demo (id<> theta join, bounded; at-scale candidates are IVF-cell-blocked)",
+        "vec_cluster_silhouette": "capped 300-vector all-pairs demo (id<> theta join, bounded; at-scale silhouette runs on a sample)",
         "simsearch_matryoshka_topk": "broadcast 1-row query vector",
         "text_sparse_cosine_topk": "broadcast 1-row query-norm cross join",
         "text_bm25_topk": "broadcast 1-row corpus-stats cross join",

@@ -446,3 +446,50 @@ def test_bpe_train_matches_python_replay(spark, sf_dir):
     assert sorted(got) == want
     # merged symbols actually compress: later rounds can pick earlier merges
     assert any(len(m) > 2 for _, _, _, m, _ in got) or BPE_MERGES < 4
+
+
+def test_textrank_is_probability_like_and_ranked(spark, sf_dir):
+    """Top-20 ranks are positive, sorted desc with token tiebreak, and a
+    Python replay of the same quantized weighted power iteration agrees
+    (±1e-6 at the 6dp report grid)."""
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        TEXTRANK_ROUNDS,
+        TEXTRANK_TOP,
+        TEXTRANK_WINDOW,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("text_textrank_keywords").fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    w: dict[tuple, int] = {}
+    for d in docs:
+        ws = d.text.strip().lower().split(" ")
+        for i, t in enumerate(ws):
+            for j in range(i + 1, min(i + TEXTRANK_WINDOW + 1, len(ws))):
+                if ws[j] != t:
+                    k = (min(t, ws[j]), max(t, ws[j]))
+                    w[k] = w.get(k, 0) + 1
+    adj: dict[str, list] = {}
+    for (u, v), c in w.items():
+        adj.setdefault(u, []).append((v, c))
+        adj.setdefault(v, []).append((u, c))
+    strength = {t: float(sum(c for _, c in nb)) for t, nb in adj.items()}
+    rank = {t: 1.0 for t in adj}
+    for _ in range(TEXTRANK_ROUNDS):
+        nxt: dict[str, float] = {}
+        for t, nb in adj.items():
+            for v, c in nb:
+                nxt[v] = round(
+                    nxt.get(v, 0.0) + round(rank[t] * c / strength[t], 12),
+                    12,
+                )
+        rank = {t: round(0.15 + 0.85 * s, 12) for t, s in nxt.items()}
+    want = sorted(
+        ((round(r, 6), t) for t, r in rank.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:TEXTRANK_TOP]
+    got = [(r.rank, r.token) for r in rows]
+    assert [t for _, t in got] == [t for _, t in want]
+    for (gr, _), (wr, _) in zip(got, want):
+        assert abs(gr - wr) < 2e-6
+    assert all(gr > 0 for gr, _ in got)

@@ -386,3 +386,47 @@ def test_knn_graph_matches_numpy(spark, sf_dir):
         )[:KNN_GRAPH_K]
         want = [(k + 1, d) for k, (_, d) in enumerate(order)]
         assert sorted(got[src]) == want, src
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    """Per-vector silhouettes equal a numpy recomputation through the
+    same d7 quantization; scores bounded in [-1, 1]."""
+    import numpy as np
+
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        SIL_MAX_VEC,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    rows = get_query("vec_cluster_silhouette").fn(spark, sf_dir).collect()
+    emb = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.vec_id < SIL_MAX_VEC
+    ]
+    X = np.array([[float(v) for v in r.embedding] for r in emb])
+    labels = [r.label for r in emb]
+    ids = [r.vec_id for r in emb]
+    n = len(ids)
+    D7 = np.empty((n, n), dtype=np.int64)
+    for i in range(n):
+        d2 = ((X - X[i]) ** 2).sum(axis=1)
+        D7[i] = np.floor(d2 * 1e7).astype(np.int64)
+    want = {}
+    for i in range(n):
+        sums: dict[int, int] = {}
+        cnts: dict[int, int] = {}
+        for j in range(n):
+            if j == i:
+                continue
+            sums[labels[j]] = sums.get(labels[j], 0) + int(D7[i, j])
+            cnts[labels[j]] = cnts.get(labels[j], 0) + 1
+        a = sums[labels[i]] / cnts[labels[i]] if labels[i] in sums else None
+        b = min(
+            sums[l] / cnts[l] for l in sums if l != labels[i]
+        )
+        s = 0.0 if a is None else round((b - a) / max(a, b), 6)
+        want[ids[i]] = s
+    got = {r.vec_id: r.silhouette for r in rows}
+    assert got == want
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
