@@ -110,7 +110,11 @@ def main() -> int:
                         rep_fails.append(name)
                     n_checked += 1
             except Exception as exc:
-                rep_fails.append(f"{name}: {type(exc).__name__}")
+                # one flat line of the root message — a bare class name
+                # hides actionable detail (round-9 lesson: a Py4JJavaError
+                # with no text cost a reproduce cycle)
+                msg = " ".join(str(exc).split())[:300]
+                rep_fails.append(f"{name}: {type(exc).__name__}: {msg}")
         if args.repeat > 1:
             print(f"rep {rep}/{args.repeat}: fails: {rep_fails or 'none'}")
         fails.extend(f"rep{rep}:{f}" for f in rep_fails)
