@@ -2040,9 +2040,15 @@ PREFIX_JACCARD_MAX_DOC = 400
 @register(
     "neardup_jaccard_prefix_filter",
     oracle=f"""
-    WITH d AS (
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < {PREFIX_JACCARD_MAX_DOC}
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    d AS (
         SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS ws
-        FROM documents WHERE doc_id < {PREFIX_JACCARD_MAX_DOC}
+        FROM base
     ),
     toks AS (
         SELECT DISTINCT doc_id,
@@ -2091,7 +2097,7 @@ def neardup_jaccard_prefix_filter(
     candidate-keyed verify joins. The stop-token df² hazard is gone by
     construction — a shingle joins only while it is among a doc's
     rarest few."""
-    docs = (
+    docs = with_injected_duplicates(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < PREFIX_JACCARD_MAX_DOC)
         .select("doc_id", "text")

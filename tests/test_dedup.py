@@ -627,9 +627,10 @@ def test_prefix_filter_equals_naive_plan(spark, sf_dir):
     shingles = {}
     for d in docs:
         ws = d.text.strip().lower().split(" ")
-        shingles[d.doc_id] = {
-            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
-        }
+        sh = {f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)}
+        shingles[d.doc_id] = sh
+        if d.doc_id < 50:  # the engine-standard injected exact copies
+            shingles[d.doc_id + 100000] = set(sh)
     want = {}
     ids = sorted(shingles)
     for i, a in enumerate(ids):
