@@ -34,7 +34,7 @@ OPS = [
     ("agg_weighted_median_distributed", "lineitem"),
     ("eval_auc_exact", "lineitem"),
     ("eval_calibration_bins", "lineitem"),
-    ("graph_bipartite_projection", "lineitem"),
+    ("graph_bipartite_projection", "control (part-key cap admits copy 0 only)"),
     ("graph_hits_bipartite", "lineitem"),
     ("dq_referential_integrity", "lineitem+orders+customer"),
     ("agg_gini_concentration", "orders"),
