@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.operators.capping import (
+    capped_group,
+    oversized_groups,
+)
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -309,17 +313,17 @@ def lsh_oversized_buckets(
     """(band_id, band_hash, bucket_size) for buckets the cap would drop —
     the monitoring half of drop-with-log: production runs this alongside
     ``lsh_band_pairs`` and alerts/samples the dropped buckets (they are
-    almost always one boilerplate family per bucket)."""
-    return (
-        sig.select(
-            F.posexplode(lsh_band_keys(F.col("sig"))).alias(
-                "band_id", "band_hash"
-            )
+    almost always one boilerplate family per bucket). Delegates to the
+    shared :func:`~avro_parquet_spark_example_spark.operators.capping.
+    oversized_groups`."""
+    bands = sig.select(
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias(
+            "band_id", "band_hash"
         )
-        .groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(F.col("bucket_size") > max_bucket_size)
     )
+    return oversized_groups(
+        bands, ["band_id", "band_hash"], max_bucket_size
+    ).withColumnRenamed("group_size", "bucket_size")
 
 
 def lsh_band_pairs(
@@ -379,68 +383,26 @@ def lsh_band_pairs(
       callers: output depends on the sub-partitioning hash.
 
     With ``max_bucket_size=None`` the cap machinery is skipped entirely and
-    ``on_oversized`` is a (still-validated) no-op."""
-    if on_oversized not in ("drop", "error", "split"):
-        raise ValueError(
-            f"on_oversized must be drop|error|split, got {on_oversized!r}"
-        )
+    ``on_oversized`` is a (still-validated) no-op.
+
+    Cap machinery: the shared :func:`~avro_parquet_spark_example_spark.
+    operators.capping.capped_group` (sub-hash salted on ``band_id`` so
+    each band's sub-partitioning is independent; singleton buckets
+    pruned inside the same aggregate)."""
     bands = sig.select(
         "id",
         F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_id", "band_hash"),
     )
-    join_keys = ["band_id", "band_hash"]
-    if max_bucket_size is not None:
-        sized = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") >= 2)
-        )
-        if on_oversized == "error":
-            # assert_true returns NULL when the predicate holds and raises
-            # at execution time when it does not; filtering on isNull keeps
-            # every row while forcing the check into the plan (a selected-
-            # then-dropped column would be pruned by Catalyst).
-            admitted = sized.filter(
-                F.assert_true(
-                    F.col("__bsz") <= F.lit(max_bucket_size),
-                    F.concat(
-                        F.lit("LSH band bucket exceeds max_bucket_size="),
-                        F.lit(str(max_bucket_size)),
-                        F.lit(": band_id="),
-                        F.col("band_id").cast("string"),
-                        F.lit(" size="),
-                        F.col("__bsz").cast("string"),
-                    ),
-                ).isNull()
-            ).select("band_id", "band_hash")
-            bands = bands.join(admitted, join_keys)
-        elif on_oversized == "split":
-            # Carry n_sub through the (shared-exchange) size aggregate and
-            # key each band row into a hash sub-bucket; ≤cap buckets get
-            # n_sub=1 → __sub=0 → semantics identical to uncapped.
-            subbed = sized.withColumn(
-                "__nsub",
-                F.when(
-                    F.col("__bsz") > max_bucket_size,
-                    F.ceil(F.col("__bsz") / F.lit(max_bucket_size)).cast("int"),
-                ).otherwise(F.lit(1)),
-            ).select("band_id", "band_hash", "__nsub")
-            bands = (
-                bands.join(subbed, join_keys)
-                .withColumn(
-                    "__sub",
-                    F.pmod(
-                        F.xxhash64("id", "band_id"), F.col("__nsub")
-                    ).cast("int"),
-                )
-                .select("id", "band_id", "band_hash", "__sub")
-            )
-            join_keys = join_keys + ["__sub"]
-        else:
-            admitted = sized.filter(
-                F.col("__bsz") <= max_bucket_size
-            ).select("band_id", "band_hash")
-            bands = bands.join(admitted, join_keys)
+    bands, join_keys = capped_group(
+        bands,
+        ["band_id", "band_hash"],
+        max_bucket_size,
+        on_oversized,
+        split_salt_cols=["id", "band_id"],
+        min_group_size=2,
+        cap_name="max_bucket_size",
+        label="LSH band bucket",
+    )
     return (
         bands.select(F.col("id").alias("a"), *join_keys)
         .join(bands.select(F.col("id").alias("b"), *join_keys), join_keys)

@@ -46,6 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.operators.capping import (
+    capped_group,
+    oversized_groups,
+)
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -170,55 +174,27 @@ def _cap_blocks(
     blocking passes in ``multipass_candidates`` sub-partition
     independently and their union recovers 1-(1-1/n_sub)^passes). The
     full ``lsh_band_pairs`` mode contract. ``on_oversized`` is validated
-    even when the cap is disabled (ADVICE r8)."""
-    if on_oversized not in ("drop", "error", "split"):
-        raise ValueError(
-            f"on_oversized must be drop|error|split, got {on_oversized!r}"
-        )
-    if max_block_size is None:
-        return keyed
-    sized = (
-        keyed.groupBy("bkey")
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") >= 2)
+    even when the cap is disabled (ADVICE r8). Cap machinery: the shared
+    :func:`~avro_parquet_spark_example_spark.operators.capping.
+    capped_group` (sub-hash salted on the block KEY so independent
+    blocking passes sub-partition independently); split mode repacks
+    ``bkey`` as ``struct(bkey, sub)`` so the downstream self-join's key
+    column stays ``bkey``."""
+    capped, keys = capped_group(
+        keyed,
+        ["bkey"],
+        max_block_size,
+        on_oversized,
+        split_salt_cols=["id", "bkey"],
+        min_group_size=2,
+        cap_name="max_block_size",
+        label="ER block",
     )
-    if on_oversized == "split":
-        subbed = sized.withColumn(
-            "__nsub",
-            F.when(
-                F.col("__bsz") > max_block_size,
-                F.ceil(F.col("__bsz") / F.lit(max_block_size)).cast("int"),
-            ).otherwise(F.lit(1)),
-        ).select("bkey", "__nsub")
-        return (
-            keyed.join(subbed, "bkey")
-            .withColumn(
-                "__sub",
-                F.pmod(F.xxhash64("id", "bkey"), F.col("__nsub")).cast("int"),
-            )
-            .withColumn("bkey", F.struct(F.col("bkey"), F.col("__sub")))
-            .drop("__nsub", "__sub")
-        )
-    if on_oversized == "error":
-        # assert_true returns NULL when the predicate holds and raises
-        # at execution time when it does not; filtering on isNull keeps
-        # every row while forcing the check into the plan.
-        admitted = sized.filter(
-            F.assert_true(
-                F.col("__bsz") <= F.lit(max_block_size),
-                F.concat(
-                    F.lit("ER block exceeds max_block_size="),
-                    F.lit(str(max_block_size)),
-                    F.lit(": bkey="),
-                    F.col("bkey").cast("string"),
-                    F.lit(" size="),
-                    F.col("__bsz").cast("string"),
-                ),
-            ).isNull()
-        ).select("bkey")
-    else:
-        admitted = sized.filter(F.col("__bsz") <= max_block_size).select("bkey")
-    return keyed.join(admitted, "bkey")
+    if keys != ["bkey"]:  # split mode: fold the sub-key into bkey
+        capped = capped.withColumn(
+            "bkey", F.struct(F.col("bkey"), F.col("__cap_sub"))
+        ).drop("__cap_sub")
+    return capped
 
 
 def er_oversized_blocks(
@@ -232,14 +208,13 @@ def er_oversized_blocks(
     operators/dedup.py): production runs this alongside
     ``blocked_match_pairs`` and alerts/samples the dropped blocks.
     ``block_expr`` overrides the default suffix key so each pass of a
-    multi-pass pipeline (e.g. ``"phone"``) gets its own observer."""
+    multi-pass pipeline (e.g. ``"phone"``) gets its own observer.
+    Delegates to the shared :func:`~avro_parquet_spark_example_spark.
+    operators.capping.oversized_groups`."""
     key = block_expr if block_expr is not None else f"right(name, {block_tail})"
-    return (
-        recs.select(F.expr(key).alias("bkey"))
-        .groupBy("bkey")
-        .agg(F.count(F.lit(1)).alias("block_size"))
-        .filter(F.col("block_size") > max_block_size)
-    )
+    return oversized_groups(
+        recs.select(F.expr(key).alias("bkey")), ["bkey"], max_block_size
+    ).withColumnRenamed("group_size", "block_size")
 
 
 def blocked_match_pairs(

@@ -40,6 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.operators.capping import (
+    capped_group,
+    oversized_groups,
+)
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -65,12 +69,12 @@ def oversized_baskets(
     baskets: DataFrame, max_items: int = MINING_MAX_BASKET_ITEMS
 ) -> DataFrame:
     """(user_id, day, n_items) for baskets the cap would drop — the
-    monitoring half of drop-with-log (``lsh_oversized_buckets`` twin)."""
-    return (
-        baskets.groupBy("user_id", "day")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items") > max_items)
-    )
+    monitoring half of drop-with-log (``lsh_oversized_buckets`` twin).
+    Delegates to the shared :func:`~avro_parquet_spark_example_spark.
+    operators.capping.oversized_groups`."""
+    return oversized_groups(
+        baskets, ["user_id", "day"], max_items
+    ).withColumnRenamed("group_size", "n_items")
 
 
 def basket_items(
@@ -87,40 +91,24 @@ def basket_items(
     shuffles on, and ``on_oversized`` picks ``drop`` (exclude + observe
     via :func:`oversized_baskets`) or ``error`` (assert_true riding the
     size aggregate: exact-or-fail, for hash-checked callers). ``None``
-    disables the cap."""
-    if on_oversized not in ("drop", "error"):
-        raise ValueError(
-            f"on_oversized must be drop|error, got {on_oversized!r}"
-        )
+    disables the cap. Cap machinery: the shared
+    :func:`~avro_parquet_spark_example_spark.operators.capping.
+    capped_group` — ``split`` is deliberately NOT allowed here (a
+    sub-partitioned basket silently loses pairs across sub-baskets with
+    no multi-pass union to recover them, unlike LSH bands / ER passes)."""
     baskets = ev.select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct()
-    if max_items_per_basket is None:
-        return baskets
-    sized = baskets.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).alias("__bsz")
+    capped, _ = capped_group(
+        baskets,
+        ["user_id", "day"],
+        max_items_per_basket,
+        on_oversized,
+        cap_name="max_items_per_basket",
+        label="basket",
+        allowed_modes=("drop", "error"),
     )
-    if on_oversized == "error":
-        admitted = sized.filter(
-            F.assert_true(
-                F.col("__bsz") <= F.lit(max_items_per_basket),
-                F.concat(
-                    F.lit("basket exceeds max_items_per_basket="),
-                    F.lit(str(max_items_per_basket)),
-                    F.lit(": user_id="),
-                    F.col("user_id").cast("string"),
-                    F.lit(" day="),
-                    F.col("day").cast("string"),
-                    F.lit(" items="),
-                    F.col("__bsz").cast("string"),
-                ),
-            ).isNull()
-        ).select("user_id", "day")
-    else:
-        admitted = sized.filter(
-            F.col("__bsz") <= max_items_per_basket
-        ).select("user_id", "day")
-    return baskets.join(admitted, ["user_id", "day"])
+    return capped
 
 
 @register(
@@ -534,23 +522,30 @@ def mine_utility_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     throws away. Utilities are exact integer cents (event values
     quantized, summed per basket-item first, so a basket with 10,000
     click events still contributes ONE utility row per item — the same
-    per-basket bound as the association miner, and the same
-    ``basket_items``-class cap argument applies on unbounded domains).
+    per-basket bound as the association miner; the utility rows are
+    routed through the SAME per-basket cap as ``basket_items`` in
+    exact-or-fail ``error`` mode, closing the exemption ADVICE r9
+    flagged: on an unbounded item domain a mega-basket raises instead of
+    quadratically fanning out unguarded).
 
     One (basket, item) utility aggregate, one basket-key equi-join,
     one map-side-combined pair aggregate. All-integer output."""
     ev = load(spark, sf_dir, "events")
-    bi = (
-        ev.groupBy(
-            "user_id", F.to_date("ts").alias("day"), "event_type"
-        )
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "util"
-            )
-        )
-        .localCheckpoint(eager=True)
+    bi = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("util")
     )
+    bi, _ = capped_group(
+        bi,
+        ["user_id", "day"],
+        MINING_MAX_BASKET_ITEMS,
+        "error",
+        cap_name="max_items_per_basket",
+        label="utility basket",
+        allowed_modes=("drop", "error"),
+    )
+    bi = bi.localCheckpoint(eager=True)
     a, b = bi.alias("a"), bi.alias("b")
     return (
         a.join(

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from avro_parquet_spark_example_spark.operators.capping import (
+    admitted_keys,
+    group_sizes,
+)
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -38,13 +42,19 @@ def df_capped_terms(
     """(term) rows whose document frequency is ≤ max_df_frac of the corpus
     — the admitted side of the df-cap. ``tf`` must hold one row per
     (doc, term). Two map-side-combined aggregates (df per term, corpus
-    size), one broadcast 1-row cross join; no per-term state."""
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    size), one broadcast 1-row cross join; no per-term state. Cap
+    machinery: the shared :func:`~avro_parquet_spark_example_spark.
+    operators.capping.admitted_keys` with a DYNAMIC Column cap
+    (frac-of-corpus rather than an absolute size)."""
+    sized = group_sizes(tf, ["term"])
     n = tf.agg(F.count_distinct(id_col).alias("__n"))
-    return (
-        df_t.crossJoin(F.broadcast(n))
-        .filter(F.col("__df") <= F.col("__n") * F.lit(max_df_frac))
-        .select("term")
+    return admitted_keys(
+        sized.crossJoin(F.broadcast(n)),
+        ["term"],
+        F.col("__n") * F.lit(max_df_frac),
+        "drop",
+        cap_name="max_df_frac",
+        label="posting list",
     )
 
 
@@ -700,6 +710,10 @@ def inverted_index(
     )
     if max_df_frac is None:
         return idx
+    # Drop-mode df-cap FUSED into the posting aggregate: `df` above IS the
+    # group size, so the threshold filter is capping.admitted_keys's drop
+    # branch applied in place (a separate count→admit→join would re-derive
+    # a column this aggregate already carries).
     n = toks.agg(F.count_distinct("doc_id").alias("__n"))
     return idx.crossJoin(F.broadcast(n)).filter(
         F.col("df") <= F.col("__n") * F.lit(max_df_frac)

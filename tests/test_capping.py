@@ -1,0 +1,152 @@
+"""Shared group-size cap (operators/capping.py) and the bipartite
+projection's degree cap it delivers (VERDICT r9 finding #1).
+
+The mega-group fixture models the real 100 TB hazard: one hot key whose
+C(deg, 2) self-join fan-out dwarfs everything else. Contract pinned per
+mode: drop excludes + observer sees it, error raises at execution time,
+split bounds per-sub-group size, ≤cap groups identical to uncapped.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import SparkRuntimeException
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.operators.capping import (
+    capped_group,
+    oversized_groups,
+)
+from avro_parquet_spark_example_spark.operators.graph import (
+    bipartite_project,
+    graph_oversized_parts,
+)
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    """1 mega group (key 0, 50 rows) + 3 small groups (5 rows each) + 1
+    singleton (key 9)."""
+    rows = (
+        [(0, i) for i in range(50)]
+        + [(k, i) for k in (1, 2, 3) for i in range(5)]
+        + [(9, 0)]
+    )
+    return spark.createDataFrame(rows, "k int, id int").cache()
+
+
+CAP = 10
+
+
+def test_drop_excludes_oversized_and_observer_sees_it(groups):
+    capped, keys = capped_group(
+        groups, ["k"], CAP, "drop", min_group_size=2
+    )
+    kept = {r.k for r in capped.select("k").distinct().collect()}
+    assert kept == {1, 2, 3}  # mega dropped, singleton pruned
+    assert keys == ["k"]
+    over = oversized_groups(groups, ["k"], CAP).collect()
+    assert [(r.k, r.group_size) for r in over] == [(0, 50)]
+
+
+def test_error_raises_on_mega_group_and_passes_under_cap(groups):
+    with pytest.raises(SparkRuntimeException, match="max_group_size"):
+        capped_group(groups, ["k"], CAP, "error")[0].count()
+    ok, _ = capped_group(groups, ["k"], 64, "error")
+    assert ok.count() == groups.count()
+
+
+def test_split_bounds_subgroup_size_and_keeps_every_row(groups):
+    capped, keys = capped_group(
+        groups, ["k"], CAP, "split", split_salt_cols=["id", "k"],
+        min_group_size=2,
+    )
+    assert keys == ["k", "__cap_sub"]
+    # every non-singleton row survives; per-(k, sub) size stays bounded
+    assert capped.count() == groups.count() - 1
+    sizes = (
+        capped.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # ceil(50/10)=5 sub-groups for the mega key → expected ~10/sub; hash
+    # imbalance is possible but a quadratic escape (≫cap) is not.
+    assert max(r.n for r in sizes) <= 3 * CAP
+    subs = {r.n for r in sizes if r.n > 0}
+    assert len(subs) >= 1
+    # ≤cap groups get exactly one sub-bucket → identical to uncapped
+    small = capped.filter(F.col("k").isin(1, 2, 3))
+    assert {r[0] for r in small.select("__cap_sub").collect()} == {0}
+
+
+def test_mode_validated_even_with_cap_disabled(groups):
+    with pytest.raises(ValueError, match="drop\\|error\\|split"):
+        capped_group(groups, ["k"], None, "bogus")
+    with pytest.raises(ValueError, match="split mode requires"):
+        capped_group(groups, ["k"], CAP, "split")
+    # restricted-mode callers reject modes outside their contract
+    with pytest.raises(ValueError, match="drop\\|error"):
+        capped_group(
+            groups, ["k"], CAP, "split", allowed_modes=("drop", "error")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection degree cap (graph.py — the r9 documented-but-absent)
+
+
+@pytest.fixture(scope="module")
+def memberships(spark):
+    """(part, supp): part 100 is a mega-part served by 40 suppliers
+    (disjoint ids 100-139); parts 1-3 are organic (suppliers 1-3 each)."""
+    rows = [(100, s) for s in range(100, 140)]
+    rows += [(p, s) for p in (1, 2, 3) for s in (1, 2, 3)]
+    return spark.createDataFrame(rows, "part int, supp int").cache()
+
+
+def test_bipartite_drop_excludes_mega_part(memberships):
+    edges = bipartite_project(
+        memberships, max_part_degree=10, on_oversized="drop", min_shared=2
+    )
+    # only the organic parts remain: suppliers 1,2,3 co-occur on 3 parts
+    got = {(r.s1, r.s2, r.co_parts) for r in edges.collect()}
+    assert got == {(1, 2, 3), (1, 3, 3), (2, 3, 3)}
+    over = graph_oversized_parts(memberships, max_part_degree=10).collect()
+    assert [(r.part, r.group_size) for r in over] == [(100, 40)]
+
+
+def test_bipartite_error_raises_on_mega_part(memberships):
+    with pytest.raises(SparkRuntimeException, match="max_part_degree"):
+        bipartite_project(
+            memberships, max_part_degree=10, on_oversized="error"
+        ).count()
+
+
+def test_bipartite_error_exact_when_under_cap(memberships):
+    exact = bipartite_project(
+        memberships, max_part_degree=None, on_oversized="drop"
+    )
+    capped = bipartite_project(
+        memberships, max_part_degree=64, on_oversized="error"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
+def test_bipartite_split_bounds_fanout(memberships):
+    """split keeps the query runnable on the mega-part at bounded
+    per-task expansion; organic parts are untouched (sub 0)."""
+    edges = bipartite_project(
+        memberships, max_part_degree=10, on_oversized="split", min_shared=2
+    )
+    got = {(r.s1, r.s2): r.co_parts for r in edges.collect()}
+    # organic edges exact
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 3 and got[(2, 3)] == 3
+    # mega-part pairs that DO survive only count the mega part once and
+    # never exceed the exact weight
+    exact = {
+        (r.s1, r.s2): r.co_parts
+        for r in bipartite_project(
+            memberships, max_part_degree=None, on_oversized="drop"
+        ).collect()
+    }
+    assert all(n <= exact[e] for e, n in got.items())
