@@ -1391,7 +1391,17 @@ def largest_remainder_quota(
     ``mixture_largest_remainder_quota`` (also exercised against a
     pure-Python reference on adversarial distributions in
     tests/test_curation.py, so the registered query and the tested
-    pipeline can never drift apart)."""
+    pipeline can never drift apart).
+
+    NULL domains (ADVICE r9): the remainder-rank tiebreak orders NULL
+    LAST explicitly — a bare ``b_lang < a.lang`` yields NULL when either
+    side is NULL, making two remainder-tied rows each see the other as
+    not-ahead and BOTH take the +1 seat, silently breaking the
+    Σquota == budget invariant. The count uses ``b_rem`` (never NULL on
+    a matched row) so a NULL-domain row that IS ahead still counts. The
+    registered oracle keeps the plain comparison because documents.lang
+    is non-null by fixture contract; this library form is the one a
+    caller can hand a nullable column."""
     g = docs.groupBy(F.col(domain_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1411,18 +1421,18 @@ def largest_remainder_quota(
     b = q.select(
         F.col("lang").alias("b_lang"), F.col("rem").alias("b_rem")
     ).alias("b")
+    tie_ahead = (F.col("b_lang") < F.col("a.lang")) | (
+        F.col("b_lang").isNotNull() & F.col("a.lang").isNull()
+    )
     ranked = (
         a.join(
             F.broadcast(b),
             (F.col("b_rem") > F.col("a.rem"))
-            | (
-                (F.col("b_rem") == F.col("a.rem"))
-                & (F.col("b_lang") < F.col("a.lang"))
-            ),
+            | ((F.col("b_rem") == F.col("a.rem")) & tie_ahead),
             "left",
         )
         .groupBy("a.lang", "a.n", "a.fl")
-        .agg(F.count("b_lang").alias("ahead"))
+        .agg(F.count("b_rem").alias("ahead"))
     )
     return ranked.crossJoin(F.broadcast(f_tot)).select(
         F.col("lang"),

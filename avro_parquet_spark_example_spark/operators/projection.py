@@ -798,7 +798,13 @@ def two_class_value_cdfs(vals: DataFrame):
     counts + inclusive cumulative counts for both classes — the shared
     substrate for KS / Mann–Whitney drift AND rank statistics like
     exact ROC AUC (``eval_auc_exact``), which is the same midrank
-    algebra with (positive, negative) as the two classes."""
+    algebra with (positive, negative) as the two classes.
+
+    NULLs (ADVICE r9): a NULL ``v`` would get a NULL bucket and be
+    silently DROPPED by the offsets join while a single-sequence oracle
+    would rank it — so a NULL metric value fails LOUDLY here (the check
+    rides the min/max aggregate this function already collects; callers
+    with nullable metrics filter or impute first, explicitly)."""
     d = (
         vals.groupBy("v")
         .agg(
@@ -807,7 +813,17 @@ def two_class_value_cdfs(vals: DataFrame):
         )
         .localCheckpoint(eager=True)  # consumed 3x: range, offsets, window
     )
-    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    mm = d.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+    ).collect()[0]
+    if mm.n_null:
+        raise ValueError(
+            "two_class_value_cdfs: metric column contains NULL values, "
+            "which the bucketed prefix-sum would silently drop; filter "
+            "or impute NULLs before computing rank statistics"
+        )
     mn, mx = float(mm.mn), float(mm.mx)
     span = mx - mn
     n_buckets = 32
@@ -925,26 +941,39 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_drift_welch_ttest",
     oracle="""
     WITH vals AS (
-        SELECT o_totalprice AS v,
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
                (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
         FROM orders
     ),
     s AS (
         SELECT CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS n1,
                CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS n2,
-               AVG(v) FILTER (is_ref) AS m1,
-               AVG(v) FILTER (NOT is_ref) AS m2,
-               VAR_SAMP(v) FILTER (is_ref) AS s1,
-               VAR_SAMP(v) FILTER (NOT is_ref) AS s2
+               CAST(SUM(c) FILTER (is_ref) AS BIGINT) AS c1,
+               CAST(SUM(c) FILTER (NOT is_ref) AS BIGINT) AS c2,
+               CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) FILTER (is_ref)
+                         AS DECIMAL(38,0)) AS DOUBLE) AS q1,
+               CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) FILTER (NOT is_ref)
+                         AS DECIMAL(38,0)) AS DOUBLE) AS q2
         FROM vals
+    ),
+    d AS (
+        SELECT n1, n2,
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) / 100
+                   AS md,
+               (q1 - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE) / n1)
+                   / (n1 - 1) / 10000 AS v1,
+               (q2 - CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE) / n2)
+                   / (n2 - 1) / 10000 AS v2
+        FROM s
     )
     SELECT n1, n2,
-           ROUND(m1 - m2, 6) AS mean_diff,
-           ROUND((m1 - m2) / SQRT(s1 / n1 + s2 / n2), 6) AS t_stat,
-           ROUND(POW(s1 / n1 + s2 / n2, 2)
-                 / (POW(s1 / n1, 2) / (n1 - 1) + POW(s2 / n2, 2) / (n2 - 1)),
+           ROUND(md, 6) AS mean_diff,
+           ROUND(md / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)),
                  4) AS dof
-    FROM s
+    FROM d
     """,
 )
 def dq_drift_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,36 +986,63 @@ def dq_drift_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple (KS = shape, t = location, PSI = binned mass) covers the
     standard drift-report page.
 
-    Cross-engine exactness: both engines compute the two means and
-    sample variances over identical doubles with the same aggregate
-    semantics, and every emitted statistic rounds (6dp / 4dp for the
-    dof, whose quartic terms amplify ulps). One scan, one map-side
+    Cross-engine exactness (ADVICE r9): plain double AVG/VAR_SAMP are
+    partition-order-dependent and merge differently across engines, so
+    the aggregates here are EXACT integers — prices quantized to cents
+    (BIGINT Σx, DECIMAL(38) Σx²) — and means/variances are derived from
+    those order-independent anchors with the IDENTICAL double expression
+    tree on both engines (squares by multiplication, never POW, whose
+    libm may differ), rounded at 6dp / 4dp. One scan, one map-side
     combined aggregate, 1-row output — trivially 100 TB-safe."""
     vals = load(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
             "is_ref"
         ),
     )
+    sq = F.col("c").cast("decimal(19,0)") * F.col("c")
     s = vals.agg(
         F.count(F.when(F.col("is_ref"), 1)).alias("n1"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("n2"),
-        F.avg(F.when(F.col("is_ref"), F.col("v"))).alias("m1"),
-        F.avg(F.when(~F.col("is_ref"), F.col("v"))).alias("m2"),
-        F.var_samp(F.when(F.col("is_ref"), F.col("v"))).alias("s1"),
-        F.var_samp(F.when(~F.col("is_ref"), F.col("v"))).alias("s2"),
+        F.sum(F.when(F.col("is_ref"), F.col("c"))).alias("c1"),
+        F.sum(F.when(~F.col("is_ref"), F.col("c"))).alias("c2"),
+        F.sum(F.when(F.col("is_ref"), sq))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.when(~F.col("is_ref"), sq))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("q2"),
     )
-    se2 = F.col("s1") / F.col("n1") + F.col("s2") / F.col("n2")
-    return s.select(
+    c1d, c2d = F.col("c1").cast("double"), F.col("c2").cast("double")
+    d = s.select(
         "n1",
         "n2",
-        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
-        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        ((c1d / F.col("n1") - c2d / F.col("n2")) / 100).alias("md"),
+        (
+            (F.col("q1") - c1d * c1d / F.col("n1"))
+            / (F.col("n1") - 1)
+            / 10000
+        ).alias("v1"),
+        (
+            (F.col("q2") - c2d * c2d / F.col("n2"))
+            / (F.col("n2") - 1)
+            / 10000
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return d.select(
+        "n1",
+        "n2",
+        F.round(F.col("md"), 6).alias("mean_diff"),
+        F.round(F.col("md") / F.sqrt(se1 + se2), 6).alias("t_stat"),
         F.round(
-            F.pow(se2, 2)
+            (se1 + se2) * (se1 + se2)
             / (
-                F.pow(F.col("s1") / F.col("n1"), 2) / (F.col("n1") - 1)
-                + F.pow(F.col("s2") / F.col("n2"), 2) / (F.col("n2") - 1)
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
             ),
             4,
         ).alias("dof"),

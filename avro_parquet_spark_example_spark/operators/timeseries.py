@@ -1585,58 +1585,146 @@ def global_ntile(
     ``rank_col``: when set, the exact global ROW_NUMBER itself (1-based,
     same total order) is kept under that name — the rank-consumers'
     entry point (Gini, systematic sampling) so the two-phase machinery
-    lives once."""
-    mm = df.agg(
-        F.min(metric).alias("mn"),
-        F.max(metric).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    mn, mx, n = float(mm.mn), float(mm.mx), int(mm.n)
-    span = mx - mn
-    if span <= 0:
-        bucket = F.lit(0)
-    elif descending:
-        bucket = F.least(
-            F.floor((F.lit(mx) - F.col(metric)) / span * n_buckets).cast("int"),
-            F.lit(n_buckets - 1),
+    lives once.
+
+    Single-spec wrapper over :func:`global_ntiles` (ADVICE r9: multi-
+    metric callers like ``ts_rfm_segments`` fuse their driver round-trips
+    there instead of serializing 2 collects per metric)."""
+    return global_ntiles(
+        df,
+        [(metric, k, tiebreak, out_col, descending)],
+        n_buckets=n_buckets,
+        rank_cols={out_col: rank_col} if rank_col is not None else None,
+    )
+
+
+def global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[str, int, str, str, bool]],
+    n_buckets: int = 32,
+    rank_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Exact global NTILE for SEVERAL metrics with exactly TWO driver
+    round-trips total (ADVICE r9: the single-metric form collected
+    min/max/count and then bucket counts PER metric — 6 serialized
+    blocking collects for RFM's three quantile columns):
+
+    1. ONE combined aggregate computes every metric's min/max plus the
+       row count and per-metric NULL counts;
+    2. ONE ``GROUPING SETS ((__bkt0), (__bkt1), …)`` aggregate computes
+       every metric's per-bucket counts in a single shuffle — each
+       grouping set is that metric's marginal histogram, disentangled
+       driver-side via which bucket column is non-null (bucket ids are
+       never NULL for a non-null metric, so set membership is
+       unambiguous).
+
+    The per-metric rank windows stay separate (each partitions by its
+    own bucket key — that is inherent to ranking on three different
+    orders), but they are NON-BLOCKING plan stages, not driver
+    round-trips. ``specs``: (metric, k, tiebreak, out_col, descending).
+
+    NULLs (ADVICE r9): a NULL metric would get a NULL bucket and be
+    silently DROPPED by the offsets join while the oracle's single-
+    sequence window would rank it — so NULL metrics fail LOUDLY here,
+    riding the combined aggregate this function already collects."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (metric, _k, _tb, _out, _desc) in enumerate(specs):
+        aggs += [
+            F.min(metric).alias(f"mn{i}"),
+            F.max(metric).alias(f"mx{i}"),
+            F.count(F.when(F.col(metric).isNull(), 1)).alias(f"nn{i}"),
+        ]
+    mm = df.agg(*aggs).collect()[0]
+    n = int(mm.n)
+    null_metrics = [
+        specs[i][0] for i in range(len(specs)) if mm[f"nn{i}"]
+    ]
+    if null_metrics:
+        raise ValueError(
+            f"global_ntiles: metric column(s) {null_metrics} contain NULL "
+            "values, which the bucketed prefix-sum would silently drop; "
+            "filter or impute NULLs before ranking"
+        )
+    bucketed = df
+    bkt_cols = []
+    for i, (metric, _k, _tb, _out, descending) in enumerate(specs):
+        mn, mx = float(mm[f"mn{i}"]), float(mm[f"mx{i}"])
+        span = mx - mn
+        if span <= 0:
+            bucket = F.lit(0)
+        elif descending:
+            bucket = F.least(
+                F.floor(
+                    (F.lit(mx) - F.col(metric)) / span * n_buckets
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            )
+        else:
+            bucket = F.least(
+                F.floor(
+                    (F.col(metric) - F.lit(mn)) / span * n_buckets
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            )
+        bkt = f"__bkt{i}"
+        bucketed = bucketed.withColumn(bkt, bucket)
+        bkt_cols.append(bkt)
+    if len(bkt_cols) > 1:
+        counts_rows = (
+            bucketed.groupingSets(
+                [[c] for c in bkt_cols], *[F.col(c) for c in bkt_cols]
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
     else:
-        bucket = F.least(
-            F.floor((F.col(metric) - F.lit(mn)) / span * n_buckets).cast("int"),
-            F.lit(n_buckets - 1),
+        counts_rows = (
+            bucketed.groupBy(bkt_cols[0])
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-    bucketed = df.withColumn("__bkt", bucket)
-    counts = {
-        r["__bkt"]: r["c"]
-        for r in bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    acc, offset_rows = 0, []
-    for bkt in sorted(counts):
-        offset_rows.append((bkt, acc))
-        acc += counts[bkt]
-    offsets = F.broadcast(
-        df.sparkSession.createDataFrame(offset_rows, "__bkt int, __off long")
-    )
-    order = (
-        F.col(metric).desc() if descending else F.col(metric).asc(),
-        F.col(tiebreak).asc(),
-    )
-    w = Window.partitionBy("__bkt").orderBy(*order)
-    rn = (F.row_number().over(w) + F.col("__off")).alias("__rn")
-    q, r = divmod(n, k)
-    # ISO NTILE(k) of global rank rn: the first r tiles hold q+1 rows each.
-    tile = F.when(
-        F.col("__rn") <= r * (q + 1),
-        F.expr(f"(__rn + {q}) div {q + 1}"),
-    ).otherwise(F.lit(r) + F.expr(f"(__rn - {r * (q + 1)} + {max(q, 1) - 1}) div {max(q, 1)}"))
-    out = (
-        bucketed.join(offsets, "__bkt")
-        .withColumn("__rn", rn)
-        .withColumn(out_col, tile.cast("int"))
-    )
-    if rank_col is not None:
-        out = out.withColumn(rank_col, F.col("__rn"))
-    return out.drop("__bkt", "__off", "__rn")
+    out = bucketed
+    for i, (metric, k, tiebreak, out_col, descending) in enumerate(specs):
+        bkt = bkt_cols[i]
+        counts = {
+            r[bkt]: r["c"] for r in counts_rows if r[bkt] is not None
+        }
+        acc, offset_rows = 0, []
+        for b in sorted(counts):
+            offset_rows.append((b, acc))
+            acc += counts[b]
+        offsets = F.broadcast(
+            df.sparkSession.createDataFrame(
+                offset_rows, f"{bkt} int, __off long"
+            )
+        )
+        order = (
+            F.col(metric).desc() if descending else F.col(metric).asc(),
+            F.col(tiebreak).asc(),
+        )
+        w = Window.partitionBy(bkt).orderBy(*order)
+        rn = (F.row_number().over(w) + F.col("__off")).alias("__rn")
+        q, r = divmod(n, k)
+        # ISO NTILE(k) of global rank rn: first r tiles hold q+1 rows.
+        tile = F.when(
+            F.col("__rn") <= r * (q + 1),
+            F.expr(f"(__rn + {q}) div {q + 1}"),
+        ).otherwise(
+            F.lit(r)
+            + F.expr(
+                f"(__rn - {r * (q + 1)} + {max(q, 1) - 1}) div {max(q, 1)}"
+            )
+        )
+        out = (
+            out.join(offsets, bkt)
+            .withColumn("__rn", rn)
+            .withColumn(out_col, tile.cast("int"))
+        )
+        rank_col = (rank_cols or {}).get(out_col)
+        if rank_col is not None:
+            out = out.withColumn(rank_col, F.col("__rn"))
+        out = out.drop("__off", "__rn")
+    return out.drop(*bkt_cols)
 
 
 @register(
@@ -1695,9 +1783,16 @@ def ts_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed by 3 independent rank passes
     )
-    out = global_ntile(cust, "recency_days", 5, "o_custkey", "r_q")
-    out = global_ntile(out, "frequency", 5, "o_custkey", "f_q", descending=True)
-    out = global_ntile(out, "monetary", 5, "o_custkey", "m_q", descending=True)
+    # one fused global_ntiles call: 2 driver round-trips for all three
+    # metrics (ADVICE r9), vs 6 for three sequential global_ntile calls
+    out = global_ntiles(
+        cust,
+        [
+            ("recency_days", 5, "o_custkey", "r_q", False),
+            ("frequency", 5, "o_custkey", "f_q", True),
+            ("monetary", 5, "o_custkey", "m_q", True),
+        ],
+    )
     return out.select(
         "o_custkey", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q"
     )

@@ -316,3 +316,46 @@ def test_largest_remainder_quota_matches_reference(spark):
             ).collect()
         }
         assert got == reference(counts), (counts, got)
+
+
+def test_largest_remainder_quota_null_domain(spark):
+    """ADVICE r9: a NULL domain that ties on remainder must not let BOTH
+    tied rows take the +1 seat (a bare `b_lang < a.lang` goes NULL and
+    breaks Σquota == budget). NULL sorts LAST in the tiebreak — the
+    named domain wins the seat — and the budget invariant holds exactly.
+    333/333/334 over budget 1000 gives remainders 0 twice with floors
+    summing to budget; use 3 domains where one is NULL and remainders
+    tie: counts 1/1/2 with budget 3 → rem(a)=rem(NULL), one seat."""
+    from avro_parquet_spark_example_spark.operators.curation import (
+        largest_remainder_quota,
+    )
+
+    rows = [("a", 0)] + [(None, 0)] + [("b", 0), ("b", 1)]
+    docs = spark.createDataFrame(rows, ["lang", "x"])
+    got = {
+        r.lang: r.quota
+        for r in largest_remainder_quota(docs, "lang", 3).collect()
+    }
+    # total=4, budget=3: floors a=0, NULL=0, b=1; rems a=3, NULL=3, b=2;
+    # one leftover seat after floors (3-1=2 seats): a and NULL tie at
+    # rem 3 -> both ahead of b; 2 seats go to a (name beats NULL) and
+    # NULL. Σ == 3 exactly.
+    assert sum(got.values()) == 3, got
+    assert got["a"] == 1 and got[None] == 1 and got["b"] == 1
+
+
+def test_largest_remainder_quota_null_tie_single_seat(spark):
+    """One leftover seat, NULL vs named tied on remainder: exactly ONE
+    gets it (the named domain — NULL last), never both."""
+    from avro_parquet_spark_example_spark.operators.curation import (
+        largest_remainder_quota,
+    )
+
+    # counts a=1, NULL=1 over budget 1: floors 0/0, rems 1/1, 1 seat.
+    docs = spark.createDataFrame([("a", 0), (None, 0)], ["lang", "x"])
+    got = {
+        r.lang: r.quota
+        for r in largest_remainder_quota(docs, "lang", 1).collect()
+    }
+    assert sum(got.values()) == 1, got
+    assert got["a"] == 1 and got[None] == 0

@@ -108,6 +108,48 @@ def test_global_ntile_matches_window_ntile(spark):
                 assert got == want, (k, desc, rows[:4], got, want)
 
 
+def test_global_ntiles_fused_equals_sequential(spark):
+    """The fused multi-metric global_ntiles (2 driver round-trips total,
+    ADVICE r9) assigns the identical tiles the sequential single-metric
+    calls did — per metric, per direction."""
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        global_ntile,
+        global_ntiles,
+    )
+
+    rows = [
+        (i, float(v), float((v * 7) % 13))
+        for i, v in enumerate([5, 5, 1, 2, 9, 3, 7, 11, 4, 6, 8, 0, 2])
+    ]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    fused = global_ntiles(
+        df,
+        [("a", 4, "id", "qa", False), ("b", 5, "id", "qb", True)],
+    )
+    seq = global_ntile(df, "a", 4, "id", "qa")
+    seq = global_ntile(seq, "b", 5, "id", "qb", descending=True)
+    assert sorted(
+        (r.id, r.qa, r.qb) for r in fused.collect()
+    ) == sorted((r.id, r.qa, r.qb) for r in seq.collect())
+
+
+def test_global_ntile_null_metric_raises(spark):
+    """ADVICE r9: a NULL metric value must fail loudly, not be silently
+    dropped by the bucket-offsets join (the oracle's single-sequence
+    window would have ranked it)."""
+    import pytest
+
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "id int, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_ntile(df, "v", 2, "id", "tile")
+
+
 def test_rfm_quintile_population_balance(spark, sf_dir):
     """Each RFM dimension's quintile populations differ by at most 1 and
     sum to the customer count; quintile 1 really is the best tier."""
