@@ -1583,3 +1583,75 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sx,
+               CAST(CAST(SUM(CAST(FLOOR(cents * LN(CAST(cents AS DOUBLE))
+                                        * 1e6) AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE) AS xlx6
+        FROM cust
+    )
+    SELECT n, sx AS total_cents,
+           ROUND((xlx6 / 1e6) / sx
+                 + LN(CAST(n AS DOUBLE)) - LN(CAST(sx AS DOUBLE)),
+                 6) AS theil_t
+    FROM s
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D — exact Theil T index of customer revenue concentration: the
+    entropy-based inequality measure that complements
+    ``agg_gini_concentration`` — unlike Gini it is additively
+    DECOMPOSABLE (within-group + between-group), which is why
+    concentration audits over segmented corpora report both.
+    T = (1/n)·Σ (x/μ)·ln(x/μ), algebraically
+    (Σ x·ln x)/S + ln n − ln S — so the ONLY order-sensitive piece is
+    Σ x·ln x, and the engine handles it with the dsum rule: per-customer
+    x·ln x quantized to 6-digit fixed point (floor) and summed as
+    DECIMAL(38), making the statistic order-independent and the final
+    expression a single identical double computation on both engines.
+    No rank pass at all (vs Gini's global two-phase rank) — Theil is
+    the cheaper inequality metric at 100 TB: two map-side-combined
+    aggregates and a 1-row output."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    s = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(
+            F.floor(
+                F.col("cents") * F.log(F.col("cents").cast("double")) * 1e6
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("xlx6"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.round(
+            (F.col("xlx6") / 1e6) / F.col("sx")
+            + F.log(F.col("n").cast("double"))
+            - F.log(F.col("sx").cast("double")),
+            6,
+        ).alias("theil_t"),
+    )

@@ -1300,3 +1300,179 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "eval_pr_auc_exact",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+               (l_returnflag = 'R') AS is_ref
+        FROM lineitem
+    ),
+    d AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        FROM vals GROUP BY v
+    ),
+    c AS (
+        SELECT v, cp,
+               CAST(SUM(cp) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+               CAST(SUM(cp + cn) OVER (ORDER BY v DESC) AS BIGINT) AS pp
+        FROM d
+    ),
+    tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cn) AS BIGINT) AS nn
+        FROM d
+    ),
+    terms AS (
+        SELECT CAST(FLOOR(cp * (CAST(tp AS DOUBLE) / pp) * 1e12) AS BIGINT)
+                   AS t12
+        FROM c
+    )
+    SELECT t.np AS n_pos, t.nn AS n_neg,
+           CAST(SUM(s.t12) AS BIGINT) AS ap_sum12,
+           ROUND(CAST(SUM(s.t12) AS DOUBLE) / 1e12 / t.np, 6)
+               AS avg_precision
+    FROM terms s CROSS JOIN tot t GROUP BY t.np, t.nn
+    """,
+)
+def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — EXACT area under the precision-recall curve (average
+    precision, the step-wise AP definition sklearn reports) of the same
+    score/outcome pair as ``eval_auc_exact`` — the metric that matters
+    when positives are rare and ROC AUC flatters (precision tracks the
+    false-positive COUNT, not rate). Thresholds are the distinct score
+    values descending; at each, ΔR = c⁺_v/n⁺ and P = TP_v/PP_v, so
+    AP = Σ_v c⁺_v · (TP_v/PP_v) / n⁺ — every input an exact integer
+    from :func:`two_class_value_cdfs`' distributed prefix sums (the
+    descending cumulatives derive from the ascending ones: TP_v =
+    n⁺ − r⁺_v + c⁺_v). Per-threshold terms are quantized to 12-digit
+    fixed point and summed as exact integers (the engine's dsum rule —
+    a raw double Σ over thresholds would be partition-order-dependent),
+    so ``ap_sum12`` hash-pins the statistic; the division happens once
+    at the end.
+
+    Scale: identical to the AUC/drift family — one distinct-value
+    aggregate, 32-bucket two-phase prefix sums, O(buckets) driver
+    scalars, no global sort."""
+    vals = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        (F.col("l_returnflag") == "R").alias("is_ref"),
+    )
+    cdfs, n_pos, n_neg = two_class_value_cdfs(vals)
+    n_tot = n_pos + n_neg
+    c_all = F.col("c_ref") + F.col("c_cur")
+    r_all = F.col("r_ref") + F.col("r_cur")
+    tp = F.lit(n_pos) - F.col("r_ref") + F.col("c_ref")
+    pp = F.lit(n_tot) - r_all + c_all
+    t12 = F.floor(
+        F.col("c_ref") * (tp.cast("double") / pp) * 1e12
+    ).cast("bigint")
+    s = cdfs.agg(F.sum(t12).alias("ap_sum12"))
+    return s.select(
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
+        F.lit(n_neg).cast("bigint").alias("n_neg"),
+        F.col("ap_sum12").cast("bigint").alias("ap_sum12"),
+        F.round(
+            F.col("ap_sum12").cast("double") / 1e12 / F.lit(n_pos), 6
+        ).alias("avg_precision"),
+    )
+
+
+@register(
+    "dq_drift_jsd",
+    oracle="""
+    WITH bucketed AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+               (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+        FROM orders
+    ),
+    totals AS (
+        SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM bucketed
+    ),
+    agg AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+        FROM bucketed GROUP BY bucket
+    ),
+    per_bucket AS (
+        SELECT b.range AS bucket,
+               CAST(COALESCE(a.c_ref, 0) AS BIGINT) AS c_ref,
+               CAST(COALESCE(a.c_cur, 0) AS BIGINT) AS c_cur
+        FROM RANGE(0, 10) b LEFT JOIN agg a ON a.bucket = b.range
+    )
+    SELECT bucket, c_ref, c_cur,
+           ROUND(0.5 * (((c_ref + 1.0) / (t.n_ref + 10))
+                        * LOG2((2.0 * ((c_ref + 1.0) / (t.n_ref + 10)))
+                               / (((c_ref + 1.0) / (t.n_ref + 10))
+                                  + ((c_cur + 1.0) / (t.n_cur + 10))))
+                        + ((c_cur + 1.0) / (t.n_cur + 10))
+                        * LOG2((2.0 * ((c_cur + 1.0) / (t.n_cur + 10)))
+                               / (((c_ref + 1.0) / (t.n_ref + 10))
+                                  + ((c_cur + 1.0) / (t.n_cur + 10))))),
+                 9) AS jsd_term
+    FROM per_bucket CROSS JOIN totals t
+    """,
+)
+def dq_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4d — Jensen-Shannon divergence drift, per bucket (base-2:
+    JSD ∈ [0, 1], symmetric, always finite — the modern default drift
+    metric where PSI's ln-ratio blows up on near-empty buckets and KL
+    is asymmetric). Same 10 fixed-width buckets, 1997-01-01 split, and
+    add-1 smoothing as ``dq_drift_psi`` so the three drift lenses (PSI
+    = binned mass, KS = shape, JSD = symmetric information) read the
+    same binning. Per-bucket terms returned — total = SUM(jsd_term),
+    and a drifting bucket stays attributable; the identical smoothed
+    double expression on both engines makes each term bit-stable at
+    9dp.
+
+    Scale shape: one scan, a 10-group CASE-sum aggregate (map-side
+    combined), broadcast 1-row totals, broadcast 10-row bucket range —
+    the PSI plan verbatim."""
+    o = load(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    totals = bucketed.agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    buckets = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    per_bucket = (
+        buckets.join(F.broadcast(agg), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_ref"), F.lit(0)).cast("bigint").alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10)
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.round(
+            0.5
+            * (
+                p * F.log2((2.0 * p) / (p + q))
+                + q * F.log2((2.0 * q) / (p + q))
+            ),
+            9,
+        ).alias("jsd_term"),
+    )
