@@ -47,6 +47,17 @@ RUNTIME_CONFIGS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # RocksDB state store (r10): streaming state lives off-heap/on-disk
+    # instead of in HDFSBackedStateStoreProvider's in-heap maps. At 100 TB
+    # this is what keeps large keyed state (sessionization, dedup windows)
+    # from scaling with executor heap; locally it fixed a reproduced OOM —
+    # loaded heap state providers from the stream_* queries linger past
+    # query.stop() (unloaded only by the 60 s maintenance pass) and blew a
+    # 1 GB plain-session heap ~20 queries later in the full-registry sim.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 #: Configs that must be set at session-build time.

@@ -45,6 +45,23 @@ def main() -> int:
         help="restrict to the N alphabetically-first keys (driver check window)",
     )
     ap.add_argument("--skip-smoke", action="store_true", help="skip the entry() smoke test")
+    ap.add_argument(
+        "--driver-memory",
+        default="4g",
+        help="JVM heap for the sim session (default 4g). The REAL driver "
+        "runs a 1g-default plain session over its 50-key window — "
+        "measured peak there is ~190 MB, 5x headroom. A FULL-registry "
+        "sim is a different regime: Spark's local mode retains ~2.8 MB "
+        "per DISTINCT executed query (measured r10: heap climbs "
+        "linearly 49->999 MB across 340 distinct queries and OOMs at "
+        "~#335 even with gc + clearCache + capped UI retention, while "
+        "ONE query repeated 350x grows only 49->94 MB — so it is "
+        "per-unique-plan retention incl. live broadcast relations, not "
+        "anything a query can release). Heap size is harness capacity, "
+        "NOT engine configuration: the session stays otherwise plain, "
+        "so the engine's runtime self-configuration is still what's "
+        "under test.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -58,6 +75,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", args.driver_memory)
         .getOrCreate()
     )
     if not args.skip_smoke:
@@ -87,9 +105,25 @@ def main() -> int:
     oracle_cache: dict[str, tuple[list, list]] = {}
     fails: list[str] = []
     n_checked = 0
+    import gc
+
     for rep in range(1, args.repeat + 1):
         rep_fails: list[str] = []
-        for name in keys:
+        for ki, name in enumerate(keys):
+            # Session hygiene every 20 keys (r10): a full-registry sim runs
+            # 350+ queries in ONE plain 1g-heap JVM — far beyond the real
+            # driver's 50-key window — and the eager checkpoints/broadcasts
+            # each query materializes are only reclaimed by ContextCleaner
+            # AFTER Python drops its DataFrame refs. Without a periodic
+            # gc.collect() the py4j refs outlive the loop iteration and the
+            # heap fills at ~query 330 (reproduced: OutOfMemoryError in
+            # stage 2879 at vec_power_iteration_top_pc, killing the JVM —
+            # the r9 'transient' made deterministic). This is harness
+            # hygiene, not an engine fix: no real driver runs 352 queries
+            # without releasing its result handles.
+            if ki % 20 == 0:
+                gc.collect()
+                spark.catalog.clearCache()
             try:
                 df = queries[name](spark, sf_dir)
                 scols, srows = df.columns, [tuple(r) for r in df.collect()]
