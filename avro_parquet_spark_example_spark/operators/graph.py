@@ -1178,3 +1178,159 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GR3c — personalized PageRank (exact, seed-restart power iteration)
+
+#: Seed count for the personalized restart set: the PPR_SEEDS lowest
+#: node ids (deterministic, SQL-expressible — the anchor-selection
+#: precedent of vec_knn_graph_ivf).
+PPR_SEEDS = 3
+
+#: Personalized-PageRank round count — unrolled identically in the oracle.
+PPR_ROUNDS = 3
+
+
+def _ppr_round_sql(prev: str, out: str) -> str:
+    """One exact personalized-PageRank round: 12-decimal share per edge
+    source, exact decimal sum per target, restart mass ONLY on seeds."""
+    return f"""
+    {out}_c AS (
+        SELECT s.dst AS node,
+               CAST(ROUND(CAST(p.rank AS DOUBLE) / d.out_deg, 12)
+                    AS DECIMAL(20,12)) AS share
+        FROM {prev} p
+        JOIN deg d ON d.node = p.node
+        JOIN sym s ON s.src = p.node
+        WHERE p.rank <> 0
+    ),
+    {out} AS (
+        SELECT d.node,
+               CAST(ROUND(CASE WHEN sd.node IS NOT NULL THEN 0.15 ELSE 0.0 END
+                          + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0), 12)
+                    AS DECIMAL(20,12)) AS rank
+        FROM deg d
+        LEFT JOIN (SELECT node, SUM(share) AS s FROM {out}_c GROUP BY node) c
+          ON c.node = d.node
+        LEFT JOIN seeds sd ON sd.node = d.node
+    )"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_edges_sql()
+    + f"""
+    , sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM sym GROUP BY src),
+    seeds AS (SELECT node FROM deg ORDER BY node LIMIT {PPR_SEEDS}),
+    r0 AS (
+        SELECT d.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END
+                    AS DECIMAL(20,12)) AS rank
+        FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    ),
+    """
+    + ",".join(
+        _ppr_round_sql(f"r{i}", f"r{i+1}") for i in range(PPR_ROUNDS)
+    )
+    + f"""
+    SELECT node, ROUND(CAST(rank AS DOUBLE), 6) AS rank
+    FROM r{PPR_ROUNDS}
+    WHERE rank <> 0
+    """,
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GR3c — EXACT personalized PageRank: the power iteration of
+    ``graph_pagerank_exact`` with the restart mass concentrated on a
+    deterministic SEED set (the {PPR_SEEDS} lowest node ids) instead of
+    spread uniformly — the "related to THESE nodes" ranking behind
+    people-you-may-know, related-document retrieval, and seed-expansion
+    labeling (finding more of a known-good corpus slice at 100 TB).
+    Nodes the seeds' mass hasn't reached stay at exactly 0 (decimal
+    arithmetic, no float dust) and are filtered on both engines — after
+    3 rounds the output IS the seeds' 3-hop neighborhood, ranked.
+
+    Exactness: the graph_pagerank_exact dsum contract verbatim —
+    12-decimal quantized per-edge shares (DECIMAL(20,12) exact sums),
+    restart term through one fixed IEEE sequence per round; the
+    rank <> 0 sparsity filter also keeps each round's join linear in
+    the TOUCHED frontier, not the node count (at 100 TB a PPR from a
+    handful of seeds touches a vanishing fraction of the graph).
+
+    Scale: per round one frontier join + map-side-combined decimal sum
+    + broadcast seed membership; localCheckpoint cuts lineage."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = deg.select("node").orderBy("node").limit(PPR_SEEDS)
+    is_seed = F.col("seed_node").isNotNull()
+    ranks = deg.join(
+        F.broadcast(seeds.withColumnRenamed("node", "seed_node")),
+        deg["node"] == F.col("seed_node"),
+        "left",
+    ).select(
+        "node",
+        F.when(is_seed, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(20,12)")
+        .alias("rank"),
+    )
+    for _ in range(PPR_ROUNDS):
+        shares = (
+            ranks.filter(F.col("rank") != 0)
+            .join(deg, "node")
+            .select(
+                "node",
+                F.round(
+                    F.col("rank").cast("double") / F.col("out_deg"), 12
+                )
+                .cast("decimal(20,12)")
+                .alias("share"),
+            )
+            .join(sym, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), "share")
+        )
+        summed = shares.groupBy("node").agg(F.sum("share").alias("s"))
+        ranks = (
+            deg.select("node")
+            .join(summed, "node", "left")
+            .join(
+                F.broadcast(seeds.withColumnRenamed("node", "seed_node")),
+                F.col("node") == F.col("seed_node"),
+                "left",
+            )
+            .select(
+                "node",
+                F.round(
+                    F.when(is_seed, F.lit(0.15)).otherwise(F.lit(0.0))
+                    + F.lit(0.85)
+                    * F.coalesce(
+                        F.col("s").cast("double"), F.lit(0.0)
+                    ),
+                    12,
+                )
+                .cast("decimal(20,12)")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.filter(F.col("rank") != 0).select(
+        "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
+    )
