@@ -2189,3 +2189,165 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.lvl").alias("level_micro"),
         F.col("r.trd").alias("trend_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (triple-exponential, weekly season) — exact
+# fixed-point recursion with ARRAY state
+
+#: Seasonal period (weekly — the events fixture carries a dow profile,
+#: see ts_seasonality_decompose).
+_HW_M = 7
+
+
+def _hw_exprs(y: str, shat: str, lvl: str, trd: str, op: str) -> tuple[str, str, str]:
+    """The three Holt-Winters update expressions (level, trend, season)
+    as SQL strings, α = β = γ = 1/4 via the sign-safe truncating /4
+    (``_holt_sdiv4``). ``op`` is the dialect division (`div` Spark,
+    `//` DuckDB). The level expression is INLINED into trend/season —
+    SQL has no lets, the ts_holt_linear precedent."""
+    lvl_t = _holt_sdiv4(f"{y} * {_HOLT_S} - ({shat}) + 3 * (({lvl}) + ({trd}))", op)
+    trd_t = _holt_sdiv4(f"({lvl_t}) - ({lvl}) + 3 * ({trd})", op)
+    sea_t = _holt_sdiv4(f"{y} * {_HOLT_S} - ({lvl_t}) + 3 * ({shat})", op)
+    return lvl_t, trd_t, sea_t
+
+
+_HW_LVL_SQL, _HW_TRD_SQL, _HW_SEA_SQL = _hw_exprs(
+    "i.n", "h.season[1]", "h.lvl", "h.trd", "//"
+)
+
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rn
+        FROM daily
+    ),
+    init AS (
+        SELECT event_type,
+               CAST((SUM(n) * {_HOLT_S}) // {_HW_M} AS BIGINT) AS lvl0,
+               LIST(CAST(n AS BIGINT) * {_HOLT_S} ORDER BY rn) AS ys
+        FROM idx WHERE rn <= {_HW_M} GROUP BY event_type
+        HAVING COUNT(*) = {_HW_M}
+    ),
+    hw AS (
+        SELECT event_type, {_HW_M} AS rn,
+               CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS n,
+               lvl0 AS lvl, CAST(0 AS BIGINT) AS trd,
+               list_transform(ys, y -> y - lvl0) AS season
+        FROM init
+        UNION ALL
+        SELECT i.event_type, i.rn, i.day, i.n,
+               CAST({_HW_LVL_SQL} AS BIGINT),
+               CAST({_HW_TRD_SQL} AS BIGINT),
+               h.season[2:{_HW_M}] || [CAST({_HW_SEA_SQL} AS BIGINT)]
+        FROM idx i JOIN hw h
+          ON h.event_type = i.event_type AND i.rn = h.rn + 1
+    )
+    SELECT event_type, day, n,
+           CAST(lvl AS BIGINT) AS level_micro,
+           CAST(trd AS BIGINT) AS trend_micro,
+           CAST(season[{_HW_M}] AS BIGINT) AS season_micro
+    FROM hw WHERE rn > {_HW_M}
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — Holt-Winters ADDITIVE (triple-exponential) smoothing of each
+    event type's daily volume, EXACTLY: the ts_holt_linear recursion
+    plus a weekly seasonal state s (period m = 7):
+    level ← α(y − s_{{t−m}}) + (1−α)(level+trend), trend ← Holt,
+    s_t ← γ(y − level) + (1−γ)s_{{t−m}}, α = β = γ = 1/4 — THE standard
+    seasonal forecaster (one-step forecast = level + trend + s_{{t+1−m}}),
+    covering what Holt tracks poorly by design. Initialization is the
+    textbook one: level₀ = mean of the first m days, trend₀ = 0,
+    s_i = y_i − level₀; smoothed rows emit from day m+1.
+
+    Exactness: the whole recursion — including the SEASONAL ARRAY state,
+    a first for the engine's exact-recursion family — runs in fixed-point
+    micro-units with the sign-safe truncating /4 per step (seasonal
+    deviations go negative, so the sign-safe form is load-bearing here,
+    not hygiene). Engine: per-type day grids folded with a higher-order
+    aggregate whose accumulator carries (level, trend, season queue);
+    oracle: a recursive CTE whose rows carry a LIST column, sliced and
+    appended per step — bit-identical by construction.
+
+    Scale: the corpus-volume part is ONE map-side-combined daily
+    aggregate; the fold is per-key sequential over |days| structs,
+    cross-key parallel, zero driver state."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grids = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("g")
+    )
+    lvl_t, trd_t, sea_t = _hw_exprs(
+        "x.n", "element_at(acc.season, 1)", "acc.l", "acc.b", "div"
+    )
+    m = _HW_M
+    s = _HOLT_S
+    folded = grids.withColumn(
+        "out",
+        F.expr(
+            f"""
+            aggregate(
+                g,
+                struct(
+                    CAST(array() AS array<struct<day:date,n:bigint,
+                         lvl:bigint,trd:bigint,sea:bigint>>) AS out,
+                    CAST(0 AS BIGINT) AS l,
+                    CAST(0 AS BIGINT) AS b,
+                    CAST(array() AS array<bigint>) AS season,
+                    CAST(array() AS array<bigint>) AS pre
+                ),
+                (acc, x) -> CASE
+                WHEN size(acc.pre) < {m - 1} THEN struct(
+                    acc.out AS out, acc.l AS l, acc.b AS b,
+                    acc.season AS season,
+                    acc.pre || array(x.n * {s}) AS pre)
+                WHEN size(acc.pre) = {m - 1} AND size(acc.season) = 0
+                THEN struct(
+                    acc.out AS out,
+                    CAST(aggregate(acc.pre || array(x.n * {s}),
+                                   CAST(0 AS BIGINT), (a, y) -> a + y)
+                         div {m} AS BIGINT) AS l,
+                    CAST(0 AS BIGINT) AS b,
+                    transform(acc.pre || array(x.n * {s}),
+                              y -> y - CAST(aggregate(
+                                  acc.pre || array(x.n * {s}),
+                                  CAST(0 AS BIGINT), (a, y2) -> a + y2)
+                                  div {m} AS BIGINT)) AS season,
+                    acc.pre AS pre)
+                ELSE struct(
+                    acc.out || array(struct(
+                        x.day AS day, x.n AS n,
+                        CAST({lvl_t} AS BIGINT) AS lvl,
+                        CAST({trd_t} AS BIGINT) AS trd,
+                        CAST({sea_t} AS BIGINT) AS sea)) AS out,
+                    CAST({lvl_t} AS BIGINT) AS l,
+                    CAST({trd_t} AS BIGINT) AS b,
+                    slice(acc.season, 2, {m - 1})
+                        || array(CAST({sea_t} AS BIGINT)) AS season,
+                    acc.pre AS pre)
+                END
+            ).out
+            """
+        ),
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n"),
+        F.col("r.lvl").alias("level_micro"),
+        F.col("r.trd").alias("trend_micro"),
+        F.col("r.sea").alias("season_micro"),
+    )

@@ -129,3 +129,50 @@ def test_personalized_pagerank_seed_properties(spark, sf_dir):
         get_query("graph_personalized_pagerank").fn(spark, sf_dir).collect()
     )
     assert {r.node: r.rank for r in rows2} == got
+
+
+def test_holt_winters_matches_python_reference(spark, sf_dir):
+    """The fixed-point Holt-Winters recursion (level/trend/seasonal-queue,
+    alpha=beta=gamma=1/4, sign-safe truncating /4) recomputed in plain
+    Python from the raw daily grid must match the engine bit-for-bit."""
+    from collections import defaultdict
+
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        _HOLT_S,
+        _HW_M,
+    )
+
+    rows = get_query("ts_holt_winters").fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += 1
+
+    def sdiv4(x: int) -> int:
+        return x // 4 if x >= 0 else -((-x) // 4)
+
+    want = {}
+    for et, days in daily.items():
+        grid = sorted(days.items())
+        if len(grid) <= _HW_M:
+            continue
+        ys = [n * _HOLT_S for _, n in grid[:_HW_M]]
+        lvl = sum(ys) // _HW_M
+        trd = 0
+        season = [y - lvl for y in ys]
+        for day, n in grid[_HW_M:]:
+            shat = season[0]
+            lvl_t = sdiv4(n * _HOLT_S - shat + 3 * (lvl + trd))
+            trd_t = sdiv4(lvl_t - lvl + 3 * trd)
+            sea_t = sdiv4(n * _HOLT_S - lvl_t + 3 * shat)
+            want[(et, day)] = (n, lvl_t, trd_t, sea_t)
+            season = season[1:] + [sea_t]
+            lvl, trd = lvl_t, trd_t
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[(r.event_type, r.day)] == (
+            r.n,
+            r.level_micro,
+            r.trend_micro,
+            r.season_micro,
+        ), (r.event_type, r.day)
