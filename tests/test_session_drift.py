@@ -88,3 +88,17 @@ def test_unconfigured_session_runs_event_time_query(spark, sf_dir):
         .count()
     )
     assert n == events.count() > 0
+
+
+def test_streaming_state_store_is_rocksdb(spark):
+    """r10: configure() routes streaming state to RocksDB (off-heap /
+    on-disk) — large keyed state must scale with disk, not executor
+    heap, and heap-resident HDFS-backed state maps were a measured
+    contributor to long-session heap pressure (SOAK_r10.md)."""
+    from avro_parquet_spark_example_spark.session import configure
+
+    configure(spark)
+    assert (
+        "RocksDBStateStoreProvider"
+        in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )

@@ -49,6 +49,14 @@ OPS = [
     ("neardup_jaccard_prefix_filter", "control (doc cap)"),
     ("text_bpe_train", "control (doc cap)"),
     ("graph_shortest_path_k3", "control (user cap)"),
+    # round-10 additions
+    ("vec_knn_graph_ivf", "embeddings (full table; IVF-cell candidate join)"),
+    ("vec_cluster_silhouette_sampled", "embeddings (md5 ~25% sample all-pairs)"),
+    ("graph_personalized_pagerank", "events (seed frontier, 3 rounds)"),
+    ("ts_holt_winters", "events (per-type day-grid fold)"),
+    ("agg_theil_index", "orders (two map-side aggregates)"),
+    ("eval_pr_auc_exact", "lineitem (distinct-value prefix sums)"),
+    ("dq_drift_jsd", "orders (10-bucket CASE-sum)"),
 ]
 
 
