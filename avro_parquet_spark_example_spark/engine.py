@@ -427,3 +427,110 @@ class Engine:
         from avro_parquet_spark_example_spark.operators.graph import bfs_hops
 
         return bfs_hops(sym_edges, seeds, hops=hops)
+
+    def resolve_entities(
+        self,
+        records: DataFrame,
+        max_lev: int = 2,
+        block_tail: int = 6,
+        max_block_size: int | None = None,
+        on_oversized: str = "drop",
+    ) -> DataFrame:
+        """(id, cluster_id, is_golden) entity clusters over an (id, name)
+        record frame: suffix blocking + exact-Levenshtein candidate match
+        (operators/entity.py, with the engine's standard per-block skew
+        cap) closed transitively with the shared connected-components.
+        Drop every id whose cluster_id != id to keep golden records."""
+        from avro_parquet_spark_example_spark.operators.dedup import (
+            connected_components,
+        )
+        from avro_parquet_spark_example_spark.operators.entity import (
+            ER_MAX_BLOCK,
+            blocked_match_pairs,
+        )
+
+        pairs = blocked_match_pairs(
+            records,
+            max_lev=max_lev,
+            block_tail=block_tail,
+            max_block_size=(
+                ER_MAX_BLOCK if max_block_size is None else max_block_size
+            ),
+            on_oversized=on_oversized,
+        ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        cc = connected_components(pairs)
+        return cc.select(
+            "id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("id")).alias("is_golden"),
+        )
+
+    def knn_graph(
+        self,
+        vectors: DataFrame,
+        k: int = 3,
+        n_anchors: int = 8,
+        nprobe: int = 3,
+        exact: bool = False,
+    ) -> DataFrame:
+        """(src, dst, rnk, score) k-nearest-neighbor graph over a
+        (vec_id, embedding) frame via the IVF-cell-blocked candidate
+        join (operators/simsearch.py). ``exact=True`` degenerates the
+        quantizer to ONE cell (n_anchors=1) — the all-pairs exact graph
+        through the identical code path, for bounded pools."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            knn_graph_ivf,
+        )
+
+        if exact:
+            n_anchors, nprobe = 1, 1
+        return knn_graph_ivf(
+            vectors, n_anchors=n_anchors, nprobe=nprobe, k=k
+        )
+
+    def silhouette(
+        self, vectors: DataFrame, sample_hex: str | None = None
+    ) -> DataFrame:
+        """(vec_id, label, a_intra, b_inter, silhouette) — exact
+        Rousseeuw silhouette of a (vec_id, label, embedding) cluster
+        assignment. ``sample_hex`` (e.g. "4000" ≈ 25%) applies the
+        deterministic md5-uniform sample — the at-scale form; None runs
+        the exact all-pairs on the caller-bounded pool."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            cluster_silhouette,
+        )
+
+        if sample_hex is not None:
+            vectors = vectors.filter(
+                F.substring(
+                    F.md5(F.col("vec_id").cast("string")), 1, 4
+                )
+                < F.lit(sample_hex)
+            )
+        return cluster_silhouette(vectors)
+
+    def project_bipartite(
+        self,
+        memberships: DataFrame,
+        max_part_degree: int | None = None,
+        on_oversized: str = "drop",
+        min_shared: int = 2,
+    ) -> DataFrame:
+        """(s1, s2, co_parts) co-membership projection of a DISTINCT
+        (part, supp) incidence frame (operators/graph.py), per-part
+        degree bounded by the engine's standard drop|error|split cap."""
+        from avro_parquet_spark_example_spark.operators.graph import (
+            BIPART_MAX_DEGREE,
+            bipartite_project,
+        )
+
+        return bipartite_project(
+            memberships,
+            max_part_degree=(
+                BIPART_MAX_DEGREE
+                if max_part_degree is None
+                else max_part_degree
+            ),
+            on_oversized=on_oversized,
+            min_shared=min_shared,
+        )

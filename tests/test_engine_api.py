@@ -280,3 +280,89 @@ def test_engine_round5_facade_parity(spark, sf_dir):
     via_engine = sorted(map(tuple, eng.bfs(sym, seeds).collect()))
     via_query = sorted(map(tuple, qs["graph_bfs_hops"](spark, sf_dir).collect()))
     assert via_engine == via_query and via_engine
+
+
+def test_engine_round10_facade_parity(spark, sf_dir):
+    """The r10 facade methods return the same results as the registered
+    queries / library ops they wrap: entity clusters == er_match_clusters,
+    exact knn_graph (1-cell degenerate IVF) == vec_knn_graph on the same
+    pool, sampled silhouette == vec_cluster_silhouette_sampled, bipartite
+    projection == graph_bipartite_projection."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.operators.entity import er_records
+    from avro_parquet_spark_example_spark.operators.graph import (
+        BIPART_MAX_PART,
+    )
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        KNN_GRAPH_MAX_VEC,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    got = {
+        (r.id, r.cluster_id, r.is_golden)
+        for r in eng.resolve_entities(
+            er_records(load(spark, sf_dir, "customer")),
+            on_oversized="error",
+        ).collect()
+    }
+    want = {
+        (r.id, r.cluster_id, r.is_golden)
+        for r in get_query("er_match_clusters").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    pool = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_GRAPH_MAX_VEC)
+        .select("vec_id", "embedding")
+    )
+    got_g = sorted(
+        map(tuple, eng.knn_graph(pool, exact=True).collect())
+    )
+    want_g = sorted(
+        map(tuple, get_query("vec_knn_graph").fn(spark, sf_dir).collect())
+    )
+    assert got_g == want_g
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    got_s = sorted(
+        map(tuple, eng.silhouette(vecs, sample_hex="4000").collect())
+    )
+    want_s = sorted(
+        map(
+            tuple,
+            get_query("vec_cluster_silhouette_sampled")
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert got_s == want_s
+
+    m = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < BIPART_MAX_PART)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    got_b = sorted(
+        map(tuple, eng.project_bipartite(m, on_oversized="error").collect())
+    )
+    want_b = sorted(
+        map(
+            tuple,
+            get_query("graph_bipartite_projection")
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert got_b == want_b
