@@ -150,3 +150,32 @@ def test_bipartite_split_bounds_fanout(memberships):
         ).collect()
     }
     assert all(n <= exact[e] for e, n in got.items())
+
+
+def test_admitted_keys_dynamic_column_cap(spark):
+    """The df-cap shape: a Column cap (frac-of-corpus) drives drop mode,
+    and error mode raises with the cap rendered from the column."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.operators.capping import (
+        admitted_keys,
+        group_sizes,
+    )
+
+    rows = [(k, i) for k in (1, 2) for i in range(5)] + [(3, 0)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    sized = group_sizes(df, ["k"]).crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    )
+    cap = F.col("__n") * F.lit(0.2)  # 11 * 0.2 = 2.2 → only size-1 groups
+    kept = {
+        r.k
+        for r in admitted_keys(
+            sized, ["k"], cap, "drop", "max_frac", "unit group"
+        ).collect()
+    }
+    assert kept == {3}
+    with pytest.raises(SparkRuntimeException, match="max_frac"):
+        admitted_keys(
+            sized, ["k"], cap, "error", "max_frac", "unit group"
+        ).collect()
