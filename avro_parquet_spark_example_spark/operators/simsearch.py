@@ -2207,3 +2207,224 @@ def vec_cluster_silhouette_sampled(
         < F.lit(SIL_SAMPLE_HEX)
     )
     return cluster_silhouette(pool)
+
+
+# ---------------------------------------------------------------------------
+# H3e' — top-2 principal directions (orthogonalized power iteration)
+
+
+def _pi2_round_sql(win: str, wout: str, v1: str) -> str:
+    """One exact SECOND-direction power-iteration round: the _pi_round_sql
+    mat-vec + max-abs normalization, then Gram-Schmidt re-orthogonalization
+    against the (quantized, fixed) first direction ``v1`` — coefficient
+    c = <w, v1>/<v1, v1> from exact DECIMAL(25,18) product sums, rounded
+    to 12 decimals, applied through one fixed IEEE sequence, re-quantized
+    to 9 decimals. Orthogonalizing EVERY round (rather than deflating the
+    Gram matrix) keeps all intermediates inside the engine's proven
+    decimal scales — a deflated matrix would need ~1e35 integer products
+    where Spark's and DuckDB's decimal overflow rules diverge."""
+    return f"""
+    {wout}_y AS (
+        SELECT g.i AS pos,
+               SUM(CAST(g.m AS DECIMAL(19,0)) * w.w) AS y
+        FROM gram g JOIN {win} w ON w.j = g.j
+        GROUP BY g.i
+    ),
+    {wout}_m AS (SELECT MAX(ABS(y)) AS mx FROM {wout}_y),
+    {wout}_n AS (
+        SELECT pos AS j,
+               CAST(ROUND(CAST(y AS DOUBLE) / CAST(mx AS DOUBLE), 9)
+                    AS DECIMAL(12,9)) AS w
+        FROM {wout}_y, {wout}_m
+    ),
+    {wout}_c AS (
+        SELECT ROUND(CAST(SUM(n.w * v.w) AS DOUBLE)
+                     / (SELECT CAST(SUM(v2.w * v2.w) AS DOUBLE)
+                        FROM {v1} v2), 12) AS c
+        FROM {wout}_n n JOIN {v1} v ON v.j = n.j
+    ),
+    {wout} AS (
+        SELECT n.j,
+               CAST(ROUND(CAST(n.w AS DOUBLE)
+                          - c.c * CAST(v.w AS DOUBLE), 9)
+                    AS DECIMAL(12,9)) AS w
+        FROM {wout}_n n JOIN {v1} v ON v.j = n.j CROSS JOIN {wout}_c c
+    )"""
+
+
+_TOP2_SQL = (
+    """
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    gram AS (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(a.v7 AS DECIMAL(19,0)) * CAST(b.v7 AS DECIMAL(19,0)))
+                   AS m
+        FROM fixed a JOIN fixed b ON a.vec_id = b.vec_id
+        GROUP BY a.pos, b.pos
+    ),
+    w0 AS (SELECT r.range AS j, CAST(1.0 AS DECIMAL(12,9)) AS w
+           FROM RANGE(1, 65) r),
+    """
+    + ",".join(_pi_round_sql(f"w{i}", f"w{i+1}") for i in range(PI_ROUNDS))
+    + """,
+    u0 AS (
+        SELECT r.range AS j,
+               CAST(CASE WHEN r.range % 2 = 1 THEN 1.0 ELSE -1.0 END
+                    AS DECIMAL(12,9)) AS w
+        FROM RANGE(1, 65) r
+    ),
+    """
+    + ",".join(
+        _pi2_round_sql(f"u{i}", f"u{i+1}", f"w{PI_ROUNDS}")
+        for i in range(PI_ROUNDS)
+    )
+    + f"""
+    SELECT 1 AS pc, j AS pos, w AS direction FROM w{PI_ROUNDS}
+    UNION ALL
+    SELECT 2, j, w FROM u{PI_ROUNDS}
+    """
+    # MATERIALIZED: gram and the first direction are each referenced by
+    # every subsequent round's CTEs; DuckDB re-inlines multi-referenced
+    # CTEs by default, re-building the Gram join per reference — measured
+    # 63 s -> 0.48 s at sf0.01 with these two hints.
+).replace("gram AS (", "gram AS MATERIALIZED (").replace(
+    f"w{PI_ROUNDS} AS (", f"w{PI_ROUNDS} AS MATERIALIZED ("
+)
+
+
+@register("vec_top2_pcs", oracle=_TOP2_SQL)
+def vec_top2_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3e' — the TOP TWO principal directions of the embedding Gram
+    matrix, oracle-checked end-to-end: PC1 is ``vec_power_iteration_
+    top_pc``'s exact quantized power iteration verbatim; PC2 runs the
+    same iteration from an alternating ±1 seed with a Gram-Schmidt
+    re-orthogonalization against the FIXED quantized PC1 every round —
+    the deflation-free way to the second eigenvector, chosen because it
+    keeps every intermediate inside the engine's proven decimal scales
+    (see ``_pi2_round_sql``). Two directions are what a whitening /
+    2-D-projection stage actually consumes (PCA scatter plots, the
+    ABTT-style top-k component removal with k = 2).
+
+    Exactness: mat-vec and normalization per the PC1 contract;
+    the orthogonalization coefficient is a 12-decimal-rounded ratio of
+    exact DECIMAL(25,18) product sums; the subtraction is one fixed
+    IEEE sequence re-quantized to 9 decimals. Near-orthogonality of the
+    emitted pair (|cos| ≈ 0 up to quantization) is pinned in pytest.
+
+    Scale: identical to the PC1 query — the Gram build is the only
+    corpus-sized stage (one self-join keyed by row id, dim² output);
+    both iterations run on 64-row broadcast-sized frames."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    a, b = fixed.alias("a"), fixed.alias("b")
+    gram = _spectral_materialize(
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(
+                F.col("a.v7").cast("decimal(19,0)")
+                * F.col("b.v7").cast("decimal(19,0)")
+            ).alias("m")
+        )
+    )
+
+    def pi_step(w: DataFrame) -> DataFrame:
+        y = (
+            gram.join(F.broadcast(w), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(
+                F.sum(
+                    F.col("m").cast("decimal(19,0)") * F.col("w")
+                ).alias("y")
+            )
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        return y.crossJoin(F.broadcast(mx)).select(
+            F.col("pos").alias("j"),
+            F.round(
+                F.col("y").cast("double") / F.col("mx").cast("double"), 9
+            )
+            .cast("decimal(12,9)")
+            .alias("w"),
+        )
+
+    def relit(df: DataFrame) -> DataFrame:
+        """Materialize a 64-row direction frame to the DRIVER and rebuild
+        it as a literal DataFrame — a bounded driver merge (64 scalars,
+        the k-centroids precedent) that gives each round a FRESH plan.
+        persist() is not enough here: it keeps lineage, and the nested
+        per-round joins make the retained plan tree grow exponentially
+        (measured: plan stringification alone OOMs an 8g heap at round
+        6); a lazy chain instead re-executes the whole upstream
+        iteration per broadcast job (measured 48 s at sf0.01)."""
+        rows = [(int(r["j"]), r["w"]) for r in df.collect()]
+        return spark.createDataFrame(rows, "j bigint, w decimal(12,9)")
+
+    w = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
+    )
+    for _ in range(PI_ROUNDS):
+        w = relit(pi_step(w))
+    v1 = w  # 64 rows; joined every PC2 round
+    den = v1.agg(
+        (F.sum(F.col("w") * F.col("w"))).cast("double").alias("den")
+    )
+    u = spark.range(1, 65).select(
+        F.col("id").alias("j"),
+        F.when(F.col("id") % 2 == 1, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .cast("decimal(12,9)")
+        .alias("w"),
+    )
+    v1j = v1.select(F.col("j"), F.col("w").alias("vw"))
+    for _ in range(PI_ROUNDS):
+        n = relit(pi_step(u))
+        c = (
+            n.join(F.broadcast(v1j), "j")
+            .agg(F.sum(F.col("w") * F.col("vw")).alias("num"))
+            .crossJoin(F.broadcast(den))
+            .select(
+                F.round(
+                    F.col("num").cast("double") / F.col("den"), 12
+                ).alias("c")
+            )
+        )
+        u = relit(
+            n.join(F.broadcast(v1j), "j")
+            .crossJoin(F.broadcast(c))
+            .select(
+                "j",
+                F.round(
+                    F.col("w").cast("double")
+                    - F.col("c") * F.col("vw").cast("double"),
+                    9,
+                )
+                .cast("decimal(12,9)")
+                .alias("w"),
+            )
+        )
+    return (
+        v1.select(
+            F.lit(1).cast("int").alias("pc"),
+            F.col("j").alias("pos"),
+            F.col("w").alias("direction"),
+        )
+        .unionByName(
+            u.select(
+                F.lit(2).cast("int").alias("pc"),
+                F.col("j").alias("pos"),
+                F.col("w").alias("direction"),
+            )
+        )
+    )
