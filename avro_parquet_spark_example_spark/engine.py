@@ -21,6 +21,8 @@ API; nothing here materializes data.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -489,21 +491,46 @@ class Engine:
         )
 
     def silhouette(
-        self, vectors: DataFrame, sample_hex: str | None = None
+        self,
+        vectors: DataFrame,
+        sample_hex: str | None = None,
+        target_count: int | None = None,
     ) -> DataFrame:
         """(vec_id, label, a_intra, b_inter, silhouette) — exact
         Rousseeuw silhouette of a (vec_id, label, embedding) cluster
         assignment. ``sample_hex`` (e.g. "4000" ≈ 25%) applies the
         deterministic md5-uniform sample — the at-scale form; None runs
-        the exact all-pairs on the caller-bounded pool."""
+        the exact all-pairs on the caller-bounded pool.
+        ``target_count`` is the production dial (VERDICT r10 task #3):
+        the threshold is computed from an absolute sample SIZE, so the
+        quadratic stage stays the same cost as the corpus grows."""
         from avro_parquet_spark_example_spark.operators.simsearch import (
             cluster_silhouette,
+            silhouette_sample_hex,
         )
 
+        if target_count is not None:
+            if sample_hex is not None:
+                raise ValueError(
+                    "pass sample_hex or target_count, not both"
+                )
+            sample_hex = silhouette_sample_hex(
+                vectors.count(), target_count
+            )
         if sample_hex is not None:
+            # Compare a prefix of the SAME length as the threshold —
+            # a hardcoded 4 would silently turn '40000' into a 4-digit
+            # prefix comparison and shift the sample fraction
+            # (ADVICE r10 #2).
+            if not re.fullmatch(r"[0-9a-f]+", sample_hex):
+                raise ValueError(
+                    f"sample_hex must be lowercase hex, got {sample_hex!r}"
+                )
             vectors = vectors.filter(
                 F.substring(
-                    F.md5(F.col("vec_id").cast("string")), 1, 4
+                    F.md5(F.col("vec_id").cast("string")),
+                    1,
+                    len(sample_hex),
                 )
                 < F.lit(sample_hex)
             )

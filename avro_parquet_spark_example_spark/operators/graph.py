@@ -960,6 +960,12 @@ def graph_bipartite_projection(
 #: HITS round count — unrolled identically in the SQL oracle.
 HITS_ROUNDS = 3
 
+#: Largest node set graph_hits_bipartite will force-broadcast as a score
+#: frame. A score row is ~24 bytes (bigint key + decimal(20,12)), so 4M
+#: rows is ~100 MB hashed — comfortably inside a standard executor; above
+#: it the per-round joins fall back to shuffle (still linear in edges).
+HITS_BROADCAST_MAX_NODES = 4_000_000
+
 
 def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:
     """One exact HITS round: authority = Σ incident hub scores, hub =
@@ -1047,6 +1053,16 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The forced broadcast is only safe while the node sets fit a
+    # driver/executor hashed relation; at the 100 TB regime |supp| or
+    # |part| can exceed that, so gate on an explicit node-count bound
+    # and fall back to the shuffle join above it (ADVICE r10 #4). One
+    # cheap count pass over the checkpointed incidence frame.
+    counts = inc.agg(
+        F.countDistinct("supp").alias("ns"),
+        F.countDistinct("part").alias("np"),
+    ).first()
+    small_nodes = max(counts["ns"], counts["np"]) <= HITS_BROADCAST_MAX_NODES
     h = inc.select("supp").distinct().select(
         "supp", F.lit(1.0).cast("decimal(20,12)").alias("score")
     )
@@ -1055,7 +1071,9 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for key, join_key in (("part", "supp"), ("supp", "part")):
             score = h if key == "part" else a
             raw = (
-                inc.join(F.broadcast(score), join_key)
+                inc.join(
+                    F.broadcast(score) if small_nodes else score, join_key
+                )
                 .groupBy(key)
                 .agg(F.sum("score").alias("s"))
                 .localCheckpoint(eager=True)

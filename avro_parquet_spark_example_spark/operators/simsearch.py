@@ -23,6 +23,7 @@ Unit-norm embeddings (FIXTURES.md) ⇒ dot product == cosine similarity.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1928,6 +1929,47 @@ def knn_graph_ivf(
     coarse-quantizer granularity (n_anchors scales with √corpus in
     production IVF); the rank windows partition by src. Recall vs the
     exact graph is asserted in tests/test_simsearch.py."""
+    scored = ivf_candidates(pool, n_anchors=n_anchors, nprobe=nprobe)
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "src",
+            "dst",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("score", 5).alias("score"),
+        )
+    )
+
+
+def scaled_anchor_count(
+    pool_rows: int,
+    ref_rows: int,
+    ref_anchors: int = KNN_IVF_ANCHORS,
+) -> int:
+    """The √corpus production dial for the IVF coarse quantizer, as code
+    (VERDICT r10 task #3): anchors grow with the square root of the
+    corpus, normalized so a reference corpus size keeps its reference
+    anchor count. With cells staying ~uniform this keeps per-cell size
+    ∝ √corpus, so the cell equi-join's candidate count — Σ|cell|²·nprobe
+    ≈ corpus²·nprobe/anchors — grows LINEARLY in the corpus instead of
+    quadratically (the fixed-anchor caveat SCALING.md r10 recorded).
+    Exercised at a genuine 10× corpus in tools/scaleup_r9b.py."""
+    if pool_rows <= 0 or ref_rows <= 0:
+        raise ValueError("row counts must be positive")
+    return max(1, round(ref_anchors * math.sqrt(pool_rows / ref_rows)))
+
+
+def ivf_candidates(
+    pool: DataFrame,
+    n_anchors: int = KNN_IVF_ANCHORS,
+    nprobe: int = KNN_IVF_NPROBE,
+) -> DataFrame:
+    """(src, dst, score, ...) — the IVF-cell-blocked candidate stage of
+    :func:`knn_graph_ivf`, exposed so scale tests can count candidate
+    pairs directly (the quantity the √corpus anchor dial is supposed to
+    keep linear)."""
     anchors = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in pool.orderBy("vec_id").limit(n_anchors).collect()
@@ -1948,14 +1990,21 @@ def knn_graph_ivf(
             ]
         )
     )
-    assigned = pool.select(
-        "vec_id",
-        "embedding",
-        F.element_at(cells, 1)["aid"].alias("cell"),
-        F.transform(
-            F.slice(cells, 1, nprobe), lambda s: s["aid"]
-        ).alias("probes"),
-    ).localCheckpoint(eager=True)  # one assignment scan feeds both sides
+    # One assignment scan feeds both join sides. Materialized via the
+    # lineage-PRESERVING disk persist, not an eager localCheckpoint:
+    # this frame is full-corpus — the largest exposure to the r10
+    # flake class (evicted checkpoint blocks in long single-JVM
+    # sessions become unrecoverable Py4JJavaErrors; ADVICE r10 #3).
+    assigned = _spectral_materialize(
+        pool.select(
+            "vec_id",
+            "embedding",
+            F.element_at(cells, 1)["aid"].alias("cell"),
+            F.transform(
+                F.slice(cells, 1, nprobe), lambda s: s["aid"]
+            ).alias("probes"),
+        )
+    )
     src = assigned.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"),
@@ -1966,21 +2015,10 @@ def knn_graph_ivf(
         F.col("embedding").alias("eb"),
         F.col("cell").alias("pcell"),
     )
-    scored = (
+    return (
         src.join(dst, "pcell")
         .filter(F.col("dst") != F.col("src"))
         .withColumn("score", dot_product(F.col("ea"), F.col("eb")))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "src",
-            "dst",
-            F.col("rnk").cast("bigint").alias("rnk"),
-            F.round("score", 5).alias("score"),
-        )
     )
 
 
@@ -2054,6 +2092,32 @@ SIL_MAX_VEC = 300
 #: (the ``mixture_temperature_resample`` selection precedent — stable
 #: under reruns and incremental ingestion, identical on both engines).
 SIL_SAMPLE_HEX = "4000"
+
+
+def silhouette_sample_hex(
+    pool_rows: int, target_rows: int, digits: int = 4
+) -> str | None:
+    """The target-COUNT form of the silhouette sample dial (VERDICT r10
+    task #3): compute the md5-prefix hex threshold that keeps
+    ~``target_rows`` of a ``pool_rows`` corpus — the md5 machinery is
+    unchanged (``substr(md5(id), 1, digits) < threshold``), only the
+    threshold is derived from an absolute size instead of a fixed
+    fraction, so at 10× the corpus the sampled all-pairs stage stays the
+    SAME absolute cost. Returns None when the target covers the whole
+    pool (no filter needed). Granularity is 16**-digits of the pool;
+    membership is deterministic per id, so reruns and incremental
+    ingestion see a stable sample."""
+    if pool_rows <= 0:
+        raise ValueError("pool_rows must be positive")
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    if target_rows >= pool_rows:
+        return None
+    space = 16**digits
+    cut = max(1, round(space * target_rows / pool_rows))
+    if cut >= space:
+        return None
+    return format(cut, f"0{digits}x")
 
 
 def _silhouette_sql(pool_where: str) -> str:

@@ -150,16 +150,65 @@ def _bipartite_project_full(spark, sf_dir: str):
     return bipartite_project(m, on_oversized="error")
 
 
+def _ivf_scaled_anchors_leg(spark, base: str, big: str) -> None:
+    """The √corpus anchor dial, measured (VERDICT r10 task #3): at 10×
+    corpus the anchors scale 8 → 25 (≈ 8·√10) via
+    ``scaled_anchor_count``, and the CANDIDATE-PAIR count — the quantity
+    the dial controls — must stay ~linear in the corpus (the fixed-
+    anchor r10 caveat measured candidates ~100× at 10×)."""
+    import math
+
+    from avro_parquet_spark_example_spark.operators.simsearch import (
+        KNN_IVF_ANCHORS,
+        ivf_candidates,
+        knn_graph_ivf,
+        scaled_anchor_count,
+    )
+
+    pool1 = spark.read.parquet(f"{base}/embeddings.parquet")
+    pool10 = spark.read.parquet(f"{big}/embeddings.parquet")
+    n1, n10 = pool1.count(), pool10.count()
+    a1 = KNN_IVF_ANCHORS
+    a10 = scaled_anchor_count(n10, ref_rows=n1, ref_anchors=a1)
+    c1 = ivf_candidates(pool1, n_anchors=a1).count()
+    c10 = ivf_candidates(pool10, n_anchors=a10).count()
+    t1, r1 = time_op(lambda s, d: knn_graph_ivf(pool1, n_anchors=a1), spark, base)
+    t10, r10 = time_op(
+        lambda s, d: knn_graph_ivf(pool10, n_anchors=a10), spark, big
+    )
+    corpus_ratio = n10 / n1
+    cand_ratio = c10 / c1
+    print(
+        f"vec_knn_graph_ivf_scaled_anchors: anchors {a1}->{a10} "
+        f"(sqrt-corpus dial), corpus {n1}->{n10} ({corpus_ratio:.1f}x), "
+        f"candidates {c1}->{c10} ({cand_ratio:.1f}x vs corpus "
+        f"{corpus_ratio:.1f}x), wall 1x {t1:.2f}s ({r1} rows) | "
+        f"{FACTOR}x {t10:.2f}s ({r10} rows) | ratio {t10 / max(t1, 1e-9):.1f}x"
+    )
+    # ~linear: allow 2x slack for cell-occupancy skew of the id-prefix
+    # anchors; the fixed-anchor failure mode this guards against is ~10x.
+    assert cand_ratio <= 2.0 * corpus_ratio, (
+        f"candidate pairs grew {cand_ratio:.1f}x at {corpus_ratio:.1f}x "
+        f"corpus — the sqrt-corpus dial is not holding"
+    )
+    assert not math.isnan(cand_ratio)
+
+
 def main() -> None:
     from avro_parquet_spark_example_spark.registry import get_query
     from avro_parquet_spark_example_spark.session import get_session
 
+    only = set(sys.argv[1:])
     spark = get_session(
         app_name="scaleup-r9b", master="local[32]", shuffle_partitions=32
     )
     big = synthesize(spark)
     print(f"# {FACTOR}x all-tables stress ({BASE} -> {big})")
+    if not only or "ivf_scaled" in only:
+        _ivf_scaled_anchors_leg(spark, BASE, big)
     for name, scaling in OPS:
+        if only and name not in only:
+            continue
         fn = (
             _bipartite_project_full
             if name == "bipartite_project_full"
