@@ -74,6 +74,41 @@ def canon_rows(cols, rows):
     return sorted("|".join(canon_cell(r[i]) for i in idx) for r in rows)
 
 
+def _prev_listing_timings() -> tuple[str, dict[str, float]]:
+    """Per-query seconds from the latest committed CORRECTNESS_LOCAL
+    record's section for THIS scale factor — the only like-for-like
+    elevation comparator (same fresh-plan gate protocol, same SF; the
+    PERF sweep is plan-cached/warm, so fresh iterative queries are
+    structurally >2x it and it cannot distinguish busy-machine from real
+    cost). Sums the per-engine split when present (r11+ listings) and
+    accepts the single combined number of older listings."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(glob.glob(os.path.join(root, "CORRECTNESS_LOCAL_r*.md")))
+    if not records:
+        return "", {}
+    path = records[-1]
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))  # e.g. sf0.01
+    timings: dict[str, float] = {}
+    in_section = False
+    for ln in open(path):
+        if ln.startswith("## "):
+            in_section = ln.startswith(f"## {sf_tag}") and not ln.startswith(
+                f"## {sf_tag}0"
+            )
+            continue
+        if not in_section:
+            continue
+        m = re.match(r"(?:PASS|rows-only)\s+([a-z0-9_]+):.*?\(([^)]*)\)", ln)
+        if m:
+            secs = [float(x) for x in re.findall(r"(\d+(?:\.\d+)?)s", m.group(2))]
+            if secs:
+                timings[m.group(1)] = sum(secs)
+    return os.path.basename(path), timings
+
+
 def main(names: list[str]) -> int:
     import duckdb
 
@@ -92,6 +127,29 @@ def main(names: list[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    # Machine-elevation control (VERDICT r10 task #5): the r10 gate
+    # listings embedded elevated timings with no marker, and the judge
+    # re-measured 2-4x faster in isolation. Record the bench calibration
+    # probe at listing time, and flag each line that runs >2x (and >+1s
+    # over) its time in the previous committed listing at the SAME SF —
+    # an annotated line reads as "machine was busy or cost changed", an
+    # unannotated slow line is the query's real steady cost.
+    from bench import _calibrate
+
+    calib = _calibrate(spark)
+    prev_ref, prev = _prev_listing_timings()
+    print(
+        f"# calib_sec: {calib} (machine control; elevation flags vs "
+        f"{prev_ref or 'no previous listing'} same-SF lines, fired when "
+        f"total > 2x prev AND > prev + 1s)"
+    )
+
+    def elevation(name: str, total_s: float) -> str:
+        p = prev.get(name)
+        if p is not None and total_s > 2 * p and total_s > p + 1.0:
+            return f" [ELEVATED: {total_s:.2f}s vs {p:.2f}s in {prev_ref}]"
+        return ""
+
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -104,10 +162,15 @@ def main(names: list[str]) -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        spark_s = time.time() - t0
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.2f}s)")
+            print(
+                f"rows-only {name}: {len(srows)} rows "
+                f"(spark {spark_s:.2f}s){elevation(name, spark_s)}"
+            )
             n_rowsonly += 1
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
@@ -118,6 +181,7 @@ def main(names: list[str]) -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        oracle_s = time.time() - t1
         problems = []
         # driver-render type lint (see tests/test_oracles.py): a HUGEINT
         # column hashes differently from Spark's BIGINT on the driver even
@@ -167,7 +231,14 @@ def main(names: list[str]) -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.2f}s)")
+            # per-engine split (VERDICT r10 task #4): a slow line must say
+            # WHICH engine was slow — r10's 46.5s hits line conflated the
+            # Spark query, the unrolled-CTE DuckDB oracle, and machine state.
+            print(
+                f"PASS {name}: {len(srows)} rows (spark {spark_s:.2f}s, "
+                f"oracle {oracle_s:.2f}s)"
+                f"{elevation(name, spark_s + oracle_s)}"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
