@@ -561,3 +561,30 @@ class Engine:
             on_oversized=on_oversized,
             min_shared=min_shared,
         )
+
+    def kcenter_seeds(
+        self, vectors: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """(sel_rank, vec_id, radius7) — deterministic greedy k-center
+        (farthest-point) seeding of a (vec_id, embedding) frame
+        (operators/clustering.py); the RNG-free k-means++ stand-in whose
+        radius column doubles as the pick-k diagnostic."""
+        from avro_parquet_spark_example_spark.operators.clustering import (
+            KCENTER_K,
+            kcenter_greedy,
+        )
+
+        return kcenter_greedy(
+            vectors, k=KCENTER_K if k is None else k
+        )
+
+    def clustering_coefficients(self, edges: DataFrame) -> DataFrame:
+        """(node, degree, n_triangles, local_cc) — per-node local
+        clustering coefficients of an oriented (u < v) edge frame
+        (operators/graph.py); degree-1 nodes are excluded (undefined
+        denominator)."""
+        from avro_parquet_spark_example_spark.operators.graph import (
+            local_clustering_coefficients,
+        )
+
+        return local_clustering_coefficients(edges)

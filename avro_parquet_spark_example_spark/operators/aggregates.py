@@ -1655,3 +1655,319 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank correlation (round 11): Spearman rho and Kendall tau-b, exact
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH jm AS (
+        SELECT l_returnflag AS grp, l_quantity AS x, l_discount AS y,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    xm AS (
+        SELECT grp, x,
+               CAST(2 * SUM(SUM(f)) OVER (
+                   PARTITION BY grp ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - SUM(f) + 1 AS BIGINT) AS r2x
+        FROM jm GROUP BY grp, x
+    ),
+    ym AS (
+        SELECT grp, y,
+               CAST(2 * SUM(SUM(f)) OVER (
+                   PARTITION BY grp ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - SUM(f) + 1 AS BIGINT) AS r2y
+        FROM jm GROUP BY grp, y
+    ),
+    sums AS (
+        SELECT jm.grp,
+               CAST(SUM(f) AS BIGINT) AS n,
+               CAST(SUM(f * r2x) AS BIGINT) AS sx,
+               CAST(SUM(f * r2y) AS BIGINT) AS sy,
+               CAST(SUM(f * r2x * r2x) AS BIGINT) AS sxx,
+               CAST(SUM(f * r2y * r2y) AS BIGINT) AS syy,
+               CAST(SUM(f * r2x * r2y) AS BIGINT) AS sxy
+        FROM jm
+        JOIN xm ON xm.grp = jm.grp AND xm.x = jm.x
+        JOIN ym ON ym.grp = jm.grp AND ym.y = jm.y
+        GROUP BY jm.grp
+    )
+    SELECT grp AS l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM sums
+    """,
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8' — exact Spearman rank correlation (quantity vs discount per
+    return flag) with textbook average-rank tie handling, computed WITHOUT
+    ranking individual rows: both columns have bounded distinct domains,
+    so the ranks come from the joint frequency matrix — doubled average
+    rank r2 = 2·(cumulative count through the value) − count(value) + 1
+    is an exact INTEGER (avoiding the half-rank rational), and Pearson on
+    (r2x, r2y) equals Pearson on the average ranks by linear invariance.
+    All moment sums are f-weighted BIGINT-exact over the matrix; only the
+    final correlation expression touches doubles, through one fixed IEEE
+    tree on both engines (the dsum rule).
+
+    Scale shape: one (grp, x, y)-keyed map-side-combined count, two
+    value-domain window passes over domain-cardinality frames, two
+    broadcast joins back onto the matrix, one tiny roll-up. No per-row
+    window, no per-group global sort — the classic rank-then-correlate
+    plan is a per-group sort hotspot at 100 TB; this one shuffles only
+    value domains. Continuous columns would first pass through a shared
+    quantization (the eval_pr_auc distinct-value precedent)."""
+    li = load(spark, sf_dir, "lineitem")
+    jm = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("f"))
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        per_val = jm.groupBy("grp", col).agg(F.sum("f").alias("cf"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return per_val.select(
+            "grp",
+            col,
+            (2 * F.sum("cf").over(w) - F.col("cf") + 1)
+            .cast("bigint")
+            .alias(out),
+        )
+
+    joined = jm.join(F.broadcast(rank_map("x", "r2x")), ["grp", "x"]).join(
+        F.broadcast(rank_map("y", "r2y")), ["grp", "y"]
+    )
+    sums = joined.groupBy("grp").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.sum(F.col("f") * F.col("r2x")).cast("bigint").alias("sx"),
+        F.sum(F.col("f") * F.col("r2y")).cast("bigint").alias("sy"),
+        F.sum(F.col("f") * F.col("r2x") * F.col("r2x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("f") * F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"),
+        F.sum(F.col("f") * F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return sums.select(
+        F.col("grp").alias("l_returnflag"),
+        "n",
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "agg_kendall_tau_b",
+    oracle="""
+    WITH jm AS (
+        SELECT l_returnflag AS grp, l_quantity AS x, l_discount AS y,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    conc AS (
+        SELECT a.grp,
+               CAST(SUM(CASE WHEN b.y < a.y THEN a.f * b.f ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN b.y > a.y THEN a.f * b.f ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM jm a JOIN jm b ON b.grp = a.grp AND b.x < a.x
+        GROUP BY a.grp
+    ),
+    xmarg AS (
+        SELECT grp, CAST(SUM(f) AS BIGINT) AS tx
+        FROM jm GROUP BY grp, x
+    ),
+    ymarg AS (
+        SELECT grp, CAST(SUM(f) AS BIGINT) AS ty
+        FROM jm GROUP BY grp, y
+    ),
+    marg AS (
+        SELECT n0.grp, n0.n, x1.n1, y2.n2
+        FROM (SELECT grp, CAST(SUM(f) AS BIGINT) AS n
+              FROM jm GROUP BY grp) n0
+        JOIN (SELECT grp, CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS n1
+              FROM xmarg GROUP BY grp) x1 ON x1.grp = n0.grp
+        JOIN (SELECT grp, CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS n2
+              FROM ymarg GROUP BY grp) y2 ON y2.grp = n0.grp
+    )
+    SELECT m.grp AS l_returnflag, m.n,
+           ROUND((CAST(c.c AS DOUBLE) - CAST(c.d AS DOUBLE))
+                 / (SQRT(CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1) / 2
+                         - CAST(m.n1 AS DOUBLE))
+                    * SQRT(CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1) / 2
+                           - CAST(m.n2 AS DOUBLE))),
+                 6) AS kendall_tau_b
+    FROM marg m JOIN conc c ON c.grp = m.grp
+    """,
+)
+def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8'' — exact Kendall tau-b (quantity vs discount per return flag)
+    with the full tie correction, in O(V_x·V_y) per group instead of the
+    textbook O(n²) pair scan: concordant/discordant pair counts come from
+    a self-join of the joint frequency MATRIX (≤ |x-domain|·|y-domain|
+    cells), where each unordered row pair is counted exactly once from
+    its strictly-greater-x cell — C = Σ f_a·f_b over (x_b<x_a, y_b<y_a),
+    D over (x_b<x_a, y_b>y_a); x-ties and y-ties contribute to neither.
+    Tie terms n1 = Σ t_x(t_x−1)/2, n2 = Σ t_y(t_y−1)/2 come from the
+    marginals. Everything is BIGINT-exact; tau-b's denominator is two
+    separate SQRTs in doubles (their product overflows int64 at scale)
+    through the same IEEE tree on both engines.
+
+    Scale shape: the matrix self-join is an equi-join on grp with range
+    predicates over domain-cardinality frames — thousands of cells even
+    at 100 TB, never the row count. Continuous columns quantize into the
+    matrix first (that changes the statistic's granularity, not its
+    exactness — the standard trade for streaming Kendall)."""
+    li = load(spark, sf_dir, "lineitem")
+    jm = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("f"))
+    a, b = jm.alias("a"), jm.alias("b")
+    conc = (
+        a.join(
+            b,
+            (F.col("b.grp") == F.col("a.grp")) & (F.col("b.x") < F.col("a.x")),
+        )
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.y") < F.col("a.y"), F.col("a.f") * F.col("b.f")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    F.col("b.y") > F.col("a.y"), F.col("a.f") * F.col("b.f")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    def tie_term(col: str, out: str) -> DataFrame:
+        t = jm.groupBy("grp", col).agg(F.sum("f").cast("bigint").alias("t"))
+        return t.groupBy("grp").agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias(out)
+        )
+
+    marg = (
+        jm.groupBy("grp")
+        .agg(F.sum("f").cast("bigint").alias("n"))
+        .join(tie_term("x", "n1"), "grp")
+        .join(tie_term("y", "n2"), "grp")
+    )
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - 1) / 2
+    tau = (F.col("c").cast("double") - F.col("d").cast("double")) / (
+        F.sqrt(n0 - F.col("n1").cast("double"))
+        * F.sqrt(n0 - F.col("n2").cast("double"))
+    )
+    return (
+        marg.join(conc, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n",
+            F.round(tau, 6).alias("kendall_tau_b"),
+        )
+    )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               o_orderpriority AS x, o_orderstatus AS y
+        FROM orders
+    ),
+    cxy AS (
+        SELECT yr, x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM base GROUP BY 1, 2, 3
+    ),
+    cx AS (SELECT yr, x, CAST(COUNT(*) AS BIGINT) AS cx
+           FROM base GROUP BY 1, 2),
+    cy AS (SELECT yr, y, CAST(COUNT(*) AS BIGINT) AS cy
+           FROM base GROUP BY 1, 2),
+    cn AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+    terms AS (
+        SELECT j.yr,
+               CAST(ROUND((CAST(j.cxy AS DOUBLE) / n.n)
+                          * LN(CAST(j.cxy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                               / (CAST(x.cx AS DOUBLE)
+                                  * CAST(y.cy AS DOUBLE))), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM cxy j
+        JOIN cx x ON x.yr = j.yr AND x.x = j.x
+        JOIN cy y ON y.yr = j.yr AND y.y = j.y
+        JOIN cn n ON n.yr = j.yr
+    )
+    SELECT t.yr, c.n,
+           ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS mi_nats
+    FROM terms t JOIN cn c ON c.yr = t.yr
+    GROUP BY t.yr, c.n
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8''' — exact mutual information I(X;Y) between order priority and
+    order status per order year, in nats: MI = Σ_xy p(x,y)·ln(p(x,y) /
+    (p(x)p(y))) — the dependence measure feature-selection and drift
+    pipelines use where chi-square (``agg_chi_square_independence``) only
+    tests, and the categorical sibling of the text family's PMI. All four
+    count frames are integer-exact; each cell's term is one fixed IEEE
+    expression on BIGINT counts, rounded to 9 decimals and summed as
+    DECIMAL(18,9) (the ``text_token_entropy`` dsum treatment), so the
+    cross-engine hash is deterministic despite LN.
+
+    Scale shape: four map-side-combined counts keyed by (year[,x][,y]),
+    three broadcast joins over domain-cardinality frames (|X|·|Y| cells
+    per year — dozens), one tiny roll-up. 100 TB of orders is one scan
+    plus kilobyte-scale joins."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    )
+    cxy = base.groupBy("yr", "x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    cx = base.groupBy("yr", "x").agg(F.count(F.lit(1)).alias("cx"))
+    cy = base.groupBy("yr", "y").agg(F.count(F.lit(1)).alias("cy"))
+    cn = base.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    term = F.round(
+        (F.col("cxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("cxy").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        cxy.join(F.broadcast(cx), ["yr", "x"])
+        .join(F.broadcast(cy), ["yr", "y"])
+        .join(F.broadcast(cn), "yr")
+        .select("yr", "n", term.alias("term"))
+    )
+    return terms.groupBy("yr", "n").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("mi_nats")
+    )

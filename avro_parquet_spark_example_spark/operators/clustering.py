@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
@@ -239,4 +240,147 @@ def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     return cents.join(F.broadcast(n), "cluster").select(
         "cluster", "pos", "c7", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point) seeding — exact, oracle-checked
+
+#: Centers selected by the deterministic farthest-point sweep.
+KCENTER_K = 4
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled DuckDB twin of the farthest-point sweep: d{i} is each
+    vector's exact integer distance to the chosen set after i picks;
+    c{i+1} is the argmax (min-vec_id tiebreak)."""
+    parts = [
+        """
+    WITH fixed AS (
+        SELECT vec_id, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    c1 AS (SELECT MIN(vec_id) AS cid FROM fixed),
+    d1 AS (
+        SELECT f.vec_id,
+               CAST(SUM((f.v7 - g.v7) * (f.v7 - g.v7)) AS BIGINT) AS dist
+        FROM fixed f
+        JOIN fixed g ON g.vec_id = (SELECT cid FROM c1)
+                    AND g.pos = f.pos
+        GROUP BY f.vec_id
+    )"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""
+    , c{i} AS (
+        SELECT vec_id AS cid, dist AS radius FROM d{i - 1}
+        ORDER BY dist DESC, vec_id LIMIT 1
+    ),
+    nd{i} AS (
+        SELECT f.vec_id,
+               CAST(SUM((f.v7 - g.v7) * (f.v7 - g.v7)) AS BIGINT) AS dist
+        FROM fixed f
+        JOIN fixed g ON g.vec_id = (SELECT cid FROM c{i})
+                    AND g.pos = f.pos
+        GROUP BY f.vec_id
+    ),
+    d{i} AS (
+        SELECT p.vec_id, LEAST(p.dist, n.dist) AS dist
+        FROM d{i - 1} p JOIN nd{i} n ON n.vec_id = p.vec_id
+    )"""
+        )
+    selects = [
+        "SELECT 1 AS sel_rank, (SELECT cid FROM c1) AS vec_id,"
+        " CAST(0 AS BIGINT) AS radius7"
+    ]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT {i}, (SELECT cid FROM c{i}),"
+            f" (SELECT radius FROM c{i})"
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("cluster_kcenter_greedy", oracle=_kcenter_sql(KCENTER_K))
+def cluster_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3a' — deterministic greedy k-center (Gonzalez farthest-point)
+    seeding over the full embeddings table: start at the minimum vec_id,
+    then repeatedly select the vector FARTHEST from the chosen set
+    (min-vec_id tiebreak) — the 2-approximation to the k-center cover
+    and the deterministic stand-in for k-means++ where an RNG seed would
+    break cross-engine hash checks. Output (sel_rank, vec_id, radius7):
+    radius7 is the selected point's exact integer distance to the
+    previously chosen set — a non-increasing sequence whose i-th value
+    bounds the covering radius with i−1 centers (the diagnostic used to
+    pick k). Distances are pure BIGINT sums of squared fixed-point
+    diffs (the ``vec_nearest_centroid_assign`` machinery); the running
+    min folds one new center per round.
+
+    Scale shape: each of the k−1 rounds is ONE linear pass — a 64-row
+    broadcast join on dim, a (vec)-keyed map-side-combined distance
+    roll-up, an elementwise LEAST with the running min, and a global
+    top-1 (TakeOrdered, no full sort). Driver state is k rows. The
+    at-scale variant amortizes rounds over a √n sample first (standard
+    two-phase k-center); the exact sweep here is the auditable core."""
+    return kcenter_greedy(load(spark, sf_dir, "embeddings"))
+
+
+def kcenter_greedy(pool: DataFrame, k: int = KCENTER_K) -> DataFrame:
+    """(sel_rank, vec_id, radius7) farthest-point sweep over a
+    (vec_id, embedding) frame — the library form the Engine facade
+    exposes; ``cluster_kcenter_greedy`` is its registered
+    oracle-checked instance (the facade-parity single-source rule)."""
+    fixed = pool.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    fixed = fixed.persist()
+    fixed.count()
+    spark_sess = pool.sparkSession
+
+    def dist_to(cid: int) -> DataFrame:
+        g = fixed.filter(F.col("vec_id") == cid).select(
+            "pos", F.col("v7").alias("c7")
+        )
+        diff = F.col("v7") - F.col("c7")
+        return (
+            fixed.join(F.broadcast(g), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(diff * diff).cast("bigint").alias("dist"))
+        )
+
+    first = fixed.agg(F.min("vec_id")).collect()[0][0]
+    picks = [(1, int(first), 0)]
+    running = dist_to(int(first))
+    for i in range(2, k + 1):
+        top = (
+            running.orderBy(F.desc("dist"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        picks.append((i, int(top["vec_id"]), int(top["dist"])))
+        if i < k:
+            # lineage-PRESERVING materialization of the corpus-sized
+            # running-min frame (the r10 flake-class rule: no eager
+            # localCheckpoint on full-corpus frames)
+            nd = dist_to(int(top["vec_id"])).withColumnRenamed("dist", "nd")
+            prev = running
+            running = (
+                prev.join(nd, "vec_id")
+                .select("vec_id", F.least("dist", "nd").alias("dist"))
+                .persist(StorageLevel.DISK_ONLY)
+            )
+            running.count()
+            prev.unpersist()
+    fixed.unpersist()
+    return spark_sess.createDataFrame(
+        picks, "sel_rank int, vec_id bigint, radius7 bigint"
+    ).select(
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "vec_id",
+        "radius7",
     )

@@ -267,9 +267,12 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_cc",
-    oracle="""
+#: Shared recursive-CTE prefix for the connected-component oracles:
+#: Jaccard candidate pairs over doc_id < 150, symmetrized edges, and the
+#: transitive closure ``reach``; consumers append their own final select
+#: (dedup_cluster_cc labels components, dedup_cluster_quality_pick keeps
+#: one best doc per component).
+_CC_CTES = """
     WITH RECURSIVE toks AS (
         SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
         FROM documents WHERE doc_id < 150
@@ -297,6 +300,13 @@ def mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
     )
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=_CC_CTES
+    + """
     SELECT node AS doc_id,
            MIN(r) AS component,
            (MIN(r) = node) AS is_canonical
@@ -1443,4 +1453,71 @@ def largest_remainder_quota(
                 F.col("ahead") < F.lit(budget) - F.col("fsum"), 1
             ).otherwise(0)
         ).alias("quota"),
+    )
+
+
+@register(
+    "dedup_cluster_quality_pick",
+    oracle=_CC_CTES
+    + """
+    , comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS nm
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(nm AS BIGINT) AS n_members
+    FROM q WHERE rn = 1
+    """,
+)
+def dedup_cluster_quality_pick(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H2f' — quality-aware canonical pick: within each near-dup cluster
+    (the ``dedup_cluster_cc`` components) keep the HIGHEST-QUALITY member
+    (longest document, doc_id tiebreak) instead of the arbitrary
+    min-id canonical — the policy production dedup actually ships,
+    because the survivor of a near-dup cluster should be its best
+    representative, not whichever crawled first. One row per cluster:
+    (component, kept_doc_id, kept_chars, n_members). Composes the CC
+    fixpoint with a per-cluster top-1 window; singleton docs survive as
+    their own component.
+
+    Scale shape: everything up to components is ``dedup_cluster_cc``'s
+    plan (bucketed candidate pairs + O(diameter) min-label rounds); the
+    pick adds one doc-keyed join against the documents table and a
+    window partitioned by component — cluster-sized partitions, the same
+    bound the CC loop already guarantees."""
+    comp = dedup_cluster_cc(spark, sf_dir).select("doc_id", "component")
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "n_chars")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    joined = comp.join(d, "doc_id").select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("bigint")
+        .alias("nm"),
+    )
+    return joined.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").cast("bigint").alias("kept_chars"),
+        F.col("nm").alias("n_members"),
     )

@@ -482,3 +482,145 @@ def ml_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j, beta[j], n) for j in range(OLS_DIMS + 1)],
         "j bigint, beta7 bigint, n bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (round 11): exact information-gain split search
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH per_val AS (
+        SELECT l_discount AS v,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS tot
+        FROM lineitem GROUP BY 1
+    ),
+    pre AS (
+        SELECT v,
+               CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+               CAST(SUM(tot) OVER w AS BIGINT) AS nl
+        FROM per_val
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    tots AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(tot) AS BIGINT) AS n
+        FROM per_val
+    ),
+    gains AS (
+        SELECT pre.v AS threshold, pre.nl AS n_left, pre.pl AS pos_left,
+               CAST(FLOOR((
+                 (CASE WHEN t.p = 0 OR t.p = t.n THEN 0.0
+                  ELSE -((CAST(t.p AS DOUBLE) / t.n)
+                          * LN(CAST(t.p AS DOUBLE) / t.n)
+                        + (CAST(t.n - t.p AS DOUBLE) / t.n)
+                          * LN(CAST(t.n - t.p AS DOUBLE) / t.n)) END)
+                 - (CAST(pre.nl AS DOUBLE) / t.n)
+                   * (CASE WHEN pre.pl = 0 OR pre.pl = pre.nl THEN 0.0
+                      ELSE -((CAST(pre.pl AS DOUBLE) / pre.nl)
+                              * LN(CAST(pre.pl AS DOUBLE) / pre.nl)
+                            + (CAST(pre.nl - pre.pl AS DOUBLE) / pre.nl)
+                              * LN(CAST(pre.nl - pre.pl AS DOUBLE)
+                                   / pre.nl)) END)
+                 - (CAST(t.n - pre.nl AS DOUBLE) / t.n)
+                   * (CASE WHEN t.p - pre.pl = 0
+                                OR t.p - pre.pl = t.n - pre.nl THEN 0.0
+                      ELSE -((CAST(t.p - pre.pl AS DOUBLE) / (t.n - pre.nl))
+                              * LN(CAST(t.p - pre.pl AS DOUBLE)
+                                   / (t.n - pre.nl))
+                            + (CAST((t.n - pre.nl) - (t.p - pre.pl)
+                                    AS DOUBLE) / (t.n - pre.nl))
+                              * LN(CAST((t.n - pre.nl) - (t.p - pre.pl)
+                                        AS DOUBLE) / (t.n - pre.nl))) END)
+               ) * 1000000000000) AS BIGINT) AS gain12
+        FROM pre CROSS JOIN tots t
+        WHERE pre.nl < t.n
+    )
+    SELECT threshold, n_left, pos_left, gain12,
+           (ROW_NUMBER() OVER (ORDER BY gain12 DESC, threshold) = 1)
+             AS is_best
+    FROM gains
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — exact information-gain decision stump on (discount → returns):
+    for every candidate threshold t over the feature's distinct values,
+    the entropy reduction of splitting rows into x ≤ t vs x > t against
+    the binary target (l_returnflag = 'R') — the inner loop of every
+    tree learner and THE feature-scoring primitive tabular curation
+    uses, computed the distributed way: per-value (pos, tot) counts,
+    one prefix-sum window over the DISTINCT-VALUE grid (the
+    ``eval_pr_auc_exact`` pattern — never a per-row sort), and a
+    closed-form gain per candidate. Gains are binary entropies in nats
+    from exact BIGINT counts through one fixed IEEE tree, quantized to
+    12-decimal fixed point (gain12) so the argmax and the hash are
+    deterministic; boundary candidates (p=0 or p=n sides) contribute
+    zero entropy by definition, and the degenerate everything-left
+    split is excluded. Output: every candidate with its gain plus an
+    is_best flag (min-threshold tiebreak).
+
+    Scale shape: rides :func:`~avro_parquet_spark_example_spark.operators.
+    projection.two_class_value_cdfs` — the engine's two-phase
+    (bucket-offset + bucket-partitioned window) prefix sums, so there is
+    NO global unpartitioned window anywhere in the plan (the plan-audit
+    hazard the naive rank-then-scan stump plans into); the argmax is a
+    1-row struct-min aggregate broadcast back over the candidates.
+    100 TB of rows is one scan; the candidate stage never exceeds the
+    value domain. Continuous features quantize into the grid first (the
+    standard histogram-split trade, same as agg_kendall_tau_b)."""
+    from avro_parquet_spark_example_spark.operators.projection import (
+        two_class_value_cdfs,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_discount").alias("v"),
+        (F.col("l_returnflag") == "R").alias("is_ref"),
+    )
+    cdfs, n_pos, n_neg = two_class_value_cdfs(vals)
+    n_tot = n_pos + n_neg
+
+    def h(p, n):
+        pd, nd = p.cast("double"), n.cast("double")
+        q = pd / nd
+        r = (nd - pd) / nd
+        return F.when((p == 0) | (p == n), F.lit(0.0)).otherwise(
+            -(q * F.log(q) + r * F.log(r))
+        )
+
+    pl = (F.col("r_ref")).cast("bigint")
+    nl = (F.col("r_ref") + F.col("r_cur")).cast("bigint")
+    p, n = F.lit(n_pos).cast("bigint"), F.lit(n_tot).cast("bigint")
+    nld, nd = nl.cast("double"), n.cast("double")
+    gain = (
+        h(p, n)
+        - (nld / nd) * h(pl, nl)
+        - ((nd - nld) / nd) * h(p - pl, n - nl)
+    )
+    gains = (
+        cdfs.filter(nl < n)
+        .select(
+            F.col("v").alias("threshold"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            F.floor(gain * F.lit(1000000000000)).cast("bigint").alias("gain12"),
+        )
+    )
+    best = gains.agg(
+        F.min(
+            F.struct((-F.col("gain12")).alias("ng"), F.col("threshold").alias("t"))
+        ).alias("b")
+    )
+    return gains.crossJoin(F.broadcast(best)).select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "gain12",
+        (
+            (F.col("gain12") == -F.col("b.ng"))
+            & (F.col("threshold") == F.col("b.t"))
+        ).alias("is_best"),
+    )

@@ -1352,3 +1352,184 @@ def graph_personalized_pagerank(
     return ranks.filter(F.col("rank") != 0).select(
         "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_edges_sql(TRI_MAX_USER)
+    + """
+    , tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+               FROM member GROUP BY node),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+             AS local_cc
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GR2' — local clustering coefficient per node: the fraction of a
+    node's neighbor pairs that are themselves connected, lcc(v) =
+    2·T(v) / (deg(v)·(deg(v)−1)) — the community-tightness signal that
+    separates organic neighborhoods (high lcc) from hub spam (high
+    degree, near-zero lcc), complementing ``graph_triangle_count``'s raw
+    counts with the degree-normalized form analysts actually threshold.
+    Triangle participation reuses the ordered edge-join
+    (:func:`triangle_counts`); degrees come from one edge-list roll-up;
+    zero-triangle nodes survive via left join (lcc 0), degree-1 nodes
+    are excluded (undefined denominator). Integer numerator and
+    denominator, one double division through the same tree both engines.
+
+    Scale shape: identical to triangle counting (two endpoint-keyed
+    shuffle joins, the per-node work bounded by neighborhood size) plus
+    a degree aggregate — no new hazard class; the same ``max_user``
+    deterministic cap pins the wedge count at large SFs."""
+    e = cooccurrence_edges(spark, sf_dir, max_user=TRI_MAX_USER).localCheckpoint(
+        eager=True
+    )
+    return local_clustering_coefficients(e)
+
+
+def local_clustering_coefficients(e: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles, local_cc) over an oriented (u < v)
+    edge DataFrame — the library form the Engine facade exposes;
+    ``graph_clustering_coefficient`` is its registered oracle-checked
+    instance (the facade-parity single-source rule)."""
+    tcount = triangle_counts(e).withColumnRenamed("n_triangles", "t")
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            "degree",
+            t.alias("n_triangles"),
+            F.round(
+                (2 * t).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("local_cc"),
+        )
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_edges_sql()
+    + """
+    , deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    sym AS (
+        SELECT u AS s, v AS t FROM edges
+        UNION ALL
+        SELECT v AS s, u AS t FROM edges
+    ),
+    pairs AS (
+        SELECT ds.d AS j, dt.d AS k
+        FROM sym JOIN deg ds ON ds.node = sym.s
+                 JOIN deg dt ON dt.node = sym.t
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(j) AS BIGINT) AS sj,
+               CAST(SUM(k) AS BIGINT) AS sk,
+               CAST(SUM(j * k) AS BIGINT) AS sjk,
+               CAST(SUM(j * j) AS BIGINT) AS sjj,
+               CAST(SUM(k * k) AS BIGINT) AS skk
+        FROM pairs
+    )
+    SELECT m // 2 AS n_edges,
+           ROUND((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                  - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                 / (SQRT(CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                         - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                    * SQRT(CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                           - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))),
+                 6) AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GR1' — Newman degree assortativity of the co-occurrence graph:
+    the Pearson correlation of endpoint degrees over the symmetrized
+    edge list — positive r means hubs attach to hubs (social/citation
+    shape), negative means hubs fan out to leaves (infrastructure /
+    spam-hub shape); the one-number complement to
+    ``graph_degree_hist``'s full distribution and the degree-mixing
+    diagnostic run before any community detection. Each undirected edge
+    contributes both orientations (the standard symmetric estimator),
+    so j- and k-marginals coincide and r is orientation-free. Degree
+    joins and all five moment sums are BIGINT-exact; the final Pearson
+    is one fixed IEEE tree (two separate SQRTs — their argument product
+    overflows int64 at web scale).
+
+    Scale shape: one degree aggregate + two node-keyed joins decorating
+    the edge list + one global moment roll-up (map-side combined to a
+    single row). No quadratic stage at any size; skewed hubs only skew
+    the degree-join partitions, the same hazard PageRank already
+    carries (AQE splits them)."""
+    e = cooccurrence_edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    pairs = (
+        sym.join(deg.withColumnRenamed("node", "s").withColumnRenamed("d", "j"), "s")
+        .join(deg.withColumnRenamed("node", "t").withColumnRenamed("d", "k"), "t")
+        .select("j", "k")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    md = F.col("m").cast("double")
+    r = (md * F.col("sjk").cast("double") - F.col("sj").cast("double") * F.col("sk").cast("double")) / (
+        F.sqrt(md * F.col("sjj").cast("double") - F.col("sj").cast("double") * F.col("sj").cast("double"))
+        * F.sqrt(md * F.col("skk").cast("double") - F.col("sk").cast("double") * F.col("sk").cast("double"))
+    )
+    return sums.select(
+        F.expr("m div 2").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

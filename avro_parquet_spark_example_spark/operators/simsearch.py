@@ -1951,11 +1951,17 @@ def scaled_anchor_count(
     """The √corpus production dial for the IVF coarse quantizer, as code
     (VERDICT r10 task #3): anchors grow with the square root of the
     corpus, normalized so a reference corpus size keeps its reference
-    anchor count. With cells staying ~uniform this keeps per-cell size
-    ∝ √corpus, so the cell equi-join's candidate count — Σ|cell|²·nprobe
-    ≈ corpus²·nprobe/anchors — grows LINEARLY in the corpus instead of
-    quadratically (the fixed-anchor caveat SCALING.md r10 recorded).
-    Exercised at a genuine 10× corpus in tools/scaleup_r9b.py."""
+    anchor count. For a FLAT two-level quantizer this is the balanced
+    optimum, not a linearizer: graph-build work = n·anchors (assignment)
+    + nprobe·n²/anchors (candidate scoring) is minimized at anchors ∝
+    √n, where BOTH terms — and the candidate-pair count — grow as
+    Θ(n^1.5). Measured at a genuine 10× corpus (tools/scaleup_r9b.py):
+    candidates ×32 ≈ 10^1.5, exactly the theory line, vs ~×100 for the
+    r10 fixed-anchor caveat. Making candidates truly LINEAR needs
+    constant-size cells (anchors ∝ n), which a flat quantizer can't
+    afford (the assignment scan itself turns quadratic) — that tier is a
+    hierarchical/trained coarse quantizer, named here as the boundary of
+    this operator's design."""
     if pool_rows <= 0 or ref_rows <= 0:
         raise ValueError("row counts must be positive")
     return max(1, round(ref_anchors * math.sqrt(pool_rows / ref_rows)))
@@ -2491,4 +2497,182 @@ def vec_top2_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w").alias("direction"),
             )
         )
+    )
+
+
+#: Shared oracle CTEs for the nearest-centroid family: fixed-point
+#: elements, integer-quantized per-label centroids, exact BIGINT
+#: distances, and the label-asc argmin pick. ``vec_nearest_centroid_assign``
+#: appends the confusion roll-up; ``eval_cohens_kappa`` appends the
+#: chance-corrected agreement computation.
+_NCA_CTES = """
+    WITH fixed AS (
+        SELECT vec_id, label AS true_label, r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    cent AS (
+        SELECT true_label AS clabel, pos,
+               CAST(FLOOR(CAST(SUM(v7) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c7
+        FROM fixed GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT f.vec_id, f.true_label, c.clabel,
+               CAST(SUM((f.v7 - c.c7) * (f.v7 - c.c7)) AS BIGINT) AS dist
+        FROM fixed f JOIN cent c ON c.pos = f.pos
+        GROUP BY 1, 2, 3
+    ),
+    pick AS (
+        SELECT vec_id, true_label, clabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist, clabel
+               ) AS rn
+        FROM d2
+    )
+"""
+
+
+@register(
+    "vec_nearest_centroid_assign",
+    oracle=_NCA_CTES
+    + """
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(clabel AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pick WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def vec_nearest_centroid_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H3b' — nearest-centroid classification audit: assign every vector
+    to its closest per-label centroid (Rocchio / nearest-class-mean, the
+    one-pass classifier embedding pipelines use to sanity-check label
+    quality) and emit the confusion matrix (true_label, pred_label, n).
+    Exactness machinery: elements fixed-point to v7 BIGINTs (the
+    ``vec_centroid_per_label`` rule), centroids quantized once to integer
+    c7 = floor(sum/count) through a single double division (correctly
+    rounded, identical both engines), distances as pure BIGINT
+    sums-of-squares, argmin with a label-asc tiebreak.
+
+    Scale shape: ALL-distributed — posexplode to (vec, dim, v7), one
+    (label, dim)-keyed centroid aggregate, a broadcast join on dim
+    fanning each element to |labels| candidates, a map-side-combined
+    (vec, label) distance roll-up, a per-vec argmin window over |labels|
+    rows, and a |labels|² confusion roll-up. No driver collect, no
+    all-pairs; with 10³ labels the fan-out stage switches to the
+    flat-literal codegen distances (``pq_encode`` convention) — the
+    dial is explicit, the default favors zero driver state."""
+    e = load(spark, sf_dir, "embeddings")
+    fixed = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("true_label"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    cent = fixed.groupBy(
+        F.col("true_label").alias("clabel"), "pos"
+    ).agg(
+        F.floor(F.sum("v7").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("c7")
+    )
+    diff = F.col("v7") - F.col("c7")
+    d2 = (
+        fixed.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "true_label", "clabel")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=_NCA_CTES
+    + """
+    , conf AS (
+        SELECT true_label AS t, clabel AS p, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pick WHERE rn = 1
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT)
+                 AS diag
+        FROM conf
+    ),
+    chance AS (
+        SELECT CAST(SUM(rc.r * pc.p) AS BIGINT) AS rc
+        FROM (SELECT t AS l, CAST(SUM(c) AS BIGINT) AS r
+              FROM conf GROUP BY t) rc
+        JOIN (SELECT p AS l, CAST(SUM(c) AS BIGINT) AS p
+              FROM conf GROUP BY p) pc ON pc.l = rc.l
+    )
+    SELECT m.n, m.diag,
+           ROUND(CAST(m.n AS DOUBLE) * CAST(m.diag AS DOUBLE)
+                 / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)), 6)
+             AS observed_agreement,
+           ROUND((CAST(m.n AS DOUBLE) * CAST(m.diag AS DOUBLE)
+                  - CAST(c.rc AS DOUBLE))
+                 / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                    - CAST(c.rc AS DOUBLE)), 6) AS kappa
+    FROM marg m CROSS JOIN chance c
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — Cohen's kappa of the nearest-centroid classifier against the
+    true labels: chance-corrected agreement κ = (p_o − p_e)/(1 − p_e),
+    the label-quality metric annotation pipelines report where raw
+    accuracy misleads (a 10-class 37%-accurate classifier is far above
+    its ~11% chance line; κ makes that one number). Computed entirely in
+    integers from the ``vec_nearest_centroid_assign`` confusion matrix:
+    with diag = Σ agreements and rc = Σ_l row_l·col_l, κ = (n·diag −
+    rc)/(n² − rc) — one double division at the end, no float sums to
+    drift (labels here are the two "raters": truth vs centroid).
+
+    Scale shape: everything through the confusion matrix is the assign
+    query's plan; kappa adds |labels|-row marginal aggregates and a
+    1×1 cross join. The pattern generalizes to any two categorical
+    columns — truth vs any model's prediction column."""
+    conf = vec_nearest_centroid_assign(spark, sf_dir)
+    marg = conf.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("diag"),
+    )
+    rows = conf.groupBy(F.col("true_label").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    cols = conf.groupBy(F.col("pred_label").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("p")
+    )
+    chance = (
+        rows.join(cols, "l")
+        .agg(F.sum(F.col("r") * F.col("p")).cast("bigint").alias("rc"))
+    )
+    nd = F.col("n").cast("double")
+    diagd = F.col("diag").cast("double")
+    rcd = F.col("rc").cast("double")
+    return marg.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "diag",
+        F.round(nd * diagd / (nd * nd), 6).alias("observed_agreement"),
+        F.round((nd * diagd - rcd) / (nd * nd - rcd), 6).alias("kappa"),
     )

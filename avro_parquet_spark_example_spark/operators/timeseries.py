@@ -2351,3 +2351,130 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.trd").alias("trend_micro"),
         F.col("r.sea").alias("season_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector (round 11) — exact fixed-point fold
+
+#: Micro-unit scale for the CUSUM statistic (counts ×1e6).
+_CUSUM_S = 1_000_000
+
+
+@register(
+    "ts_cusum_drift",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rn
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) * {_CUSUM_S} // COUNT(*) AS BIGINT) AS mu6
+        FROM daily GROUP BY 1
+    ),
+    rec AS (
+        SELECT i.event_type, i.rn,
+               GREATEST(CAST(0 AS BIGINT), i.n * {_CUSUM_S} - s.mu6) AS cs,
+               GREATEST(CAST(0 AS BIGINT), i.n * {_CUSUM_S} - s.mu6)
+                 AS best,
+               i.day AS bestday
+        FROM idx i JOIN stats s ON s.event_type = i.event_type
+        WHERE i.rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn,
+               GREATEST(CAST(0 AS BIGINT),
+                        r.cs + i.n * {_CUSUM_S} - s.mu6),
+               CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                  r.cs + i.n * {_CUSUM_S} - s.mu6) > r.best
+                    THEN GREATEST(CAST(0 AS BIGINT),
+                                  r.cs + i.n * {_CUSUM_S} - s.mu6)
+                    ELSE r.best END,
+               CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                  r.cs + i.n * {_CUSUM_S} - s.mu6) > r.best
+                    THEN i.day ELSE r.bestday END
+        FROM idx i
+        JOIN rec r ON r.event_type = i.event_type AND i.rn = r.rn + 1
+        JOIN stats s ON s.event_type = i.event_type
+    )
+    SELECT r.event_type, s.n_days,
+           ROUND(CAST(r.best AS DOUBLE) / {_CUSUM_S}, 6) AS cusum_max,
+           r.bestday AS peak_day
+    FROM rec r
+    JOIN stats s ON s.event_type = r.event_type AND r.rn = s.n_days
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — one-sided CUSUM drift detector per event type, EXACT: the
+    classic Page cumulative-sum statistic S_t = max(0, S_{{t-1}} + x_t − μ)
+    over the daily volume grid, reporting each type's maximum excursion
+    and the FIRST day it peaks — the change-detection primitive that
+    fires on sustained drifts ``ts_anomaly_zscore``'s pointwise test
+    misses (ten days each +1σ never trip a 2σ z-test but accumulate in
+    CUSUM). μ is the type's whole-series daily mean in micro-units
+    (positive integer floor-division — trunc and floor agree, no sign
+    wrap needed); the recursion folds in BIGINT micro-units with a
+    strictly-greater peak update (earliest-peak tiebreak), so the
+    sequential state is bit-identical to the oracle's recursive CTE.
+
+    Scale shape: the ``ts_holt_linear`` pattern — the corpus stage is
+    ONE map-side-combined (type, day) count; the fold runs per key over
+    day-grid-sized arrays (hundreds of entries), cross-key parallel,
+    zero driver state. Production tuning adds a slack k and a restart
+    log; both are constants inside the same fold."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(f"CAST(sum(n) * {_CUSUM_S} div count(*) AS BIGINT)").alias(
+            "mu6"
+        ),
+    )
+    grids = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "n"))).alias("g"))
+        .join(stats, "event_type")
+    )
+    folded = grids.withColumn(
+        "out",
+        F.expr(
+            f"""
+            aggregate(
+                g,
+                struct(CAST(0 AS BIGINT) AS cs,
+                       CAST(-1 AS BIGINT) AS best,
+                       CAST(NULL AS DATE) AS bestday),
+                (acc, x) -> struct(
+                    GREATEST(CAST(0 AS BIGINT),
+                             acc.cs + x.n * {_CUSUM_S} - mu6) AS cs,
+                    CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                       acc.cs + x.n * {_CUSUM_S} - mu6)
+                              > acc.best
+                         THEN GREATEST(CAST(0 AS BIGINT),
+                                       acc.cs + x.n * {_CUSUM_S} - mu6)
+                         ELSE acc.best END AS best,
+                    CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                       acc.cs + x.n * {_CUSUM_S} - mu6)
+                              > acc.best
+                         THEN x.day ELSE acc.bestday END AS bestday
+                )
+            )
+            """
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("out.best").cast("double") / _CUSUM_S, 6).alias(
+            "cusum_max"
+        ),
+        F.col("out.bestday").alias("peak_day"),
+    )

@@ -74,6 +74,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_drift_jsd": "broadcast 1-row period-totals cross join (the dq_drift_psi plan verbatim)",
         "graph_hits_bipartite": "broadcast 1-row max normalizer cross join per half-round (r10: normalization is lazy on the checkpointed raw aggregate, so the final plan now SHOWS the cross joins the r9 eager-checkpoint shape hid behind LogicalRDD)",
         "vec_cluster_silhouette_sampled": "md5-sampled ~25% pool all-pairs (id<> theta join — the sample IS the bound; exact arithmetic shared with the capped demo)",
+        "eval_cohens_kappa": "broadcast 1-row chance-agreement cross join",
+        "ml_decision_stump": "broadcast 1-row argmax (best-split) cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

@@ -366,3 +366,45 @@ def test_engine_round10_facade_parity(spark, sf_dir):
         )
     )
     assert got_b == want_b
+
+
+def test_engine_round11_facade_parity(spark, sf_dir):
+    """The r11 facade methods return the same results as the registered
+    queries they wrap (the facade-parity single-source rule):
+    kcenter_seeds == cluster_kcenter_greedy, clustering_coefficients on
+    the capped co-occurrence edges == graph_clustering_coefficient."""
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.operators.graph import (
+        TRI_MAX_USER,
+        cooccurrence_edges,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    got_k = sorted(
+        map(
+            tuple,
+            eng.kcenter_seeds(load(spark, sf_dir, "embeddings")).collect(),
+        )
+    )
+    want_k = sorted(
+        map(
+            tuple,
+            get_query("cluster_kcenter_greedy").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got_k == want_k
+
+    edges = cooccurrence_edges(spark, sf_dir, max_user=TRI_MAX_USER)
+    got_c = sorted(map(tuple, eng.clustering_coefficients(edges).collect()))
+    want_c = sorted(
+        map(
+            tuple,
+            get_query("graph_clustering_coefficient")
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert got_c == want_c

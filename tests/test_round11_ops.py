@@ -140,3 +140,380 @@ def test_ivf_candidates_feed_the_graph(spark, sf_dir):
     for r in graph_rows:
         per_src.setdefault(r["src"], []).append(r["rnk"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registered queries: Python ground-truth pins (FIXTURES.md model —
+# the oracle pins cross-engine equality; these pin the MATH against an
+# independent plain-Python recompute on the sf0.001 fixture).
+
+import math
+
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def _lineitem_cells(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    cells = {}
+    for r in li:
+        k = (r.l_returnflag, r.l_quantity, r.l_discount)
+        cells[k] = cells.get(k, 0) + 1
+    return cells
+
+
+def test_spearman_matches_python_reference(spark, sf_dir):
+    rows = {
+        r.l_returnflag: r
+        for r in get_query("agg_spearman_rank_corr").fn(spark, sf_dir).collect()
+    }
+    cells = _lineitem_cells(spark, sf_dir)
+    grps = {g for g, _, _ in cells}
+    for g in grps:
+        sub = {(x, y): f for (gg, x, y), f in cells.items() if gg == g}
+        n = sum(sub.values())
+
+        def avg_rank_map(axis):
+            marg = {}
+            for (x, y), f in sub.items():
+                v = x if axis == 0 else y
+                marg[v] = marg.get(v, 0) + f
+            out, cum = {}, 0
+            for v in sorted(marg):
+                out[v] = cum + (marg[v] + 1) / 2  # average rank
+                cum += marg[v]
+            return out
+
+        rx, ry = avg_rank_map(0), avg_rank_map(1)
+        sx = sum(f * rx[x] for (x, y), f in sub.items())
+        sy = sum(f * ry[y] for (x, y), f in sub.items())
+        sxx = sum(f * rx[x] ** 2 for (x, y), f in sub.items())
+        syy = sum(f * ry[y] ** 2 for (x, y), f in sub.items())
+        sxy = sum(f * rx[x] * ry[y] for (x, y), f in sub.items())
+        rho = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert rows[g].n == n
+        assert abs(rows[g].spearman_rho - rho) < 1e-5
+        assert -1.0 <= rows[g].spearman_rho <= 1.0
+
+
+def test_kendall_matches_python_reference(spark, sf_dir):
+    rows = {
+        r.l_returnflag: r
+        for r in get_query("agg_kendall_tau_b").fn(spark, sf_dir).collect()
+    }
+    cells = _lineitem_cells(spark, sf_dir)
+    grps = {g for g, _, _ in cells}
+    for g in grps:
+        sub = {(x, y): f for (gg, x, y), f in cells.items() if gg == g}
+        n = sum(sub.values())
+        items = list(sub.items())
+        c = d = 0
+        for (xa, ya), fa in items:
+            for (xb, yb), fb in items:
+                if xb < xa and yb < ya:
+                    c += fa * fb
+                elif xb < xa and yb > ya:
+                    d += fa * fb
+        tx, ty = {}, {}
+        for (x, y), f in sub.items():
+            tx[x] = tx.get(x, 0) + f
+            ty[y] = ty.get(y, 0) + f
+        n0 = n * (n - 1) // 2
+        n1 = sum(t * (t - 1) // 2 for t in tx.values())
+        n2 = sum(t * (t - 1) // 2 for t in ty.values())
+        tau = (c - d) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+        assert rows[g].n == n
+        assert abs(rows[g].kendall_tau_b - tau) < 1e-5
+        assert -1.0 <= rows[g].kendall_tau_b <= 1.0
+
+
+def test_mutual_information_matches_python_reference(spark, sf_dir):
+    got = {
+        r.yr: r
+        for r in get_query("agg_mutual_information").fn(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    by_yr = {}
+    for r in o:
+        by_yr.setdefault(r.o_orderdate.year, []).append(
+            (r.o_orderpriority, r.o_orderstatus)
+        )
+    for yr, pairs in by_yr.items():
+        n = len(pairs)
+        cxy, cx, cy = {}, {}, {}
+        for x, y in pairs:
+            cxy[(x, y)] = cxy.get((x, y), 0) + 1
+            cx[x] = cx.get(x, 0) + 1
+            cy[y] = cy.get(y, 0) + 1
+        mi = sum(
+            (f / n) * math.log(f * n / (cx[x] * cy[y]))
+            for (x, y), f in cxy.items()
+        )
+        assert got[yr].n == n
+        assert abs(got[yr].mi_nats - mi) < 1e-5
+        assert got[yr].mi_nats >= -1e-9  # MI is non-negative
+
+
+def test_clustering_coefficient_matches_python_reference(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.graph import (
+        TRI_MAX_USER,
+        cooccurrence_edges,
+    )
+
+    edges = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(
+            spark, sf_dir, max_user=TRI_MAX_USER
+        ).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        r.node: r
+        for r in get_query("graph_clustering_coefficient")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    expect_nodes = {v for v, ns in adj.items() if len(ns) >= 2}
+    assert set(got) == expect_nodes
+    for v in expect_nodes:
+        ns = sorted(adj[v])
+        t = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if ns[j] in adj[ns[i]]
+        )
+        d = len(ns)
+        assert got[v].degree == d and got[v].n_triangles == t
+        assert abs(got[v].local_cc - round(2 * t / (d * (d - 1)), 6)) < 1e-9
+
+
+def test_nearest_centroid_matches_python_reference(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: (
+            r.label,
+            [math.floor(float(v) * 10000000) for v in r.embedding],
+        )
+        for r in em
+    }
+    sums, cnts = {}, {}
+    for lbl, v7 in vecs.values():
+        cnts[lbl] = cnts.get(lbl, 0) + 1
+        if lbl not in sums:
+            sums[lbl] = [0] * len(v7)
+        for i, x in enumerate(v7):
+            sums[lbl][i] += x
+    cents = {
+        lbl: [math.floor(s / cnts[lbl]) for s in sv]
+        for lbl, sv in sums.items()
+    }
+    conf = {}
+    for lbl, v7 in vecs.values():
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(v7, c)), cl)
+            for cl, c in cents.items()
+        )[1]
+        conf[(lbl, best)] = conf.get((lbl, best), 0) + 1
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in get_query("vec_nearest_centroid_assign")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == conf
+    # the fixture's labels are noisy, not separated — but the classifier
+    # must still beat random assignment by a wide margin (10 labels →
+    # random diagonal ~10%; the fixture measures ~37%)
+    diag = sum(n for (t, p), n in conf.items() if t == p)
+    n_labels = len({t for t, _ in conf} | {p for _, p in conf})
+    assert diag > 2 * sum(conf.values()) // n_labels
+
+
+def test_quality_pick_matches_python_reference(spark, sf_dir):
+    comp = {
+        r.doc_id: r.component
+        for r in get_query("dedup_cluster_cc").fn(spark, sf_dir).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 150")
+        .collect()
+    }
+    clusters = {}
+    for doc, c in comp.items():
+        clusters.setdefault(c, []).append(doc)
+    want = {}
+    for c, docs in clusters.items():
+        best = min(docs, key=lambda d: (-chars[d], d))
+        want[c] = (best, chars[best], len(docs))
+    got = {
+        r.component: (r.kept_doc_id, r.kept_chars, r.n_members)
+        for r in get_query("dedup_cluster_quality_pick")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the pick is a strict improvement policy: every kept doc has the max
+    # length within its cluster
+    for c, (kept, kc, _) in got.items():
+        assert kc == max(chars[d] for d in clusters[c])
+
+
+def test_cusum_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.n))
+    got = {
+        r.event_type: r
+        for r in get_query("ts_cusum_drift").fn(spark, sf_dir).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        total = sum(n for _, n in pts)
+        mu6 = total * 1_000_000 // len(pts)
+        s, best, bestday = 0, -1, None
+        for day, n in pts:
+            s = max(0, s + n * 1_000_000 - mu6)
+            if s > best:
+                best, bestday = s, day
+        assert got[et].n_days == len(pts)
+        assert abs(got[et].cusum_max - round(best / 1e6, 6)) < 1e-9
+        assert got[et].peak_day == bestday
+
+
+def test_assortativity_matches_python_reference(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    edges = [(r.u, r.v) for r in cooccurrence_edges(spark, sf_dir).collect()]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    js, ks = [], []
+    for u, v in edges:
+        js += [deg[u], deg[v]]
+        ks += [deg[v], deg[u]]
+    m = len(js)
+    sj, sk = sum(js), sum(ks)
+    sjk = sum(a * b for a, b in zip(js, ks))
+    sjj = sum(a * a for a in js)
+    skk = sum(b * b for b in ks)
+    r = (m * sjk - sj * sk) / (
+        math.sqrt(m * sjj - sj * sj) * math.sqrt(m * skk - sk * sk)
+    )
+    row = get_query("graph_degree_assortativity").fn(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert abs(row.assortativity - r) < 1e-5
+    assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_cohens_kappa_matches_python_reference(spark, sf_dir):
+    conf = {
+        (r.true_label, r.pred_label): r.n
+        for r in get_query("vec_nearest_centroid_assign")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    n = sum(conf.values())
+    diag = sum(v for (t, p), v in conf.items() if t == p)
+    rows, cols = {}, {}
+    for (t, p), v in conf.items():
+        rows[t] = rows.get(t, 0) + v
+        cols[p] = cols.get(p, 0) + v
+    rc = sum(rows[l] * cols.get(l, 0) for l in rows)
+    kappa = (n * diag - rc) / (n * n - rc)
+    got = get_query("eval_cohens_kappa").fn(spark, sf_dir).collect()[0]
+    assert (got.n, got.diag) == (n, diag)
+    assert abs(got.kappa - round(kappa, 6)) < 1e-9
+    assert abs(got.observed_agreement - round(diag / n, 6)) < 1e-9
+    # kappa strictly below raw agreement (chance is nonzero)
+    assert got.kappa < got.observed_agreement
+
+
+def test_kcenter_matches_python_reference(spark, sf_dir):
+    from avro_parquet_spark_example_spark.operators.clustering import (
+        KCENTER_K,
+    )
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [math.floor(float(v) * 10000000) for v in r.embedding]
+        for r in em
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    first = min(vecs)
+    chosen = [(1, first, 0)]
+    dist = {vid: d2(v, vecs[first]) for vid, v in vecs.items()}
+    for i in range(2, KCENTER_K + 1):
+        nxt = min(vecs, key=lambda vid: (-dist[vid], vid))
+        chosen.append((i, nxt, dist[nxt]))
+        for vid, v in vecs.items():
+            dist[vid] = min(dist[vid], d2(v, vecs[nxt]))
+    got = sorted(
+        (r.sel_rank, r.vec_id, r.radius7)
+        for r in get_query("cluster_kcenter_greedy").fn(spark, sf_dir).collect()
+    )
+    assert got == chosen
+    # covering radius is non-increasing across picks
+    radii = [r for _, _, r in chosen[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_decision_stump_matches_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per = {}
+    for r in li:
+        pos, tot = per.get(r.l_discount, (0, 0))
+        per[r.l_discount] = (pos + (r.l_returnflag == "R"), tot + 1)
+    p = sum(a for a, _ in per.values())
+    n = sum(b for _, b in per.values())
+
+    def h(pp, nn):
+        if pp == 0 or pp == nn:
+            return 0.0
+        q, r_ = pp / nn, (nn - pp) / nn
+        return -(q * math.log(q) + r_ * math.log(r_))
+
+    want = {}
+    pl = nl = 0
+    for v in sorted(per):
+        pl += per[v][0]
+        nl += per[v][1]
+        if nl == n:
+            continue
+        gain = h(p, n) - (nl / n) * h(pl, nl) - ((n - nl) / n) * h(
+            p - pl, n - nl
+        )
+        want[v] = (nl, pl, math.floor(gain * 1e12))
+    got = {
+        r.threshold: (r.n_left, r.pos_left, r.gain12)
+        for r in get_query("ml_decision_stump").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    best_rows = [
+        r
+        for r in get_query("ml_decision_stump").fn(spark, sf_dir).collect()
+        if r.is_best
+    ]
+    assert len(best_rows) == 1
+    expect_best = min(want, key=lambda v: (-want[v][2], v))
+    assert best_rows[0].threshold == expect_best

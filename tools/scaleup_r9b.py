@@ -153,9 +153,12 @@ def _bipartite_project_full(spark, sf_dir: str):
 def _ivf_scaled_anchors_leg(spark, base: str, big: str) -> None:
     """The √corpus anchor dial, measured (VERDICT r10 task #3): at 10×
     corpus the anchors scale 8 → 25 (≈ 8·√10) via
-    ``scaled_anchor_count``, and the CANDIDATE-PAIR count — the quantity
-    the dial controls — must stay ~linear in the corpus (the fixed-
-    anchor r10 caveat measured candidates ~100× at 10×)."""
+    ``scaled_anchor_count``. For a flat two-level quantizer the dial's
+    theoretical candidate growth is Θ(corpus^1.5) — the balanced optimum
+    of assignment (n·anchors) vs scoring (nprobe·n²/anchors) — so the
+    pass line is ~corpus_ratio^1.5 (≈31.6× at 10×), against ~100× for
+    the r10 fixed-anchor caveat; truly linear candidates need a
+    hierarchical quantizer (anchors ∝ n), outside this operator."""
     import math
 
     from avro_parquet_spark_example_spark.operators.simsearch import (
@@ -178,18 +181,22 @@ def _ivf_scaled_anchors_leg(spark, base: str, big: str) -> None:
     )
     corpus_ratio = n10 / n1
     cand_ratio = c10 / c1
+    theory = corpus_ratio**1.5
     print(
         f"vec_knn_graph_ivf_scaled_anchors: anchors {a1}->{a10} "
         f"(sqrt-corpus dial), corpus {n1}->{n10} ({corpus_ratio:.1f}x), "
-        f"candidates {c1}->{c10} ({cand_ratio:.1f}x vs corpus "
-        f"{corpus_ratio:.1f}x), wall 1x {t1:.2f}s ({r1} rows) | "
+        f"candidates {c1}->{c10} ({cand_ratio:.1f}x; theory "
+        f"corpus^1.5 = {theory:.1f}x, fixed-anchor would be "
+        f"~{corpus_ratio**2:.0f}x), wall 1x {t1:.2f}s ({r1} rows) | "
         f"{FACTOR}x {t10:.2f}s ({r10} rows) | ratio {t10 / max(t1, 1e-9):.1f}x"
     )
-    # ~linear: allow 2x slack for cell-occupancy skew of the id-prefix
-    # anchors; the fixed-anchor failure mode this guards against is ~10x.
-    assert cand_ratio <= 2.0 * corpus_ratio, (
+    # the flat-quantizer balanced-dial line is corpus^1.5; allow 1.5x
+    # slack for cell-occupancy skew of the id-prefix anchors. The
+    # failure mode this guards against (fixed anchors) is corpus^2.
+    assert cand_ratio <= 1.5 * theory, (
         f"candidate pairs grew {cand_ratio:.1f}x at {corpus_ratio:.1f}x "
-        f"corpus — the sqrt-corpus dial is not holding"
+        f"corpus (theory {theory:.1f}x) — the sqrt-corpus dial is not "
+        f"holding"
     )
     assert not math.isnan(cand_ratio)
 
