@@ -1971,3 +1971,80 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("yr", "n").agg(
         F.round(F.sum("term").cast("double"), 6).alias("mi_nats")
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, l.l_suppkey AS supp,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nation, CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY nation
+    )
+    SELECT t.nation, t.n_suppliers,
+           CAST(SUM(CAST(FLOOR((CAST(r.cents AS DOUBLE) / t.total)
+                               * (CAST(r.cents AS DOUBLE) / t.total)
+                               * 1000000000000) AS BIGINT)) AS BIGINT)
+             AS hhi12,
+           ROUND(SUM(CAST(FLOOR((CAST(r.cents AS DOUBLE) / t.total)
+                                * (CAST(r.cents AS DOUBLE) / t.total)
+                                * 1000000000000) AS BIGINT))
+                 / 1000000000000.0, 6) AS hhi
+    FROM rev r JOIN tot t ON t.nation = r.nation
+    GROUP BY t.nation, t.n_suppliers
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7' — Herfindahl–Hirschman concentration of supplier revenue per
+    nation: HHI = Σ share², the antitrust-standard market-concentration
+    index that completes the engine's inequality family (Gini ranks,
+    Theil decomposes, Pareto cuts — HHI is the regulator's threshold
+    number; 1/HHI is the effective number of suppliers). Revenues are
+    exact BIGINT cent sums; each supplier's squared share is one fixed
+    IEEE expression floored to 12-decimal fixed point and dsummed as
+    BIGINT (the ``eval_pr_auc_exact`` term treatment), so the per-nation
+    roll-up is order-independent and hash-identical cross-engine.
+
+    Scale shape: one (nation, supp)-keyed map-side-combined revenue
+    aggregate over the fact table (two broadcast dim joins), one
+    nation-cardinality totals aggregate broadcast back, one roll-up —
+    the share-of-total plan (``agg_share_of_total``) with a quadratic
+    term; no stage exceeds |suppliers| rows after the first."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(su), li["l_suppkey"] == su["s_suppkey"]
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total")
+    t12 = F.floor(share * share * F.lit(1000000000000)).cast("bigint")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.sum(t12).cast("bigint").alias("hhi12"),
+            F.round(F.sum(t12) / F.lit(1000000000000.0), 6).alias("hhi"),
+        )
+    )

@@ -1476,3 +1476,103 @@ def dq_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("jsd_term"),
     )
+
+
+@register(
+    "dq_simpsons_reversal",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS segment,
+               (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_high,
+               (o_orderstatus = 'F') AS hit
+        FROM orders
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_high,
+               CAST(SUM(CASE WHEN is_high AND hit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f_high,
+               CAST(SUM(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_low,
+               CAST(SUM(CASE WHEN NOT is_high AND hit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f_low
+        FROM base GROUP BY segment
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+               CAST(SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN is_high AND hit THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT is_high AND hit THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM base
+    )
+    SELECT segment, n_high, f_high, n_low, f_low,
+           CAST(f_high * 1000000000000 // n_high AS BIGINT) AS rate_high12,
+           CAST(f_low * 1000000000000 // n_low AS BIGINT) AS rate_low12,
+           (f_high * 1000000000000 // n_high
+            > f_low * 1000000000000 // n_low) AS high_wins
+    FROM seg
+    """,
+)
+def dq_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — Simpson's-paradox audit: the completion rate
+    (o_orderstatus = 'F') of high-priority vs low-priority orders, per
+    order-year segment AND pooled (segment 0) — the aggregation-bias
+    check every metrics pipeline needs, because a pooled comparison can
+    point the OPPOSITE way from every segment when segment sizes are
+    confounded with the grouping (the classic Simpson reversal; a
+    reversal shows as pooled ``high_wins`` disagreeing with the segment
+    rows). All counts are exact integers; rates are 12-decimal
+    fixed-point INTEGER quotients (positive operands, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree), making the
+    comparison — not just the rates — hash-checkable.
+
+    Scale shape: two map-side-combined aggregations over one scan (the
+    per-segment and pooled branches), segment-cardinality output. 100 TB
+    of orders is one pass."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("bigint").alias("segment"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+        (F.col("o_orderstatus") == "F").alias("hit"),
+    )
+
+    def aggs():
+        return [
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.sum(F.when(F.col("is_high") & F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("f_high"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(~F.col("is_high") & F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("f_low"),
+        ]
+
+    seg = base.groupBy("segment").agg(*aggs())
+    pooled = base.agg(*aggs()).select(
+        F.lit(0).cast("bigint").alias("segment"),
+        "n_high",
+        "f_high",
+        "n_low",
+        "f_low",
+    )
+    out = seg.unionByName(pooled)
+    rh = F.expr("CAST(f_high * 1000000000000 div n_high AS BIGINT)")
+    rl = F.expr("CAST(f_low * 1000000000000 div n_low AS BIGINT)")
+    return out.select(
+        "segment",
+        "n_high",
+        "f_high",
+        "n_low",
+        "f_low",
+        rh.alias("rate_high12"),
+        rl.alias("rate_low12"),
+        (rh > rl).alias("high_wins"),
+    )

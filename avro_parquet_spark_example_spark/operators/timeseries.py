@@ -2478,3 +2478,66 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("out.bestday").alias("peak_day"),
     )
+
+
+@register(
+    "ts_rolling_median_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           ROUND(CAST(MEDIAN(n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ) AS DOUBLE), 1) AS med7
+    FROM daily
+    """,
+)
+def ts_rolling_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — centered 7-day rolling MEDIAN of each event type's daily
+    volume: the robust trend line (a single spike day shifts a rolling
+    mean for a week but leaves the rolling median untouched — the
+    smoother ops dashboards actually want under bursty traffic, and the
+    robust complement to ``ts_ewma``/``ts_holt_linear``'s mean-based
+    recursions). Median of a ≤7-integer window is exact (an int or an
+    int-and-a-half), so unlike running float means there is no
+    accumulation order to pin — one ROUND to 1dp aligns the render.
+
+    Scale shape: the corpus stage is the standard one map-side-combined
+    (type, day) count; the window runs over the DAY GRID partitioned by
+    type — thousands of rows per partition regardless of event volume.
+    Edge days use the window's available neighbors (ROWS frame), the
+    standard centered-window boundary convention. Spark refuses MEDIAN
+    over a window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so
+    the median comes from a sorted collect_list over the ≤7-row frame —
+    same value, still whole-stage JVM."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.sort_array(F.collect_list("n").over(w))
+    s = F.size(arr)
+    med = F.when(
+        s % 2 == 1,
+        F.element_at(arr, ((s + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(arr, (s / 2).cast("int"))
+            + F.element_at(arr, (s / 2 + 1).cast("int"))
+        ).cast("double")
+        / 2
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(med, 1).alias("med7"),
+    )

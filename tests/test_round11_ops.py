@@ -517,3 +517,94 @@ def test_decision_stump_matches_python_reference(spark, sf_dir):
     assert len(best_rows) == 1
     expect_best = min(want, key=lambda v: (-want[v][2], v))
     assert best_rows[0].threshold == expect_best
+
+
+def test_hhi_matches_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    su = {
+        r.s_suppkey: r.s_nationkey
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    }
+    na = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    rev = {}
+    for r in li:
+        key = (na[su[r.l_suppkey]], r.l_suppkey)
+        rev[key] = rev.get(key, 0) + int(round(r.l_extendedprice * 100))
+    per_nation = {}
+    for (nation, _), c in rev.items():
+        per_nation.setdefault(nation, []).append(c)
+    got = {
+        r.nation: r
+        for r in get_query("agg_hhi_concentration").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_nation)
+    for nation, cs in per_nation.items():
+        total = sum(cs)
+        hhi12 = sum(math.floor((c / total) * (c / total) * 1e12) for c in cs)
+        assert got[nation].n_suppliers == len(cs)
+        assert got[nation].hhi12 == hhi12
+        # HHI bounds: 1/n (perfect competition) .. 1 (monopoly)
+        assert 1 / len(cs) - 1e-6 <= got[nation].hhi <= 1.0
+
+
+def test_simpsons_matches_python_reference(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    seg = {}
+    for r in o:
+        high = r.o_orderpriority in ("1-URGENT", "2-HIGH")
+        hit = r.o_orderstatus == "F"
+        for s in (r.o_orderdate.year, 0):
+            c = seg.setdefault(s, [0, 0, 0, 0])
+            if high:
+                c[0] += 1
+                c[1] += hit
+            else:
+                c[2] += 1
+                c[3] += hit
+    got = {
+        r.segment: r
+        for r in get_query("dq_simpsons_reversal").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(seg)
+    for s, (nh, fh, nl, fl) in seg.items():
+        r = got[s]
+        assert (r.n_high, r.f_high, r.n_low, r.f_low) == (nh, fh, nl, fl)
+        assert r.rate_high12 == fh * 10**12 // nh
+        assert r.rate_low12 == fl * 10**12 // nl
+        assert r.high_wins == (fh * 10**12 // nh > fl * 10**12 // nl)
+
+
+def test_rolling_median_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.n))
+    got = {
+        (r.event_type, r.day): r.med7
+        for r in get_query("ts_rolling_median_trend").fn(spark, sf_dir).collect()
+    }
+    count = 0
+    for et, pts in series.items():
+        pts.sort()
+        ns = [n for _, n in pts]
+        for i, (day, _) in enumerate(pts):
+            win = sorted(ns[max(0, i - 3) : i + 4])
+            s = len(win)
+            med = (
+                float(win[s // 2])
+                if s % 2 == 1
+                else (win[s // 2 - 1] + win[s // 2]) / 2
+            )
+            assert got[(et, day)] == round(med, 1), (et, day)
+            count += 1
+    assert count == len(got)
