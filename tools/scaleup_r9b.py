@@ -57,6 +57,21 @@ OPS = [
     ("agg_theil_index", "orders (two map-side aggregates)"),
     ("eval_pr_auc_exact", "lineitem (distinct-value prefix sums)"),
     ("dq_drift_jsd", "orders (10-bucket CASE-sum)"),
+    # round-11 additions
+    ("agg_spearman_rank_corr", "lineitem (joint-matrix rank maps; matrix is domain-bounded)"),
+    ("agg_kendall_tau_b", "lineitem (matrix self-join; cells domain-bounded)"),
+    ("agg_mutual_information", "orders (|X|x|Y| cells per year)"),
+    ("agg_hhi_concentration", "lineitem (per-(nation,supp) revenue roll-up)"),
+    ("dq_simpsons_reversal", "orders (two one-scan aggregates)"),
+    ("ts_cusum_drift", "events (day-grid fold)"),
+    ("ts_rolling_median_trend", "events (day-grid window)"),
+    ("ml_decision_stump", "lineitem (distinct-value prefix sums)"),
+    ("graph_degree_assortativity", "events (UNCAPPED edge build + degree joins)"),
+    ("graph_clustering_coefficient", "control (TRI_MAX_USER node cap)"),
+    ("vec_nearest_centroid_assign", "embeddings (|labels| fan-out per element)"),
+    ("eval_cohens_kappa", "embeddings (centroid-assign plan + marginals)"),
+    ("cluster_kcenter_greedy", "embeddings (k-1 linear passes)"),
+    ("dedup_cluster_quality_pick", "control (doc_id<150 CC fixture cap)"),
 ]
 
 
