@@ -1688,11 +1688,11 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
         SELECT jm.grp,
                CAST(SUM(f) AS BIGINT) AS n,
-               CAST(SUM(f * r2x) AS BIGINT) AS sx,
-               CAST(SUM(f * r2y) AS BIGINT) AS sy,
-               CAST(SUM(f * r2x * r2x) AS BIGINT) AS sxx,
-               CAST(SUM(f * r2y * r2y) AS BIGINT) AS syy,
-               CAST(SUM(f * r2x * r2y) AS BIGINT) AS sxy
+               SUM(CAST(f AS DECIMAL(38,0)) * r2x) AS sx,
+               SUM(CAST(f AS DECIMAL(38,0)) * r2y) AS sy,
+               SUM(CAST(f AS DECIMAL(38,0)) * r2x * r2x) AS sxx,
+               SUM(CAST(f AS DECIMAL(38,0)) * r2y * r2y) AS syy,
+               SUM(CAST(f AS DECIMAL(38,0)) * r2x * r2y) AS sxy
         FROM jm
         JOIN xm ON xm.grp = jm.grp AND xm.x = jm.x
         JOIN ym ON ym.grp = jm.grp AND ym.y = jm.y
@@ -1717,9 +1717,11 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank r2 = 2·(cumulative count through the value) − count(value) + 1
     is an exact INTEGER (avoiding the half-rank rational), and Pearson on
     (r2x, r2y) equals Pearson on the average ranks by linear invariance.
-    All moment sums are f-weighted BIGINT-exact over the matrix; only the
-    final correlation expression touches doubles, through one fixed IEEE
-    tree on both engines (the dsum rule).
+    Moment sums are f-weighted DECIMAL(38,0)-exact over the matrix (the
+    f·r2² terms' SUM overflows int64 at ~6M rows/group — the 10x
+    scale-up leg caught exactly that); only the final correlation
+    expression touches doubles, through one fixed IEEE tree on both
+    engines (the dsum rule).
 
     Scale shape: one (grp, x, y)-keyed map-side-combined count, two
     value-domain window passes over domain-cardinality frames, two
@@ -1753,13 +1755,17 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = jm.join(F.broadcast(rank_map("x", "r2x")), ["grp", "x"]).join(
         F.broadcast(rank_map("y", "r2y")), ["grp", "y"]
     )
+    # moment sums in DECIMAL(38,0): the f·r2x·r2y terms pass int64 at the
+    # fixture SFs but their SUM overflows it at ~6M rows/group — caught
+    # live by the 10x scale-up leg (ARITHMETIC_OVERFLOW under ANSI mode)
+    fd = F.col("f").cast("decimal(38,0)")
     sums = joined.groupBy("grp").agg(
         F.sum("f").cast("bigint").alias("n"),
-        F.sum(F.col("f") * F.col("r2x")).cast("bigint").alias("sx"),
-        F.sum(F.col("f") * F.col("r2y")).cast("bigint").alias("sy"),
-        F.sum(F.col("f") * F.col("r2x") * F.col("r2x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("f") * F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"),
-        F.sum(F.col("f") * F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
+        F.sum(fd * F.col("r2x")).alias("sx"),
+        F.sum(fd * F.col("r2y")).alias("sy"),
+        F.sum(fd * F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(fd * F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(fd * F.col("r2x") * F.col("r2y")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     rho = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
