@@ -588,3 +588,63 @@ class Engine:
         )
 
         return local_clustering_coefficients(edges)
+
+    def spearman(
+        self, df: DataFrame, x: str, y: str, group: str
+    ) -> DataFrame:
+        """(grp, n, spearman_rho) — exact average-rank Spearman
+        correlation of two bounded-domain columns per group
+        (operators/aggregates.py; quantize continuous columns first)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            spearman_rho,
+        )
+
+        return spearman_rho(df, x=x, y=y, group=group)
+
+    def kendall(
+        self, df: DataFrame, x: str, y: str, group: str
+    ) -> DataFrame:
+        """(grp, n, kendall_tau_b) — exact tie-corrected Kendall tau-b of
+        two bounded-domain columns per group (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            kendall_tau_b,
+        )
+
+        return kendall_tau_b(df, x=x, y=y, group=group)
+
+    def mutual_information(
+        self, df: DataFrame, x: str, y: str, segment: str
+    ) -> DataFrame:
+        """(seg, n, mi_nats) — exact categorical mutual information per
+        segment (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            mutual_information,
+        )
+
+        return mutual_information(df, x=x, y=y, segment=segment)
+
+    def hhi(self, df: DataFrame, group: str, amount: str) -> DataFrame:
+        """(group, n_members, hhi12, hhi) — Herfindahl–Hirschman
+        concentration over per-member exact integer amounts
+        (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            hhi_index,
+        )
+
+        return hhi_index(df, group=group, amount=amount)
+
+    def decision_stump(
+        self, df: DataFrame, feature: str, target: str
+    ) -> DataFrame:
+        """(threshold, n_left, pos_left, gain12, is_best) — exact
+        information-gain split search of a bounded-domain feature against
+        a boolean target column (operators/features.py)."""
+        from avro_parquet_spark_example_spark.operators.features import (
+            decision_stump,
+        )
+
+        return decision_stump(
+            df.select(
+                F.col(feature).alias("v"), F.col(target).alias("is_ref")
+            )
+        )

@@ -1731,11 +1731,28 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     value domains. Continuous columns would first pass through a shared
     quantization (the eval_pr_auc distinct-value precedent)."""
     li = load(spark, sf_dir, "lineitem")
-    jm = li.groupBy(
-        F.col("l_returnflag").alias("grp"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_discount").alias("y"),
+    return spearman_rho(
+        li, x="l_quantity", y="l_discount", group="l_returnflag"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def _joint_matrix(df: DataFrame, x: str, y: str, group: str) -> DataFrame:
+    """(grp, x, y, f) joint frequency matrix — the shared substrate of the
+    rank-correlation family (both statistics are functions of it)."""
+    return df.groupBy(
+        F.col(group).alias("grp"), F.col(x).alias("x"), F.col(y).alias("y")
     ).agg(F.count(F.lit(1)).alias("f"))
+
+
+def spearman_rho(
+    df: DataFrame, x: str, y: str, group: str
+) -> DataFrame:
+    """(grp, n, spearman_rho) over arbitrary columns — the library form
+    the Engine facade exposes; ``agg_spearman_rank_corr`` is its
+    registered oracle-checked instance (facade-parity single-source
+    rule). Columns must have bounded distinct domains (quantize
+    continuous ones first)."""
+    jm = _joint_matrix(df, x, y, group)
 
     def rank_map(col: str, out: str) -> DataFrame:
         per_val = jm.groupBy("grp", col).agg(F.sum("f").alias("cf"))
@@ -1773,7 +1790,7 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     )
     return sums.select(
-        F.col("grp").alias("l_returnflag"),
+        "grp",
         "n",
         F.round(rho, 6).alias("spearman_rho"),
     )
@@ -1842,11 +1859,20 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix first (that changes the statistic's granularity, not its
     exactness — the standard trade for streaming Kendall)."""
     li = load(spark, sf_dir, "lineitem")
-    jm = li.groupBy(
-        F.col("l_returnflag").alias("grp"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_discount").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("f"))
+    return kendall_tau_b(
+        li, x="l_quantity", y="l_discount", group="l_returnflag"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def kendall_tau_b(
+    df: DataFrame, x: str, y: str, group: str
+) -> DataFrame:
+    """(grp, n, kendall_tau_b) over arbitrary columns — the library form
+    the Engine facade exposes; ``agg_kendall_tau_b`` is its registered
+    oracle-checked instance (facade-parity single-source rule). Columns
+    must have bounded distinct domains (quantize continuous ones
+    first)."""
+    jm = _joint_matrix(df, x, y, group)
     a, b = jm.alias("a"), jm.alias("b")
     conc = (
         a.join(
@@ -1892,7 +1918,7 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         marg.join(conc, "grp")
         .select(
-            F.col("grp").alias("l_returnflag"),
+            "grp",
             "n",
             F.round(tau, 6).alias("kendall_tau_b"),
         )
@@ -1952,13 +1978,28 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     base = o.select(
         F.year("o_orderdate").cast("bigint").alias("yr"),
-        F.col("o_orderpriority").alias("x"),
-        F.col("o_orderstatus").alias("y"),
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
     )
-    cxy = base.groupBy("yr", "x", "y").agg(F.count(F.lit(1)).alias("cxy"))
-    cx = base.groupBy("yr", "x").agg(F.count(F.lit(1)).alias("cx"))
-    cy = base.groupBy("yr", "y").agg(F.count(F.lit(1)).alias("cy"))
-    cn = base.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    return mutual_information(
+        base, x="o_orderpriority", y="o_orderstatus", segment="yr"
+    ).withColumnRenamed("seg", "yr")
+
+
+def mutual_information(
+    df: DataFrame, x: str, y: str, segment: str
+) -> DataFrame:
+    """(seg, n, mi_nats) over arbitrary categorical columns per segment —
+    the library form the Engine facade exposes; ``agg_mutual_information``
+    is its registered oracle-checked instance (facade-parity
+    single-source rule)."""
+    base = df.select(
+        F.col(segment).alias("seg"), F.col(x).alias("x"), F.col(y).alias("y")
+    )
+    cxy = base.groupBy("seg", "x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    cx = base.groupBy("seg", "x").agg(F.count(F.lit(1)).alias("cx"))
+    cy = base.groupBy("seg", "y").agg(F.count(F.lit(1)).alias("cy"))
+    cn = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     term = F.round(
         (F.col("cxy").cast("double") / F.col("n"))
         * F.log(
@@ -1969,12 +2010,12 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     ).cast("decimal(18,9)")
     terms = (
-        cxy.join(F.broadcast(cx), ["yr", "x"])
-        .join(F.broadcast(cy), ["yr", "y"])
-        .join(F.broadcast(cn), "yr")
-        .select("yr", "n", term.alias("term"))
+        cxy.join(F.broadcast(cx), ["seg", "x"])
+        .join(F.broadcast(cy), ["seg", "y"])
+        .join(F.broadcast(cn), "seg")
+        .select("seg", "n", term.alias("term"))
     )
-    return terms.groupBy("yr", "n").agg(
+    return terms.groupBy("seg", "n").agg(
         F.round(F.sum("term").cast("double"), 6).alias("mi_nats")
     )
 
@@ -2040,17 +2081,30 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    tot = rev.groupBy("nation").agg(
+    return hhi_index(
+        rev, group="nation", amount="cents"
+    ).withColumnRenamed("n_members", "n_suppliers")
+
+
+def hhi_index(df: DataFrame, group: str, amount: str) -> DataFrame:
+    """(group, n_members, hhi12, hhi) over per-member exact integer
+    amounts — the library form the Engine facade exposes;
+    ``agg_hhi_concentration`` is its registered oracle-checked instance
+    (facade-parity single-source rule). ``df`` carries one row per
+    (group, member) with its integer amount."""
+    rev = df.select(F.col(group).alias("grp"), F.col(amount).alias("cents"))
+    tot = rev.groupBy("grp").agg(
         F.sum("cents").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
     share = F.col("cents").cast("double") / F.col("total")
     t12 = F.floor(share * share * F.lit(1000000000000)).cast("bigint")
     return (
-        rev.join(F.broadcast(tot), "nation")
-        .groupBy("nation", "n_suppliers")
+        rev.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "n_members")
         .agg(
             F.sum(t12).cast("bigint").alias("hhi12"),
             F.round(F.sum(t12) / F.lit(1000000000000.0), 6).alias("hhi"),
         )
+        .withColumnRenamed("grp", group)
     )

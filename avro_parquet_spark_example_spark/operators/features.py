@@ -571,15 +571,24 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of rows is one scan; the candidate stage never exceeds the
     value domain. Continuous features quantize into the grid first (the
     standard histogram-split trade, same as agg_kendall_tau_b)."""
-    from avro_parquet_spark_example_spark.operators.projection import (
-        two_class_value_cdfs,
-    )
-
     li = load(spark, sf_dir, "lineitem")
     vals = li.select(
         F.col("l_discount").alias("v"),
         (F.col("l_returnflag") == "R").alias("is_ref"),
     )
+    return decision_stump(vals)
+
+
+def decision_stump(vals: DataFrame) -> DataFrame:
+    """(threshold, n_left, pos_left, gain12, is_best) over a
+    ``(v, is_ref)`` frame (v = the feature, is_ref = the binary target) —
+    the library form the Engine facade exposes; ``ml_decision_stump`` is
+    its registered oracle-checked instance (facade-parity single-source
+    rule)."""
+    from avro_parquet_spark_example_spark.operators.projection import (
+        two_class_value_cdfs,
+    )
+
     cdfs, n_pos, n_neg = two_class_value_cdfs(vals)
     n_tot = n_pos + n_neg
 

@@ -408,3 +408,113 @@ def test_engine_round11_facade_parity(spark, sf_dir):
         )
     )
     assert got_c == want_c
+
+
+def test_engine_round11_stats_facade_parity(spark, sf_dir):
+    """The generic statistics facade methods reproduce their registered
+    oracle-checked instances when pointed at the same fixture columns
+    (single-source rule): spearman/kendall on lineitem, MI on orders,
+    HHI on the nation revenue frame, decision_stump on the discount
+    split."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+
+    got = sorted(
+        map(
+            tuple,
+            eng.spearman(
+                li, x="l_quantity", y="l_discount", group="l_returnflag"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            get_query("agg_spearman_rank_corr").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+
+    got = sorted(
+        map(
+            tuple,
+            eng.kendall(
+                li, x="l_quantity", y="l_discount", group="l_returnflag"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, get_query("agg_kendall_tau_b").fn(spark, sf_dir).collect())
+    )
+    assert got == want
+
+    base = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    got = sorted(
+        map(
+            tuple,
+            eng.mutual_information(
+                base, x="o_orderpriority", y="o_orderstatus", segment="yr"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            get_query("agg_mutual_information").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    got = sorted(
+        map(tuple, eng.hhi(rev, group="nation", amount="cents").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            get_query("agg_hhi_concentration").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+
+    got = sorted(
+        map(
+            tuple,
+            eng.decision_stump(
+                li.select(
+                    "l_discount",
+                    (F.col("l_returnflag") == "R").alias("is_returned"),
+                ),
+                feature="l_discount",
+                target="is_returned",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, get_query("ml_decision_stump").fn(spark, sf_dir).collect())
+    )
+    assert got == want
