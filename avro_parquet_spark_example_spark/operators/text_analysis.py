@@ -1992,3 +1992,90 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "token")
         .limit(TEXTRANK_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Monroe "fightin' words" log-odds (round 11)
+
+#: Per-word Dirichlet pseudo-count and minimum pooled frequency.
+MONROE_AW = 0.01
+MONROE_MIN_COUNT = 5
+
+
+@register(
+    "text_log_odds_monroe",
+    oracle=f"""
+    WITH toks AS (
+        SELECT (lang = 'en') AS is_a,
+               UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+               CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+        FROM toks GROUP BY w
+    ),
+    kept AS (
+        SELECT * FROM counts WHERE ya + yb >= {MONROE_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT CAST(SUM(ya) AS BIGINT) AS na,
+               CAST(SUM(yb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM kept
+    )
+    SELECT k.w, k.ya, k.yb,
+           ROUND((LN((k.ya + {MONROE_AW})
+                     / (t.na + {MONROE_AW} * t.v - k.ya - {MONROE_AW}))
+                  - LN((k.yb + {MONROE_AW})
+                       / (t.nb + {MONROE_AW} * t.v - k.yb - {MONROE_AW})))
+                 / SQRT(1.0 / (k.ya + {MONROE_AW})
+                        + 1.0 / (k.yb + {MONROE_AW})), 6) AS z
+    FROM kept k CROSS JOIN tot t
+    """,
+)
+def text_log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — Monroe/Colaresi/Quinn "fightin' words" log-odds: for every
+    token, the Dirichlet-smoothed log-odds-ratio z-score of its usage in
+    the English sub-corpus vs the rest — THE standard comparative-corpus
+    statistic for "which words characterize group A" (raw frequency
+    ratios explode on rare words; the prior and the per-word variance
+    1/(y+a) + 1/(y+a) regularize exactly as the 2008 paper prescribes,
+    here with a flat pseudo-count a_w = 0.01 and a0 = a_w·V over the
+    ≥5-occurrence vocabulary). Every z is ONE fixed IEEE expression over
+    exact BIGINT counts and the two corpus totals — no cross-row float
+    sum anywhere, so the whole frame hash-checks without term
+    quantization.
+
+    Scale shape: explode → one (word)-keyed map-side-combined count →
+    one vocabulary-sized filter + a 1-row totals cross join. 100 TB of
+    documents is one scan and a vocab-sized table; the z computation is
+    embarrassingly per-row."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == "en").alias("is_a"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("ya"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("yb"),
+    )
+    kept = counts.filter(F.col("ya") + F.col("yb") >= MONROE_MIN_COUNT)
+    tot = kept.agg(
+        F.sum("ya").cast("bigint").alias("na"),
+        F.sum("yb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    aw = F.lit(MONROE_AW)
+    a0 = aw * F.col("v")
+    delta = F.log(
+        (F.col("ya") + aw) / (F.col("na") + a0 - F.col("ya") - aw)
+    ) - F.log((F.col("yb") + aw) / (F.col("nb") + a0 - F.col("yb") - aw))
+    var = 1.0 / (F.col("ya") + aw) + 1.0 / (F.col("yb") + aw)
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "ya",
+        "yb",
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )

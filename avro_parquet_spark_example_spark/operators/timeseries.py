@@ -2541,3 +2541,109 @@ def ts_rolling_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(med, 1).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (round 11)
+
+#: Lag window (days) for the lead-lag scan, inclusive both sides.
+XCORR_MAX_LAG = 3
+
+#: The (leading, lagging) event-type pair the registered query audits.
+XCORR_PAIR = ("click", "purchase")
+
+
+@register(
+    "ts_lead_lag_xcorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IN ('{XCORR_PAIR[0]}', '{XCORR_PAIR[1]}')
+        GROUP BY 1, 2
+    ),
+    lags AS (SELECT r.range AS lag
+             FROM RANGE(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1}) r),
+    pairs AS (
+        SELECT l.lag, a.n AS xa, b.n AS xb
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type = '{XCORR_PAIR[1]}'
+                    AND b.day = a.day + CAST(l.lag AS INT)
+        WHERE a.event_type = '{XCORR_PAIR[0]}'
+    ),
+    sums AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xa) AS BIGINT) AS sa,
+               CAST(SUM(xb) AS BIGINT) AS sb,
+               CAST(SUM(xa * xa) AS BIGINT) AS saa,
+               CAST(SUM(xb * xb) AS BIGINT) AS sbb,
+               CAST(SUM(xa * xb) AS BIGINT) AS sab
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS xcorr
+    FROM sums
+    """,
+)
+def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — lead-lag cross-correlation between two event types' daily
+    volumes: Pearson r of (clicks on day d, purchases on day d+lag) for
+    every lag in ±3 days — the causal-screening primitive behind "does
+    activity in series A LEAD series B" questions (the argmax lag is the
+    lead estimate; the lag-0 column is plain co-movement). Counts are
+    exact integers, so every per-lag moment sum is BIGINT-exact and the
+    Pearson expression is one fixed IEEE tree (the
+    ``agg_spearman_rank_corr`` finish); each lag's overlap window is an
+    inner join, so shrinking overlap at the window edges is reflected in
+    ``n_days``, not silently zero-filled.
+
+    Scale shape: one map-side-combined (type, day) count, a 7-row lag
+    grid broadcast over the leading series, a day-keyed equi-join onto
+    the lagging series, and a 7-row roll-up. 100 TB of events is one
+    scan; everything after is day-grid-sized."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin(*XCORR_PAIR))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    lead = daily.filter(F.col("event_type") == XCORR_PAIR[0]).select(
+        F.col("day").alias("day_a"), F.col("n").alias("xa")
+    )
+    lagf = daily.filter(F.col("event_type") == XCORR_PAIR[1]).select(
+        F.col("day").alias("day_b"), F.col("n").alias("xb")
+    )
+    pairs = (
+        lead.crossJoin(F.broadcast(lags))
+        .withColumn("day_b", F.date_add(F.col("day_a"), F.col("lag")))
+        .join(lagf, "day_b")
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")) / (
+        F.sqrt(nd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
+        * F.sqrt(nd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
+    )
+    return sums.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(r, 6).alias("xcorr"),
+    )

@@ -661,3 +661,37 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.pmod(F.col("rn"), F.lit(SYSTEMATIC_K)) == 1
     ).select("doc_id", "n_chars", "rn")
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT l_returnflag, l_quantity,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+           ROUND(CUME_DIST() OVER w, 9) AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2' — relative-standing window functions: PERCENT_RANK ((rank−1)/
+    (n−1)) and CUME_DIST (peers ≤ current / n) of each lineitem's
+    quantity within its return-flag class — the "what percentile is this
+    row" primitives that complete the ranking family (rank/dense_rank/
+    ntile are ordinal; these two are the normalized forms analysts feed
+    into thresholds). Tie groups share both values by definition, so the
+    row-level output is deterministic without a tiebreak column; both
+    quotients are exact ratios of small integers rounded identically on
+    the two engines.
+
+    Scale shape: one window per partition key — the ``window_rank`` plan;
+    at 100 TB the partition column must be chosen with enough cardinality
+    (or pre-bucketed) exactly as that operator's docstring prescribes."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )

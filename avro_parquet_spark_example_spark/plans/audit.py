@@ -76,6 +76,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "vec_cluster_silhouette_sampled": "md5-sampled ~25% pool all-pairs (id<> theta join — the sample IS the bound; exact arithmetic shared with the capped demo)",
         "eval_cohens_kappa": "broadcast 1-row chance-agreement cross join",
         "ml_decision_stump": "broadcast 1-row argmax (best-split) cross join",
+        "ts_lead_lag_xcorr": "broadcast 7-row lag-grid cross join",
+        "text_log_odds_monroe": "broadcast 1-row corpus-totals cross join",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

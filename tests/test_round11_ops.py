@@ -608,3 +608,94 @@ def test_rolling_median_matches_python_reference(spark, sf_dir):
             assert got[(et, day)] == round(med, 1), (et, day)
             count += 1
     assert count == len(got)
+
+
+def test_lead_lag_xcorr_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    a = {r.day: r.n for r in daily if r.event_type == "click"}
+    b = {r.day: r.n for r in daily if r.event_type == "purchase"}
+    import datetime
+
+    got = {
+        r.lag: r for r in get_query("ts_lead_lag_xcorr").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(-3, 4))
+    for lag in range(-3, 4):
+        pairs = [
+            (a[d], b[d + datetime.timedelta(days=lag)])
+            for d in a
+            if d + datetime.timedelta(days=lag) in b
+        ]
+        n = len(pairs)
+        sa = sum(x for x, _ in pairs)
+        sb = sum(y for _, y in pairs)
+        saa = sum(x * x for x, _ in pairs)
+        sbb = sum(y * y for _, y in pairs)
+        sab = sum(x * y for x, y in pairs)
+        r = (n * sab - sa * sb) / (
+            math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+        )
+        assert got[lag].n_days == n
+        assert abs(got[lag].xcorr - r) < 1e-5
+
+
+def test_monroe_log_odds_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    counts = {}
+    for d in docs:
+        is_a = d.lang == "en"
+        for w in d.text.strip().lower().split(" "):
+            c = counts.setdefault(w, [0, 0])
+            c[0 if is_a else 1] += 1
+    kept = {w: c for w, c in counts.items() if c[0] + c[1] >= 5}
+    na = sum(c[0] for c in kept.values())
+    nb = sum(c[1] for c in kept.values())
+    v = len(kept)
+    aw, a0 = 0.01, 0.01 * v
+    got = {
+        r.w: r for r in get_query("text_log_odds_monroe").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(kept)
+    for w, (ya, yb) in kept.items():
+        delta = math.log((ya + aw) / (na + a0 - ya - aw)) - math.log(
+            (yb + aw) / (nb + a0 - yb - aw)
+        )
+        z = delta / math.sqrt(1 / (ya + aw) + 1 / (yb + aw))
+        assert (got[w].ya, got[w].yb) == (ya, yb)
+        assert abs(got[w].z - z) < 1e-5
+    # sign sanity: a word used only in English scores positive
+    only_en = [w for w, (ya, yb) in kept.items() if yb == 0 and ya >= 5]
+    assert all(got[w].z > 0 for w in only_en)
+
+
+def test_percent_rank_cume_matches_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    want = {}
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        from bisect import bisect_left, bisect_right
+
+        for q in set(vals):
+            rank = bisect_left(vals, q) + 1
+            peers_le = bisect_right(vals, q)
+            want[(g, q)] = (
+                round((rank - 1) / (n - 1), 9),
+                round(peers_le / n, 9),
+            )
+    rows = get_query("window_percent_rank_cume").fn(spark, sf_dir).collect()
+    assert len(rows) == len(li)
+    for r in rows:
+        pr, cd = want[(r.l_returnflag, r.l_quantity)]
+        assert (r.pr, r.cd) == (pr, cd)

@@ -72,6 +72,9 @@ OPS = [
     ("eval_cohens_kappa", "embeddings (centroid-assign plan + marginals)"),
     ("cluster_kcenter_greedy", "embeddings (k-1 linear passes)"),
     ("dedup_cluster_quality_pick", "control (doc_id<150 CC fixture cap)"),
+    ("ts_lead_lag_xcorr", "events (day-grid lag joins)"),
+    ("text_log_odds_monroe", "documents (vocab-sized z table)"),
+    ("window_percent_rank_cume", "lineitem (3-partition window: the documented skew hazard)"),
 ]
 
 
