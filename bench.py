@@ -125,8 +125,34 @@ def _prev_bench() -> tuple[str, dict] | None:
     return os.path.basename(best[1]), data
 
 
+def _calibrate_scan(spark, sf_dir: str) -> float:
+    """Scan/IO-sensitive noise floor (round 11): the CPU probes above sat
+    LOW while every SCAN-BOUND query ran ~1.5x — proven machine-level by
+    an old-code worktree A/B (SCALING.md r11 bench note) — so neither
+    probe spans the parquet-read/page-cache dimension. This probe times a
+    real columnar scan (lineitem count over one projected column, ~0.1 s
+    idle) and is recorded as ``calib_scan_sec``; from the first round
+    where both records carry it, the flags normalize against the largest
+    of the THREE calib deltas."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(F.sum("l_quantity"))
+            .collect()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 def _noise_guard(
-    fresh: dict[str, float], calib: float, calib_shuffle: float
+    fresh: dict[str, float],
+    calib: float,
+    calib_shuffle: float,
+    calib_scan: float,
 ) -> dict:
     """Per-query and calib deltas vs the previous round's record, plus the
     machine regression flags (delta > calib delta + margin)."""
@@ -147,6 +173,12 @@ def _noise_guard(
         # normalize against the larger (more honest) noise estimate
         if calib_delta is None or sh_delta > calib_delta:
             calib_delta = sh_delta
+    pcal_scan = pdata.get("calib_scan_sec")
+    if pcal_scan:
+        scan_delta = round((calib_scan - pcal_scan) / pcal_scan * 100, 1)
+        out["calib_scan_delta_pct"] = scan_delta
+        if calib_delta is None or scan_delta > calib_delta:
+            calib_delta = scan_delta
     deltas: dict[str, float] = {}
     flags: list[str] = []
     for k, v in fresh.items():
@@ -180,6 +212,7 @@ def main() -> None:
     queries = all_queries()
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
+    calib_scan = _calibrate_scan(spark, sf_dir)
 
     # Two timing protocols, both reported:
     #
@@ -237,7 +270,8 @@ def main() -> None:
                 "sf": float(sf),
                 "calib_sec": calib,
                 "calib_shuffle_sec": calib_shuffle,
-                **_noise_guard(fresh, calib, calib_shuffle),
+                "calib_scan_sec": calib_scan,
+                **_noise_guard(fresh, calib, calib_shuffle, calib_scan),
             }
         )
     )
