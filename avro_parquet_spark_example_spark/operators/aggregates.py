@@ -2108,3 +2108,83 @@ def hhi_index(df: DataFrame, group: str, amount: str) -> DataFrame:
         )
         .withColumnRenamed("grp", group)
     )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS nr,
+                 CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS nc
+          FROM cells),
+    terms AS (
+        SELECT CAST(ROUND(
+                 (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                 * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                 / (CAST(rt.r AS DOUBLE) * ct.c / n.n), 9)
+               AS DECIMAL(18,9)) AS term
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN n
+    )
+    SELECT n.n, ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS chi2,
+           ROUND(SQRT(CAST(SUM(t.term) AS DOUBLE)
+                      / (n.n * LEAST(n.nr - 1, n.nc - 1))), 6)
+             AS cramers_v
+    FROM terms t CROSS JOIN n
+    GROUP BY n.n, n.nr, n.nc
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3c' — Cramér's V effect size on the event_type × day-of-week
+    contingency table: the [0,1]-normalized strength of association that
+    ``agg_chi_square_independence``'s raw statistic cannot give (chi²
+    grows with n, so a huge corpus makes trivial dependence "significant";
+    V = sqrt(chi²/(n·min(r−1, c−1))) is the size-free number analysts
+    threshold). Per-cell chi² terms are rounded to 9 decimals and summed
+    as DECIMAL(18,9) (the dsum rule — stricter than the older chi²
+    query's float sum), then one sqrt.
+
+    Scale shape: identical to the chi-square plan — one (type, dow)
+    contingency aggregate, two marginal roll-ups, a 1-row totals cross
+    join; cells = |types|·7 regardless of volume."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    n = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    ex = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.round((F.col("o") - ex) * (F.col("o") - ex) / ex, 9).cast(
+        "decimal(18,9)"
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select("n", "nr", "nc", term.alias("term"))
+    )
+    return terms.groupBy("n", "nr", "nc").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("term").cast("double")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    ).select("n", "chi2", "cramers_v")

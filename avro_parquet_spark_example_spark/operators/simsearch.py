@@ -2676,3 +2676,87 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nd * diagd / (nd * nd), 6).alias("observed_agreement"),
         F.round((nd * diagd - rcd) / (nd * nd - rcd), 6).alias("kappa"),
     )
+
+
+@register(
+    "eval_mcc_multiclass",
+    oracle=_NCA_CTES
+    + """
+    , conf AS (
+        SELECT true_label AS t, clabel AS p, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pick WHERE rn = 1
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT)
+                 AS corr
+        FROM conf
+    ),
+    pt AS (
+        SELECT CAST(SUM(tr.tk * pr.pk) AS BIGINT) AS sum_pt,
+               CAST(SUM(tr.tk * tr.tk) AS BIGINT) AS sum_tt,
+               CAST(SUM(pr.pk * pr.pk) AS BIGINT) AS sum_pp
+        FROM (SELECT t AS l, CAST(SUM(c) AS BIGINT) AS tk
+              FROM conf GROUP BY t) tr
+        JOIN (SELECT p AS l, CAST(SUM(c) AS BIGINT) AS pk
+              FROM conf GROUP BY p) pr ON pr.l = tr.l
+    )
+    SELECT m.s AS n, m.corr,
+           ROUND((CAST(m.corr AS DOUBLE) * m.s - CAST(p.sum_pt AS DOUBLE))
+                 / (SQRT(CAST(m.s AS DOUBLE) * m.s
+                         - CAST(p.sum_pp AS DOUBLE))
+                    * SQRT(CAST(m.s AS DOUBLE) * m.s
+                           - CAST(p.sum_tt AS DOUBLE))), 6) AS mcc
+    FROM marg m CROSS JOIN pt p
+    """,
+)
+def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV' — multiclass Matthews correlation (the Gorodkin R_K statistic)
+    of the nearest-centroid classifier: MCC = (c·s − Σ_k p_k·t_k) /
+    (sqrt(s² − Σ p_k²)·sqrt(s² − Σ t_k²)) over the confusion matrix —
+    the class-imbalance-robust single number that accuracy and even
+    kappa distort on skewed label sets (MCC = 0 for any trivial
+    constant classifier regardless of imbalance). Entirely integer
+    numerators from the ``vec_nearest_centroid_assign`` confusion
+    matrix; two separate SQRTs (their argument product overflows int64
+    at corpus scale) through the same IEEE tree both engines.
+
+    NOTE on the marginal join: classes absent from either marginal
+    (never-predicted or never-true) contribute zero to every Σ term, so
+    the inner join over shared labels is exact.
+
+    Scale shape: the assign query's plan + |labels|-row marginal
+    aggregates + a 1-row cross join — the ``eval_cohens_kappa`` shape
+    with one more moment."""
+    conf = vec_nearest_centroid_assign(spark, sf_dir)
+    marg = conf.agg(
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("corr"),
+    )
+    tr = conf.groupBy(F.col("true_label").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("tk")
+    )
+    pr = conf.groupBy(F.col("pred_label").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("pk")
+    )
+    pt = tr.join(pr, "l").agg(
+        F.sum(F.col("tk") * F.col("pk")).cast("bigint").alias("sum_pt"),
+        F.sum(F.col("tk") * F.col("tk")).cast("bigint").alias("sum_tt"),
+        F.sum(F.col("pk") * F.col("pk")).cast("bigint").alias("sum_pp"),
+    )
+    sd = F.col("s").cast("double")
+    mcc = (F.col("corr").cast("double") * F.col("s") - F.col("sum_pt").cast("double")) / (
+        F.sqrt(sd * F.col("s") - F.col("sum_pp").cast("double"))
+        * F.sqrt(sd * F.col("s") - F.col("sum_tt").cast("double"))
+    )
+    return marg.crossJoin(F.broadcast(pt)).select(
+        F.col("s").alias("n"),
+        "corr",
+        F.round(mcc, 6).alias("mcc"),
+    )

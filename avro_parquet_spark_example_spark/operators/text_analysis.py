@@ -2079,3 +2079,58 @@ def text_log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yb",
         F.round(delta / F.sqrt(var), 6).alias("z"),
     )
+
+
+@register(
+    "text_ttr_hapax",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM counts GROUP BY lang
+    """,
+)
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — lexical-richness profile per language: type-token ratio
+    (distinct words / total words) and hapax-legomena share (words
+    occurring exactly once / vocabulary) — the two classical diversity
+    numbers corpus curation thresholds on (machine-generated or
+    template-spam text collapses TTR; OCR noise inflates hapax share),
+    complementing ``text_diversity_metrics``' per-document view with the
+    per-language corpus roll-up. Integer counts; the two ratios are
+    single exact-int divisions rounded identically on both engines.
+
+    Scale shape: explode → (lang, word)-keyed map-side-combined count →
+    |langs|-row roll-up. One scan at any volume; the vocabulary frame is
+    the only intermediate and it is vocab-sized."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    )
+    counts = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias(
+            "hapax_share"
+        ),
+    )

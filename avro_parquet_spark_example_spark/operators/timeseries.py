@@ -2647,3 +2647,85 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(r, 6).alias("xcorr"),
     )
+
+
+@register(
+    "ts_anova_weekday",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               CAST(SUM(n) AS BIGINT) AS sg,
+               CAST(SUM(n * n) AS BIGINT) AS qg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM daily GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS nt,
+               CAST(SUM(sg) AS BIGINT) AS st,
+               CAST(SUM(qg) AS BIGINT) AS qt,
+               SUM(CAST(sg AS DOUBLE) * sg / ng) AS between_raw
+        FROM per_dow GROUP BY event_type
+    )
+    SELECT event_type, k, nt AS n_days,
+           ROUND(((between_raw - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+                 / ((qt - between_raw) / (nt - k)), 6) AS f_stat
+    FROM per_type
+    """,
+)
+def ts_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — one-way ANOVA of daily event volume by day-of-week, per event
+    type: F = (between-group MS)/(within-group MS) over the 7 weekday
+    groups — the classical "is there a weekly effect" test completing
+    the engine's inference family (Welch t compares two groups,
+    chi-square tests categorical independence; ANOVA is the k-group
+    mean comparison). Daily counts are integers, so the group sums
+    (S_g, ΣX², n_g) are BIGINT-exact and F is assembled from the
+    textbook identity SSB = Σ S_g²/n_g − S²/N, SSW = ΣX² − Σ S_g²/n_g
+    through one fixed IEEE tree — the only float ops are the final
+    divisions. (The Σ S_g²/n_g term is a 7-element float sum per type;
+    Spark's and DuckDB's 7-row aggregation orders could differ, but both
+    operands are exact doubles ≤ 2^53 and the sum is over ≤7 terms whose
+    magnitudes are within 2 decades — empirically hash-stable at every
+    SF, and the dsum-strict alternative (ROUND to 9dp per term) is one
+    edit away if a future fixture breaks the tie.)
+
+    Scale shape: one (type, day)-keyed count, a (type, dow) roll-up
+    (≤ |types|·7 rows), a |types|-row finish. One scan at any volume."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("bigint").alias("sg"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("qg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("nt"),
+        F.sum("sg").cast("bigint").alias("st"),
+        F.sum("qg").cast("bigint").alias("qt"),
+        F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng")).alias(
+            "between_raw"
+        ),
+    )
+    ssb = F.col("between_raw") - F.col("st").cast("double") * F.col("st") / F.col("nt")
+    ssw = F.col("qt") - F.col("between_raw")
+    return per_type.select(
+        "event_type",
+        "k",
+        F.col("nt").alias("n_days"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )

@@ -699,3 +699,117 @@ def test_percent_rank_cume_matches_python_reference(spark, sf_dir):
     for r in rows:
         pr, cd = want[(r.l_returnflag, r.l_quantity)]
         assert (r.pr, r.cd) == (pr, cd)
+
+
+def test_cramers_v_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cells = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .collect()
+    )
+    rt, ct, n = {}, {}, 0
+    for r in cells:
+        rt[r.event_type] = rt.get(r.event_type, 0) + r.o
+        ct[r.dow] = ct.get(r.dow, 0) + r.o
+        n += r.o
+    chi2 = 0.0
+    for r in cells:
+        e = rt[r.event_type] * ct[r.dow] / n
+        chi2 += round((r.o - e) ** 2 / e, 9)
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    got = get_query("agg_cramers_v").fn(spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert abs(got.chi2 - round(chi2, 6)) < 1e-6
+    assert abs(got.cramers_v - v) < 1e-5
+    assert 0.0 <= got.cramers_v <= 1.0
+
+
+def test_mcc_matches_python_reference(spark, sf_dir):
+    conf = {
+        (r.true_label, r.pred_label): r.n
+        for r in get_query("vec_nearest_centroid_assign")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    s = sum(conf.values())
+    corr = sum(v for (t, p), v in conf.items() if t == p)
+    tk, pk = {}, {}
+    for (t, p), v in conf.items():
+        tk[t] = tk.get(t, 0) + v
+        pk[p] = pk.get(p, 0) + v
+    labels = set(tk) | set(pk)
+    sum_pt = sum(tk.get(l, 0) * pk.get(l, 0) for l in labels)
+    sum_tt = sum(t * t for t in tk.values())
+    sum_pp = sum(p * p for p in pk.values())
+    mcc = (corr * s - sum_pt) / (
+        math.sqrt(s * s - sum_pp) * math.sqrt(s * s - sum_tt)
+    )
+    got = get_query("eval_mcc_multiclass").fn(spark, sf_dir).collect()[0]
+    assert (got.n, got.corr) == (s, corr)
+    assert abs(got.mcc - mcc) < 1e-5
+    assert -1.0 <= got.mcc <= 1.0
+
+
+def test_anova_weekday_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    groups = {}
+    for r in daily:
+        groups.setdefault(r.event_type, {}).setdefault(r.dow, []).append(r.n)
+    got = {
+        r.event_type: r
+        for r in get_query("ts_anova_weekday").fn(spark, sf_dir).collect()
+    }
+    for et, by_dow in groups.items():
+        xs = [x for g in by_dow.values() for x in g]
+        nt, k = len(xs), len(by_dow)
+        grand = sum(xs) / nt
+        ssb = sum(
+            len(g) * (sum(g) / len(g) - grand) ** 2 for g in by_dow.values()
+        )
+        ssw = sum(
+            (x - sum(g) / len(g)) ** 2 for g in by_dow.values() for x in g
+        )
+        f = (ssb / (k - 1)) / (ssw / (nt - k))
+        assert got[et].k == k and got[et].n_days == nt
+        assert abs(got[et].f_stat - f) < 1e-4
+        assert got[et].f_stat >= 0
+
+
+def test_ttr_hapax_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    counts = {}
+    for d in docs:
+        for w in d.text.strip().lower().split(" "):
+            key = (d.lang, w)
+            counts[key] = counts.get(key, 0) + 1
+    per_lang = {}
+    for (lang, _), c in counts.items():
+        s = per_lang.setdefault(lang, [0, 0, 0])  # tokens, types, hapax
+        s[0] += c
+        s[1] += 1
+        s[2] += c == 1
+    got = {
+        r.lang: r for r in get_query("text_ttr_hapax").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, (tok, typ, hap) in per_lang.items():
+        r = got[lang]
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (tok, typ, hap)
+        assert r.ttr == round(typ / tok, 6)
+        assert r.hapax_share == round(hap / typ, 6)

@@ -75,6 +75,10 @@ OPS = [
     ("ts_lead_lag_xcorr", "events (day-grid lag joins)"),
     ("text_log_odds_monroe", "documents (vocab-sized z table)"),
     ("window_percent_rank_cume", "lineitem (3-partition window: the documented skew hazard)"),
+    ("agg_cramers_v", "events (|types|x7 contingency)"),
+    ("eval_mcc_multiclass", "embeddings (centroid-assign plan + moments)"),
+    ("ts_anova_weekday", "events (day-grid group moments)"),
+    ("text_ttr_hapax", "documents (vocab-keyed count)"),
 ]
 
 
