@@ -495,6 +495,7 @@ class Engine:
         vectors: DataFrame,
         sample_hex: str | None = None,
         target_count: int | None = None,
+        pool_rows: int | None = None,
     ) -> DataFrame:
         """(vec_id, label, a_intra, b_inter, silhouette) — exact
         Rousseeuw silhouette of a (vec_id, label, embedding) cluster
@@ -503,7 +504,14 @@ class Engine:
         the exact all-pairs on the caller-bounded pool.
         ``target_count`` is the production dial (VERDICT r10 task #3):
         the threshold is computed from an absolute sample SIZE, so the
-        quadratic stage stays the same cost as the corpus grows."""
+        quadratic stage stays the same cost as the corpus grows.
+
+        NOTE (exception to the lazy-facade rule): deriving the
+        threshold from ``target_count`` needs the corpus size, so this
+        method runs an eager ``vectors.count()`` — one full action on
+        the input — unless the caller supplies ``pool_rows`` (the known
+        or estimated corpus row count), which keeps the call fully
+        lazy (ADVICE r11 #3)."""
         from avro_parquet_spark_example_spark.operators.simsearch import (
             cluster_silhouette,
             silhouette_sample_hex,
@@ -515,7 +523,8 @@ class Engine:
                     "pass sample_hex or target_count, not both"
                 )
             sample_hex = silhouette_sample_hex(
-                vectors.count(), target_count
+                pool_rows if pool_rows is not None else vectors.count(),
+                target_count,
             )
         if sample_hex is not None:
             # Compare a prefix of the SAME length as the threshold —
@@ -648,3 +657,149 @@ class Engine:
                 F.col(feature).alias("v"), F.col(target).alias("is_ref")
             )
         )
+
+    def cramers_v(self, df: DataFrame, x: str, y: str) -> DataFrame:
+        """(n, chi2, cramers_v) — Cramér's V effect size of the x × y
+        contingency table (operators/aggregates.py); bounded domains."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            cramers_v,
+        )
+
+        return cramers_v(df, x=x, y=y)
+
+    def cusum(
+        self, daily: DataFrame, key: str, order: str, value: str
+    ) -> DataFrame:
+        """(key, n_days, cusum_max, peak_day) — one-sided Page CUSUM
+        drift detector over a keyed (DATE-ordered) integral series
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            cusum_drift,
+        )
+
+        return cusum_drift(daily, key=key, order=order, value=value)
+
+    def rolling_median(
+        self,
+        daily: DataFrame,
+        key: str,
+        order: str,
+        value: str,
+        half_window: int = 3,
+    ) -> DataFrame:
+        """(key, order, value, med{W}) — centered W-point rolling median
+        of a keyed ordered integral series (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            rolling_median,
+        )
+
+        return rolling_median(
+            daily, key=key, order=order, value=value, half_window=half_window
+        )
+
+    def lead_lag_xcorr(
+        self, lead: DataFrame, lagging: DataFrame, max_lag: int = 3
+    ) -> DataFrame:
+        """(lag, n_days, xcorr) — Pearson cross-correlation of two
+        (day, x) daily integral series at every lag in ±max_lag
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            lead_lag_xcorr,
+        )
+
+        return lead_lag_xcorr(lead, lagging, max_lag=max_lag)
+
+    def anova(
+        self, df: DataFrame, segment: str, group: str, value: str
+    ) -> DataFrame:
+        """(segment, k, n_obs, f_stat) — one-way ANOVA F of an integral
+        value across group levels, per segment
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            anova_oneway,
+        )
+
+        return anova_oneway(df, segment=segment, group=group, value=value)
+
+    def log_odds(
+        self,
+        df: DataFrame,
+        text: str,
+        flag: str,
+        aw: float | None = None,
+        min_count: int | None = None,
+    ) -> DataFrame:
+        """(w, ya, yb, z) — Monroe "fightin' words" log-odds z-scores of
+        flag-true vs flag-false word usage
+        (operators/text_analysis.py)."""
+        from avro_parquet_spark_example_spark.operators.text_analysis import (
+            MONROE_AW,
+            MONROE_MIN_COUNT,
+            log_odds_monroe,
+        )
+
+        return log_odds_monroe(
+            df,
+            text=text,
+            flag=flag,
+            aw=MONROE_AW if aw is None else aw,
+            min_count=MONROE_MIN_COUNT if min_count is None else min_count,
+        )
+
+    def ttr_hapax(self, df: DataFrame, text: str, group: str) -> DataFrame:
+        """(group, n_tokens, n_types, n_hapax, ttr, hapax_share) —
+        lexical-richness profile per group
+        (operators/text_analysis.py)."""
+        from avro_parquet_spark_example_spark.operators.text_analysis import (
+            ttr_hapax,
+        )
+
+        return ttr_hapax(df, text=text, group=group)
+
+    def assortativity(self, edges: DataFrame) -> DataFrame:
+        """(n_edges, assortativity) — Newman degree assortativity of an
+        undirected (u, v) edge frame (operators/graph.py)."""
+        from avro_parquet_spark_example_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        return degree_assortativity(edges)
+
+    def confusion(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        label_col: str = "label",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(true_label, pred_label, n) — nearest-centroid confusion
+        matrix of an (id, label, vector) frame
+        (operators/simsearch.py)."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            nearest_centroid_confusion,
+        )
+
+        return nearest_centroid_confusion(
+            df, id_col=id_col, label_col=label_col, vec_col=vec_col
+        )
+
+    def kappa(self, conf: DataFrame) -> DataFrame:
+        """(n, diag, observed_agreement, kappa) — Cohen's kappa over a
+        (true_label, pred_label, n) confusion-count frame
+        (operators/simsearch.py)."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            cohens_kappa,
+        )
+
+        return cohens_kappa(conf)
+
+    def mcc(self, conf: DataFrame) -> DataFrame:
+        """(n, corr, mcc) — Gorodkin multiclass Matthews correlation over
+        a (true_label, pred_label, n) confusion-count frame
+        (operators/simsearch.py); Σt_k²/Σp_k² from each marginal alone
+        so never-predicted classes keep their terms."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            mcc_multiclass,
+        )
+
+        return mcc_multiclass(conf)

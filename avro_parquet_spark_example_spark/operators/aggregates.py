@@ -2156,25 +2156,42 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the chi-square plan — one (type, dow)
     contingency aggregate, two marginal roll-ups, a 1-row totals cross
-    join; cells = |types|·7 regardless of volume."""
+    join; cells = |types|·7 regardless of volume (the ``cramers_v``
+    library form the Engine facade exposes)."""
     e = load(spark, sf_dir, "events")
-    cells = e.groupBy(
-        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    return cramers_v(
+        e.select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        ),
+        x="event_type",
+        y="dow",
+    )
+
+
+def cramers_v(df: DataFrame, x: str, y: str) -> DataFrame:
+    """(n, chi2, cramers_v) over two arbitrary categorical columns — the
+    library form the Engine facade exposes; ``agg_cramers_v`` is its
+    registered oracle-checked instance (facade-parity single-source
+    rule). Domains must be bounded (the contingency table is |x|·|y|
+    cells)."""
+    cells = df.groupBy(
+        F.col(x).alias("xv"), F.col(y).alias("yv")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-    rt = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
-    ct = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    rt = cells.groupBy("xv").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("yv").agg(F.sum("o").cast("bigint").alias("c"))
     n = cells.agg(
         F.sum("o").cast("bigint").alias("n"),
-        F.countDistinct("event_type").cast("bigint").alias("nr"),
-        F.countDistinct("dow").cast("bigint").alias("nc"),
+        F.countDistinct("xv").cast("bigint").alias("nr"),
+        F.countDistinct("yv").cast("bigint").alias("nc"),
     )
     ex = F.col("r").cast("double") * F.col("c") / F.col("n")
     term = F.round((F.col("o") - ex) * (F.col("o") - ex) / ex, 9).cast(
         "decimal(18,9)"
     )
     terms = (
-        cells.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
+        cells.join(F.broadcast(rt), "xv")
+        .join(F.broadcast(ct), "yv")
         .crossJoin(F.broadcast(n))
         .select("n", "nr", "nc", term.alias("term"))
     )

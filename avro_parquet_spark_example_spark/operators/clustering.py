@@ -376,6 +376,11 @@ def kcenter_greedy(pool: DataFrame, k: int = KCENTER_K) -> DataFrame:
             )
             running.count()
             prev.unpersist()
+    # the FINAL running frame (persisted on the last i<k round) must be
+    # released too — leaving it cached leaks a corpus-sized DISK_ONLY
+    # block per call in long single-JVM sessions (ADVICE r11 #2);
+    # unpersist is a no-op when the k<=2 path never persisted it.
+    running.unpersist()
     fixed.unpersist()
     return spark_sess.createDataFrame(
         picks, "sel_rank int, vec_id bigint, radius7 bigint"

@@ -1500,8 +1500,16 @@ def graph_degree_assortativity(
     the edge list + one global moment roll-up (map-side combined to a
     single row). No quadratic stage at any size; skewed hubs only skew
     the degree-join partitions, the same hazard PageRank already
-    carries (AQE splits them)."""
-    e = cooccurrence_edges(spark, sf_dir)
+    carries (AQE splits them). (The ``degree_assortativity`` library
+    form the Engine facade exposes.)"""
+    return degree_assortativity(cooccurrence_edges(spark, sf_dir))
+
+
+def degree_assortativity(e: DataFrame) -> DataFrame:
+    """(n_edges, assortativity) Newman degree assortativity of an
+    undirected (u, v) edge frame — the library form the Engine facade
+    exposes; ``graph_degree_assortativity`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
     nodes = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )

@@ -2565,12 +2565,26 @@ def vec_nearest_centroid_assign(
     rows, and a |labels|² confusion roll-up. No driver collect, no
     all-pairs; with 10³ labels the fan-out stage switches to the
     flat-literal codegen distances (``pq_encode`` convention) — the
-    dial is explicit, the default favors zero driver state."""
-    e = load(spark, sf_dir, "embeddings")
-    fixed = e.select(
-        "vec_id",
-        F.col("label").cast("bigint").alias("true_label"),
-        F.posexplode("embedding").alias("pos0", "val"),
+    dial is explicit, the default favors zero driver state. (The
+    ``nearest_centroid_confusion`` library form the Engine facade
+    exposes.)"""
+    return nearest_centroid_confusion(load(spark, sf_dir, "embeddings"))
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(true_label, pred_label, n) nearest-centroid confusion matrix of
+    an arbitrary (id, label, vector) frame — the library form the Engine
+    facade exposes; ``vec_nearest_centroid_assign`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
+    fixed = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("bigint").alias("true_label"),
+        F.posexplode(vec_col).alias("pos0", "val"),
     ).select(
         "vec_id",
         "true_label",
@@ -2646,8 +2660,28 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything through the confusion matrix is the assign
     query's plan; kappa adds |labels|-row marginal aggregates and a
     1×1 cross join. The pattern generalizes to any two categorical
-    columns — truth vs any model's prediction column."""
-    conf = vec_nearest_centroid_assign(spark, sf_dir)
+    columns — truth vs any model's prediction column (the
+    ``cohens_kappa`` library form the Engine facade exposes)."""
+    return cohens_kappa(vec_nearest_centroid_assign(spark, sf_dir))
+
+
+def confusion_matrix(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """(true_label, pred_label, n) confusion-matrix counts of two
+    categorical columns — the shared substrate of the agreement-statistic
+    family (kappa, MCC). One map-side-combined groupBy; |labels|² rows."""
+    return df.groupBy(
+        F.col(true_col).alias("true_label"),
+        F.col(pred_col).alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def cohens_kappa(conf: DataFrame) -> DataFrame:
+    """(n, diag, observed_agreement, kappa) over a (true_label,
+    pred_label, n) confusion-count frame — the library form the Engine
+    facade exposes; ``eval_cohens_kappa`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
     marg = conf.agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum(
@@ -2663,9 +2697,16 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = conf.groupBy(F.col("pred_label").alias("l")).agg(
         F.sum("n").cast("bigint").alias("p")
     )
+    # the inner join IS exact for rc = Σ_l r_l·p_l: a label absent from
+    # either marginal has r_l·p_l = 0 (contrast MCC's Σt_k²/Σp_k², which
+    # must come from each marginal alone — ADVICE r11 #1)
     chance = (
         rows.join(cols, "l")
-        .agg(F.sum(F.col("r") * F.col("p")).cast("bigint").alias("rc"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("r") * F.col("p")).cast("bigint"), F.lit(0)
+            ).alias("rc")
+        )
     )
     nd = F.col("n").cast("double")
     diagd = F.col("diag").cast("double")
@@ -2693,14 +2734,19 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS corr
         FROM conf
     ),
+    tr AS (
+        SELECT t AS l, CAST(SUM(c) AS BIGINT) AS tk FROM conf GROUP BY t
+    ),
+    pr AS (
+        SELECT p AS l, CAST(SUM(c) AS BIGINT) AS pk FROM conf GROUP BY p
+    ),
     pt AS (
-        SELECT CAST(SUM(tr.tk * pr.pk) AS BIGINT) AS sum_pt,
-               CAST(SUM(tr.tk * tr.tk) AS BIGINT) AS sum_tt,
-               CAST(SUM(pr.pk * pr.pk) AS BIGINT) AS sum_pp
-        FROM (SELECT t AS l, CAST(SUM(c) AS BIGINT) AS tk
-              FROM conf GROUP BY t) tr
-        JOIN (SELECT p AS l, CAST(SUM(c) AS BIGINT) AS pk
-              FROM conf GROUP BY p) pr ON pr.l = tr.l
+        SELECT
+            COALESCE((SELECT CAST(SUM(tr2.tk * pr2.pk) AS BIGINT)
+                      FROM tr tr2 JOIN pr pr2 ON pr2.l = tr2.l),
+                     0) AS sum_pt,
+            (SELECT CAST(SUM(tk * tk) AS BIGINT) FROM tr) AS sum_tt,
+            (SELECT CAST(SUM(pk * pk) AS BIGINT) FROM pr) AS sum_pp
     )
     SELECT m.s AS n, m.corr,
            ROUND((CAST(m.corr AS DOUBLE) * m.s - CAST(p.sum_pt AS DOUBLE))
@@ -2722,14 +2768,27 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix; two separate SQRTs (their argument product overflows int64
     at corpus scale) through the same IEEE tree both engines.
 
-    NOTE on the marginal join: classes absent from either marginal
-    (never-predicted or never-true) contribute zero to every Σ term, so
-    the inner join over shared labels is exact.
+    NOTE on the marginals: Σt_k² and Σp_k² are computed from each
+    marginal ALONE — a class that is never predicted still carries its
+    t_k² term (and vice versa), so an inner join would under-count
+    those sums on skewed label sets. Only Σp_k·t_k goes through the
+    label join, where a class absent from either side genuinely
+    contributes zero.
 
     Scale shape: the assign query's plan + |labels|-row marginal
     aggregates + a 1-row cross join — the ``eval_cohens_kappa`` shape
-    with one more moment."""
-    conf = vec_nearest_centroid_assign(spark, sf_dir)
+    with one more moment (the ``mcc_multiclass`` library form the
+    Engine facade exposes)."""
+    return mcc_multiclass(vec_nearest_centroid_assign(spark, sf_dir))
+
+
+def mcc_multiclass(conf: DataFrame) -> DataFrame:
+    """(n, corr, mcc) Gorodkin R_K over a (true_label, pred_label, n)
+    confusion-count frame — the library form the Engine facade exposes;
+    ``eval_mcc_multiclass`` is its registered oracle-checked instance
+    (facade-parity single-source rule). Σt_k² / Σp_k² come from each
+    marginal ALONE so never-predicted (or never-true) classes keep
+    their squared terms (ADVICE r11 #1)."""
     marg = conf.agg(
         F.sum("n").cast("bigint").alias("s"),
         F.sum(
@@ -2745,10 +2804,21 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = conf.groupBy(F.col("pred_label").alias("l")).agg(
         F.sum("n").cast("bigint").alias("pk")
     )
-    pt = tr.join(pr, "l").agg(
-        F.sum(F.col("tk") * F.col("pk")).cast("bigint").alias("sum_pt"),
-        F.sum(F.col("tk") * F.col("tk")).cast("bigint").alias("sum_tt"),
-        F.sum(F.col("pk") * F.col("pk")).cast("bigint").alias("sum_pp"),
+    tt = tr.agg(
+        F.sum(F.col("tk") * F.col("tk")).cast("bigint").alias("sum_tt")
+    )
+    pp = pr.agg(
+        F.sum(F.col("pk") * F.col("pk")).cast("bigint").alias("sum_pp")
+    )
+    pt = (
+        tr.join(pr, "l")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tk") * F.col("pk")).cast("bigint"), F.lit(0)
+            ).alias("sum_pt")
+        )
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(pp))
     )
     sd = F.col("s").cast("double")
     mcc = (F.col("corr").cast("double") * F.col("s") - F.col("sum_pt").cast("double")) / (

@@ -2051,23 +2051,43 @@ def text_log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → one (word)-keyed map-side-combined count →
     one vocabulary-sized filter + a 1-row totals cross join. 100 TB of
     documents is one scan and a vocab-sized table; the z computation is
-    embarrassingly per-row."""
+    embarrassingly per-row (the ``log_odds_monroe`` library form the
+    Engine facade exposes)."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        (F.col("lang") == "en").alias("is_a"),
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    return log_odds_monroe(
+        d.withColumn("is_a", F.col("lang") == "en"),
+        text="text",
+        flag="is_a",
+    )
+
+
+def log_odds_monroe(
+    df: DataFrame,
+    text: str,
+    flag: str,
+    aw: float = MONROE_AW,
+    min_count: int = MONROE_MIN_COUNT,
+) -> DataFrame:
+    """(w, ya, yb, z) Monroe log-odds z-scores of group-A (``flag`` true)
+    vs group-B word usage over an arbitrary text column — the library
+    form the Engine facade exposes; ``text_log_odds_monroe`` is its
+    registered oracle-checked instance (facade-parity single-source
+    rule)."""
+    toks = df.select(
+        F.col(flag).alias("is_a"),
+        F.explode(F.split(F.lower(F.trim(F.col(text))), " ")).alias("w"),
     )
     counts = toks.groupBy("w").agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("ya"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("yb"),
     )
-    kept = counts.filter(F.col("ya") + F.col("yb") >= MONROE_MIN_COUNT)
+    kept = counts.filter(F.col("ya") + F.col("yb") >= min_count)
     tot = kept.agg(
         F.sum("ya").cast("bigint").alias("na"),
         F.sum("yb").cast("bigint").alias("nb"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
     )
-    aw = F.lit(MONROE_AW)
+    aw = F.lit(aw)
     a0 = aw * F.col("v")
     delta = F.log(
         (F.col("ya") + aw) / (F.col("na") + a0 - F.col("ya") - aw)
@@ -2115,17 +2135,27 @@ def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode → (lang, word)-keyed map-side-combined count →
     |langs|-row roll-up. One scan at any volume; the vocabulary frame is
-    the only intermediate and it is vocab-sized."""
+    the only intermediate and it is vocab-sized (the ``ttr_hapax``
+    library form the Engine facade exposes)."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    return ttr_hapax(d, text="text", group="lang")
+
+
+def ttr_hapax(df: DataFrame, text: str, group: str) -> DataFrame:
+    """(group, n_tokens, n_types, n_hapax, ttr, hapax_share)
+    lexical-richness profile per group over an arbitrary text column —
+    the library form the Engine facade exposes; ``text_ttr_hapax`` is
+    its registered oracle-checked instance (facade-parity single-source
+    rule)."""
+    toks = df.select(
+        group,
+        F.explode(F.split(F.lower(F.trim(F.col(text))), " ")).alias("w"),
     )
-    counts = toks.groupBy("lang", "w").agg(
+    counts = toks.groupBy(group, "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
-    return counts.groupBy("lang").agg(
+    return counts.groupBy(group).agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         hapax.alias("n_hapax"),

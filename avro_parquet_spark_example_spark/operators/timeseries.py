@@ -2427,21 +2427,38 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combined (type, day) count; the fold runs per key over
     day-grid-sized arrays (hundreds of entries), cross-key parallel,
     zero driver state. Production tuning adds a slack k and a restart
-    log; both are constants inside the same fold."""
+    log; both are constants inside the same fold (the ``cusum_drift``
+    library form the Engine facade exposes)."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    stats = daily.groupBy("event_type").agg(
+    return cusum_drift(daily, key="event_type", order="day", value="n")
+
+
+def cusum_drift(
+    daily: DataFrame, key: str, order: str, value: str
+) -> DataFrame:
+    """(key, n_days, cusum_max, peak_day) one-sided Page CUSUM over a
+    (key, order, value) keyed day-grid frame — the library form the
+    Engine facade exposes; ``ts_cusum_drift`` is its registered
+    oracle-checked instance (facade-parity single-source rule). ``order``
+    must be a DATE column (the fold's tiebreak state is date-typed)."""
+    d = daily.select(
+        F.col(key).alias("k"),
+        F.col(order).alias("day"),
+        F.col(value).alias("n"),
+    )
+    stats = d.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.expr(f"CAST(sum(n) * {_CUSUM_S} div count(*) AS BIGINT)").alias(
             "mu6"
         ),
     )
     grids = (
-        daily.groupBy("event_type")
+        d.groupBy("k")
         .agg(F.sort_array(F.collect_list(F.struct("day", "n"))).alias("g"))
-        .join(stats, "event_type")
+        .join(stats, "k")
     )
     folded = grids.withColumn(
         "out",
@@ -2471,7 +2488,7 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return folded.select(
-        "event_type",
+        F.col("k").alias(key),
         "n_days",
         F.round(F.col("out.best").cast("double") / _CUSUM_S, 6).alias(
             "cusum_max"
@@ -2513,17 +2530,33 @@ def ts_rolling_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard centered-window boundary convention. Spark refuses MEDIAN
     over a window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so
     the median comes from a sorted collect_list over the ≤7-row frame —
-    same value, still whole-stage JVM."""
+    same value, still whole-stage JVM (the ``rolling_median`` library
+    form the Engine facade exposes)."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return rolling_median(daily, key="event_type", order="day", value="n")
+
+
+def rolling_median(
+    daily: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    half_window: int = 3,
+) -> DataFrame:
+    """(key, order, value, med{W}) centered W-point rolling median over a
+    keyed ordered frame (W = 2·half_window + 1) — the library form the
+    Engine facade exposes; ``ts_rolling_median_trend`` is its registered
+    oracle-checked instance (facade-parity single-source rule). The
+    value column must be integral for the exactness argument to hold."""
     w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-3, 3)
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(-half_window, half_window)
     )
-    arr = F.sort_array(F.collect_list("n").over(w))
+    arr = F.sort_array(F.collect_list(value).over(w))
     s = F.size(arr)
     med = F.when(
         s % 2 == 1,
@@ -2536,10 +2569,10 @@ def ts_rolling_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2
     )
     return daily.select(
-        "event_type",
-        "day",
-        "n",
-        F.round(med, 1).alias("med7"),
+        key,
+        order,
+        value,
+        F.round(med, 1).alias(f"med{2 * half_window + 1}"),
     )
 
 
@@ -2608,21 +2641,38 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combined (type, day) count, a 7-row lag
     grid broadcast over the leading series, a day-keyed equi-join onto
     the lagging series, and a 7-row roll-up. 100 TB of events is one
-    scan; everything after is day-grid-sized."""
+    scan; everything after is day-grid-sized (the ``lead_lag_xcorr``
+    library form the Engine facade exposes)."""
     e = load(spark, sf_dir, "events")
     daily = (
         e.filter(F.col("event_type").isin(*XCORR_PAIR))
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
     lead = daily.filter(F.col("event_type") == XCORR_PAIR[0]).select(
-        F.col("day").alias("day_a"), F.col("n").alias("xa")
+        "day", F.col("n").alias("x")
     )
     lagf = daily.filter(F.col("event_type") == XCORR_PAIR[1]).select(
-        F.col("day").alias("day_b"), F.col("n").alias("xb")
+        "day", F.col("n").alias("x")
+    )
+    return lead_lag_xcorr(lead, lagf, max_lag=XCORR_MAX_LAG)
+
+
+def lead_lag_xcorr(
+    lead: DataFrame, lagging: DataFrame, max_lag: int = XCORR_MAX_LAG
+) -> DataFrame:
+    """(lag, n_days, xcorr) Pearson cross-correlation of two (day, x)
+    daily series at every lag in ±max_lag — the library form the Engine
+    facade exposes; ``ts_lead_lag_xcorr`` is its registered
+    oracle-checked instance (facade-parity single-source rule). Values
+    must be integral (the moment sums are BIGINT-exact)."""
+    spark = lead.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    lead = lead.select(F.col("day").alias("day_a"), F.col("x").alias("xa"))
+    lagf = lagging.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb")
     )
     pairs = (
         lead.crossJoin(F.broadcast(lags))
@@ -2698,19 +2748,38 @@ def ts_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit away if a future fixture breaks the tie.)
 
     Scale shape: one (type, day)-keyed count, a (type, dow) roll-up
-    (≤ |types|·7 rows), a |types|-row finish. One scan at any volume."""
+    (≤ |types|·7 rows), a |types|-row finish. One scan at any volume
+    (the ``anova_oneway`` library form the Engine facade exposes)."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
         F.col("ts").cast("date").alias("day"),
         F.dayofweek(F.col("ts").cast("date")).alias("dow"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    per_dow = daily.groupBy("event_type", "dow").agg(
-        F.sum("n").cast("bigint").alias("sg"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("qg"),
+    return anova_oneway(
+        daily, segment="event_type", group="dow", value="n"
+    ).withColumnRenamed("n_obs", "n_days")
+
+
+def anova_oneway(
+    df: DataFrame, segment: str, group: str, value: str
+) -> DataFrame:
+    """(segment, k, n_obs, f_stat) one-way ANOVA F of an integral value
+    column across ``group`` levels, computed independently per
+    ``segment`` — the library form the Engine facade exposes;
+    ``ts_anova_weekday`` is its registered oracle-checked instance
+    (facade-parity single-source rule). Each df row is one observation."""
+    d = df.select(
+        F.col(segment).alias("seg"),
+        F.col(group).alias("grp"),
+        F.col(value).alias("x"),
+    )
+    per_grp = d.groupBy("seg", "grp").agg(
+        F.sum("x").cast("bigint").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qg"),
         F.count(F.lit(1)).cast("bigint").alias("ng"),
     )
-    per_type = per_dow.groupBy("event_type").agg(
+    per_seg = per_grp.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("ng").cast("bigint").alias("nt"),
         F.sum("sg").cast("bigint").alias("st"),
@@ -2721,10 +2790,10 @@ def ts_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("between_raw") - F.col("st").cast("double") * F.col("st") / F.col("nt")
     ssw = F.col("qt") - F.col("between_raw")
-    return per_type.select(
-        "event_type",
+    return per_seg.select(
+        F.col("seg").alias(segment),
         "k",
-        F.col("nt").alias("n_days"),
+        F.col("nt").alias("n_obs"),
         F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
             "f_stat"
         ),

@@ -518,3 +518,131 @@ def test_engine_round11_stats_facade_parity(spark, sf_dir):
         map(tuple, get_query("ml_decision_stump").fn(spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_engine_round12_stats_facade_parity(spark, sf_dir):
+    """The r12 facade methods reproduce their registered oracle-checked
+    instances when pointed at the same fixture columns (single-source
+    rule): cramers_v / cusum / rolling_median / lead_lag_xcorr / anova
+    on the events day grid, log_odds + ttr_hapax on documents,
+    assortativity on the co-occurrence edges, confusion/kappa/mcc on
+    the embeddings nearest-centroid audit."""
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+    from avro_parquet_spark_example_spark.operators.timeseries import (
+        XCORR_MAX_LAG,
+        XCORR_PAIR,
+    )
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    e = load(spark, sf_dir, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(key):
+        return rows(get_query(key).fn(spark, sf_dir))
+
+    got = eng.cramers_v(
+        e.select(
+            "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+        ),
+        x="event_type",
+        y="dow",
+    )
+    assert rows(got) == want("agg_cramers_v")
+
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert rows(
+        eng.cusum(daily, key="event_type", order="day", value="n")
+    ) == want("ts_cusum_drift")
+    assert rows(
+        eng.rolling_median(daily, key="event_type", order="day", value="n")
+    ) == want("ts_rolling_median_trend")
+
+    lead = daily.filter(F.col("event_type") == XCORR_PAIR[0]).select(
+        "day", F.col("n").alias("x")
+    )
+    lagf = daily.filter(F.col("event_type") == XCORR_PAIR[1]).select(
+        "day", F.col("n").alias("x")
+    )
+    assert rows(eng.lead_lag_xcorr(lead, lagf, max_lag=XCORR_MAX_LAG)) == want(
+        "ts_lead_lag_xcorr"
+    )
+
+    dow_daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    assert rows(
+        eng.anova(dow_daily, segment="event_type", group="dow", value="n")
+    ) == want("ts_anova_weekday")
+
+    d = load(spark, sf_dir, "documents")
+    assert rows(
+        eng.log_odds(
+            d.withColumn("is_a", F.col("lang") == "en"),
+            text="text",
+            flag="is_a",
+        )
+    ) == want("text_log_odds_monroe")
+    assert rows(eng.ttr_hapax(d, text="text", group="lang")) == want(
+        "text_ttr_hapax"
+    )
+
+    assert rows(eng.assortativity(cooccurrence_edges(spark, sf_dir))) == want(
+        "graph_degree_assortativity"
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    conf = eng.confusion(emb)
+    assert rows(conf) == want("vec_nearest_centroid_assign")
+    assert rows(eng.kappa(conf)) == want("eval_cohens_kappa")
+    assert rows(eng.mcc(conf)) == want("eval_mcc_multiclass")
+
+
+def test_mcc_absent_class_marginals(spark):
+    """Regression for ADVICE r11 #1: a class that is NEVER predicted must
+    still contribute its t_k^2 term to MCC's sum_tt (and a never-true
+    class its p_k^2 to sum_pp). Confusion fixture: 3 true classes, the
+    classifier collapses class 2 into class 1 (class 2 never predicted).
+    The expected value is the Gorodkin R_K over the union of labels —
+    the pre-fix inner-join form would drop t_2^2 = 9 from sum_tt and
+    overstate |MCC|."""
+    import math
+
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    conf = spark.createDataFrame(
+        [(0, 0, 10), (1, 1, 5), (2, 1, 3), (2, 0, 1)],
+        "true_label bigint, pred_label bigint, n bigint",
+    )
+    tk = {0: 10, 1: 5, 2: 4}
+    pk = {0: 11, 1: 8}
+    s, corr = 19, 15
+    labels = set(tk) | set(pk)
+    sum_pt = sum(tk.get(l, 0) * pk.get(l, 0) for l in labels)
+    sum_tt = sum(t * t for t in tk.values())
+    sum_pp = sum(p * p for p in pk.values())
+    expect = (corr * s - sum_pt) / (
+        math.sqrt(s * s - sum_pp) * math.sqrt(s * s - sum_tt)
+    )
+    got = Engine(spark=spark).mcc(conf).collect()[0]
+    assert (got.n, got.corr) == (s, corr)
+    assert abs(got.mcc - round(expect, 6)) < 1e-9
+
+    # kappa on the same fixture: rc's inner join IS exact (absent
+    # classes multiply by zero) — pin that too.
+    rc = sum(tk.get(l, 0) * pk.get(l, 0) for l in labels)
+    kexp = (s * corr - rc) / (s * s - rc)
+    gk = Engine(spark=spark).kappa(conf).collect()[0]
+    assert abs(gk.kappa - round(kexp, 6)) < 1e-9
