@@ -658,6 +658,21 @@ class Engine:
             )
         )
 
+    def percent_rank_cume(
+        self, df: DataFrame, partition_by: str, order_by: str
+    ) -> DataFrame:
+        """(partition_by, order_by, pr, cd) — exact PERCENT_RANK /
+        CUME_DIST per partition class via the domain-sized frequency
+        matrix, no full-table window (operators/windows.py); quantize
+        continuous order columns first."""
+        from avro_parquet_spark_example_spark.operators.windows import (
+            percent_rank_cume,
+        )
+
+        return percent_rank_cume(
+            df, partition_by=partition_by, order_by=order_by
+        )
+
     def cramers_v(self, df: DataFrame, x: str, y: str) -> DataFrame:
         """(n, chi2, cramers_v) — Cramér's V effect size of the x × y
         contingency table (operators/aggregates.py); bounded domains."""

@@ -1806,10 +1806,12 @@ def spearman_rho(
     ),
     conc AS (
         SELECT a.grp,
-               CAST(SUM(CASE WHEN b.y < a.y THEN a.f * b.f ELSE 0 END)
-                    AS BIGINT) AS c,
-               CAST(SUM(CASE WHEN b.y > a.y THEN a.f * b.f ELSE 0 END)
-                    AS BIGINT) AS d
+               SUM(CASE WHEN b.y < a.y
+                        THEN CAST(a.f AS DECIMAL(38,0)) * b.f
+                        ELSE 0 END) AS c,
+               SUM(CASE WHEN b.y > a.y
+                        THEN CAST(a.f AS DECIMAL(38,0)) * b.f
+                        ELSE 0 END) AS d
         FROM jm a JOIN jm b ON b.grp = a.grp AND b.x < a.x
         GROUP BY a.grp
     ),

@@ -684,14 +684,76 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotients are exact ratios of small integers rounded identically on
     the two engines.
 
-    Scale shape: one window per partition key — the ``window_rank`` plan;
-    at 100 TB the partition column must be chosen with enough cardinality
-    (or pre-bucketed) exactly as that operator's docstring prescribes."""
+    Scale shape (VERDICT r11 task #1 — the naive form was the registry's
+    one scale-killer): a full-table ``Window.partitionBy(l_returnflag)``
+    puts ~1/3 of the table in ONE task's sort. Both statistics are
+    functions of the TIE GROUP only, so they come from the joint
+    frequency matrix instead (the ``agg_spearman_rank_corr`` precedent):
+    one map-side-combined (flag, qty) count, a window over the
+    DOMAIN-sized matrix (≤ |flags|·|qtys| rows at any corpus size —
+    min-rank = cf − f + 1 from a running sum), and one broadcast join
+    decorating the full table. No full-table sort or window anywhere;
+    the row-level stage is embarrassingly parallel. (The
+    ``percent_rank_cume`` library form the Engine facade exposes.)"""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    return li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    return percent_rank_cume(
+        li, partition_by="l_returnflag", order_by="l_quantity"
     )
+
+
+def percent_rank_cume(
+    df: DataFrame, partition_by: str, order_by: str
+) -> DataFrame:
+    """(partition_by, order_by, pr, cd) — exact PERCENT_RANK and
+    CUME_DIST of ``order_by`` within each ``partition_by`` class WITHOUT
+    a full-table window — the library form the Engine facade exposes;
+    ``window_percent_rank_cume`` is its registered oracle-checked
+    instance (facade-parity single-source rule).
+
+    Requires a bounded-domain order column (quantize continuous ones
+    first — the engine-wide rank-statistics convention): the only window
+    runs over the (partition, value) frequency matrix, which is
+    domain-sized regardless of corpus size. With rank = cf − f + 1
+    (cf = running count through this tie group, f = group size, n =
+    partition total): pr = (rank−1)/(n−1) = (cf−f)/(n−1), cd = cf/n —
+    exact integer ratios through one double division each, rounded to
+    9dp identically on both engines."""
+    d = df.select(
+        F.col(partition_by).alias("p"), F.col(order_by).alias("v")
+    )
+    jm = d.groupBy("p", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wc = (
+        Window.partitionBy("p")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # both sums ride ONE sort of the domain-sized matrix (same partition
+    # + order spec) — deriving n this way avoids a third table scan
+    ranked = (
+        jm.withColumn("cf", F.sum("f").over(wc).cast("bigint"))
+        .withColumn("n", F.sum("f").over(wp).cast("bigint"))
+        .select(
+            "p",
+            "v",
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("cf") - F.col("f")).cast("double")
+                    / (F.col("n") - 1),
+                    9,
+                )
+            )
+            .alias("pr"),
+            F.round(F.col("cf").cast("double") / F.col("n"), 9).alias("cd"),
+        )
+    )
+    return df.select(partition_by, order_by).join(
+        F.broadcast(ranked),
+        (F.col(partition_by) == F.col("p"))
+        & (F.col(order_by) == F.col("v")),
+    ).select(partition_by, order_by, "pr", "cd")

@@ -603,6 +603,13 @@ def test_engine_round12_stats_facade_parity(spark, sf_dir):
         "graph_degree_assortativity"
     )
 
+    li = load(spark, sf_dir, "lineitem")
+    assert rows(
+        eng.percent_rank_cume(
+            li, partition_by="l_returnflag", order_by="l_quantity"
+        )
+    ) == want("window_percent_rank_cume")
+
     emb = load(spark, sf_dir, "embeddings")
     conf = eng.confusion(emb)
     assert rows(conf) == want("vec_nearest_centroid_assign")

@@ -375,3 +375,41 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     assert n_frag > 30, f"fragmented layout should have many files, got {n_frag}"
     assert n_comp == 1, f"compacted layout should be 1 file at test scale, got {n_comp}"
     assert n_rows == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_percent_rank_window_is_matrix_sized(spark, sf_dir):
+    """E2' (VERDICT r11 task #1) — window_percent_rank_cume must NOT
+    window the full table over the 3-value return-flag key: every Window
+    in the plan must sit above a HashAggregate on its input spine (i.e.
+    windows run over the domain-sized frequency matrix, never directly
+    over a scan), and the row-level stage is a broadcast join back."""
+    import re
+
+    plan = formatted_plan(
+        get_query("window_percent_rank_cume").fn(spark, sf_dir)
+    )
+    tree = plan.split("\n\n")[0].splitlines()
+    win_lines = [i for i, l in enumerate(tree) if re.search(r"\bWindow\b", l)]
+    assert win_lines, "expected the matrix windows in the plan"
+
+    def indent(line):
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1
+
+    for wi in win_lines:
+        base = indent(tree[wi])
+        # walk the first-child spine below the window; a HashAggregate
+        # must appear before any parquet Scan
+        ok = False
+        for line in tree[wi + 1:]:
+            d = indent(line)
+            if d <= base and d != -1 and "AdaptiveSparkPlan" not in line:
+                break
+            if "HashAggregate" in line:
+                ok = True
+                break
+            if "Scan parquet" in line:
+                break
+        assert ok, f"Window at tree line {wi} is fed by a raw scan:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan  # decorate-back join
+    assert "SinglePartition" not in plan

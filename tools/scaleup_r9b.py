@@ -74,7 +74,7 @@ OPS = [
     ("dedup_cluster_quality_pick", "control (doc_id<150 CC fixture cap)"),
     ("ts_lead_lag_xcorr", "events (day-grid lag joins)"),
     ("text_log_odds_monroe", "documents (vocab-sized z table)"),
-    ("window_percent_rank_cume", "lineitem (3-partition window: the documented skew hazard)"),
+    ("window_percent_rank_cume", "lineitem (r12: domain-matrix + broadcast decorate — no full-table window; 10x cost is the 10x output itself)"),
     ("agg_cramers_v", "events (|types|x7 contingency)"),
     ("eval_mcc_multiclass", "embeddings (centroid-assign plan + moments)"),
     ("ts_anova_weekday", "events (day-grid group moments)"),
