@@ -808,6 +808,136 @@ class Engine:
 
         return cohens_kappa(conf)
 
+    def quantile_bands(
+        self,
+        df: DataFrame,
+        group: str,
+        value: str,
+        bands: tuple[int, ...] = (25, 50, 75, 90),
+    ) -> DataFrame:
+        """(grp, n, p{q}...) — exact type-1 quantiles of an integral
+        bounded-domain value column per group, computed from the
+        value-domain matrix with no per-row sort
+        (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            quantile_bands,
+        )
+
+        return quantile_bands(df, group=group, value=value, bands=bands)
+
+    def trimmed_mean(
+        self, df: DataFrame, group: str, value: str, trim_denom: int = 20
+    ) -> DataFrame:
+        """(grp, n, n_trim, trimmed_mean, winsorized_mean) — robust
+        location estimates per group, ⌊n/trim_denom⌋ trimmed each side
+        (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            trimmed_winsorized_mean,
+        )
+
+        return trimmed_winsorized_mean(
+            df, group=group, value=value, trim_denom=trim_denom
+        )
+
+    def mad(self, df: DataFrame, group: str, value: str) -> DataFrame:
+        """(grp, n, median, mad) — exact type-1 median and MAD per group
+        (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            mad_robust,
+        )
+
+        return mad_robust(df, group=group, value=value)
+
+    def outlier_flags(
+        self, df: DataFrame, group: str, value: str, k: int = 3
+    ) -> DataFrame:
+        """(grp, n, n_outlier, outlier_share) — Hampel-style |v−median| >
+        k·MAD outlier census per group (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            outlier_flags,
+        )
+
+        return outlier_flags(df, group=group, value=value, k=k)
+
+    def hl_shift(
+        self, dfx: DataFrame, dfy: DataFrame, value: str
+    ) -> DataFrame:
+        """(n_x, n_y, hl_shift) — Hodges-Lehmann two-sample shift
+        estimate via histogram convolution (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            hl_shift,
+        )
+
+        return hl_shift(dfx, dfy, value=value)
+
+    def autocorr(
+        self,
+        daily: DataFrame,
+        key: str,
+        order: str,
+        value: str,
+        max_lag: int = 7,
+    ) -> DataFrame:
+        """(key, lag, n_days, acf) — lag-k autocorrelation of a keyed
+        daily integral series, k = 0..max_lag
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            autocorr,
+        )
+
+        return autocorr(
+            daily, key=key, order=order, value=value, max_lag=max_lag
+        )
+
+    def fano(self, daily: DataFrame, key: str, value: str) -> DataFrame:
+        """(key, n_days, mean_daily, fano) — Fano factor (variance/mean)
+        burstiness index of a keyed integral series
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            fano_factor,
+        )
+
+        return fano_factor(daily, key=key, value=value)
+
+    def column_profile(
+        self,
+        df: DataFrame,
+        columns: tuple[str, ...] | list[str],
+        rendered: dict | None = None,
+    ) -> DataFrame:
+        """(col_name, n, n_null, n_distinct, min_s, max_s) — per-column
+        dataset-card profile in one aggregate pass
+        (operators/projection.py)."""
+        from avro_parquet_spark_example_spark.operators.projection import (
+            column_profile,
+        )
+
+        return column_profile(df, columns, rendered=rendered)
+
+    def cluster_size_histogram(
+        self, df: DataFrame, text_col: str = "text"
+    ) -> DataFrame:
+        """(cluster_size, n_clusters, n_docs) — exact-dup group-size
+        histogram by the canonical normalized-text key
+        (operators/dedup.py)."""
+        from avro_parquet_spark_example_spark.operators.dedup import (
+            cluster_size_histogram,
+        )
+
+        return cluster_size_histogram(df, text_col=text_col)
+
+    def dim_variance(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(pos, n, variance) — exact per-dimension population variance
+        of a vector column (operators/simsearch.py); order/limit for a
+        top-k screen."""
+        from avro_parquet_spark_example_spark.operators.simsearch import (
+            dim_variance,
+        )
+
+        return dim_variance(df, vec_col=vec_col)
+
     def mcc(self, conf: DataFrame) -> DataFrame:
         """(n, corr, mcc) — Gorodkin multiclass Matthews correlation over
         a (true_label, pred_label, n) confusion-count frame

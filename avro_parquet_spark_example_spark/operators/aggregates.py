@@ -1524,10 +1524,11 @@ def agg_weighted_median_distributed(
     s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(cents) AS BIGINT) AS sx,
-               CAST(SUM(i * cents) AS BIGINT) AS six
+               SUM(CAST(i AS HUGEINT) * cents) AS six
         FROM r
     )
-    SELECT n, sx AS total_cents, six AS rank_weighted_cents,
+    SELECT n, sx AS total_cents,
+           CAST(six AS DOUBLE) AS rank_weighted_cents,
            ROUND((2.0 * six - (n + 1.0) * sx) / (1.0 * n * sx), 6) AS gini
     FROM s
     """,
@@ -1567,15 +1568,19 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sx"),
+        # Σ i·cents is O(n²·avg_cents) — DECIMAL(38,0) internally and a
+        # correctly-rounded DOUBLE on output (a BIGINT output column
+        # would bound the operator at ~10^18.9; r12 overflow-headroom
+        # audit — both engines round the same exact integer, so the
+        # renders stay hash-identical).
         F.sum(
-            F.col("i").cast("decimal(19,0)")
-            * F.col("cents").cast("decimal(19,0)")
+            F.col("i").cast("decimal(38,0)") * F.col("cents")
         ).alias("six"),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("sx").cast("bigint").alias("total_cents"),
-        F.col("six").cast("bigint").alias("rank_weighted_cents"),
+        F.col("six").cast("double").alias("rank_weighted_cents"),
         F.round(
             (2.0 * F.col("six").cast("double")
              - (F.col("n") + 1.0) * F.col("sx").cast("double"))
@@ -1827,9 +1832,9 @@ def spearman_rho(
         SELECT n0.grp, n0.n, x1.n1, y2.n2
         FROM (SELECT grp, CAST(SUM(f) AS BIGINT) AS n
               FROM jm GROUP BY grp) n0
-        JOIN (SELECT grp, CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS n1
+        JOIN (SELECT grp, SUM(CAST(tx AS HUGEINT) * (tx - 1) // 2) AS n1
               FROM xmarg GROUP BY grp) x1 ON x1.grp = n0.grp
-        JOIN (SELECT grp, CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS n2
+        JOIN (SELECT grp, SUM(CAST(ty AS HUGEINT) * (ty - 1) // 2) AS n2
               FROM ymarg GROUP BY grp) y2 ON y2.grp = n0.grp
     )
     SELECT m.grp AS l_returnflag, m.n,
@@ -1882,27 +1887,39 @@ def kendall_tau_b(
             (F.col("b.grp") == F.col("a.grp")) & (F.col("b.x") < F.col("a.x")),
         )
         .groupBy(F.col("a.grp").alias("grp"))
+        # pair-count sums in DECIMAL(38,0): C and D are O(n_group²/2) —
+        # they pass int64 at the fixture SFs but overflow it at
+        # ~4.3G rows/group (the r12 overflow-headroom audit; the
+        # agg_spearman_rank_corr precedent). f itself stays BIGINT
+        # (linear in rows); the CAST on the first factor widens the
+        # product BEFORE it can wrap.
         .agg(
             F.sum(
                 F.when(
-                    F.col("b.y") < F.col("a.y"), F.col("a.f") * F.col("b.f")
+                    F.col("b.y") < F.col("a.y"),
+                    F.col("a.f").cast("decimal(38,0)") * F.col("b.f"),
                 ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("c"),
+            ).alias("c"),
             F.sum(
                 F.when(
-                    F.col("b.y") > F.col("a.y"), F.col("a.f") * F.col("b.f")
+                    F.col("b.y") > F.col("a.y"),
+                    F.col("a.f").cast("decimal(38,0)") * F.col("b.f"),
                 ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("d"),
+            ).alias("d"),
         )
     )
     def tie_term(col: str, out: str) -> DataFrame:
+        # t(t-1)/2 is O(n_group²) too — same DECIMAL(38,0) widening;
+        # t(t-1) is always even so the integer halving stays exact.
         t = jm.groupBy("grp", col).agg(F.sum("f").cast("bigint").alias("t"))
         return t.groupBy("grp").agg(
-            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias(out)
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * (F.col("t") - 1)
+                / F.lit(2)
+            )
+            .cast("decimal(38,0)")
+            .alias(out)
         )
 
     marg = (
@@ -2132,7 +2149,7 @@ def hhi_index(df: DataFrame, group: str, amount: str) -> DataFrame:
                  (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
                  * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
                  / (CAST(rt.r AS DOUBLE) * ct.c / n.n), 9)
-               AS DECIMAL(18,9)) AS term
+               AS DECIMAL(28,9)) AS term
         FROM cells
         JOIN rt USING (event_type)
         JOIN ct USING (dow)
@@ -2188,8 +2205,11 @@ def cramers_v(df: DataFrame, x: str, y: str) -> DataFrame:
         F.countDistinct("yv").cast("bigint").alias("nc"),
     )
     ex = F.col("r").cast("double") * F.col("c") / F.col("n")
+    # DECIMAL(28,9): a single cell's (o-e)²/e term is bounded by n, so
+    # 19 integer digits give headroom past 10^18 corpus rows (r12
+    # overflow-headroom audit; the old (18,9) capped terms at ~10^9).
     term = F.round((F.col("o") - ex) * (F.col("o") - ex) / ex, 9).cast(
-        "decimal(18,9)"
+        "decimal(28,9)"
     )
     terms = (
         cells.join(F.broadcast(rt), "xv")
@@ -2207,3 +2227,485 @@ def cramers_v(df: DataFrame, x: str, y: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     ).select("n", "chi2", "cramers_v")
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics over the value-domain matrix (round 12)
+#
+# The percent_rank_cume reformulation proved the shape: every rank-based
+# statistic of a bounded-domain column is a function of the (group, value,
+# count) frequency matrix — domain-sized at ANY corpus size — so quantiles,
+# trimmed means, MAD and Hodges-Lehmann all compute with one map-side-
+# combined count, tiny matrix windows, and integer arithmetic. No per-group
+# sort of rows exists in any of these plans.
+
+
+def _value_matrix(df: DataFrame, group: str, value: str) -> DataFrame:
+    """(p, v, f) frequency matrix of an integral value column per group —
+    the shared substrate of the round-12 robust-statistics family."""
+    return df.groupBy(
+        F.col(group).alias("p"),
+        F.col(value).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+
+
+def _cumulative_matrix(jm: DataFrame) -> DataFrame:
+    """Decorate the matrix with the running count cf and partition total
+    n — two window sums riding ONE sort of the domain-sized frame (the
+    percent_rank_cume plan)."""
+    wc = (
+        Window.partitionBy("p")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return jm.withColumn("cf", F.sum("f").over(wc).cast("bigint")).withColumn(
+        "n", F.sum("f").over(wp).cast("bigint")
+    )
+
+
+#: quantile band levels of the registered instance (percent, type-1).
+QUANTILE_BANDS = (25, 50, 75, 90)
+
+_QB_CTES = """
+    WITH jm AS (
+        SELECT l_returnflag AS p, CAST(l_quantity AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT p, v, f,
+               CAST(SUM(f) OVER (
+                   PARTITION BY p ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cf,
+               CAST(SUM(f) OVER (PARTITION BY p) AS BIGINT) AS n
+        FROM jm
+    )
+"""
+
+
+@register(
+    "agg_quantile_bands_exact",
+    oracle=_QB_CTES
+    + """
+    SELECT p AS l_returnflag, MIN(n) AS n,
+           MIN(CASE WHEN cf * 100 >= 25 * n THEN v END) AS p25,
+           MIN(CASE WHEN cf * 100 >= 50 * n THEN v END) AS p50,
+           MIN(CASE WHEN cf * 100 >= 75 * n THEN v END) AS p75,
+           MIN(CASE WHEN cf * 100 >= 90 * n THEN v END) AS p90
+    FROM cum GROUP BY p
+    """,
+)
+def agg_quantile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — EXACT type-1 (inverse-CDF) quantile bands p25/p50/p75/p90 of
+    lineitem quantity per return flag — the percentile summary every
+    dataset card and drift monitor tabulates, computed WITHOUT
+    approx_percentile's sketch error and WITHOUT any per-row sort: the
+    q-th type-1 quantile is the smallest value whose running count
+    reaches ceil(q·n), and the test cf·100 ≥ q·n is pure integer
+    arithmetic (no division, no float) — hash-identical on both engines
+    by construction.
+
+    Scale shape: the ``window_percent_rank_cume`` plan — one
+    map-side-combined (flag, qty) count, two window sums over the
+    domain-sized matrix, a |flags|-row roll-up. (The ``quantile_bands``
+    library form the Engine facade exposes.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return quantile_bands(
+        li, group="l_returnflag", value="l_quantity"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def quantile_bands(
+    df: DataFrame,
+    group: str,
+    value: str,
+    bands: tuple[int, ...] = QUANTILE_BANDS,
+) -> DataFrame:
+    """(grp, n, p{q}...) exact type-1 quantiles of an integral
+    bounded-domain value column per group — the library form the Engine
+    facade exposes; ``agg_quantile_bands_exact`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
+    cum = _cumulative_matrix(_value_matrix(df, group, value))
+    aggs = [F.min("n").alias("n")]
+    for q in bands:
+        aggs.append(
+            F.min(
+                F.when(F.col("cf") * 100 >= q * F.col("n"), F.col("v"))
+            ).alias(f"p{q}")
+        )
+    return cum.groupBy("p").agg(*aggs).withColumnRenamed("p", "grp")
+
+
+#: trim share of the registered trimmed/winsorized instance: 1/20 = 5%.
+TRIM_DENOM = 20
+
+
+@register(
+    "agg_trimmed_winsorized_mean",
+    oracle=_QB_CTES
+    + f"""
+    , t AS (SELECT p, v, f, cf, n, n // {TRIM_DENOM} AS k FROM cum),
+    mid AS (
+        SELECT p, MIN(n) AS n, MIN(k) AS k,
+               CAST(SUM(v * GREATEST(
+                   0, LEAST(cf, n - k) - GREATEST(cf - f + 1, k + 1) + 1
+               )) AS BIGINT) AS trimmed_sum,
+               MIN(CASE WHEN cf >= k + 1 THEN v END) AS v_lo,
+               MIN(CASE WHEN cf >= n - k THEN v END) AS v_hi
+        FROM t GROUP BY p
+    )
+    SELECT p AS l_returnflag, n, k AS n_trim,
+           ROUND(CAST(trimmed_sum AS DOUBLE) / (n - 2 * k), 6)
+               AS trimmed_mean,
+           ROUND(CAST(trimmed_sum + k * v_lo + k * v_hi AS DOUBLE) / n, 6)
+               AS winsorized_mean
+    FROM mid
+    """,
+)
+def agg_trimmed_winsorized_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D9' — 5%-trimmed and 5%-winsorized means of lineitem quantity per
+    return flag: the two classical outlier-robust location estimates
+    (trimming DROPS the k = ⌊n/20⌋ smallest and largest observations;
+    winsorizing CLAMPS them to the surviving boundary values) — what a
+    data-quality dashboard reports when a raw mean is hostage to a fat
+    tail. Entirely integer arithmetic on the value-domain matrix: each
+    value's surviving multiplicity is the overlap of its rank interval
+    [cf−f+1, cf] with [k+1, n−k], the boundary values are type-1
+    quantile lookups, and the only floats are the two final divisions
+    rounded identically on both engines.
+
+    Scale shape: the quantile-bands plan — matrix windows + a
+    |flags|-row roll-up; no per-row sort at any corpus size. (The
+    ``trimmed_mean`` library form the Engine facade exposes.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return trimmed_winsorized_mean(
+        li, group="l_returnflag", value="l_quantity"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def trimmed_winsorized_mean(
+    df: DataFrame, group: str, value: str, trim_denom: int = TRIM_DENOM
+) -> DataFrame:
+    """(grp, n, n_trim, trimmed_mean, winsorized_mean) over an integral
+    bounded-domain value column — the library form the Engine facade
+    exposes; ``agg_trimmed_winsorized_mean`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
+    cum = _cumulative_matrix(_value_matrix(df, group, value))
+    t = cum.withColumn("k", F.expr(f"n div {trim_denom}"))
+    surviving = F.greatest(
+        F.lit(0),
+        F.least(F.col("cf"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cf") - F.col("f") + 1, F.col("k") + 1)
+        + 1,
+    )
+    mid = t.groupBy("p").agg(
+        F.min("n").alias("n"),
+        F.min("k").alias("k"),
+        F.sum(F.col("v") * surviving).cast("bigint").alias("trimmed_sum"),
+        F.min(
+            F.when(F.col("cf") >= F.col("k") + 1, F.col("v"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cf") >= F.col("n") - F.col("k"), F.col("v"))
+        ).alias("v_hi"),
+    )
+    return mid.select(
+        F.col("p").alias("grp"),
+        "n",
+        F.col("k").alias("n_trim"),
+        F.round(
+            F.col("trimmed_sum").cast("double")
+            / (F.col("n") - 2 * F.col("k")),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("trimmed_sum")
+                + F.col("k") * F.col("v_lo")
+                + F.col("k") * F.col("v_hi")
+            ).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+_MAD_CTES = _QB_CTES + """
+    , med AS (
+        SELECT p, MIN(n) AS n,
+               MIN(CASE WHEN cf * 2 >= n THEN v END) AS median
+        FROM cum GROUP BY p
+    ),
+    dev AS (
+        SELECT jm.p, ABS(jm.v - med.median) AS d,
+               CAST(SUM(jm.f) AS BIGINT) AS f
+        FROM jm JOIN med ON med.p = jm.p
+        GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT p, d, f,
+               CAST(SUM(f) OVER (
+                   PARTITION BY p ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cf,
+               CAST(SUM(f) OVER (PARTITION BY p) AS BIGINT) AS n
+        FROM dev
+    ),
+    madt AS (
+        SELECT p, MIN(CASE WHEN cf * 2 >= n THEN d END) AS mad
+        FROM dcum GROUP BY p
+    )
+"""
+
+
+@register(
+    "agg_mad_robust",
+    oracle=_MAD_CTES
+    + """
+    SELECT med.p AS l_returnflag, med.n, med.median, madt.mad
+    FROM med JOIN madt ON madt.p = med.p
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9'' — exact median and median-absolute-deviation (MAD) of
+    lineitem quantity per return flag: THE robust scale estimate (50%
+    breakdown point vs the standard deviation's zero) that anomaly
+    thresholds and winsorization limits are built on. Both medians are
+    type-1 with the integer test cf·2 ≥ n (no division); the deviation
+    pass RE-BINS the value matrix by |v − median| — still domain-sized —
+    so the second median needs no second scan of the table.
+
+    Scale shape: one corpus scan into the (flag, qty) matrix; every
+    later stage (median lookup, deviation re-bin, second cumulative) is
+    domain-cardinality. (The ``mad_robust`` library form the Engine
+    facade exposes.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return mad_robust(
+        li, group="l_returnflag", value="l_quantity"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def mad_robust(df: DataFrame, group: str, value: str) -> DataFrame:
+    """(grp, n, median, mad) exact type-1 median + MAD of an integral
+    bounded-domain value column per group — the library form the Engine
+    facade exposes; ``agg_mad_robust`` is its registered oracle-checked
+    instance (facade-parity single-source rule)."""
+    jm = _value_matrix(df, group, value)
+    cum = _cumulative_matrix(jm)
+    med = cum.groupBy("p").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("cf") * 2 >= F.col("n"), F.col("v"))
+        ).alias("median"),
+    )
+    dev = (
+        jm.join(F.broadcast(med.select("p", "median")), "p")
+        .groupBy("p", F.abs(F.col("v") - F.col("median")).alias("d"))
+        .agg(F.sum("f").cast("bigint").alias("f"))
+    )
+    wc = (
+        Window.partitionBy("p")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dcum = dev.withColumn("cf", F.sum("f").over(wc).cast("bigint")).withColumn(
+        "dn", F.sum("f").over(wp).cast("bigint")
+    )
+    madt = dcum.groupBy("p").agg(
+        F.min(
+            F.when(F.col("cf") * 2 >= F.col("dn"), F.col("d"))
+        ).alias("mad")
+    )
+    return (
+        med.join(madt, "p")
+        .select(F.col("p").alias("grp"), "n", "median", "mad")
+    )
+
+
+#: MAD multiple beyond which a value is flagged as an outlier.
+MAD_OUTLIER_K = 3
+
+
+@register(
+    "dq_outlier_mad_flags",
+    oracle=_MAD_CTES
+    + f"""
+    SELECT med.p AS l_returnflag, med.n,
+           CAST(COALESCE(SUM(CASE
+               WHEN ABS(jm.v - med.median) > {MAD_OUTLIER_K} * madt.mad
+               THEN jm.f ELSE 0 END), 0) AS BIGINT) AS n_outlier,
+           ROUND(CAST(COALESCE(SUM(CASE
+               WHEN ABS(jm.v - med.median) > {MAD_OUTLIER_K} * madt.mad
+               THEN jm.f ELSE 0 END), 0) AS DOUBLE) / med.n, 6)
+               AS outlier_share
+    FROM med
+    JOIN madt ON madt.p = med.p
+    JOIN jm ON jm.p = med.p
+    GROUP BY med.p, med.n
+    """,
+)
+def dq_outlier_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — robust outlier counts per return flag: how many lineitem
+    quantities sit more than 3 MADs from their group median — the
+    Hampel-filter census a data-quality gate runs where a z-score test
+    would let one extreme value inflate its own threshold (the MAD is
+    immune to the very outliers it screens). Pure integer comparison
+    |v − median| > 3·mad over the value matrix; one double division for
+    the share, rounded identically.
+
+    Scale shape: the agg_mad_robust plan plus one more domain-sized
+    broadcast join — still a single corpus scan. (The ``outlier_flags``
+    library form the Engine facade exposes.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return outlier_flags(
+        li, group="l_returnflag", value="l_quantity"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def outlier_flags(
+    df: DataFrame, group: str, value: str, k: int = MAD_OUTLIER_K
+) -> DataFrame:
+    """(grp, n, n_outlier, outlier_share) Hampel-style |v−med| > k·MAD
+    census of an integral bounded-domain value column per group — the
+    library form the Engine facade exposes; ``dq_outlier_mad_flags`` is
+    its registered oracle-checked instance (facade-parity single-source
+    rule)."""
+    jm = _value_matrix(df, group, value)
+    stats = mad_robust(df, group=group, value=value).withColumnRenamed(
+        "grp", "p"
+    )
+    out = F.when(
+        F.abs(F.col("v") - F.col("median")) > k * F.col("mad"), F.col("f")
+    ).otherwise(F.lit(0))
+    return (
+        jm.join(F.broadcast(stats), "p")
+        .groupBy(F.col("p").alias("grp"), "n")
+        .agg(
+            F.coalesce(F.sum(out), F.lit(0)).cast("bigint").alias(
+                "n_outlier"
+            )
+        )
+        .select(
+            "grp",
+            "n",
+            "n_outlier",
+            F.round(
+                F.col("n_outlier").cast("double") / F.col("n"), 6
+            ).alias("outlier_share"),
+        )
+    )
+
+
+#: the (x, y) return-flag pair whose location shift the registered
+#: Hodges-Lehmann instance estimates.
+HL_PAIR = ("R", "A")
+
+
+@register(
+    "agg_hodges_lehmann_shift",
+    oracle=f"""
+    WITH hx AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem WHERE l_returnflag = '{HL_PAIR[0]}' GROUP BY 1
+    ),
+    hy AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem WHERE l_returnflag = '{HL_PAIR[1]}' GROUP BY 1
+    ),
+    diffs AS (
+        SELECT hx.v - hy.v AS d,
+               SUM(CAST(hx.f AS HUGEINT) * hy.f) AS w
+        FROM hx CROSS JOIN hy
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, w,
+               SUM(w) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(w) OVER () AS npairs
+        FROM diffs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_returnflag = '{HL_PAIR[0]}') AS n_x,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_returnflag = '{HL_PAIR[1]}') AS n_y,
+           MIN(CASE WHEN cw * 2 >= npairs THEN d END) AS hl_shift
+    FROM cum
+    """,
+)
+def agg_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9''' — Hodges-Lehmann two-sample shift estimate between the 'R'
+    and 'A' return-flag quantity distributions: the type-1 median of ALL
+    n_x·n_y pairwise differences x_i − y_j — the robust, distribution-
+    free answer to "how much bigger is group X than group Y" (the
+    location estimator dual to the Mann-Whitney test ``eval_auc_exact``
+    already computes). The textbook form is O(n²) pairs; over a bounded
+    value domain the difference distribution is the CONVOLUTION of the
+    two value histograms — a |V_x|·|V_y| cross join with exact pair
+    weights f_x·f_y in DECIMAL(38,0) (pair counts are O(n²): the r12
+    overflow-headroom rule), and the weighted median test cw·2 ≥ N is
+    pure integer arithmetic.
+
+    Scale shape: one corpus scan into two domain histograms, a
+    domain×domain cross join (≤2500 cells here), one tiny window. (The
+    ``hl_shift`` library form the Engine facade exposes.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return hl_shift(
+        li.filter(F.col("l_returnflag") == HL_PAIR[0]).select("l_quantity"),
+        li.filter(F.col("l_returnflag") == HL_PAIR[1]).select("l_quantity"),
+        value="l_quantity",
+    )
+
+
+def hl_shift(dfx: DataFrame, dfy: DataFrame, value: str) -> DataFrame:
+    """(n_x, n_y, hl_shift) Hodges-Lehmann shift estimate between two
+    frames' integral bounded-domain value columns — the library form the
+    Engine facade exposes; ``agg_hodges_lehmann_shift`` is its
+    registered oracle-checked instance (facade-parity single-source
+    rule)."""
+    hx = dfx.groupBy(F.col(value).cast("bigint").alias("vx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fx")
+    )
+    hy = dfy.groupBy(F.col(value).cast("bigint").alias("vy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fy")
+    )
+    diffs = (
+        hx.crossJoin(F.broadcast(hy))
+        .groupBy((F.col("vx") - F.col("vy")).alias("d"))
+        .agg(
+            F.sum(F.col("fx").cast("decimal(38,0)") * F.col("fy")).alias(
+                "w"
+            )
+        )
+    )
+    # cumulative over the DIFFERENCE GRID via a bounded theta self-join
+    # (≤ |Vx|·|Vy| cells) — a global window here would plan an
+    # Exchange SinglePartition, which the plan audit forbids without
+    # exception; the grid is domain-sized so the pair join is O(cells²)
+    # on a tiny frame, never on rows.
+    a, b = diffs.alias("a"), diffs.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.d") <= F.col("a.d"))
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.sum("b.w").alias("cw"))
+    )
+    tot = diffs.agg(F.sum("w").alias("npairs"))
+    nx = dfx.agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
+    ny = dfy.agg(F.count(F.lit(1)).cast("bigint").alias("n_y"))
+    hl = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("npairs"), F.col("d"))
+        ).alias("hl_shift")
+    )
+    return nx.crossJoin(F.broadcast(ny)).crossJoin(F.broadcast(hl))

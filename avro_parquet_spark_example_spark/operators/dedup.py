@@ -2124,3 +2124,61 @@ def neardup_jaccard_prefix_filter(
         .filter(jac >= PREFIX_JACCARD_T)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    groups AS (
+        SELECT LOWER(TRIM(text)) AS k, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM all_docs GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM groups GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H1' — duplicate-cluster size histogram: how many exact-dup groups
+    of each size the corpus holds (size 1 = unique docs) — the
+    survivorship report every dedup run ships with (the difference
+    between "2% duplicates spread thin" and "one document pasted 10⁶
+    times" is invisible in the dedup RATE but decisive for
+    training-data quality, and it IS this histogram's tail). Same
+    injected-duplicate fixture and ``normalized_text_key`` as
+    ``dedup_exact`` — one key definition, so the histogram and the
+    dedup itself can never disagree.
+
+    Scale shape: 32-byte key shuffle (texts never move), then a
+    histogram over GROUP SIZES — a second map-side-combined aggregate
+    whose domain is tiny. One scan at any volume."""
+    docs = with_injected_duplicates(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return cluster_size_histogram(docs, text_col="text")
+
+
+def cluster_size_histogram(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs) exact-dup group-size histogram
+    by the canonical normalized-text key — the library form the Engine
+    facade exposes; ``dedup_cluster_size_histogram`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
+    groups = df.groupBy(
+        normalized_text_key(text_col).alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return groups.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

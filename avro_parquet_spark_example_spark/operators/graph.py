@@ -1464,9 +1464,9 @@ def local_clustering_coefficients(e: DataFrame) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS m,
                CAST(SUM(j) AS BIGINT) AS sj,
                CAST(SUM(k) AS BIGINT) AS sk,
-               CAST(SUM(j * k) AS BIGINT) AS sjk,
-               CAST(SUM(j * j) AS BIGINT) AS sjj,
-               CAST(SUM(k * k) AS BIGINT) AS skk
+               SUM(CAST(j AS HUGEINT) * k) AS sjk,
+               SUM(CAST(j AS HUGEINT) * j) AS sjj,
+               SUM(CAST(k AS HUGEINT) * k) AS skk
         FROM pairs
     )
     SELECT m // 2 AS n_edges,
@@ -1524,13 +1524,18 @@ def degree_assortativity(e: DataFrame) -> DataFrame:
         .join(deg.withColumnRenamed("node", "t").withColumnRenamed("d", "k"), "t")
         .select("j", "k")
     )
+    # degree-product moment sums in DECIMAL(38,0): Σ d_j·d_k over the
+    # 2m oriented rows is O(m·d_max²) — hub degrees on power-law graphs
+    # push this past int64 long before m does (r12 overflow-headroom
+    # audit; oracle uses HUGEINT for the same intermediates). Linear
+    # sums (sj, sk) stay BIGINT.
     sums = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("j").cast("bigint").alias("sj"),
         F.sum("k").cast("bigint").alias("sk"),
-        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
-        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
-        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum(F.col("j").cast("decimal(38,0)") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j").cast("decimal(38,0)") * F.col("j")).alias("sjj"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("skk"),
     )
     md = F.col("m").cast("double")
     r = (md * F.col("sjk").cast("double") - F.col("sj").cast("double") * F.col("sk").cast("double")) / (

@@ -1255,8 +1255,10 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT np AS n_pos, nn AS n_neg,
-           CAST(r2 - np * (np + 1) AS BIGINT) AS u_x2,
-           ROUND(CAST(r2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6)
+           CAST(CAST(r2 AS HUGEINT) - CAST(np AS HUGEINT) * (np + 1)
+                AS DOUBLE) AS u_x2,
+           ROUND(CAST(CAST(r2 AS HUGEINT) - CAST(np AS HUGEINT) * (np + 1)
+                      AS DOUBLE) / (2.0 * np * nn), 6)
                AS auc
     FROM s
     """,
@@ -1271,9 +1273,10 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-distinct-value class counts + cumulative prefix counts give
     each value's midrank without any global sort; the oracle runs the
     single-sequence RANK definition. Twice-the-rank-sum is an exact
-    INTEGER (midranks are half-integers), so u_x2 hash-pins the
-    statistic and the double division happens once, identically, at
-    the end.
+    INTEGER (midranks are half-integers), carried in DECIMAL(38,0)
+    (r12 overflow-headroom audit: the U statistic is O(n²), past int64
+    at ~3G rows) and emitted as the correctly-rounded DOUBLE u_x2 on
+    both engines; the final division happens once, identically.
 
     Scale: identical to the drift tests — one distinct-value aggregate,
     32-bucket two-phase prefix sums, O(buckets) driver scalars."""
@@ -1286,17 +1289,25 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.col("r_ref") + F.col("r_cur") - c
     # midrank = b + (c+1)/2 → 2·midrank = 2b + c + 1 (integer); the
     # positives' doubled rank-sum is Σ c_ref·(2b + c + 1), exact.
+    # rank-sum in DECIMAL(38,0): Σ c_ref·(2b+c+1) is O(n²) and passes
+    # int64 at ~3G rows (r12 overflow-headroom audit; oracle: HUGEINT).
+    # u_x2 is emitted as DOUBLE on both engines — the U statistic
+    # itself is O(n²) so a BIGINT output column would bound the
+    # operator; both engines correctly-round the same exact integer, so
+    # the renders stay hash-identical.
     r2 = cdfs.agg(
-        F.sum(F.col("c_ref") * (2 * b + c + 1)).alias("r2")
+        F.sum(
+            F.col("c_ref").cast("decimal(38,0)") * (2 * b + c + 1)
+        ).alias("r2")
     )
-    tri = n_pos * (n_pos + 1)  # python arbitrary precision (int32 trap)
+    trid = F.lit(n_pos).cast("decimal(38,0)") * F.lit(n_pos + 1)
+    u = F.col("r2") - trid
     return r2.select(
         F.lit(n_pos).cast("bigint").alias("n_pos"),
         F.lit(n_neg).cast("bigint").alias("n_neg"),
-        (F.col("r2") - F.lit(tri)).cast("bigint").alias("u_x2"),
+        u.cast("double").alias("u_x2"),
         F.round(
-            (F.col("r2") - F.lit(tri)).cast("double")
-            / F.lit(2.0 * n_pos * n_neg),
+            u.cast("double") / F.lit(2.0 * n_pos * n_neg),
             6,
         ).alias("auc"),
     )
@@ -1328,12 +1339,13 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     ),
     terms AS (
-        SELECT CAST(FLOOR(cp * (CAST(tp AS DOUBLE) / pp) * 1e12) AS BIGINT)
+        SELECT CAST(cp AS HUGEINT)
+               * CAST(FLOOR(CAST(tp AS DOUBLE) / pp * 1e12) AS BIGINT)
                    AS t12
         FROM c
     )
     SELECT t.np AS n_pos, t.nn AS n_neg,
-           CAST(SUM(s.t12) AS BIGINT) AS ap_sum12,
+           CAST(SUM(s.t12) AS DOUBLE) AS ap_sum12,
            ROUND(CAST(SUM(s.t12) AS DOUBLE) / 1e12 / t.np, 6)
                AS avg_precision
     FROM terms s CROSS JOIN tot t GROUP BY t.np, t.nn
@@ -1349,11 +1361,16 @@ def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     AP = Σ_v c⁺_v · (TP_v/PP_v) / n⁺ — every input an exact integer
     from :func:`two_class_value_cdfs`' distributed prefix sums (the
     descending cumulatives derive from the ascending ones: TP_v =
-    n⁺ − r⁺_v + c⁺_v). Per-threshold terms are quantized to 12-digit
-    fixed point and summed as exact integers (the engine's dsum rule —
-    a raw double Σ over thresholds would be partition-order-dependent),
-    so ``ap_sum12`` hash-pins the statistic; the division happens once
-    at the end.
+    n⁺ − r⁺_v + c⁺_v). Each threshold's PRECISION (≤1) is quantized to
+    12-digit fixed point, then scaled by the exact integer count c⁺_v
+    in DECIMAL(38,0) and summed (the engine's dsum rule — a raw double
+    Σ over thresholds would be partition-order-dependent). Quantizing
+    the ratio rather than the whole term keeps every intermediate in
+    range at any corpus size (r12 overflow-headroom audit: the old
+    per-term floor(c⁺·P·1e12) overflowed int64 once c⁺_v passed ~9.2M,
+    i.e. ~60× the sf0.1 fixture); the quantization error is ≤1e-12 per
+    ROW, so AP is still exact far past 6dp. ``ap_sum12`` is emitted as
+    DOUBLE on both engines (correctly rounded from the same integer).
 
     Scale: identical to the AUC/drift family — one distinct-value
     aggregate, 32-bucket two-phase prefix sums, O(buckets) driver
@@ -1368,14 +1385,13 @@ def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_all = F.col("r_ref") + F.col("r_cur")
     tp = F.lit(n_pos) - F.col("r_ref") + F.col("c_ref")
     pp = F.lit(n_tot) - r_all + c_all
-    t12 = F.floor(
-        F.col("c_ref") * (tp.cast("double") / pp) * 1e12
-    ).cast("bigint")
+    prec12 = F.floor(tp.cast("double") / pp * 1e12)
+    t12 = F.col("c_ref").cast("decimal(38,0)") * prec12
     s = cdfs.agg(F.sum(t12).alias("ap_sum12"))
     return s.select(
         F.lit(n_pos).cast("bigint").alias("n_pos"),
         F.lit(n_neg).cast("bigint").alias("n_neg"),
-        F.col("ap_sum12").cast("bigint").alias("ap_sum12"),
+        F.col("ap_sum12").cast("double").alias("ap_sum12"),
         F.round(
             F.col("ap_sum12").cast("double") / 1e12 / F.lit(n_pos), 6
         ).alias("avg_precision"),
@@ -1576,3 +1592,116 @@ def dq_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         rl.alias("rate_low12"),
         (rh > rl).alias("high_wins"),
     )
+
+
+#: Columns the registered profile instance sweeps (name, render rule).
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl1,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl2,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+               CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+               CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl3,
+               CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS nd3,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mn3,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mx3,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl4,
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn4,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx4,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl5,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd5,
+               CAST(MIN(o_orderpriority) AS VARCHAR) AS mn5,
+               CAST(MAX(o_orderpriority) AS VARCHAR) AS mx5
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n, nl1 AS n_null, nd1 AS n_distinct,
+           mn1 AS min_s, mx1 AS max_s FROM s
+    UNION ALL
+    SELECT 'o_custkey', n, nl2, nd2, mn2, mx2 FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n, nl3, nd3, mn3, mx3 FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n, nl4, nd4, mn4, mx4 FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, nl5, nd5, mn5, mx5 FROM s
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — per-column profile of the orders table: row count, NULL
+    count, exact distinct count, min and max (rendered as strings so one
+    schema carries every column type) — the dataset-card / schema-drift
+    primitive run on every ingested table before anything else trusts
+    it. Render alignment across engines: numeric-key and date columns
+    cast to VARCHAR from identical exact types; the double price column
+    goes through DECIMAL(12,2) FIRST (double→string rendering differs
+    between JVM and DuckDB; decimal→string does not).
+
+    Scale shape: ONE aggregate pass computes every column's moments
+    (Spark plans the multi-distinct via Expand — a bounded ×|cols|
+    row blow-up, the standard exact-profile cost; swap in
+    approx_count_distinct when ±2% is acceptable, the
+    ``agg_approx_distinct`` precedent), then a 5-row literal unpivot.
+    No per-column rescans."""
+    o = load(spark, sf_dir, "orders")
+    rendered = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice": F.col("o_totalprice").cast("decimal(12,2)"),
+        "o_orderdate": F.col("o_orderdate").cast("date"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    return column_profile(o, PROFILE_COLUMNS, rendered=rendered)
+
+
+def column_profile(
+    df: DataFrame,
+    columns: tuple[str, ...] | list[str],
+    rendered: dict | None = None,
+) -> DataFrame:
+    """(col_name, n, n_null, n_distinct, min_s, max_s) per-column profile
+    — the library form the Engine facade exposes; ``dq_column_profile``
+    is its registered oracle-checked instance (facade-parity
+    single-source rule). ``rendered`` optionally maps a column name to
+    the Column expression used for distinct/min/max (e.g. a decimal cast
+    for doubles, whose raw string render is engine-specific)."""
+    rendered = rendered or {}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, c in enumerate(columns, start=1):
+        col = rendered.get(c, F.col(c))
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1))
+            .cast("bigint")
+            .alias(f"nl{i}"),
+            F.countDistinct(col).cast("bigint").alias(f"nd{i}"),
+            F.min(col).cast("string").alias(f"mn{i}"),
+            F.max(col).cast("string").alias(f"mx{i}"),
+        ]
+    s = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nl{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(columns, start=1)
+    )
+    return s.select(
+        F.expr(
+            f"stack({len(columns)}, {parts}) AS "
+            "(col_name, n_null, n_distinct, min_s, max_s)"
+        ),
+        "n",
+    ).select("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")

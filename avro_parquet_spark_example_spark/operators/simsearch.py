@@ -2629,7 +2629,7 @@ def nearest_centroid_confusion(
         FROM conf
     ),
     chance AS (
-        SELECT CAST(SUM(rc.r * pc.p) AS BIGINT) AS rc
+        SELECT SUM(CAST(rc.r AS HUGEINT) * pc.p) AS rc
         FROM (SELECT t AS l, CAST(SUM(c) AS BIGINT) AS r
               FROM conf GROUP BY t) rc
         JOIN (SELECT p AS l, CAST(SUM(c) AS BIGINT) AS p
@@ -2700,11 +2700,15 @@ def cohens_kappa(conf: DataFrame) -> DataFrame:
     # the inner join IS exact for rc = Σ_l r_l·p_l: a label absent from
     # either marginal has r_l·p_l = 0 (contrast MCC's Σt_k²/Σp_k², which
     # must come from each marginal alone — ADVICE r11 #1)
+    # rc = Σ r_l·p_l is O(n²/|labels|) — DECIMAL(38,0) per the r12
+    # overflow-headroom audit (oracle: HUGEINT); linear marginals stay
+    # BIGINT.
     chance = (
         rows.join(cols, "l")
         .agg(
             F.coalesce(
-                F.sum(F.col("r") * F.col("p")).cast("bigint"), F.lit(0)
+                F.sum(F.col("r").cast("decimal(38,0)") * F.col("p")),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("rc")
         )
     )
@@ -2742,11 +2746,11 @@ def cohens_kappa(conf: DataFrame) -> DataFrame:
     ),
     pt AS (
         SELECT
-            COALESCE((SELECT CAST(SUM(tr2.tk * pr2.pk) AS BIGINT)
+            COALESCE((SELECT SUM(CAST(tr2.tk AS HUGEINT) * pr2.pk)
                       FROM tr tr2 JOIN pr pr2 ON pr2.l = tr2.l),
                      0) AS sum_pt,
-            (SELECT CAST(SUM(tk * tk) AS BIGINT) FROM tr) AS sum_tt,
-            (SELECT CAST(SUM(pk * pk) AS BIGINT) FROM pr) AS sum_pp
+            (SELECT SUM(CAST(tk AS HUGEINT) * tk) FROM tr) AS sum_tt,
+            (SELECT SUM(CAST(pk AS HUGEINT) * pk) FROM pr) AS sum_pp
     )
     SELECT m.s AS n, m.corr,
            ROUND((CAST(m.corr AS DOUBLE) * m.s - CAST(p.sum_pt AS DOUBLE))
@@ -2804,17 +2808,25 @@ def mcc_multiclass(conf: DataFrame) -> DataFrame:
     pr = conf.groupBy(F.col("pred_label").alias("l")).agg(
         F.sum("n").cast("bigint").alias("pk")
     )
+    # Σt_k², Σp_k², Σt_k·p_k are O(n²/|labels|) — DECIMAL(38,0) per the
+    # r12 overflow-headroom audit (oracle: HUGEINT); the marginals
+    # themselves stay BIGINT.
     tt = tr.agg(
-        F.sum(F.col("tk") * F.col("tk")).cast("bigint").alias("sum_tt")
+        F.sum(F.col("tk").cast("decimal(38,0)") * F.col("tk")).alias(
+            "sum_tt"
+        )
     )
     pp = pr.agg(
-        F.sum(F.col("pk") * F.col("pk")).cast("bigint").alias("sum_pp")
+        F.sum(F.col("pk").cast("decimal(38,0)") * F.col("pk")).alias(
+            "sum_pp"
+        )
     )
     pt = (
         tr.join(pr, "l")
         .agg(
             F.coalesce(
-                F.sum(F.col("tk") * F.col("pk")).cast("bigint"), F.lit(0)
+                F.sum(F.col("tk").cast("decimal(38,0)") * F.col("pk")),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("sum_pt")
         )
         .crossJoin(F.broadcast(tt))
@@ -2830,3 +2842,84 @@ def mcc_multiclass(conf: DataFrame) -> DataFrame:
         "corr",
         F.round(mcc, 6).alias("mcc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension variance screening (round 12)
+
+#: How many top-variance dimensions the registered instance reports.
+DIM_VAR_TOPK = 8
+
+
+@register(
+    "vec_dim_variance_topk",
+    oracle=f"""
+    WITH fixed AS (
+        SELECT r.range AS pos,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * 10000000) AS BIGINT) AS v7
+        FROM embeddings, RANGE(1, 65) r
+    ),
+    m AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v7) AS BIGINT) AS s1,
+               SUM(CAST(v7 AS HUGEINT) * v7) AS s2
+        FROM fixed GROUP BY pos
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * n) / 1e14, 9) AS variance
+    FROM m
+    ORDER BY variance DESC, pos
+    LIMIT {DIM_VAR_TOPK}
+    """,
+)
+def vec_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VS — the top-{{k}} embedding dimensions by exact population
+    variance: the dead-dimension / dominant-dimension screen run before
+    any whitening, PQ codebook split, or matryoshka truncation decision
+    (a dimension with near-zero variance carries no information; one
+    with outsized variance dominates L2 distances). Elements go through
+    the engine's standard v7 fixed-point (``vec_centroid_per_label``
+    rule): per-dimension Σv and Σv² are exact integers — Σv² in
+    DECIMAL(38,0)/HUGEINT per the r12 overflow-headroom rule (v7² ≈
+    10^14 per element; int64 dies at ~10^4.9 vectors) — and variance =
+    (n·Σv² − (Σv)²)/n² descales by 1e14 through one fixed IEEE tree.
+    Deterministic top-k: ORDER BY variance DESC, pos.
+
+    Scale shape: posexplode → ONE (pos)-keyed map-side-combined moment
+    aggregate (64 rows out) → a 64-row TakeOrdered. A 100 TB corpus is
+    one scan; nothing downstream exceeds the dimensionality. (The
+    ``dim_variance`` library form the Engine facade exposes.)"""
+    return dim_variance(load(spark, sf_dir, "embeddings")).orderBy(
+        F.col("variance").desc(), "pos"
+    ).limit(DIM_VAR_TOPK)
+
+
+def dim_variance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(pos, n, variance) exact per-dimension population variance of a
+    vector column (v7 fixed-point) — the library form the Engine facade
+    exposes; ``vec_dim_variance_topk`` is its registered oracle-checked
+    instance (facade-parity single-source rule)."""
+    fixed = df.select(
+        F.posexplode(vec_col).alias("pos0", "val")
+    ).select(
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    )
+    m = fixed.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v7").cast("bigint").alias("s1"),
+        F.sum(F.col("v7").cast("decimal(38,0)") * F.col("v7")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        (nd * F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (nd * F.col("n"))
+        / 1e14
+    )
+    return m.select("pos", "n", F.round(var, 9).alias("variance"))

@@ -2164,3 +2164,51 @@ def ttr_hapax(df: DataFrame, text: str, group: str) -> DataFrame:
             "hapax_share"
         ),
     )
+
+
+@register(
+    "text_doclen_quantiles",
+    oracle="""
+    WITH jm AS (
+        SELECT lang AS p, CAST(n_chars AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT p, v, f,
+               CAST(SUM(f) OVER (
+                   PARTITION BY p ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cf,
+               CAST(SUM(f) OVER (PARTITION BY p) AS BIGINT) AS n
+        FROM jm
+    )
+    SELECT p AS lang, MIN(n) AS n,
+           MIN(CASE WHEN cf * 100 >= 25 * n THEN v END) AS p25,
+           MIN(CASE WHEN cf * 100 >= 50 * n THEN v END) AS p50,
+           MIN(CASE WHEN cf * 100 >= 75 * n THEN v END) AS p75,
+           MIN(CASE WHEN cf * 100 >= 90 * n THEN v END) AS p90
+    FROM cum GROUP BY p
+    """,
+)
+def text_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6' — exact document-length quantile bands (p25/p50/p75/p90 of
+    n_chars) per language: the length distribution every dataset card
+    tabulates and every chunking/packing budget is tuned against —
+    here as a second registered INSTANCE of the round-12
+    ``quantile_bands`` library operator (operators/aggregates.py),
+    demonstrating the facade generalizes beyond the lineitem fixture:
+    same type-1 integer test, same domain-matrix plan, a different
+    table and grouping. Length domains are thousands of distinct
+    values — still matrix-sized, never row-sized.
+
+    Scale shape: one map-side-combined (lang, n_chars) count, matrix
+    windows, a |langs|-row roll-up."""
+    from avro_parquet_spark_example_spark.operators.aggregates import (
+        quantile_bands,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return quantile_bands(
+        d, group="lang", value="n_chars"
+    ).withColumnRenamed("grp", "lang")

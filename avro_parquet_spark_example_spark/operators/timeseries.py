@@ -2610,9 +2610,9 @@ XCORR_PAIR = ("click", "purchase")
         SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(xa) AS BIGINT) AS sa,
                CAST(SUM(xb) AS BIGINT) AS sb,
-               CAST(SUM(xa * xa) AS BIGINT) AS saa,
-               CAST(SUM(xb * xb) AS BIGINT) AS sbb,
-               CAST(SUM(xa * xb) AS BIGINT) AS sab
+               SUM(CAST(xa AS HUGEINT) * xa) AS saa,
+               SUM(CAST(xb AS HUGEINT) * xb) AS sbb,
+               SUM(CAST(xa AS HUGEINT) * xb) AS sab
         FROM pairs GROUP BY lag
     )
     SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
@@ -2679,13 +2679,17 @@ def lead_lag_xcorr(
         .withColumn("day_b", F.date_add(F.col("day_a"), F.col("lag")))
         .join(lagf, "day_b")
     )
+    # squared-value moment sums in DECIMAL(38,0): daily volumes at
+    # 100 TB are ~10^10-10^12, so Σx² passes int64's 9.2e18 ceiling
+    # (r12 overflow-headroom audit; oracle uses HUGEINT). Linear sums
+    # stay BIGINT.
     sums = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("xa").cast("bigint").alias("sa"),
         F.sum("xb").cast("bigint").alias("sb"),
-        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
-        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
-        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sab"),
     )
     nd = F.col("n").cast("double")
     r = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")) / (
@@ -2711,7 +2715,7 @@ def lead_lag_xcorr(
     per_dow AS (
         SELECT event_type, dow,
                CAST(SUM(n) AS BIGINT) AS sg,
-               CAST(SUM(n * n) AS BIGINT) AS qg,
+               SUM(CAST(n AS HUGEINT) * n) AS qg,
                CAST(COUNT(*) AS BIGINT) AS ng
         FROM daily GROUP BY 1, 2
     ),
@@ -2774,16 +2778,19 @@ def anova_oneway(
         F.col(group).alias("grp"),
         F.col(value).alias("x"),
     )
+    # ΣX² in DECIMAL(38,0): squared observations pass int64 when the
+    # per-group values reach ~10^9 (r12 overflow-headroom audit; oracle
+    # uses HUGEINT). Linear sums stay BIGINT; qt inherits the decimal.
     per_grp = d.groupBy("seg", "grp").agg(
         F.sum("x").cast("bigint").alias("sg"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qg"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qg"),
         F.count(F.lit(1)).cast("bigint").alias("ng"),
     )
     per_seg = per_grp.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("ng").cast("bigint").alias("nt"),
         F.sum("sg").cast("bigint").alias("st"),
-        F.sum("qg").cast("bigint").alias("qt"),
+        F.sum("qg").alias("qt"),
         F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng")).alias(
             "between_raw"
         ),
@@ -2797,4 +2804,191 @@ def anova_oneway(
         F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
             "f_stat"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume autocorrelation function (round 12)
+
+#: Max lag (days) of the registered ACF instance, inclusive.
+ACF_MAX_LAG = 7
+
+
+@register(
+    "ts_autocorr_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT r.range AS lag FROM RANGE(0, {ACF_MAX_LAG + 1}) r),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.n AS xa, b.n AS xb
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.day = a.day + CAST(l.lag AS INT)
+    ),
+    sums AS (
+        SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xa) AS BIGINT) AS sa,
+               CAST(SUM(xb) AS BIGINT) AS sb,
+               SUM(CAST(xa AS HUGEINT) * xa) AS saa,
+               SUM(CAST(xb AS HUGEINT) * xb) AS sbb,
+               SUM(CAST(xa AS HUGEINT) * xb) AS sab
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS acf
+    FROM sums
+    """,
+)
+def ts_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — lag-k autocorrelation of each event type's daily volume for
+    k = 0..7: Pearson r of (x_t, x_{{t+k}}) over the overlapping day
+    pairs — the periodicity detector that makes weekly seasonality a
+    NUMBER (a strong day-7 peak = weekly cycle; lag-0 pins at exactly
+    1.0, a free closed-form check). This is ``ts_lead_lag_xcorr``'s
+    algebra turned inward: the same day-grid lag joins, BIGINT linear
+    sums, DECIMAL(38,0)/HUGEINT squared moments (born under the r12
+    overflow-headroom rule — daily volumes square past int64 at 100 TB),
+    and one fixed IEEE Pearson tree. The windowed-overlap estimator is
+    used (each lag's n_days shrinks by k), so no zero-padding bias.
+
+    Scale shape: one map-side-combined (type, day) count, an 8-row lag
+    grid broadcast, a (type, day)-keyed equi-join, a (type, lag) roll-up.
+    One scan at any volume; everything after is day-grid-sized. (The
+    ``autocorr`` library form the Engine facade exposes.)"""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return autocorr(
+        daily, key="event_type", order="day", value="n",
+        max_lag=ACF_MAX_LAG,
+    )
+
+
+def autocorr(
+    daily: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    max_lag: int = ACF_MAX_LAG,
+) -> DataFrame:
+    """(key, lag, n_days, acf) lag-k autocorrelation (k = 0..max_lag) of
+    a keyed (DATE-ordered) integral daily series — the library form the
+    Engine facade exposes; ``ts_autocorr_acf`` is its registered
+    oracle-checked instance (facade-parity single-source rule)."""
+    spark = daily.sparkSession
+    d = daily.select(
+        F.col(key).alias("k"),
+        F.col(order).alias("day"),
+        F.col(value).alias("x"),
+    )
+    lags = spark.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = d.select("k", F.col("day").alias("day_a"), F.col("x").alias("xa"))
+    b = d.select("k", F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("day_b", F.date_add(F.col("day_a"), F.col("lag")))
+        .join(b, ["k", "day_b"])
+    )
+    sums = pairs.groupBy("k", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")) / (
+        F.sqrt(nd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
+        * F.sqrt(nd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
+    )
+    return sums.select(
+        F.col("k").alias(key),
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(r, 6).alias("acf"),
+    )
+
+
+@register(
+    "ts_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               SUM(CAST(n AS HUGEINT) * n) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, nd AS n_days,
+           ROUND(CAST(s1 AS DOUBLE) / nd, 6) AS mean_daily,
+           ROUND((CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(nd AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS fano
+    FROM m
+    """,
+)
+def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — Fano factor (variance-to-mean ratio) of each event type's
+    daily volume: the one-number burstiness index (Poisson arrivals pin
+    it at exactly 1; >1 = bursty/overdispersed traffic, <1 =
+    regular/underdispersed) — the dispersion complement to
+    ``ts_autocorr_acf``'s periodicity view, and the test capacity
+    planning runs before trusting a Poisson load model. Population
+    variance over mean from exact integer moments — Σx² in
+    DECIMAL(38,0)/HUGEINT (the r12 overflow-headroom rule) — through
+    one fixed IEEE tree, rounded at 6dp on both engines.
+
+    Scale shape: one map-side-combined (type, day) count, a |types|-row
+    moment roll-up. One scan at any volume. (The ``fano_factor``
+    library form the Engine facade exposes.)"""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return fano_factor(daily, key="event_type", value="n")
+
+
+def fano_factor(daily: DataFrame, key: str, value: str) -> DataFrame:
+    """(key, n_days, mean_daily, fano) variance-to-mean ratio of a keyed
+    integral series — the library form the Engine facade exposes;
+    ``ts_burstiness_fano`` is its registered oracle-checked instance
+    (facade-parity single-source rule)."""
+    d = daily.select(F.col(key).alias("k"), F.col(value).alias("x"))
+    m = d.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+    )
+    ndd = F.col("nd").cast("double")
+    return m.select(
+        F.col("k").alias(key),
+        F.col("nd").alias("n_days"),
+        F.round(F.col("s1").cast("double") / F.col("nd"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            (ndd * F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (ndd * F.col("s1").cast("double")),
+            6,
+        ).alias("fano"),
     )

@@ -80,6 +80,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "text_log_odds_monroe": "broadcast 1-row corpus-totals cross join",
         "agg_cramers_v": "broadcast 1-row contingency-totals cross join",
         "eval_mcc_multiclass": "broadcast 1-row marginal-moments cross join",
+        "agg_hodges_lehmann_shift": "domain-grid histogram convolution + cumulative theta self-join (<=|Vx|*|Vy| cells) + 1-row total/count cross joins",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

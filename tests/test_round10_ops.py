@@ -54,7 +54,10 @@ def test_pr_auc_matches_python_reference(spark, sf_dir):
         cp, cn = by_v[v]
         tp += cp
         pp += cp + cn
-        ap_sum12 += math.floor(cp * (tp / pp) * 1e12)
+        # r12: the engine quantizes the precision RATIO (≤1) to 12
+        # digits and scales by the exact count — overflow-safe at any
+        # corpus size (see eval_pr_auc_exact docstring)
+        ap_sum12 += cp * math.floor(tp / pp * 1e12)
     assert row.ap_sum12 == ap_sum12
     ap = ap_sum12 / 1e12 / n_pos
     assert abs(row.avg_precision - round(ap, 6)) < 1e-9

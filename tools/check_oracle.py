@@ -134,12 +134,18 @@ def main(names: list[str]) -> int:
     # over) its time in the previous committed listing at the SAME SF —
     # an annotated line reads as "machine was busy or cost changed", an
     # unannotated slow line is the query's real steady cost.
-    from bench import _calibrate
+    from bench import _calibrate, _calibrate_scan
 
     calib = _calibrate(spark)
+    # the scan/IO probe too (VERDICT r11 task #3): CPU calib alone sat
+    # low during the r11 q1/topk flag churn while scan-bound queries ran
+    # ~1.5x — a listing header without the IO dimension can't tell a
+    # busy page cache from a real regression.
+    calib_scan = _calibrate_scan(spark, SF_DIR)
     prev_ref, prev = _prev_listing_timings()
     print(
-        f"# calib_sec: {calib} (machine control; elevation flags vs "
+        f"# calib_sec: {calib} calib_scan_sec: {calib_scan} (machine "
+        f"controls; elevation flags vs "
         f"{prev_ref or 'no previous listing'} same-SF lines, fired when "
         f"total > 2x prev AND > prev + 1s)"
     )

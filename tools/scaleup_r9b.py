@@ -79,6 +79,18 @@ OPS = [
     ("eval_mcc_multiclass", "embeddings (centroid-assign plan + moments)"),
     ("ts_anova_weekday", "events (day-grid group moments)"),
     ("text_ttr_hapax", "documents (vocab-keyed count)"),
+    # round-12 additions
+    ("agg_quantile_bands_exact", "lineitem (domain-matrix windows)"),
+    ("agg_trimmed_winsorized_mean", "lineitem (domain-matrix rank overlaps)"),
+    ("agg_mad_robust", "lineitem (two chained domain matrices)"),
+    ("dq_outlier_mad_flags", "lineitem (MAD plan + one broadcast join)"),
+    ("agg_hodges_lehmann_shift", "lineitem (histogram convolution, |Vx|x|Vy| grid)"),
+    ("ts_autocorr_acf", "events (day-grid lag self-joins)"),
+    ("ts_burstiness_fano", "events (day-grid moment roll-up)"),
+    ("vec_dim_variance_topk", "embeddings (64-row moment aggregate)"),
+    ("text_doclen_quantiles", "documents (length-domain matrix)"),
+    ("dedup_cluster_size_histogram", "documents (key shuffle + size histogram)"),
+    ("dq_column_profile", "orders (one multi-distinct aggregate pass)"),
 ]
 
 
