@@ -91,6 +91,12 @@ OPS = [
     ("text_doclen_quantiles", "documents (length-domain matrix)"),
     ("dedup_cluster_size_histogram", "documents (key shuffle + size histogram)"),
     ("dq_column_profile", "orders (one multi-distinct aggregate pass)"),
+    # round-12 backward extension of the 10x rule: the graph family
+    # (VERDICT r11 task #7 — the oldest iterative operators)
+    ("graph_triangle_count", "control (TRI_MAX_USER node cap)"),
+    ("graph_label_propagation", "events (UNCAPPED edge build, 3 LPA rounds)"),
+    ("graph_kcore_peel", "events (UNCAPPED edge build, iterative peel)"),
+    ("graph_modularity", "events (UNCAPPED edge build + community roll-up)"),
 ]
 
 
