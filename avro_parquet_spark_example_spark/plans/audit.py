@@ -77,6 +77,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "eval_cohens_kappa": "broadcast 1-row chance-agreement cross join",
         "ml_decision_stump": "broadcast 1-row argmax (best-split) cross join",
         "ts_lead_lag_xcorr": "broadcast 7-row lag-grid cross join",
+        "ts_autocorr_acf": "broadcast 8-row lag-grid cross join",
         "text_log_odds_monroe": "broadcast 1-row corpus-totals cross join",
         "agg_cramers_v": "broadcast 1-row contingency-totals cross join",
         "eval_mcc_multiclass": "broadcast 1-row marginal-moments cross join",
