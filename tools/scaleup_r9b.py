@@ -97,6 +97,15 @@ OPS = [
     ("graph_label_propagation", "events (UNCAPPED edge build, 3 LPA rounds)"),
     ("graph_kcore_peel", "events (UNCAPPED edge build, iterative peel)"),
     ("graph_modularity", "events (UNCAPPED edge build + community roll-up)"),
+    # round-12 second backward family: text retrieval / corpus statistics
+    ("text_inverted_index", "documents (posting lists, df-cap contract)"),
+    ("text_bm25_topk", "documents (posting join + corpus stats)"),
+    ("text_sparse_cosine_topk", "documents (query-term posting join)"),
+    ("text_tfidf_topterms", "documents (df join + per-doc top terms)"),
+    ("text_collocations_pmi", "documents (bigram + unigram joins)"),
+    ("text_keyness_llr", "documents (two-corpus vocab join)"),
+    ("text_token_entropy", "documents (vocab-keyed count + 1-row total)"),
+    ("text_zipf_slope", "documents (rank-frequency regression, vocab-sized)"),
 ]
 
 
