@@ -427,3 +427,28 @@ def test_engine_round12_batch2_facade_parity(spark, sf_dir):
         rendered=rendered,
     )
     assert rows(got) == want("dq_column_profile")
+
+
+def test_kcenter_leaves_no_cached_blocks(spark, sf_dir):
+    """ADVICE r11 #2 regression: kcenter_greedy persisted its final
+    running-min frame and never released it — in a long single-JVM
+    session each call leaked a corpus-sized DISK_ONLY block. After the
+    fix, repeated calls must leave the storage layer exactly as they
+    found it."""
+    from avro_parquet_spark_example_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    pool = load(spark, sf_dir, "embeddings").limit(200)
+    for _ in range(3):
+        assert kcenter_greedy(pool, k=4).count() == 4
+        assert n_cached() == before, (
+            "kcenter_greedy left persisted blocks behind"
+        )
