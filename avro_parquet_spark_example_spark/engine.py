@@ -889,6 +889,45 @@ class Engine:
             daily, key=key, order=order, value=value, max_lag=max_lag
         )
 
+    def theil_sen(
+        self, daily: DataFrame, key: str, order: str, value: str
+    ) -> DataFrame:
+        """(key, n_pairs, sen_slope) — Theil-Sen robust median trend
+        slope of a keyed daily integral series
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            theil_sen,
+        )
+
+        return theil_sen(daily, key=key, order=order, value=value)
+
+    def calibration_error(
+        self, df: DataFrame, pred: str, outcome: str, prob_denom: int
+    ) -> DataFrame:
+        """(n_bins, n, ece) — expected calibration error of an integral
+        predictor (prob = pred/prob_denom) vs a 0/1 outcome
+        (operators/projection.py)."""
+        from avro_parquet_spark_example_spark.operators.projection import (
+            calibration_error,
+        )
+
+        return calibration_error(
+            df, pred=pred, outcome=outcome, prob_denom=prob_denom
+        )
+
+    def brier(
+        self, df: DataFrame, pred: str, outcome: str, prob_denom: int
+    ) -> DataFrame:
+        """(n, brier) — Brier score of an integral predictor (prob =
+        pred/prob_denom) vs a 0/1 outcome (operators/projection.py)."""
+        from avro_parquet_spark_example_spark.operators.projection import (
+            brier_score,
+        )
+
+        return brier_score(
+            df, pred=pred, outcome=outcome, prob_denom=prob_denom
+        )
+
     def fano(self, daily: DataFrame, key: str, value: str) -> DataFrame:
         """(key, n_days, mean_daily, fano) — Fano factor (variance/mean)
         burstiness index of a keyed integral series

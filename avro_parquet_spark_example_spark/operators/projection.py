@@ -1705,3 +1705,218 @@ def column_profile(
         ),
         "n",
     ).select("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")
+
+
+@register(
+    "eval_ece_calibration",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS pct,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    bins AS (
+        SELECT pct, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY pct
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(ABS(10 * n_pos - pct * n)) AS DOUBLE)
+                 / (10 * SUM(n)), 6) AS ece
+    FROM bins
+    """,
+)
+def eval_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — expected calibration error of the discount-as-probability
+    predictor (p = discount_pct/10) against lineitem returns: ECE =
+    Σ_b (n_b/N)·|acc_b − conf_b| — the one-number summary of the
+    reliability diagram ``eval_calibration_bins`` tabulates (a model can
+    have great AUC and terrible calibration; ECE is what probability
+    consumers — samplers, routers, filters with probability thresholds —
+    actually depend on). Bins are the exact predictor values, so conf_b
+    is constant per bin and the whole statistic collapses to INTEGER
+    arithmetic: ECE = Σ_b |10·pos_b − pct_b·n_b| / (10·N) — one double
+    division at the very end, nothing else floats. (Headroom: each
+    |term| ≤ 10·n_b so Σ ≤ 10·N — int64-safe past 10^17 rows.)
+
+    Scale shape: one map-side-combined per-value aggregate (≤ |values|
+    bins), a 1-row roll-up. One scan at any volume."""
+    b = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return calibration_error(b, pred="pct", outcome="y", prob_denom=10)
+
+
+def calibration_error(
+    df: DataFrame, pred: str, outcome: str, prob_denom: int
+) -> DataFrame:
+    """(n_bins, n, ece) expected calibration error of an integral
+    predictor column (probability = pred/prob_denom) against a 0/1
+    outcome — the library form the Engine facade exposes;
+    ``eval_ece_calibration`` is its registered oracle-checked instance
+    (facade-parity single-source rule). Entirely integer arithmetic up
+    to the final division."""
+    bins = df.groupBy(F.col(pred).alias("pct")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(outcome).cast("bigint").alias("n_pos"),
+    )
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.abs(
+                    prob_denom * F.col("n_pos") - F.col("pct") * F.col("n")
+                )
+            )
+            .cast("double")
+            / (prob_denom * F.sum("n")),
+            6,
+        ).alias("ece"),
+    )
+
+
+@register(
+    "eval_brier_score",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS pct,
+               CASE WHEN l_returnflag = 'R' THEN 10 ELSE 0 END AS y10
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM((pct - y10) * (pct - y10)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 6) AS brier
+    FROM b
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — Brier score (mean squared error of the probability forecast)
+    of the same discount-as-probability predictor: the PROPER scoring
+    rule that, unlike accuracy or AUC, rewards calibrated probabilities
+    directly — the standard joint test of calibration + resolution
+    (Brier = calibration − resolution + uncertainty by the Murphy
+    decomposition). With p = pct/10 and y ∈ {0,1}: (p − y)² =
+    (pct − 10y)²/100 — an INTEGER square per row, so the mean is one
+    exact integer sum and a single double division (headroom: per-row
+    term ≤ 100, Σ ≤ 100·N — int64-safe past 10^16 rows; the overflow
+    audit's 10^4-row-scale line passes with 10^7 to spare).
+
+    Scale shape: one map-side-combined 1-row aggregate. Scan-bound at
+    any volume."""
+    b = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return brier_score(b, pred="pct", outcome="y", prob_denom=10)
+
+
+def brier_score(
+    df: DataFrame, pred: str, outcome: str, prob_denom: int
+) -> DataFrame:
+    """(n, brier) Brier score of an integral predictor column
+    (probability = pred/prob_denom) against a 0/1 outcome — the library
+    form the Engine facade exposes; ``eval_brier_score`` is its
+    registered oracle-checked instance (facade-parity single-source
+    rule). One exact integer sum, one double division."""
+    d = F.col(pred) - prob_denom * F.col(outcome)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(d * d).cast("double")
+            / (float(prob_denom * prob_denom) * F.count(F.lit(1))),
+            6,
+        ).alias("brier"),
+    )
+
+
+@register(
+    "dq_drift_kl",
+    oracle="""
+    WITH bucketed AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+               (o_orderdate < TIMESTAMP '1997-01-01') AS is_ref
+        FROM orders
+    ),
+    totals AS (
+        SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM bucketed
+    ),
+    agg AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+        FROM bucketed GROUP BY bucket
+    ),
+    per_bucket AS (
+        SELECT b.range AS bucket,
+               CAST(COALESCE(a.c_ref, 0) AS BIGINT) AS c_ref,
+               CAST(COALESCE(a.c_cur, 0) AS BIGINT) AS c_cur
+        FROM RANGE(0, 10) b LEFT JOIN agg a ON a.bucket = b.range
+    )
+    SELECT bucket, c_ref, c_cur,
+           ROUND(((c_cur + 1.0) / (t.n_cur + 10))
+                 * LN(((c_cur + 1.0) / (t.n_cur + 10))
+                      / ((c_ref + 1.0) / (t.n_ref + 10))), 9) AS kl_term
+    FROM per_bucket CROSS JOIN totals t
+    """,
+)
+def dq_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4'' — Kullback-Leibler drift KL(current ‖ reference) per bucket,
+    completing the drift-lens trio: PSI (symmetrized, the banking
+    convention), JSD (bounded, metric-like) and now raw KL — the
+    information-theoretic "surprise of the new distribution under the
+    old" that mixture/curation tooling optimizes directly (DSIR's
+    importance weights ARE likelihood ratios; this is their aggregate).
+    Identical bucketing, add-1 smoothing, fixed RANGE grid and 1-row
+    totals broadcast as ``dq_drift_psi``/``dq_drift_jsd`` — the same
+    double expression tree on both engines, so per-bucket terms
+    hash-check at 9dp. Total = SUM(kl_term); asymmetric by design
+    (KL(ref ‖ cur) is the other direction — swap the periods).
+
+    Scale shape: the PSI plan verbatim — one scan, a 10-group
+    CASE-sum, a broadcast totals join."""
+    o = load(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    totals = bucketed.agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    grid = o.sparkSession.range(0, 10).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    per_bucket = (
+        F.broadcast(grid)
+        .join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_ref"), F.lit(0)).cast("bigint").alias(
+                "c_ref"
+            ),
+            F.coalesce(F.col("c_cur"), F.lit(0)).cast("bigint").alias(
+                "c_cur"
+            ),
+        )
+    )
+    p_cur = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 10)
+    p_ref = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.round(p_cur * F.log(p_cur / p_ref), 9).alias("kl_term"),
+    )

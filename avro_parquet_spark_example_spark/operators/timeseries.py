@@ -2992,3 +2992,112 @@ def fano_factor(daily: DataFrame, key: str, value: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(FLOOR((b.n - a.n) * 1000000.0
+                          / (b.day - a.day)) AS BIGINT) AS s6,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, s6, f,
+               CAST(SUM(f) OVER (
+                   PARTITION BY event_type ORDER BY s6
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cf,
+               CAST(SUM(f) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        FROM slopes
+    )
+    SELECT event_type, MIN(np) AS n_pairs,
+           ROUND(CAST(MIN(CASE WHEN cf * 2 >= np THEN s6 END) AS DOUBLE)
+                 / 1e6, 6) AS sen_slope
+    FROM cum GROUP BY event_type
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — Theil-Sen robust trend slope of each event type's daily
+    volume: the type-1 median of ALL pairwise slopes
+    (n_b − n_a)/(day_b − day_a) — the 29%-breakdown-point trend
+    estimator that one launch-day spike cannot bend (an OLS slope is
+    hostage to it), and the robust counterpart of the engine's
+    Holt/EWMA mean-trend family. Pairs come from the DAY-GRID self-join
+    (≤ days²/2 per type — hundreds of thousands of grid cells at most,
+    never row-cardinality); each slope quantizes to 6-digit fixed point
+    through one double division + FLOOR (identical IEEE ops both
+    engines — floor-of-double sidesteps the div-vs-// integer sign
+    trap), and the weighted median reuses the integer threshold test
+    2·cf ≥ n from the round-12 matrix family.
+
+    Scale shape: one map-side-combined (type, day) count; everything
+    after is day-grid-sized. The slope matrix window partitions by
+    event_type over ≤ pairs-per-type rows. (The ``theil_sen`` library
+    form the Engine facade exposes.)"""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return theil_sen(daily, key="event_type", order="day", value="n")
+
+
+def theil_sen(
+    daily: DataFrame, key: str, order: str, value: str
+) -> DataFrame:
+    """(key, n_pairs, sen_slope) Theil-Sen median slope of a keyed
+    (DATE-ordered) integral series — the library form the Engine facade
+    exposes; ``ts_theil_sen_slope`` is its registered oracle-checked
+    instance (facade-parity single-source rule)."""
+    d = daily.select(
+        F.col(key).alias("k"),
+        F.col(order).alias("day"),
+        F.col(value).alias("n"),
+    )
+    a = d.select("k", F.col("day").alias("day_a"), F.col("n").alias("na"))
+    b = d.select("k", F.col("day").alias("day_b"), F.col("n").alias("nb"))
+    slopes = (
+        a.join(b, "k")
+        .filter(F.col("day_b") > F.col("day_a"))
+        .groupBy(
+            "k",
+            F.floor(
+                (F.col("nb") - F.col("na"))
+                * 1000000.0
+                / F.datediff(F.col("day_b"), F.col("day_a"))
+            )
+            .cast("bigint")
+            .alias("s6"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    wc = (
+        Window.partitionBy("k")
+        .orderBy("s6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = slopes.withColumn(
+        "cf", F.sum("f").over(wc).cast("bigint")
+    ).withColumn("np", F.sum("f").over(wp).cast("bigint"))
+    return cum.groupBy(F.col("k").alias(key)).agg(
+        F.min("np").alias("n_pairs"),
+        F.round(
+            F.min(
+                F.when(F.col("cf") * 2 >= F.col("np"), F.col("s6"))
+            ).cast("double")
+            / 1e6,
+            6,
+        ).alias("sen_slope"),
+    )

@@ -72,6 +72,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "dq_referential_integrity": "broadcast 1-row orphan/childless count cross joins",
         "ts_anomaly_seasonal_residual": "broadcast 1-row median/MAD cross joins over the day grid",
         "dq_drift_jsd": "broadcast 1-row period-totals cross join (the dq_drift_psi plan verbatim)",
+        "dq_drift_kl": "broadcast 1-row period-totals cross join (the dq_drift_psi plan verbatim)",
         "graph_hits_bipartite": "broadcast 1-row max normalizer cross join per half-round (r10: normalization is lazy on the checkpointed raw aggregate, so the final plan now SHOWS the cross joins the r9 eager-checkpoint shape hid behind LogicalRDD)",
         "vec_cluster_silhouette_sampled": "md5-sampled ~25% pool all-pairs (id<> theta join — the sample IS the bound; exact arithmetic shared with the capped demo)",
         "eval_cohens_kappa": "broadcast 1-row chance-agreement cross join",

@@ -452,3 +452,173 @@ def test_kcenter_leaves_no_cached_blocks(spark, sf_dir):
         assert n_cached() == before, (
             "kcenter_greedy left persisted blocks behind"
         )
+
+
+def test_ece_brier_match_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    pairs = [
+        (int(round(r.l_discount * 100)), 1 if r.l_returnflag == "R" else 0)
+        for r in li
+    ]
+    n = len(pairs)
+    bins: dict[int, list[int]] = {}
+    for pct, y in pairs:
+        c = bins.setdefault(pct, [0, 0])
+        c[0] += 1
+        c[1] += y
+    ece = sum(
+        abs(10 * pos - pct * cnt) for pct, (cnt, pos) in bins.items()
+    ) / (10 * n)
+    row = get_query("eval_ece_calibration").fn(spark, sf_dir).collect()[0]
+    assert (row.n_bins, row.n) == (len(bins), n)
+    assert abs(row.ece - round(ece, 6)) < 1e-9
+
+    brier = sum((pct - 10 * y) ** 2 for pct, y in pairs) / (100 * n)
+    rb = get_query("eval_brier_score").fn(spark, sf_dir).collect()[0]
+    assert rb.n == n
+    assert abs(rb.brier - round(brier, 6)) < 1e-9
+
+    # closed forms: a perfect 0/1 predictor has ECE = 0 and Brier = 0;
+    # a constant p=0.5 predictor on balanced labels has Brier = 0.25
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    perfect = spark.createDataFrame(
+        [(10, 1)] * 5 + [(0, 0)] * 5, "pct long, y long"
+    )
+    assert eng.calibration_error(
+        perfect, pred="pct", outcome="y", prob_denom=10
+    ).collect()[0].ece == 0.0
+    assert eng.brier(
+        perfect, pred="pct", outcome="y", prob_denom=10
+    ).collect()[0].brier == 0.0
+    half = spark.createDataFrame(
+        [(5, 1)] * 5 + [(5, 0)] * 5, "pct long, y long"
+    )
+    assert abs(
+        eng.brier(half, pred="pct", outcome="y", prob_denom=10)
+        .collect()[0]
+        .brier
+        - 0.25
+    ) < 1e-9
+
+
+def test_kl_drift_matches_python_reference(spark, sf_dir):
+    import datetime
+    import math as m
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    split = datetime.datetime(1997, 1, 1)
+    ref = [0] * 10
+    cur = [0] * 10
+    for r in orders:
+        b = min(int(r.o_totalprice // 50000), 9)
+        od = r.o_orderdate
+        if isinstance(od, datetime.date) and not isinstance(
+            od, datetime.datetime
+        ):
+            od = datetime.datetime(od.year, od.month, od.day)
+        (ref if od < split else cur)[b] += 1
+    n_ref, n_cur = sum(ref), sum(cur)
+    rows = {
+        r.bucket: r
+        for r in get_query("dq_drift_kl").fn(spark, sf_dir).collect()
+    }
+    total = 0.0
+    for b in range(10):
+        p_cur = (cur[b] + 1.0) / (n_cur + 10)
+        p_ref = (ref[b] + 1.0) / (n_ref + 10)
+        term = p_cur * m.log(p_cur / p_ref)
+        r = rows[b]
+        assert (r.c_ref, r.c_cur) == (ref[b], cur[b])
+        assert abs(r.kl_term - round(term, 9)) < 1e-9
+        total += term
+    # smoothed KL of two non-identical samples is non-negative up to
+    # smoothing wiggle; identical distributions would pin at ~0
+    assert total > -1e-6
+
+
+def test_theil_sen_matches_python_reference(spark, sf_dir):
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.n))
+    rows = {
+        r.event_type: r
+        for r in get_query("ts_theil_sen_slope").fn(spark, sf_dir).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dd = (pts[j][0] - pts[i][0]).days
+                slopes.append(m.floor((pts[j][1] - pts[i][1]) * 1e6 / dd))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        r = rows[et]
+        assert r.n_pairs == len(slopes)
+        assert abs(r.sen_slope - round(med / 1e6, 6)) < 1e-9
+
+    # closed form: a perfectly linear series has Theil-Sen slope exactly
+    # its increment, regardless of an injected single outlier's pull on
+    # the MEAN-based estimators
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    lin = [
+        ("g", base + datetime.timedelta(days=i), 100 + 3 * i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(lin, "k string, day date, n long")
+    r = (
+        Engine(spark=spark)
+        .theil_sen(df, key="k", order="day", value="n")
+        .collect()[0]
+    )
+    assert r.sen_slope == 3.0
+
+
+def test_engine_round12_batch3_facade_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(key):
+        return rows(get_query(key).fn(spark, sf_dir))
+
+    b = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    assert rows(
+        eng.calibration_error(b, pred="pct", outcome="y", prob_denom=10)
+    ) == want("eval_ece_calibration")
+    assert rows(
+        eng.brier(b, pred="pct", outcome="y", prob_denom=10)
+    ) == want("eval_brier_score")
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    assert rows(
+        eng.theil_sen(daily, key="event_type", order="day", value="n")
+    ) == want("ts_theil_sen_slope")

@@ -106,6 +106,11 @@ OPS = [
     ("text_keyness_llr", "documents (two-corpus vocab join)"),
     ("text_token_entropy", "documents (vocab-keyed count + 1-row total)"),
     ("text_zipf_slope", "documents (rank-frequency regression, vocab-sized)"),
+    # round-12 batch 3
+    ("eval_ece_calibration", "lineitem (per-value bins, integer ECE)"),
+    ("eval_brier_score", "lineitem (one integer-square aggregate)"),
+    ("dq_drift_kl", "orders (10-bucket CASE-sum, PSI plan)"),
+    ("ts_theil_sen_slope", "events (day-grid pair self-join, slope matrix)"),
 ]
 
 
