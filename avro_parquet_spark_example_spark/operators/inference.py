@@ -371,3 +371,500 @@ def stat_jackknife_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "jackknife_se",
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+# Massive Data Streams" — the distributed bootstrap)
+# --------------------------------------------------------------------------
+
+#: Bootstrap replicates. 100 gives a 3rd/98th order-statistic 95% CI.
+_BOOT_R = 100
+
+#: floor(CDF_Poisson(1)(i) * 2^32) for i = 0..5 — integer thresholds on the
+#: md5-u32 draw; a draw's weight is the count of thresholds it clears, so
+#: w ~ Poisson(1) truncated at 6 (P(w>6) < 1e-4; the truncation is part of
+#: the operator's definition and identical on both engines). Literal
+#: constants shared by the Spark expression and the oracle — no runtime
+#: exp() on either engine.
+_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def _u32_sql(id_expr: str, tag: str) -> str:
+    """md5-u32 draw in [0, 2^32): first 8 hex chars of md5(id:r:tag).
+    Valid Spark SQL; the DuckDB twin differs only in hex parsing."""
+    return (
+        f"CAST(CONV(SUBSTR(MD5(CONCAT(CAST({id_expr} AS STRING), ':', "
+        f"CAST(r AS STRING), ':{tag}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _u32_duck(id_expr: str, tag: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5(CAST({id_expr} AS VARCHAR) || ':' || "
+        f"CAST(r AS VARCHAR) || ':{tag}'), 1, 8)) AS BIGINT)"
+    )
+
+
+def _pois_w_sql(u: str) -> str:
+    return " + ".join(f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T)
+
+
+@register(
+    "stat_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS tv
+        FROM base GROUP BY 1
+    ),
+    drawn AS (
+        SELECT event_type, r,
+               {_pois_w_sql(_u32_duck("event_id", "pb"))} AS w, q
+        FROM base, (SELECT UNNEST(GENERATE_SERIES(1, {_BOOT_R})) AS r)
+    ),
+    rep AS (
+        SELECT event_type, r,
+               ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(38,0)) * q)
+                               AS DECIMAL(38,0)) AS DOUBLE)
+                     / 10000.0 / SUM(w), 9) AS m
+        FROM drawn GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY m, r) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS nr
+        FROM rep
+    )
+    SELECT o.event_type, o.n_rows,
+           ROUND(CAST(o.tv AS DOUBLE) / 10000.0 / o.n_rows, 6) AS mean_value,
+           ROUND(MIN(CASE WHEN rk = CAST(CEIL(0.025 * nr) AS BIGINT)
+                          THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rk = CAST(CEIL(0.975 * nr) AS BIGINT)
+                          THEN m END), 6) AS ci_hi
+    FROM ranked x JOIN obs o USING (event_type)
+    GROUP BY 1, 2, o.tv
+    """,
+)
+def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — POISSON bootstrap 95% CI (Chamandy et al. 2012) for each
+    event type's mean value: the bootstrap that actually works on a
+    cluster — classical resampling needs n iid draws WITH replacement
+    (a global shuffle per replicate), while Poisson(1) per-row weights
+    approximate the multinomial exactly in one streaming pass, are
+    embarrassingly parallel, and merge across partitions by addition.
+
+    Determinism/exactness: the weight is derived from an md5-u32 draw
+    per (row, replicate) against PRECOMPUTED integer CDF thresholds
+    (shared literals — no runtime exp, no RNG state), so both engines
+    assign bit-identical weights; values quantize through the iusum
+    rule into DECIMAL(38,0) weighted sums; each replicate mean is two
+    exact integers through IEEE division, rounded to the 9-grid; the CI
+    is the 3rd/98th ORDER STATISTIC of the 100 replicate means
+    (type-1, replicate-id tiebreak) — selection, not interpolation, so
+    no float blending. Empty replicates (impossible at any tested SF,
+    P < 1e-600) are dropped identically on both engines via HAVING.
+
+    Scale: the ×R expansion happens map-side and partial-aggregates to
+    (types × R) rows before any shuffle; the order-statistic window
+    sees R rows per type. At 100 TB the cost is R streaming passes
+    fused into one scan — the whole point of the Poisson form."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
+    )
+    obs = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("q").cast("decimal(38,0)").alias("tv"),
+    )
+    drawn = e.withColumn(
+        "r", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R)))
+    ).select(
+        "event_type",
+        "r",
+        F.expr(_pois_w_sql(_u32_sql("event_id", "pb"))).alias("w"),
+        "q",
+    )
+    rep = (
+        drawn.groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("q"))
+            .cast("decimal(38,0)")
+            .alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "r",
+            F.round(
+                F.col("swv").cast("double") / 10000.0 / F.col("sw"), 9
+            ).alias("m"),
+        )
+    )
+    wrk = Window.partitionBy("event_type").orderBy("m", "r")
+    wnr = Window.partitionBy("event_type")
+    ranked = rep.withColumn("rk", F.row_number().over(wrk)).withColumn(
+        "nr", F.count(F.lit(1)).over(wnr)
+    )
+    lo_rk = F.ceil(0.025 * F.col("nr")).cast("bigint")
+    hi_rk = F.ceil(0.975 * F.col("nr")).cast("bigint")
+    return (
+        ranked.join(obs, "event_type")
+        .groupBy("event_type", "n_rows", "tv")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("rk") == lo_rk, F.col("m"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(F.when(F.col("rk") == hi_rk, F.col("m"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(
+                F.col("tv").cast("double") / 10000.0 / F.col("n_rows"), 6
+            ).alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial randomization test + Benjamini-Hochberg FDR
+# --------------------------------------------------------------------------
+
+#: Randomization replicates (p-value resolution 1/(R+1) ≈ 0.0099).
+_RAND_R = 100
+
+#: Shared CTE prefix: per-row quantized values with the cross-engine
+#: weekday (Sunday=1..Saturday=7 — Spark's DAYOFWEEK convention; DuckDB's
+#: 0-based DAYOFWEEK is shifted +1 in the oracle).
+_RAND_BASE_DUCK = """
+    base AS (
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               DAYOFWEEK(CAST(ts AS DATE)) + 1 AS dow,
+               CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS sv
+        FROM base GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT event_type, CAST(SUM(n_c) AS BIGINT) AS n_t,
+               CAST(SUM(sv) AS DECIMAL(38,0)) AS tv
+        FROM cells GROUP BY 1
+    ),
+    obs AS (
+        SELECT c.event_type, c.dow, c.n_c,
+               ROUND(ABS(CAST(c.sv AS DOUBLE) / 10000.0 / c.n_c
+                         - CAST(t.tv - c.sv AS DOUBLE) / 10000.0
+                           / (t.n_t - c.n_c)), 9) AS t_obs
+        FROM cells c JOIN tots t USING (event_type)
+    ),
+    thr AS (
+        SELECT event_type,
+               MAX(CASE WHEN dow = 1 THEN ct END) AS ct1,
+               MAX(CASE WHEN dow = 2 THEN ct END) AS ct2,
+               MAX(CASE WHEN dow = 3 THEN ct END) AS ct3,
+               MAX(CASE WHEN dow = 4 THEN ct END) AS ct4,
+               MAX(CASE WHEN dow = 5 THEN ct END) AS ct5,
+               MAX(CASE WHEN dow = 6 THEN ct END) AS ct6
+        FROM (
+            SELECT c.event_type, c.dow,
+                   CAST(CAST(SUM(c.n_c) OVER (
+                            PARTITION BY c.event_type ORDER BY c.dow
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                        AS DECIMAL(38,0)) * 4294967296 // t.n_t AS BIGINT)
+                       AS ct
+            FROM cells c JOIN tots t USING (event_type)
+        ) GROUP BY 1
+    ),
+    drawn AS (
+        SELECT b.event_type, g.r, b.q,
+               1 + (CASE WHEN {u} >= h.ct1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {u} >= h.ct2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {u} >= h.ct3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {u} >= h.ct4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {u} >= h.ct5 THEN 1 ELSE 0 END)
+                 + (CASE WHEN {u} >= h.ct6 THEN 1 ELSE 0 END) AS pdow
+        FROM base b
+        JOIN thr h USING (event_type),
+             (SELECT UNNEST(GENERATE_SERIES(1, {R})) AS r) g
+    ),
+    repcell AS (
+        SELECT event_type, r, pdow,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS sv
+        FROM drawn GROUP BY 1, 2, 3
+    ),
+    tstat AS (
+        SELECT rc.event_type, rc.r, rc.pdow AS dow,
+               ROUND(ABS(CAST(rc.sv AS DOUBLE) / 10000.0 / rc.cnt
+                         - CAST(t.tv - rc.sv AS DOUBLE) / 10000.0
+                           / (t.n_t - rc.cnt)), 9) AS t_r
+        FROM repcell rc JOIN tots t USING (event_type)
+        WHERE rc.cnt < t.n_t
+    ),
+    pvals AS (
+        SELECT o.event_type, o.dow, o.n_c, o.t_obs,
+               CAST(COALESCE(SUM(CASE WHEN s.t_r >= o.t_obs
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS a
+        FROM obs o
+        LEFT JOIN tstat s
+               ON s.event_type = o.event_type AND s.dow = o.dow
+        GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+def _rand_base_duck() -> str:
+    return _RAND_BASE_DUCK.replace(
+        "{u}", _u32_duck("b.event_id", "rt")
+    ).replace("{R}", str(_RAND_R))
+
+
+def randomization_pvalues(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_type, dow, n_c, t_obs, a) — the shared pipeline behind
+    stat_randomization_dow and stat_bh_fdr: for each of the 35
+    (type, weekday) cells, an approximate randomization test (Edgington
+    1969 / Noreen 1989 shape) of H0 "this weekday's mean event value
+    equals the rest of the type's" with the absolute mean difference as
+    the statistic.
+
+    Each (row, replicate) draws one md5-u32 and is assigned a PSEUDO
+    weekday by inverse-CDF against the type's cumulative weekday
+    frequencies ((cum·2³² div n_t) integer thresholds — exact, both
+    engines), i.e. labels are re-drawn multinomially with the observed
+    proportions; `a` counts replicates whose |mean diff| reaches the
+    observed one. All sums quantize through the iusum rule; replicate
+    statistics round to the 9-grid before the >= comparison, so the
+    exceedance count is deterministic cross-engine."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        (F.dayofweek(F.col("ts").cast("date"))).alias("dow"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
+    )
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum("q").cast("decimal(38,0)").alias("sv"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("n_c").cast("bigint").alias("n_t"),
+        F.sum("sv").cast("decimal(38,0)").alias("tv"),
+    )
+    obs = cells.join(tots, "event_type").select(
+        "event_type",
+        "dow",
+        "n_c",
+        F.round(
+            F.abs(
+                F.col("sv").cast("double") / 10000.0 / F.col("n_c")
+                - (F.col("tv") - F.col("sv")).cast("double")
+                / 10000.0
+                / (F.col("n_t") - F.col("n_c"))
+            ),
+            9,
+        ).alias("t_obs"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("dow")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        cells.withColumn("cum", F.sum("n_c").over(wcum))
+        .join(tots, "event_type")
+        .withColumn(
+            "ct",
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 4294967296"
+                " div n_t AS BIGINT)"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("dow") == j, F.col("ct"))).alias(
+                    f"ct{j}"
+                )
+                for j in range(1, 7)
+            ]
+        )
+    )
+    u = _u32_sql("event_id", "rt")
+    pdow = " + ".join(
+        f"(CASE WHEN {u} >= ct{j} THEN 1 ELSE 0 END)" for j in range(1, 7)
+    )
+    drawn = (
+        e.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(_RAND_R))))
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type", "r", "q", F.expr(f"1 + {pdow}").alias("pdow")
+        )
+    )
+    repcell = drawn.groupBy("event_type", "r", "pdow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("q").cast("decimal(38,0)").alias("sv"),
+    )
+    tstat = (
+        repcell.join(tots, "event_type")
+        .filter(F.col("cnt") < F.col("n_t"))
+        .select(
+            "event_type",
+            F.col("pdow").alias("dow"),
+            F.round(
+                F.abs(
+                    F.col("sv").cast("double") / 10000.0 / F.col("cnt")
+                    - (F.col("tv") - F.col("sv")).cast("double")
+                    / 10000.0
+                    / (F.col("n_t") - F.col("cnt"))
+                ),
+                9,
+            ).alias("t_r"),
+        )
+    )
+    return (
+        obs.join(tstat, ["event_type", "dow"], "left")
+        .groupBy("event_type", "dow", "n_c", "t_obs")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("t_r") >= F.col("t_obs"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("a")
+        )
+    )
+
+
+@register(
+    "stat_randomization_dow",
+    oracle=f"""
+    WITH {_rand_base_duck()}
+    SELECT event_type, dow, n_c, ROUND(t_obs, 6) AS t_obs,
+           a AS n_exceed,
+           ROUND(CAST(1 + a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value
+    FROM pvals
+    """,
+)
+def stat_randomization_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — approximate randomization test per (event_type, weekday)
+    cell: H0 "this weekday's mean value equals the rest of the type's",
+    statistic |mean_cell − mean_rest|, null distribution from {_RAND_R}
+    hash-derandomized multinomial relabelings (see
+    :func:`randomization_pvalues`), p = (1+a)/(R+1) (the add-one
+    permutation p-value, Phipson & Smyth 2010 — never exactly 0).
+
+    Scale: the ×R expansion is map-side (one scan fused with the md5
+    expression) and partial-aggregates to (types × R × 7) grid rows
+    before the only shuffle; the broadcast threshold table is 5 rows.
+    p-value resolution at R={_RAND_R} is ~0.01 — raise R linearly in
+    compute for tighter FDR input, nothing else changes."""
+    p = randomization_pvalues(spark, sf_dir)
+    return p.select(
+        "event_type",
+        "dow",
+        "n_c",
+        F.round("t_obs", 6).alias("t_obs"),
+        F.col("a").alias("n_exceed"),
+        F.round((1 + F.col("a")).cast("double") / (_RAND_R + 1), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+#: BH target false-discovery rate, as an exact rational (numer, denom).
+_BH_Q = (1, 10)
+
+
+@register(
+    "stat_bh_fdr",
+    oracle=f"""
+    WITH {_rand_base_duck()},
+    ranked AS (
+        SELECT event_type, dow, a,
+               ROW_NUMBER() OVER (ORDER BY a, event_type, dow) AS rk,
+               COUNT(*) OVER () AS m
+        FROM pvals
+    ),
+    kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN (1 + a) * m * {_BH_Q[1]}
+                                  <= rk * {_RAND_R + 1} * {_BH_Q[0]}
+                             THEN rk END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.event_type, r.dow,
+           ROUND(CAST(1 + r.a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value,
+           r.rk AS p_rank,
+           (r.rk <= k.k) AS rejected
+    FROM ranked r, kmax k
+    """,
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — Benjamini–Hochberg step-up FDR control (BH 1995) at
+    q = {_BH_Q[0]}/{_BH_Q[1]} over the m = 35 randomization p-values of
+    :func:`randomization_pvalues` — the multiple-comparisons gate any
+    per-segment metric sweep needs before alerting on "significant"
+    cells. Reject H(1)..H(k) where k = max{{i : p(i) ≤ i·q/m}}.
+
+    Exactness: p-values are exact rationals (1+a)/(R+1), so the BH
+    inequality clears denominators to (1+a)·m·10 ≤ i·(R+1) — pure
+    integer comparison, no float p anywhere in the decision; ranking
+    ties break deterministically on (a, type, dow). The global window
+    is over m = 35 hypothesis rows — grid-sized, not row-sized."""
+    p = randomization_pvalues(spark, sf_dir)
+    w = Window.orderBy("a", "event_type", "dow")
+    ranked = (
+        p.select("event_type", "dow", "a")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (1 + F.col("a")) * F.col("m") * _BH_Q[1]
+                    <= F.col("rk") * (_RAND_R + 1) * _BH_Q[0],
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type",
+        "dow",
+        F.round((1 + F.col("a")).cast("double") / (_RAND_R + 1), 6).alias(
+            "p_value"
+        ),
+        F.col("rk").alias("p_rank"),
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    )

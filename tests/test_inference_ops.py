@@ -146,3 +146,174 @@ def test_jackknife_zero_variance_closed_form():
     m = sum(theta) / len(per)
     se = math.sqrt(2 / 3 * sum((t - m) ** 2 for t in theta))
     assert se == 0.0
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap / randomization / BH — hash-exact Python twins
+# --------------------------------------------------------------------------
+
+import hashlib
+
+_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def _u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _pois_w(event_id: int, r: int) -> int:
+    u = _u32(f"{event_id}:{r}:pb")
+    return sum(1 for t in _POIS_T if u >= t)
+
+
+def test_poisson_bootstrap_matches_hash_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (int(r.event_id), math.floor(r.value * 10000.0 + 0.5))
+        )
+    got = {
+        r.event_type: r
+        for r in get_query("stat_poisson_bootstrap_ci")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(by_type)
+    for t, evs in by_type.items():
+        means = []
+        for rep in range(1, 101):
+            sw = swv = 0
+            for eid, q in evs:
+                w = _pois_w(eid, rep)
+                sw += w
+                swv += w * q
+            means.append((round(swv / 10000.0 / sw, 9), rep))
+        means.sort()
+        lo = means[math.ceil(0.025 * len(means)) - 1][0]
+        hi = means[math.ceil(0.975 * len(means)) - 1][0]
+        g = got[t]
+        assert g.n_rows == len(evs)
+        assert abs(g.ci_lo - lo) < 1e-6 and abs(g.ci_hi - hi) < 1e-6, t
+        mean = sum(q for _, q in evs) / 10000.0 / len(evs)
+        assert abs(g.mean_value - mean) < 1e-5
+        assert g.ci_lo <= g.ci_hi
+
+
+def _rand_reference(spark, sf_dir):
+    """Hash-exact Python twin of randomization_pvalues."""
+    rows = _events(spark, sf_dir)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        dow = r.ts.isoweekday() % 7 + 1  # Sunday=1..Saturday=7
+        by_type.setdefault(r.event_type, []).append(
+            (int(r.event_id), dow, math.floor(r.value * 10000.0 + 0.5))
+        )
+    out = {}
+    for t, evs in by_type.items():
+        n_t = len(evs)
+        tv = sum(q for _, _, q in evs)
+        n_c = Counter(d for _, d, _ in evs)
+        sv = Counter()
+        for _, d, q in evs:
+            sv[d] += q
+        cum, cts = 0, []
+        for d in range(1, 8):
+            cum += n_c[d]
+            cts.append(cum * 4294967296 // n_t)
+        t_obs = {
+            d: round(
+                abs(
+                    sv[d] / 10000.0 / n_c[d]
+                    - (tv - sv[d]) / 10000.0 / (n_t - n_c[d])
+                ),
+                9,
+            )
+            for d in range(1, 8)
+        }
+        exceed = Counter()
+        for rep in range(1, 101):
+            cnt = Counter()
+            psv = Counter()
+            for eid, _, q in evs:
+                u = _u32(f"{eid}:{rep}:rt")
+                pd = 1 + sum(1 for c in cts[:6] if u >= c)
+                cnt[pd] += 1
+                psv[pd] += q
+            for d, c in cnt.items():
+                if c == n_t:
+                    continue
+                t_r = round(
+                    abs(
+                        psv[d] / 10000.0 / c
+                        - (tv - psv[d]) / 10000.0 / (n_t - c)
+                    ),
+                    9,
+                )
+                if t_r >= t_obs[d]:
+                    exceed[d] += 1
+        for d in range(1, 8):
+            out[(t, d)] = (n_c[d], t_obs[d], exceed[d])
+    return out
+
+
+def test_randomization_dow_matches_hash_reference(spark, sf_dir):
+    ref = _rand_reference(spark, sf_dir)
+    got = {
+        (r.event_type, r.dow): r
+        for r in get_query("stat_randomization_dow")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for key, (n_c, t_obs, a) in ref.items():
+        g = got[key]
+        assert g.n_c == n_c, key
+        assert abs(g.t_obs - round(t_obs, 6)) < 1e-9, key
+        assert g.n_exceed == a, key
+        assert abs(g.p_value - round((1 + a) / 101, 6)) < 1e-9, key
+
+
+def _bh_ref(pairs):
+    """Textbook BH at q=0.1 over exact (1+a)/(R+1) p-values.
+    pairs: list of (key, a); returns set of rejected keys."""
+    ranked = sorted(pairs, key=lambda kv: (kv[1], kv[0]))
+    m = len(ranked)
+    k = 0
+    for i, (_, a) in enumerate(ranked, 1):
+        if (1 + a) * m * 10 <= i * 101:
+            k = i
+    return {key for key, _ in ranked[:k]}
+
+
+def test_bh_fdr_matches_reference(spark, sf_dir):
+    ref = _rand_reference(spark, sf_dir)
+    rejected = _bh_ref(
+        [((t, d), a) for (t, d), (_, _, a) in ref.items()]
+    )
+    got = get_query("stat_bh_fdr").fn(spark, sf_dir).collect()
+    assert len(got) == len(ref)
+    for r in got:
+        assert r.rejected == ((r.event_type, r.dow) in rejected), r
+
+
+def test_bh_step_up_closed_form():
+    # classic BH example: m=4, q=0.1 scaled to a-counts with R=100:
+    # p = (1+a)/101; a = (0, 1, 2, 90) -> p ~ (.0099, .0198, .0297, .9)
+    # thresholds i*q/m = (.025, .05, .075, .1): first three reject —
+    # including via the STEP-UP property (p_3 <= .075 rescues nothing
+    # here, but p_2 <= .05 and p_1 <= .025 hold directly).
+    rej = _bh_ref([("h1", 0), ("h2", 1), ("h3", 2), ("h4", 90)])
+    assert rej == {"h1", "h2", "h3"}
+    # step-up rescue: a=(1, 1, 2) m=3: p=(.0198,.0198,.0297),
+    # thresholds (.0333,.0666,.1): all three pass at their own rank.
+    assert _bh_ref([("a", 1), ("b", 1), ("c", 2)]) == {"a", "b", "c"}
+    # nothing significant -> empty.
+    assert _bh_ref([("a", 50), ("b", 60)]) == set()
