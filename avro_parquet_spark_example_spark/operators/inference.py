@@ -868,3 +868,408 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("p_rank"),
         (F.col("rk") <= F.col("k")).alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test (Fisher 1935) — 2x2 independence per stratum
+# --------------------------------------------------------------------------
+
+
+def _logfact_frame(spark: SparkSession, nmax: int) -> DataFrame:
+    """(i, v) — v = log(i!) as Σ_{j≤i} round(ln j, 12), an exact
+    DECIMAL(28,12) whose addends are fixed-point-rounded so the sum is
+    order-independent and cross-engine identical. Built with the repo's
+    two-phase bucketed prefix sum (per-4096-bucket partial sums +
+    broadcast exclusive offsets + bucket-partitioned running sums) — no
+    single-partition window at any size."""
+    from decimal import Decimal
+
+    ser = spark.range(1, nmax + 1).select(
+        F.col("id").alias("i"),
+        F.round(F.log(F.col("id").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("l"),
+        F.expr("CAST((id - 1) div 4096 AS INT)").alias("b"),
+    )
+    bs = ser.groupBy("b").agg(F.sum("l").alias("s")).collect()
+    acc = Decimal(0)
+    offs = []
+    for r in sorted(bs, key=lambda r: r.b):
+        offs.append((r.b, acc))
+        acc += r.s
+    off = F.broadcast(
+        spark.createDataFrame(offs, "b int, off decimal(28,12)")
+    )
+    w = Window.partitionBy("b").orderBy("i")
+    return ser.join(off, "b").select(
+        "i",
+        (F.col("off") + F.sum("l").over(w))
+        .cast("decimal(28,12)")
+        .alias("v"),
+    )
+
+
+@register(
+    "stat_fisher_exact",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS hi
+        FROM events
+    ),
+    marg AS (
+        SELECT event_type,
+               CAST(SUM(wk * hi) AS BIGINT) AS a,
+               CAST(SUM(wk) AS BIGINT) AS r1,
+               CAST(SUM(hi) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ),
+    lf AS (
+        SELECT i, CAST(SUM(CAST(ROUND(LN(CAST(i AS DOUBLE)), 12)
+                                AS DECIMAL(28,12)))
+                       OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                  AS DECIMAL(28,12)) AS v
+        FROM (SELECT UNNEST(GENERATE_SERIES(
+                  1, (SELECT MAX(n) FROM marg))) AS i)
+    ),
+    kgrid AS (
+        SELECT m.event_type, m.a, m.r1, m.c1, m.n, g.k
+        FROM marg m, LATERAL (SELECT UNNEST(GENERATE_SERIES(
+            CAST(GREATEST(0, m.r1 + m.c1 - m.n) AS BIGINT),
+            CAST(LEAST(m.r1, m.c1) AS BIGINT))) AS k) g
+    ),
+    lp AS (
+        SELECT kg.event_type, kg.a, kg.k,
+               (COALESCE(l1.v, 0) + COALESCE(l2.v, 0) + COALESCE(l3.v, 0)
+                + COALESCE(l4.v, 0) - COALESCE(l5.v, 0)
+                - COALESCE(l6.v, 0) - COALESCE(l7.v, 0)
+                - COALESCE(l8.v, 0) - COALESCE(l9.v, 0)) AS lpv
+        FROM kgrid kg
+        LEFT JOIN lf l1 ON l1.i = kg.r1
+        LEFT JOIN lf l2 ON l2.i = kg.n - kg.r1
+        LEFT JOIN lf l3 ON l3.i = kg.c1
+        LEFT JOIN lf l4 ON l4.i = kg.n - kg.c1
+        LEFT JOIN lf l5 ON l5.i = kg.n
+        LEFT JOIN lf l6 ON l6.i = kg.k
+        LEFT JOIN lf l7 ON l7.i = kg.r1 - kg.k
+        LEFT JOIN lf l8 ON l8.i = kg.c1 - kg.k
+        LEFT JOIN lf l9 ON l9.i = kg.n - kg.r1 - kg.c1 + kg.k
+    ),
+    pmf AS (
+        SELECT event_type, a, k,
+               CAST(ROUND(EXP(CAST(lpv AS DOUBLE)), 12)
+                    AS DECIMAL(20,14)) AS p
+        FROM lp
+    ),
+    tails AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN k <= a THEN p ELSE 0 END)
+                    AS DOUBLE) AS p_lo,
+               CAST(SUM(CASE WHEN k >= a THEN p ELSE 0 END)
+                    AS DOUBLE) AS p_hi
+        FROM pmf GROUP BY 1
+    )
+    SELECT m.event_type, m.a, m.r1, m.c1, m.n,
+           ROUND(CAST((m.a * (m.n - m.r1 - m.c1 + m.a)) AS DOUBLE)
+                 / ((m.r1 - m.a) * (m.c1 - m.a)), 6) AS odds_ratio,
+           ROUND(LEAST(t.p_lo, t.p_hi), 6) AS p_one_sided,
+           ROUND(LEAST(1.0, 2 * LEAST(t.p_lo, t.p_hi)), 6) AS p_two_sided
+    FROM marg m JOIN tails t USING (event_type)
+    """,
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — Fisher's EXACT 2×2 independence test per event type:
+    is high value (> 50) associated with the weekend? The hypergeometric
+    small-sample companion to the engine's asymptotic chi-square
+    (``agg_chi_square_independence``): exact tail probabilities, valid
+    at any cell count. Two-sided p by the DOUBLING convention
+    (2·min(lower tail, upper tail), capped at 1) — tail membership is
+    decided by k alone, so no float pmf comparison enters the decision.
+
+    Exactness: log-factorials are Σ round(ln j, 12) in DECIMAL(28,12)
+    (order-independent, cross-engine identical addends), each log-pmf
+    is an exact 9-term DECIMAL sum, pmf = exp → round 12 → DECIMAL
+    accumulation, and the two tails are compared as exact decimals.
+    Accumulated lf rounding error is ≤ n·5e-13 ≈ 1e-8 at sf0.1 — three
+    orders below the 6-digit emit grid (pinned against an exact
+    math.comb rational reference in tests).
+
+    Scale: the k-grid and factorial table are MARGIN-sized, not
+    row-sized — the exact test is the right tool precisely when strata
+    are bounded (QA slices, A/B cells); for unbounded strata the
+    chi-square operator is the scale path. The factorial table builds
+    with the two-phase bucketed prefix sum (no global window) and
+    broadcasts; margins come from one map-side-combined aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("wk"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("hi"),
+    )
+    marg = e.groupBy("event_type").agg(
+        F.sum(F.col("wk") * F.col("hi")).cast("bigint").alias("a"),
+        F.sum("wk").cast("bigint").alias("r1"),
+        F.sum("hi").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    marg = marg.localCheckpoint(eager=True)  # consumed 3x + driver nmax
+    nmax = marg.agg(F.max("n")).collect()[0][0]
+    lf = F.broadcast(_logfact_frame(spark, int(nmax)))
+    kgrid = marg.select(
+        "event_type",
+        "a",
+        "r1",
+        "c1",
+        "n",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("bigint"), F.col("r1") + F.col("c1") - F.col("n")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    def _lfj(df, expr, name):
+        l = lf.select(F.col("i").alias(f"__i_{name}"), F.col("v").alias(name))
+        return df.join(
+            l, F.expr(expr) == F.col(f"__i_{name}"), "left"
+        ).drop(f"__i_{name}")
+
+    lp = kgrid
+    for name, expr in (
+        ("l1", "r1"),
+        ("l2", "n - r1"),
+        ("l3", "c1"),
+        ("l4", "n - c1"),
+        ("l5", "n"),
+        ("l6", "k"),
+        ("l7", "r1 - k"),
+        ("l8", "c1 - k"),
+        ("l9", "n - r1 - c1 + k"),
+    ):
+        lp = _lfj(lp, expr, name)
+    z = F.lit(0).cast("decimal(28,12)")
+    lpv = (
+        F.coalesce("l1", z)
+        + F.coalesce("l2", z)
+        + F.coalesce("l3", z)
+        + F.coalesce("l4", z)
+        - F.coalesce("l5", z)
+        - F.coalesce("l6", z)
+        - F.coalesce("l7", z)
+        - F.coalesce("l8", z)
+        - F.coalesce("l9", z)
+    )
+    pmf = lp.select(
+        "event_type",
+        "a",
+        "k",
+        F.round(F.exp(lpv.cast("double")), 12)
+        .cast("decimal(20,14)")
+        .alias("p"),
+    )
+    tails = pmf.groupBy("event_type").agg(
+        F.sum(F.when(F.col("k") <= F.col("a"), F.col("p")).otherwise(
+            F.lit(0).cast("decimal(20,14)")
+        ))
+        .cast("double")
+        .alias("p_lo"),
+        F.sum(F.when(F.col("k") >= F.col("a"), F.col("p")).otherwise(
+            F.lit(0).cast("decimal(20,14)")
+        ))
+        .cast("double")
+        .alias("p_hi"),
+    )
+    return marg.join(tails, "event_type").select(
+        "event_type",
+        "a",
+        "r1",
+        "c1",
+        "n",
+        F.round(
+            (F.col("a") * (F.col("n") - F.col("r1") - F.col("c1") + F.col("a"))).cast(
+                "double"
+            )
+            / ((F.col("r1") - F.col("a")) * (F.col("c1") - F.col("a"))),
+            6,
+        ).alias("odds_ratio"),
+        F.round(F.least("p_lo", "p_hi"), 6).alias("p_one_sided"),
+        F.round(
+            F.least(F.lit(1.0), 2 * F.least("p_lo", "p_hi")), 6
+        ).alias("p_two_sided"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Effect sizes: Cohen's d / Hedges' g / Cliff's delta
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_effect_sizes",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    moms AS (
+        SELECT event_type,
+               CAST(SUM(wk) AS BIGINT) AS n1,
+               CAST(SUM(1 - wk) AS BIGINT) AS n2,
+               CAST(SUM(wk * q) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM((1 - wk) * q) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(wk * q * q) AS DECIMAL(38,0)) AS ss1,
+               CAST(SUM((1 - wk) * q * q) AS DECIMAL(38,0)) AS ss2
+        FROM base GROUP BY 1
+    ),
+    dvals AS (
+        SELECT event_type, q,
+               CAST(SUM(wk) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, c1, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumbefore
+        FROM dvals
+    ),
+    r2 AS (
+        SELECT event_type,
+               CAST(SUM(c1 * (2 * cumbefore + cnt + 1))
+                    AS DECIMAL(38,0)) AS r1x2
+        FROM ranked GROUP BY 1
+    )
+    SELECT m.event_type, m.n1 AS n_weekend, m.n2 AS n_weekday,
+           ROUND((CAST(m.s1 AS DOUBLE) / m.n1
+                  - CAST(m.s2 AS DOUBLE) / m.n2)
+                 / SQRT((CAST(m.ss1 AS DOUBLE)
+                         - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+                           / m.n1
+                         + CAST(m.ss2 AS DOUBLE)
+                         - CAST(m.s2 AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+                           / m.n2)
+                        / (m.n1 + m.n2 - 2)), 6) AS cohens_d,
+           ROUND(((CAST(m.s1 AS DOUBLE) / m.n1
+                   - CAST(m.s2 AS DOUBLE) / m.n2)
+                  / SQRT((CAST(m.ss1 AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+                            / m.n1
+                          + CAST(m.ss2 AS DOUBLE)
+                          - CAST(m.s2 AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+                            / m.n2)
+                         / (m.n1 + m.n2 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (m.n1 + m.n2 - 2) - 1.0)), 6)
+               AS hedges_g,
+           ROUND(CAST(r.r1x2 - m.n1 * (m.n1 + 1) - m.n1 * m.n2
+                      AS DOUBLE) / (CAST(m.n1 AS DOUBLE) * m.n2), 6)
+               AS cliffs_delta
+    FROM moms m JOIN r2 r USING (event_type)
+    """,
+)
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — the standardized effect-size suite for weekend-vs-weekday
+    event value, per type: Cohen's d (pooled-SD mean difference),
+    Hedges' g (small-sample bias correction 1 − 3/(4·df − 1)), and
+    Cliff's delta (P(X>Y) − P(X<Y), the rank-based effect size that the
+    engine's Mann-Whitney drift test reports significance for — the
+    MAGNITUDE companion a 100 TB readout needs, since at that n
+    everything is "significant").
+
+    Exactness: values are 2-decimal, so q = floor(100v + 0.5) is an
+    exact integer; all moment sums (S, SS) are exact DECIMAL(38,0)
+    integers whose double casts stay below 2^53 through ~sf1 (headroom
+    note: SS crosses at ~10^8 rows/type — widen to the split-mean form
+    then); d/g are fixed-order IEEE expressions over those exact
+    casts. Cliff's delta avoids pair enumeration entirely via midrank
+    algebra: 2·R1 = Σ_v c1(v)·(2·cumbefore(v) + cnt(v) + 1) is an exact
+    integer, and δ = (2R1 − n1(n1+1) − n1n2)/(n1n2) is exact-int →
+    one division. The tie-handling matches the U statistic's half-credit
+    convention exactly.
+
+    Scale: one map-side-combined moment aggregate + one distinct-value
+    aggregate; the rank window partitions by type over the VALUE GRID
+    (≤ 60k distinct 2-decimal values), not row cardinality."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wk"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    moms = e.groupBy("event_type").agg(
+        F.sum("wk").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("n2"),
+        F.sum(F.col("wk") * F.col("q")).cast("decimal(38,0)").alias("s1"),
+        F.sum((1 - F.col("wk")) * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.col("wk") * F.col("q") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.sum((1 - F.col("wk")) * F.col("q") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+    )
+    dvals = e.groupBy("event_type", "q").agg(
+        F.sum("wk").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = dvals.withColumn(
+        "cumbefore",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).cast("bigint"),
+    )
+    r2 = ranked.groupBy("event_type").agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cumbefore") + F.col("cnt") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1x2")
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    sp = F.sqrt(
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+            + F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (m1 - m2) / sp
+    return moms.join(r2, "event_type").select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2") - 2) - 1.0)),
+            6,
+        ).alias("hedges_g"),
+        F.round(
+            (
+                F.col("r1x2")
+                - F.col("n1") * (F.col("n1") + 1)
+                - F.col("n1") * F.col("n2")
+            ).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2")),
+            6,
+        ).alias("cliffs_delta"),
+    )

@@ -317,3 +317,114 @@ def test_bh_step_up_closed_form():
     assert _bh_ref([("a", 1), ("b", 1), ("c", 2)]) == {"a", "b", "c"}
     # nothing significant -> empty.
     assert _bh_ref([("a", 50), ("b", 60)]) == set()
+
+
+# --------------------------------------------------------------------------
+# Fisher exact / effect sizes
+# --------------------------------------------------------------------------
+
+from fractions import Fraction
+
+
+def _fisher_tails_exact(a: int, r1: int, c1: int, n: int):
+    """Exact rational hypergeometric tails via math.comb (no floats)."""
+    den = math.comb(n, c1)
+    lo = hi = Fraction(0)
+    for k in range(max(0, r1 + c1 - n), min(r1, c1) + 1):
+        p = Fraction(math.comb(r1, k) * math.comb(n - r1, c1 - k), den)
+        if k <= a:
+            lo += p
+        if k >= a:
+            hi += p
+    return lo, hi
+
+
+def test_fisher_exact_matches_comb_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    marg: dict[str, list[int]] = {}
+    for r in rows:
+        wk = 1 if r.ts.isoweekday() in (6, 7) else 0
+        hi = 1 if r.value > 50 else 0
+        m = marg.setdefault(r.event_type, [0, 0, 0, 0])
+        m[0] += wk * hi
+        m[1] += wk
+        m[2] += hi
+        m[3] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("stat_fisher_exact").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(marg)
+    for t, (a, r1, c1, n) in marg.items():
+        lo, hi = _fisher_tails_exact(a, r1, c1, n)
+        g = got[t]
+        assert (g.a, g.r1, g.c1, g.n) == (a, r1, c1, n)
+        p1 = float(min(lo, hi))
+        assert abs(g.p_one_sided - p1) < 1e-6, t
+        assert abs(g.p_two_sided - min(1.0, 2 * p1)) < 1e-6, t
+        b, c, d = r1 - a, c1 - a, n - r1 - c1 + a
+        assert abs(g.odds_ratio - (a * d) / (b * c)) < 1e-5, t
+
+
+def test_fisher_balanced_table_closed_form():
+    # perfectly proportional table -> the observed k is the mode and
+    # both tails overlap fully: p_two = 1 exactly after capping.
+    lo, hi = _fisher_tails_exact(25, 50, 50, 100)
+    assert lo + hi > 1  # overlap at k = a
+    assert min(1.0, 2 * float(min(lo, hi))) == 1.0
+    # extreme association: all weekend rows high -> the upper tail is the
+    # single most-extreme table, C(10,10)C(90,0)/C(100,10).
+    lo2, hi2 = _fisher_tails_exact(10, 10, 10, 100)
+    assert hi2 == Fraction(1, math.comb(100, 10))
+    assert float(hi2) < 1e-12
+
+
+def test_effect_sizes_match_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    by_type: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        g = by_type.setdefault(r.event_type, ([], []))
+        q = math.floor(r.value * 100.0 + 0.5)
+        (g[0] if r.ts.isoweekday() in (6, 7) else g[1]).append(q)
+    got = {
+        r.event_type: r
+        for r in get_query("stat_effect_sizes").fn(spark, sf_dir).collect()
+    }
+    for t, (xs, ys) in by_type.items():
+        n1, n2 = len(xs), len(ys)
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        ss = sum((x - m1) ** 2 for x in xs) + sum((y - m2) ** 2 for y in ys)
+        sp = math.sqrt(ss / (n1 + n2 - 2))
+        d = (m1 - m2) / sp
+        gcorr = d * (1 - 3 / (4 * (n1 + n2 - 2) - 1))
+        gt = lt = 0
+        for x in xs:
+            for y in ys:
+                gt += x > y
+                lt += x < y
+        delta = (gt - lt) / (n1 * n2)
+        r = got[t]
+        assert (r.n_weekend, r.n_weekday) == (n1, n2)
+        assert abs(r.cohens_d - d) < 1e-5, t
+        assert abs(r.hedges_g - gcorr) < 1e-5, t
+        assert abs(r.cliffs_delta - delta) < 1e-6, t
+
+
+def test_cliffs_delta_closed_form_boundaries():
+    # complete dominance -> delta = +/-1; identical -> 0 (via the same
+    # midrank identity the operator uses).
+    def delta_midrank(xs, ys):
+        from collections import Counter as C
+
+        n1, n2 = len(xs), len(ys)
+        cnt, c1 = C(xs + ys), C(xs)
+        r1x2 = 0
+        cum = 0
+        for v in sorted(cnt):
+            r1x2 += c1[v] * (2 * cum + cnt[v] + 1)
+            cum += cnt[v]
+        return (r1x2 - n1 * (n1 + 1) - n1 * n2) / (n1 * n2)
+
+    assert delta_midrank([5, 6], [1, 2]) == 1.0
+    assert delta_midrank([1, 2], [5, 6]) == -1.0
+    assert delta_midrank([3, 3], [3, 3]) == 0.0
