@@ -1521,3 +1521,103 @@ def dedup_cluster_quality_pick(
         F.col("n_chars").cast("bigint").alias("kept_chars"),
         F.col("nm").alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucket batching report (padding-waste accounting)
+# --------------------------------------------------------------------------
+
+#: Power-of-two sequence-length bucket caps. Shared literals: the CASE
+#: chain is generated from this tuple for BOTH engines — no float log2
+#: (whose boundary behavior at exact powers of two is engine-dependent).
+_LEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_case_sql(tok: str) -> str:
+    arms = " ".join(
+        f"WHEN {tok} <= {c} THEN {c}" for c in _LEN_BUCKETS[:-1]
+    )
+    return f"CASE {arms} ELSE {_LEN_BUCKETS[-1]} END"
+
+
+@register(
+    "curation_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(n_chars // 4 AS BIGINT) AS tokens,
+               {_bucket_case_sql("n_chars // 4")} AS cap
+        FROM documents
+    ),
+    gtot AS (
+        SELECT CAST(MAX(tokens) AS BIGINT) AS gmax,
+               CAST(COUNT(*) AS BIGINT) AS gdocs,
+               CAST(SUM(tokens) AS DECIMAL(38,0)) AS gtok
+        FROM toks
+    )
+    SELECT t.cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.tokens) AS DECIMAL(38,0)) AS total_tokens,
+           CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap AS padded_tokens,
+           ROUND(CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap
+                      - SUM(t.tokens) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap
+                        AS DOUBLE), 6) AS waste_pct,
+           ROUND(CAST(g.gdocs * g.gmax - g.gtok AS DOUBLE)
+                 / CAST(g.gdocs * g.gmax AS DOUBLE), 6)
+               AS naive_waste_pct
+    FROM toks t, gtot g
+    GROUP BY t.cap, g.gdocs, g.gmax, g.gtok
+    """,
+)
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CU — length-bucketed batching report: assign each document to a
+    power-of-two token-length bucket (pad-to-bucket-cap batching, the
+    standard training-loader strategy) and account the padding waste
+    per bucket vs the naive pad-everything-to-global-max baseline —
+    the token-economics audit a 100 TB pretraining pipeline runs
+    before committing a packing strategy (the complementary strategy,
+    first-fit packing, is ``pack_sequences``; this operator quantifies
+    what bucketing alone recovers). Tokens = n_chars div 4 (the
+    engine's standing chars-per-token proxy).
+
+    Exactness: buckets come from a literal CASE chain generated from
+    shared power-of-two constants — no float log2, whose rounding at
+    exact powers of two is engine-dependent; every count/sum/padded
+    total is an exact integer (DECIMAL(38,0) at any corpus size); the
+    two waste ratios are one IEEE division each, rounded to 6.
+
+    Scale: one map-side-combined aggregate over buckets (≤ 8 groups) +
+    one global max/sum/count — two scans, no shuffle beyond the
+    8-group fold, no windows."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars div 4 AS BIGINT)").alias("tokens")
+    )
+    toks = d.withColumn(
+        "cap", F.expr(_bucket_case_sql("tokens")).cast("bigint")
+    )
+    glob = toks.agg(
+        F.max("tokens").cast("bigint").alias("gmax"),
+        F.count(F.lit(1)).cast("bigint").alias("gdocs"),
+        F.sum("tokens").cast("decimal(38,0)").alias("gtok"),
+    )
+    per = toks.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("decimal(38,0)").alias("total_tokens"),
+    )
+    padded = F.col("n_docs").cast("decimal(38,0)") * F.col("cap")
+    return per.crossJoin(F.broadcast(glob)).select(
+        "cap",
+        "n_docs",
+        "total_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            (padded - F.col("total_tokens")).cast("double")
+            / padded.cast("double"),
+            6,
+        ).alias("waste_pct"),
+        F.round(
+            (F.col("gdocs") * F.col("gmax") - F.col("gtok")).cast("double")
+            / (F.col("gdocs") * F.col("gmax")).cast("double"),
+            6,
+        ).alias("naive_waste_pct"),
+    )

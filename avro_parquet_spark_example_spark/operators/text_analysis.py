@@ -2212,3 +2212,166 @@ def text_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bands(
         d, group="lang", value="n_chars"
     ).withColumnRenamed("grp", "lang")
+
+
+# --------------------------------------------------------------------------
+# Corpus BLEU-2 (Papineni et al. 2002) — generation-eval metric
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_bleu_corpus",
+    oracle="""
+    WITH pairs AS (
+        SELECT lang, doc_id, text AS cand,
+               LEAD(text) OVER (
+                   PARTITION BY lang, doc_id // 100 ORDER BY doc_id
+               ) AS ref
+        FROM documents
+    ),
+    p AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
+    cu AS (
+        SELECT lang, doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p, LATERAL (SELECT UNNEST(STRING_SPLIT(cand, ' ')) AS tok) u
+        GROUP BY 1, 2, 3
+    ),
+    ru AS (
+        SELECT lang, doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p, LATERAL (SELECT UNNEST(STRING_SPLIT(ref, ' ')) AS tok) u
+        GROUP BY 1, 2, 3
+    ),
+    cb AS (
+        SELECT lang, doc_id, b.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, doc_id, STRING_SPLIT(cand, ' ') AS w FROM p),
+             LATERAL (SELECT UNNEST([w[CAST(i AS INT)] || ' ' ||
+                                     w[CAST(i AS INT) + 1]
+                                     FOR i IN RANGE(1, LEN(w))]) AS tok) b
+        GROUP BY 1, 2, 3
+    ),
+    rb AS (
+        SELECT lang, doc_id, b.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, doc_id, STRING_SPLIT(ref, ' ') AS w FROM p),
+             LATERAL (SELECT UNNEST([w[CAST(i AS INT)] || ' ' ||
+                                     w[CAST(i AS INT) + 1]
+                                     FOR i IN RANGE(1, LEN(w))]) AS tok) b
+        GROUP BY 1, 2, 3
+    ),
+    clip1 AS (
+        SELECT cu.lang, CAST(SUM(LEAST(cu.c, ru.c)) AS BIGINT) AS m
+        FROM cu JOIN ru USING (lang, doc_id, tok) GROUP BY 1
+    ),
+    clip2 AS (
+        SELECT cb.lang, CAST(SUM(LEAST(cb.c, rb.c)) AS BIGINT) AS m
+        FROM cb JOIN rb USING (lang, doc_id, tok) GROUP BY 1
+    ),
+    lens AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(LEN(STRING_SPLIT(cand, ' '))) AS BIGINT) AS c_len,
+               CAST(SUM(LEN(STRING_SPLIT(ref, ' '))) AS BIGINT) AS r_len,
+               CAST(SUM(LEN(STRING_SPLIT(cand, ' ')) - 1) AS BIGINT)
+                   AS c_len2
+        FROM p GROUP BY 1
+    )
+    SELECT l.lang, l.n_pairs, l.c_len, l.r_len,
+           ROUND(CAST(c1.m AS DOUBLE) / l.c_len, 6) AS p1,
+           ROUND(CAST(c2.m AS DOUBLE) / l.c_len2, 6) AS p2,
+           ROUND(CASE WHEN l.c_len >= l.r_len THEN 1.0
+                      ELSE EXP(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len)
+                 END, 6) AS bp,
+           ROUND((CASE WHEN l.c_len >= l.r_len THEN 1.0
+                       ELSE EXP(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len)
+                  END)
+                 * SQRT((CAST(c1.m AS DOUBLE) / l.c_len)
+                        * (CAST(c2.m AS DOUBLE) / l.c_len2)), 6) AS bleu2
+    FROM lens l
+    JOIN clip1 c1 USING (lang) JOIN clip2 c2 USING (lang)
+    """,
+)
+def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-eval — corpus-level BLEU-2 (Papineni et al. 2002): modified
+    (clipped) unigram and bigram precision with the brevity penalty,
+    geometric-mean combined — the standard generation-eval metric,
+    computed fully distributed. Fixture pairing: candidate = each doc,
+    reference = the next doc of the same language within its 100-id
+    block (a bounded LEAD window — the pairing is fixture machinery;
+    production callers supply (cand, ref) pairs and start at the n-gram
+    expansion below).
+
+    Exactness: clipped matches Σ min(count_cand, count_ref) and all
+    token lengths are exact integers; p1/p2/BP/BLEU are fixed-order
+    IEEE expressions over those integers (one exp, one sqrt), rounded
+    to 6 on both engines. Per-lang grouping keeps 5 output rows with
+    full integer audit columns.
+
+    Scale: n-gram expansion is a per-row JVM transform (no Python);
+    the clip join keys on (pair, ngram) — per-document-pair local, so
+    cardinality is corpus tokens, and the per-(pair,token) counts
+    partial-aggregate before the join shuffle. No global state."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        "lang", F.expr("doc_id div 100")
+    ).orderBy("doc_id")
+    p = (
+        d.select("lang", "doc_id", F.col("text").alias("cand"))
+        .withColumn("ref", F.lead("cand").over(w))
+        .filter(F.col("ref").isNotNull())
+    )
+    p = p.localCheckpoint(eager=True)  # consumed by 5 branches below
+
+    def grams(col: str, n: int) -> Column:
+        if n == 1:
+            return F.explode(F.split(F.col(col), " "))
+        return F.explode(
+            F.expr(
+                f"transform(slice(split({col}, ' '), 1, "
+                f"size(split({col}, ' ')) - 1), "
+                f"(x, i) -> concat(x, ' ', split({col}, ' ')[i + 1]))"
+            )
+        )
+
+    def counts(col: str, n: int) -> DataFrame:
+        return (
+            p.select("lang", "doc_id", grams(col, n).alias("tok"))
+            .groupBy("lang", "doc_id", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    def clip(n: int) -> DataFrame:
+        cu, ru = counts("cand", n), counts("ref", n)
+        return (
+            cu.join(
+                ru.withColumnRenamed("c", "rc"), ["lang", "doc_id", "tok"]
+            )
+            .groupBy("lang")
+            .agg(
+                F.sum(F.least("c", "rc")).cast("bigint").alias(f"m{n}")
+            )
+        )
+
+    lens = p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.size(F.split("cand", " "))).cast("bigint").alias("c_len"),
+        F.sum(F.size(F.split("ref", " "))).cast("bigint").alias("r_len"),
+        F.sum(F.size(F.split("cand", " ")) - 1)
+        .cast("bigint")
+        .alias("c_len2"),
+    )
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("r_len").cast("double") / F.col("c_len"))
+    )
+    p1 = F.col("m1").cast("double") / F.col("c_len")
+    p2 = F.col("m2").cast("double") / F.col("c_len2")
+    return (
+        lens.join(clip(1), "lang")
+        .join(clip(2), "lang")
+        .select(
+            "lang",
+            "n_pairs",
+            "c_len",
+            "r_len",
+            F.round(p1, 6).alias("p1"),
+            F.round(p2, 6).alias("p2"),
+            F.round(bp, 6).alias("bp"),
+            F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+        )
+    )

@@ -3101,3 +3101,115 @@ def theil_sen(
             6,
         ).alias("sen_slope"),
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.event_type, a.n AS actual, f7.n AS fc7, f1.n AS fc1
+        FROM daily a
+        JOIN daily f7 ON f7.event_type = a.event_type
+                     AND f7.day = a.day - INTERVAL 7 DAY
+        JOIN daily f1 ON f1.event_type = a.event_type
+                     AND f1.day = a.day - INTERVAL 1 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ABS(actual - fc7)) AS DOUBLE) / COUNT(*), 6)
+               AS mae,
+           ROUND(SQRT(CAST(SUM((actual - fc7) * (actual - fc7)) AS DOUBLE)
+                      / COUNT(*)), 6) AS rmse,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(ABS(actual - fc7) AS DOUBLE)
+                                     / actual, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mape,
+           ROUND(CAST(SUM(CAST(ROUND(2.0 * ABS(actual - fc7)
+                                     / (actual + fc7), 9)
+                               AS DECIMAL(18,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS smape,
+           ROUND(CAST(SUM(ABS(actual - fc7)) AS DOUBLE)
+                 / SUM(ABS(actual - fc1)), 6) AS mase
+    FROM scored GROUP BY event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — forecast BACKTESTING metrics for the seasonal-naive model
+    (predict each day's event volume by the same weekday last week):
+    MAE, RMSE, MAPE, sMAPE, and MASE (Hyndman & Koehler 2006 — scaled
+    against the one-day-naive forecast on the same evaluation days, so
+    MASE < 1 means "beats persistence"). This is the evaluation half of
+    the engine's forecasting family (ts_seasonal_baseline / ts_holt*
+    produce forecasts; this scores any of them).
+
+    Exactness: daily counts are integers, so MAE/RMSE/MASE are exact
+    integer sums through one terminal division (MASE's two MAEs share
+    the day count, which cancels — a single integer-ratio division);
+    the per-day MAPE and sMAPE rationals round to the 9-grid and fold
+    through DECIMAL(18,9) (dsum rule) before the mean.
+
+    Scale: one map-side-combined (type, day) aggregate; the forecast
+    joins key on (type, date) over the DAY GRID — thousands of rows at
+    any corpus size. Nothing row-scale survives the first aggregate."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select("event_type", "day", F.col("n").alias("actual"))
+    f7 = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("fc7"),
+    )
+    f1 = daily.select(
+        "event_type",
+        F.date_add("day", 1).alias("day"),
+        F.col("n").alias("fc1"),
+    )
+    scored = a.join(f7, ["event_type", "day"]).join(
+        f1, ["event_type", "day"]
+    )
+    e7 = F.abs(F.col("actual") - F.col("fc7"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum(e7).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae"
+        ),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("actual") - F.col("fc7"))
+                    * (F.col("actual") - F.col("fc7"))
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+        F.round(
+            F.sum(
+                F.round(e7.cast("double") / F.col("actual"), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(
+                F.round(
+                    2.0 * e7 / (F.col("actual") + F.col("fc7")), 9
+                ).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("smape"),
+        F.round(
+            F.sum(e7).cast("double")
+            / F.sum(F.abs(F.col("actual") - F.col("fc1"))),
+            6,
+        ).alias("mase"),
+    )
