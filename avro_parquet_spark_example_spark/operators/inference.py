@@ -810,16 +810,19 @@ _BH_Q = (1, 10)
     oracle=f"""
     WITH {_rand_base_duck()},
     ranked AS (
-        SELECT event_type, dow, a,
-               ROW_NUMBER() OVER (ORDER BY a, event_type, dow) AS rk,
-               COUNT(*) OVER () AS m
-        FROM pvals
+        SELECT x.event_type, x.dow, x.a,
+               CAST(COUNT(*) AS BIGINT) AS rk
+        FROM pvals x JOIN pvals y
+          ON (y.a < x.a) OR (y.a = x.a AND (y.event_type < x.event_type
+              OR (y.event_type = x.event_type AND y.dow <= x.dow)))
+        GROUP BY 1, 2, 3
     ),
+    mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pvals),
     kmax AS (
-        SELECT COALESCE(MAX(CASE WHEN (1 + a) * m * {_BH_Q[1]}
-                                  <= rk * {_RAND_R + 1} * {_BH_Q[0]}
-                             THEN rk END), 0) AS k
-        FROM ranked
+        SELECT COALESCE(MAX(CASE WHEN (1 + r.a) * t.m * {_BH_Q[1]}
+                                  <= r.rk * {_RAND_R + 1} * {_BH_Q[0]}
+                             THEN r.rk END), 0) AS k
+        FROM ranked r, mtot t
     )
     SELECT r.event_type, r.dow,
            ROUND(CAST(1 + r.a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value,
@@ -838,16 +841,44 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: p-values are exact rationals (1+a)/(R+1), so the BH
     inequality clears denominators to (1+a)·m·10 ≤ i·(R+1) — pure
     integer comparison, no float p anywhere in the decision; ranking
-    ties break deterministically on (a, type, dow). The global window
-    is over m = 35 hypothesis rows — grid-sized, not row-sized."""
-    p = randomization_pvalues(spark, sf_dir)
-    w = Window.orderBy("a", "event_type", "dow")
-    ranked = (
-        p.select("event_type", "dow", "a")
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+    ties break deterministically on (a, type, dow).
+
+    Plan hygiene: the rank is a PAIR JOIN over the 35-row hypothesis
+    grid (rk = #{(a',key') ≤lex (a,key)}), not a global window — the
+    audit's no-unpartitioned-window rule holds even though m is tiny,
+    and the pair join is bounded by m² by construction."""
+    p = randomization_pvalues(spark, sf_dir).select(
+        "event_type", "dow", "a"
     )
-    kmax = ranked.agg(
+    p = p.localCheckpoint(eager=True)  # m rows; consumed 3x below
+    x = p.select(
+        F.col("event_type").alias("xt"),
+        F.col("dow").alias("xd"),
+        F.col("a").alias("xa"),
+    )
+    y = p.select(
+        F.col("event_type").alias("yt"),
+        F.col("dow").alias("yd"),
+        F.col("a").alias("ya"),
+    )
+    lex = (F.col("ya") < F.col("xa")) | (
+        (F.col("ya") == F.col("xa"))
+        & (
+            (F.col("yt") < F.col("xt"))
+            | ((F.col("yt") == F.col("xt")) & (F.col("yd") <= F.col("xd")))
+        )
+    )
+    ranked = (
+        x.join(y, lex)
+        .groupBy(
+            F.col("xt").alias("event_type"),
+            F.col("xd").alias("dow"),
+            F.col("xa").alias("a"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rk"))
+    )
+    mtot = p.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    kmax = ranked.crossJoin(F.broadcast(mtot)).agg(
         F.coalesce(
             F.max(
                 F.when(

@@ -57,6 +57,11 @@ EXPECTED: dict[str, dict[str, str]] = {
         "agg_share_of_total": "broadcast 1-row grand-total cross join",
         "ts_active_users_dau_wau": "broadcast day-grid band join (days-cardinality, ~30 rows)",
         "dedup_threshold_sweep": "broadcast 5-row threshold grid cross join",
+        "eval_pass_at_k": "broadcast 3-row k-grid cross join (k-cardinality by design)",
+        "eval_fleiss_kappa": "broadcast 1-row agreement/category-total cross join",
+        "stat_jackknife_cluster": "broadcast 1-row grand-total / jackknife-mean cross joins",
+        "stat_bh_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold cross joins",
+        "curation_length_buckets": "broadcast 1-row corpus-total cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",
         "mixture_largest_remainder_quota": "broadcast domain-cardinality remainder-rank / 1-row total cross joins (<= |domains| rows)",
