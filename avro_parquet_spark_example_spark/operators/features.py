@@ -633,3 +633,144 @@ def decision_stump(vals: DataFrame) -> DataFrame:
             & (F.col("threshold") == F.col("b.t"))
         ).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression, hard-sigmoid link — exact fixed-point GD (3 rounds)
+
+#: Hard-sigmoid shift/scale in 1e14 fixed point: clamp(z/4 + 1/2, 0, 1).
+_HS_HALF = _S14 // 2
+_HS_TWO = 2 * _S14
+
+
+def _lgd_sigma_sql(z_expr: str, intdiv: str, big: str = "DECIMAL(38,0)") -> str:
+    """Hard-sigmoid in exact 1e14 fixed point, same token stream on both
+    engines up to the integer-division spelling (`//` DuckDB, `div`
+    Spark): LEAST(1e14, GREATEST(0, (z + 2e14) intdiv 4)). The +2e14
+    shift keeps the dividend non-negative over the unclamped range, so
+    trunc-vs-floor integer-division disagreement can only occur where
+    the result is clamped to 0 anyway (both engines emit 0)."""
+    return (
+        f"LEAST(CAST({_S14} AS {big}), "
+        f"GREATEST(CAST(0 AS {big}), "
+        f"(({z_expr}) + {_HS_TWO}) {intdiv} 4))"
+    )
+
+
+def _lgd_oracle() -> str:
+    """Unrolled DuckDB twin of ml_logistic_gd: identical hard-sigmoid
+    fixed-point trajectory round by round."""
+    parts = [
+        f"""
+    WITH x AS (
+        SELECT vec_id, 0 AS j, CAST({_S7} AS BIGINT) AS x7 FROM embeddings
+        UNION ALL
+        SELECT vec_id, r.range AS j,
+               CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+                          * {_S7}) AS BIGINT) AS x7
+        FROM embeddings, RANGE(1, {OLS_DIMS + 1}) r
+    ),
+    y AS (
+        SELECT vec_id, CAST(label % 2 AS HUGEINT) * {_S14} AS y14
+        FROM embeddings
+    ),
+    den AS (
+        SELECT 4 * COUNT(*) * CAST({_S14} AS HUGEINT) AS d FROM embeddings
+    ),
+    b0 AS (
+        SELECT j, CAST(0 AS HUGEINT) AS b7 FROM RANGE(0, {OLS_DIMS + 1}) t(j)
+    )"""
+    ]
+    sigma = _lgd_sigma_sql("SUM(CAST(b.b7 AS HUGEINT) * x.x7)", "//", "HUGEINT")
+    for k in range(1, GD_ROUNDS + 1):
+        parts.append(
+            f""",
+    r{k} AS (
+        SELECT x.vec_id,
+               {sigma} - MAX(y.y14) AS r14
+        FROM x JOIN b{k - 1} b ON b.j = x.j
+               JOIN y ON y.vec_id = x.vec_id
+        GROUP BY x.vec_id
+    ),
+    g{k} AS (
+        SELECT x.j, SUM(CAST(x.x7 AS HUGEINT) * r.r14) AS g21
+        FROM x JOIN r{k} r ON r.vec_id = x.vec_id GROUP BY x.j
+    ),
+    b{k} AS (
+        SELECT g.j,
+               b.b7 - CASE WHEN g.g21 >= 0
+                           THEN (2 * g.g21 + d.d) // (2 * d.d)
+                           ELSE -((2 * (-g.g21) + d.d) // (2 * d.d))
+                      END AS b7
+        FROM g{k} g JOIN b{k - 1} b ON b.j = g.j CROSS JOIN den d
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT j, CAST(b7 AS BIGINT) AS beta7,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n
+    FROM b{GD_ROUNDS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("ml_logistic_gd", oracle=_lgd_oracle())
+def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML — distributed LOGISTIC regression by batch gradient descent,
+    EXACTLY: 3 rounds of β ← β − η·Xᵀ(σ̂(Xβ) − y)/n with the
+    HARD-SIGMOID link σ̂(z) = clamp(z/4 + ½, 0, 1) (the standard
+    quantized-ML surrogate — its slope at 0 matches the logistic's ¼,
+    and unlike exp it is EXACTLY representable in fixed point, so the
+    trajectory stays bit-identical across engines and partition orders;
+    a true-sigmoid variant would hinge on cross-engine exp ulps, the
+    one thing this repo's exactness discipline forbids on a per-row
+    hot path). Same fixed-point frame as ml_linreg_gd: features ×1e7,
+    link/residuals ×1e14, half-up integer-division updates; the DuckDB
+    oracle replays the identical three rounds unrolled as CTEs.
+
+    Scale: per round one map-side-combined aggregate emits d+1 gradient
+    integers; β updates are driver-side on d+1 ints (kmeans-centroid
+    precedent). The classifier this trains is the engine's iterative-ML
+    exemplar for models with no closed form."""
+    e = load(spark, sf_dir, "embeddings")
+    wide = e.select(
+        "vec_id",
+        F.lit(_S7).cast("bigint").alias("x0"),
+        *[
+            F.floor(
+                F.element_at("embedding", j).cast("double") * _S7
+            ).alias(f"x{j}")
+            for j in range(1, OLS_DIMS + 1)
+        ],
+        ((F.col("label") % 2).cast("decimal(38,0)") * _S14).alias("y14"),
+    )
+    n = e.count()
+    den = 4 * n * _S14
+    beta = [0] * (OLS_DIMS + 1)
+    for _ in range(GD_ROUNDS):
+        z = " + ".join(
+            f"CAST({beta[j]} AS DECIMAL(19,0)) * x{j}"
+            for j in range(OLS_DIMS + 1)
+        )
+        r14 = F.expr(f"{_lgd_sigma_sql(z, 'div')} - y14")
+        grads = wide.agg(
+            *[
+                F.sum(F.col(f"x{j}").cast("decimal(19,0)") * r14).alias(
+                    f"g{j}"
+                )
+                for j in range(OLS_DIMS + 1)
+            ]
+        ).collect()[0]
+        for j in range(OLS_DIMS + 1):
+            g = int(grads[f"g{j}"])
+            step = (
+                (2 * g + den) // (2 * den)
+                if g >= 0
+                else -((2 * -g + den) // (2 * den))
+            )
+            beta[j] -= step
+    return spark.createDataFrame(
+        [(j, beta[j], n) for j in range(OLS_DIMS + 1)],
+        "j bigint, beta7 bigint, n bigint",
+    )

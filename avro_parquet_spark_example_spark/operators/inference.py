@@ -1304,3 +1304,319 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cliffs_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry / Elo strengths from pairwise duels (Hunter 2004 MM)
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for BT strengths and MM iteration count.
+_BT_S = 10**9
+_BT_ROUNDS = 3
+
+
+def _bt_iter_py(types, nij, rounds=_BT_ROUNDS, s=_BT_S):
+    """Driver-side exact-integer MM iterations (Hunter 2004): the same
+    half-up integer divisions the SQL oracle unrolls. nij maps ordered
+    (i, j) -> wins of i over j."""
+
+    def hdiv(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    k = len(types)
+    pi = {t: s for t in types}
+    wins = {t: sum(nij.get((t, u), 0) for u in types) for t in types}
+    tot = {
+        (t, u): nij.get((t, u), 0) + nij.get((u, t), 0)
+        for t in types
+        for u in types
+        if t != u
+    }
+    for _ in range(rounds):
+        d = {
+            t: sum(
+                hdiv(tot[(t, u)] * s * s, pi[t] + pi[u])
+                for u in types
+                if u != t
+            )
+            for t in types
+        }
+        raw = {t: hdiv(wins[t] * s * s, d[t]) if d[t] else 0 for t in types}
+        tsum = sum(raw.values())
+        pi = {t: hdiv(raw[t] * k * s, tsum) for t in types}
+    return pi, wins, {t: sum(tot[(t, u)] for u in types if u != t) for t in types}
+
+
+def _bt_oracle() -> str:
+    s, k_rounds = _BT_S, _BT_ROUNDS
+    parts = [
+        f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wins AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CAST(SUM(CASE WHEN a.n > b.n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nij
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT w1.i, w1.j,
+               CAST(w1.nij + w2.nij AS HUGEINT) AS t
+        FROM wins w1 JOIN wins w2 ON w2.i = w1.j AND w2.j = w1.i
+    ),
+    wsum AS (
+        SELECT i, CAST(SUM(nij) AS HUGEINT) AS w,
+               (SELECT CAST(COUNT(DISTINCT event_type) AS HUGEINT)
+                FROM daily) AS k
+        FROM wins GROUP BY 1
+    ),
+    p0 AS (SELECT i, CAST({s} AS HUGEINT) AS pi FROM wsum)"""
+    ]
+    for r in range(1, k_rounds + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+        SELECT t.i,
+               CAST(SUM((2 * t.t * {s * s} + (pa.pi + pb.pi))
+                        // (2 * (pa.pi + pb.pi))) AS HUGEINT) AS d
+        FROM tot t
+        JOIN p{r - 1} pa ON pa.i = t.i
+        JOIN p{r - 1} pb ON pb.i = t.j
+        GROUP BY 1
+    ),
+    raw{r} AS (
+        SELECT w.i,
+               CASE WHEN d.d > 0
+                    THEN (2 * w.w * {s * s} + d.d) // (2 * d.d)
+                    ELSE 0 END AS pr,
+               w.k
+        FROM wsum w JOIN d{r} d ON d.i = w.i
+    ),
+    p{r} AS (
+        SELECT i, (2 * pr * k * {s} + ts) // (2 * ts) AS pi
+        FROM raw{r}, (SELECT CAST(SUM(pr) AS HUGEINT) AS ts
+                      FROM raw{r})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT w.i AS event_type,
+           CAST(w.w AS BIGINT) AS wins,
+           CAST(g.g AS BIGINT) AS games,
+           CAST(p.pi AS BIGINT) AS pi9,
+           CASE WHEN p.pi > 0
+                THEN ROUND(1500.0 + 400.0
+                           * LOG10(CAST(p.pi AS DOUBLE) / {float(s)}), 6)
+           END AS rating
+    FROM wsum w
+    JOIN (SELECT i, CAST(SUM(t) AS BIGINT) AS g FROM tot GROUP BY 1) g
+      ON g.i = w.i
+    JOIN p{k_rounds} p ON p.i = w.i
+    """
+    )
+    return "".join(parts)
+
+
+@register("eval_elo_bradley_terry", oracle=_bt_oracle())
+def eval_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — Bradley–Terry strengths from pairwise duels, solved with 3
+    MM iterations (Hunter 2004) in EXACT fixed-point arithmetic — the
+    model behind arena-style LLM leaderboards (pairwise preferences →
+    latent strengths → Elo-scale ratings). Duels: each day, each pair
+    of event types "competes" on daily volume; strict wins count,
+    ties drop.
+
+    Exactness: π carries in ×1e9 integers; every MM step is the
+    half-up integer division (2a+b)//(2b) on DECIMAL(38,0) — the
+    ml_linreg_gd discipline — with a per-round renormalization to
+    Σπ = K·S, so the trajectory is bit-identical across engines and
+    partition orders; the oracle unrolls the same three rounds as
+    CTEs. Ratings emit as 1500 + 400·log10(π/S) (one log per output
+    row, rounded to 6). The day-grid duel matrix is computed
+    distributed; the MM loop runs driver-side on the K×K integer
+    matrix (kmeans-centroid precedent — K² numbers, not rows).
+
+    Scale: one (type, day) map-side-combined aggregate; the duel
+    self-join is day-grid × K² — at 100 TB still thousands of cells.
+    K (model size) is bounded by design; for large K the same MM step
+    is one aggregate per round over the pair matrix, still never
+    row-scale."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("i"),
+        "day",
+        F.col("n").alias("na"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("j"),
+        "day",
+        F.col("n").alias("nb"),
+    )
+    wins = (
+        a.join(b, "day")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nij")
+        )
+    )
+    rows = wins.collect()  # K*(K-1) integers — grid-sized by design
+    nij = {(r.i, r.j): int(r.nij) for r in rows}
+    types = sorted({r.i for r in rows})
+    pi, wtot, games = _bt_iter_py(types, nij)
+    out = spark.createDataFrame(
+        [(t, wtot[t], games[t], pi[t]) for t in types],
+        "event_type string, wins bigint, games bigint, pi9 bigint",
+    )
+    return out.select(
+        "event_type",
+        "wins",
+        "games",
+        "pi9",
+        F.when(
+            F.col("pi9") > 0,
+            F.round(
+                1500.0
+                + 400.0 * F.log10(F.col("pi9").cast("double") / float(_BT_S)),
+                6,
+            ),
+        ).alias("rating"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample power analysis: minimal detectable effect
+# --------------------------------------------------------------------------
+
+#: Standard-normal quantiles as shared literals (z_{0.975}, z_{0.80}) —
+#: identical tokens in the Spark expression and the oracle, no runtime
+#: inverse-CDF on either engine.
+_Z975 = "1.959963984540054"
+_Z80 = "0.8416212335729143"
+
+
+@register(
+    "stat_power_mde",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    moms AS (
+        SELECT event_type,
+               CAST(SUM(wk) AS BIGINT) AS n1,
+               CAST(SUM(1 - wk) AS BIGINT) AS n2,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(wk * q) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM((1 - wk) * q) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(wk * q * q) AS DECIMAL(38,0)) AS ss1,
+               CAST(SUM((1 - wk) * q * q) AS DECIMAL(38,0)) AS ss2
+        FROM base GROUP BY 1
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           ROUND(SQRT((CAST(ss1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                       + CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                      / (n1 + n2 - 2)) / 100.0, 6) AS pooled_sd,
+           ROUND(({_Z975} + {_Z80})
+                 * (SQRT((CAST(ss1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                          + CAST(ss2 AS DOUBLE)
+                          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                         / (n1 + n2 - 2)) / 100.0)
+                 * SQRT(1.0 / n1 + 1.0 / n2), 6) AS mde_abs,
+           ROUND((({_Z975} + {_Z80})
+                  * (SQRT((CAST(ss1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                           + CAST(ss2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                          / (n1 + n2 - 2)) / 100.0)
+                  * SQRT(1.0 / n1 + 1.0 / n2))
+                 / (CAST(s AS DOUBLE) / 100.0 / (n1 + n2)), 6)
+               AS mde_rel
+    FROM moms
+    """,
+)
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — two-sample power analysis: the MINIMAL DETECTABLE EFFECT
+    at α = 0.05 (two-sided) / power 0.8 for the weekend-vs-weekday mean
+    comparison each type's current sample supports:
+    MDE = (z_{{0.975}} + z_{{0.80}}) · s_pooled · √(1/n1 + 1/n2) —
+    the experiment-design companion to stat_effect_sizes (that one
+    reports the effect you GOT; this reports the effect you COULD
+    detect). mde_rel scales by the type's overall mean (the "X% lift"
+    form product reviews quote).
+
+    Exactness: the z quantiles are shared decimal literals (no runtime
+    inverse-CDF); moments are exact integers (2-decimal quantization,
+    the stat_effect_sizes envelope); everything downstream is a
+    fixed-order IEEE expression rounded to 6.
+
+    Scale: one map-side-combined moment aggregate; output is
+    K rows of pure algebra."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wk"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    moms = e.groupBy("event_type").agg(
+        F.sum("wk").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("n2"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("wk") * F.col("q")).cast("decimal(38,0)").alias("s1"),
+        F.sum((1 - F.col("wk")) * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.col("wk") * F.col("q") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.sum((1 - F.col("wk")) * F.col("q") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+    )
+    sp = (
+        F.sqrt(
+            (
+                F.col("ss1").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n1")
+                + F.col("ss2").cast("double")
+                - F.col("s2").cast("double")
+                * F.col("s2").cast("double")
+                / F.col("n2")
+            )
+            / (F.col("n1") + F.col("n2") - 2)
+        )
+        / 100.0
+    )
+    mde = (
+        F.expr(f"{_Z975} + {_Z80}")
+        * sp
+        * F.sqrt(1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    mean_all = F.col("s").cast("double") / 100.0 / (F.col("n1") + F.col("n2"))
+    return moms.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean_all, 6).alias("mde_rel"),
+    )

@@ -554,3 +554,143 @@ def test_length_buckets_matches_python_reference(spark, sf_dir):
     # (a top bucket can overshoot the global max), so assert only the
     # arithmetic identity: naive padded total >= actual token total.
     assert gdocs * gmax >= gtok
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry / power MDE / hard-sigmoid logistic GD
+# --------------------------------------------------------------------------
+
+
+def test_bradley_terry_matches_python_mm(spark, sf_dir):
+    """Float-MM reference: the fixed-point trajectory must track the
+    textbook float MM iteration to ~1e-6 relative after 3 rounds."""
+    from avro_parquet_spark_example_spark.operators.inference import (
+        _bt_iter_py,
+        _BT_S,
+    )
+
+    daily: Counter = Counter()
+    for r in _events(spark, sf_dir):
+        daily[(r.event_type, r.ts.date())] += 1
+    types = sorted({t for t, _ in daily})
+    days = sorted({d for _, d in daily})
+    nij: Counter = Counter()
+    for d in days:
+        for i in types:
+            for j in types:
+                if i != j and (i, d) in daily and (j, d) in daily:
+                    if daily[(i, d)] > daily[(j, d)]:
+                        nij[(i, j)] += 1
+    # float textbook MM with the same per-round sum normalization
+    k = len(types)
+    pi = {t: 1.0 for t in types}
+    wins = {t: sum(nij.get((t, u), 0) for u in types) for t in types}
+    for _ in range(3):
+        d = {
+            t: sum(
+                (nij.get((t, u), 0) + nij.get((u, t), 0))
+                / (pi[t] + pi[u])
+                for u in types
+                if u != t
+            )
+            for t in types
+        }
+        raw = {t: wins[t] / d[t] for t in types}
+        tsum = sum(raw.values())
+        pi = {t: raw[t] * k / tsum for t in types}
+    fixed, fwins, fgames = _bt_iter_py(types, dict(nij))
+    got = {
+        r.event_type: r
+        for r in get_query("eval_elo_bradley_terry")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        g = got[t]
+        assert g.wins == wins[t] == fwins[t]
+        assert g.pi9 == fixed[t]
+        # fixed-point tracks float MM
+        assert abs(fixed[t] / _BT_S - pi[t]) < 1e-5, t
+        assert abs(
+            g.rating - (1500 + 400 * math.log10(g.pi9 / _BT_S))
+        ) < 1e-5
+
+
+def test_bradley_terry_dominance_closed_form():
+    """One type beats everyone -> strictly the largest strength; a
+    symmetric duel matrix -> all strengths equal (= S after the
+    sum normalization)."""
+    from avro_parquet_spark_example_spark.operators.inference import (
+        _bt_iter_py,
+        _BT_S,
+    )
+
+    types = ["a", "b", "c"]
+    sym = {(i, j): 5 for i in types for j in types if i != j}
+    pi, _, _ = _bt_iter_py(types, sym)
+    assert all(abs(v - _BT_S) <= 1 for v in pi.values())
+    dom = dict(sym)
+    dom[("a", "b")] = dom[("a", "c")] = 10
+    dom[("b", "a")] = dom[("c", "a")] = 0
+    pi2, _, _ = _bt_iter_py(types, dom)
+    assert pi2["a"] > pi2["b"] and pi2["a"] > pi2["c"]
+
+
+def test_power_mde_matches_python_reference(spark, sf_dir):
+    by_type: dict[str, tuple[list, list]] = {}
+    for r in _events(spark, sf_dir):
+        g = by_type.setdefault(r.event_type, ([], []))
+        q = math.floor(r.value * 100.0 + 0.5)
+        (g[0] if r.ts.isoweekday() in (6, 7) else g[1]).append(q)
+    got = {
+        r.event_type: r
+        for r in get_query("stat_power_mde").fn(spark, sf_dir).collect()
+    }
+    z = 1.959963984540054 + 0.8416212335729143
+    for t, (xs, ys) in by_type.items():
+        n1, n2 = len(xs), len(ys)
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        sp = math.sqrt(
+            (sum((x - m1) ** 2 for x in xs) + sum((y - m2) ** 2 for y in ys))
+            / (n1 + n2 - 2)
+        ) / 100.0
+        mde = z * sp * math.sqrt(1 / n1 + 1 / n2)
+        mean = (sum(xs) + sum(ys)) / 100.0 / (n1 + n2)
+        g = got[t]
+        assert abs(g.pooled_sd - sp) < 1e-5
+        assert abs(g.mde_abs - mde) < 1e-5
+        assert abs(g.mde_rel - mde / mean) < 1e-5
+        # sanity: the observed |effect| vs MDE relationship is coherent
+        assert g.mde_abs > 0
+
+
+def test_logistic_gd_tracks_float_and_decreases_loss(spark, sf_dir):
+    """Hard-sigmoid logistic GD: the fixed-point trajectory tracks a
+    float replica of the SAME surrogate, and the logistic surrogate
+    loss decreases over the 3 rounds."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [[1.0] + [float(v) for v in r.embedding[:4]] for r in emb]
+    )
+    y = np.array([r.label % 2 for r in emb], dtype=float)
+    n = len(y)
+
+    def hs(z):
+        return np.clip(z / 4 + 0.5, 0.0, 1.0)
+
+    beta = np.zeros(5)
+    losses = [float(np.mean((hs(X @ beta) - y) ** 2))]
+    for _ in range(3):
+        p = hs(X @ beta)
+        beta -= (X.T @ (p - y)) / (4 * n)
+        losses.append(float(np.mean((hs(X @ beta) - y) ** 2)))
+    rows = get_query("ml_logistic_gd").fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.beta7 / 1e7 - beta[r.j]) < 1e-4, r.j
+    # squared-error surrogate decreases round over round
+    assert losses[1] < losses[0] and losses[2] < losses[1]
+    assert losses[3] < losses[2]
