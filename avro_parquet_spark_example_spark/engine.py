@@ -987,3 +987,101 @@ class Engine:
         )
 
         return mcc_multiclass(conf)
+
+    def pass_at_k(self, per: DataFrame) -> DataFrame:
+        """(k, n_problems, mean_pass) — unbiased pass@k over a
+        per-problem frame with integer columns ``n`` (samples) and
+        ``c`` (passes) (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            pass_at_k,
+        )
+
+        return pass_at_k(per)
+
+    def fleiss_kappa(
+        self, ratings: DataFrame, item: str, category: str, n_raters: int
+    ) -> DataFrame:
+        """(n_items, n_raters, p_bar, p_e, kappa) — Fleiss' multi-rater
+        agreement over a ratings frame with exactly n_raters rows per
+        item (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            fleiss_kappa,
+        )
+
+        return fleiss_kappa(
+            ratings, item=item, category=category, n_raters=n_raters
+        )
+
+    def jackknife_se(
+        self, per: DataFrame, scale: float = 10000.0
+    ) -> DataFrame:
+        """(n_clusters, theta_hat, jackknife_se) — delete-one-cluster
+        jackknife SE from per-cluster iusum sums ``su`` and counts
+        ``cnt`` (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            jackknife_ratio_se,
+        )
+
+        return jackknife_ratio_se(per, scale=scale)
+
+    def poisson_bootstrap(
+        self, rows: DataFrame, scale: float = 10000.0
+    ) -> DataFrame:
+        """(event_type, n_rows, mean_value, ci_lo, ci_hi) — Poisson-
+        bootstrap 95% CI over a (event_type, event_id, q) quantized
+        frame (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            poisson_bootstrap_ci,
+        )
+
+        return poisson_bootstrap_ci(rows, scale=scale)
+
+    def effect_sizes(self, e: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, cohens_d, hedges_g,
+        cliffs_delta) — over a (event_type, wk∈{0,1}, q int) two-sample
+        frame (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            effect_sizes,
+        )
+
+        return effect_sizes(e)
+
+    def power_mde(self, e: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, pooled_sd, mde_abs,
+        mde_rel) — minimal detectable effect at α=0.05/power 0.8 over
+        the same two-sample frame shape as effect_sizes
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            power_mde,
+        )
+
+        return power_mde(e)
+
+    def bradley_terry(self, wins: DataFrame) -> DataFrame:
+        """(event_type, wins, games, pi9, rating) — Bradley-Terry MM
+        strengths + Elo-scale ratings from an (i, j, nij) ordered duel
+        frame (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            bradley_terry,
+        )
+
+        return bradley_terry(wins)
+
+    def forecast_backtest(
+        self,
+        daily: DataFrame,
+        key: str,
+        order: str,
+        value: str,
+        season: int = 7,
+    ) -> DataFrame:
+        """(key, n_days, mae, rmse, mape, smape, mase) — seasonal-naive
+        backtest metrics over a keyed DATE-grid integer series
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            forecast_backtest,
+        )
+
+        return forecast_backtest(
+            daily, key=key, order=order, value=value, season=season
+        )

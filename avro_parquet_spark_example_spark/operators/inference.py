@@ -106,8 +106,18 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    return pass_at_k(per)
+
+
+def pass_at_k(per: DataFrame) -> DataFrame:
+    """(k, n_problems, mean_pass) — the unbiased pass@k estimator over a
+    per-problem frame with exact integer columns ``n`` (samples) and
+    ``c`` (passing samples); the library form the Engine facade exposes
+    (``eval_pass_at_k`` is its registered oracle-checked instance)."""
     ks = F.broadcast(
-        spark.createDataFrame([(k,) for k in _PASS_KS], "k int")
+        per.sparkSession.createDataFrame(
+            [(k,) for k in _PASS_KS], "k int"
+        )
     )
     est = (
         per.crossJoin(ks)
@@ -207,12 +217,30 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the first-n window partitions per user (bounded ~100 rows);
     everything after is (user × category)-sized counts folding to one
     row. At 100 TB this is the classic two-aggregate agreement pass."""
-    n = _FLEISS_N
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _FLEISS_N)
+    return fleiss_kappa(
+        ratings, item="user_id", category="event_type", n_raters=_FLEISS_N
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame, item: str, category: str, n_raters: int
+) -> DataFrame:
+    """(n_items, n_raters, p_bar, p_e, kappa) — Fleiss' kappa over a
+    ratings frame with exactly ``n_raters`` rows per ``item``, each
+    carrying a categorical ``category``; the library form the Engine
+    facade exposes (``eval_fleiss_kappa`` is its registered
+    oracle-checked instance)."""
+    n = n_raters
     nij = (
-        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= n)
+        ratings.select(
+            F.col(item).alias("user_id"),
+            F.col(category).alias("event_type"),
+        )
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
     )
@@ -325,6 +353,15 @@ def stat_jackknife_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
         )
     )
+    return jackknife_ratio_se(per)
+
+
+def jackknife_ratio_se(per: DataFrame, scale: float = 10000.0) -> DataFrame:
+    """(n_clusters, theta_hat, jackknife_se) — delete-one-cluster
+    jackknife SE of a ratio estimator from a per-cluster frame with
+    exact integer columns ``su`` (iusum-quantized value sum, at
+    1/``scale`` units) and ``cnt``; the library form the Engine facade
+    exposes (``stat_jackknife_cluster`` is its registered instance)."""
     tot = per.agg(
         F.sum("su").cast("decimal(38,0)").alias("ts"),
         F.sum("cnt").cast("bigint").alias("tn"),
@@ -333,7 +370,7 @@ def stat_jackknife_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     loo = per.crossJoin(F.broadcast(tot)).select(
         F.round(
             (F.col("ts") - F.col("su")).cast("double")
-            / 10000.0
+            / scale
             / (F.col("tn") - F.col("cnt")),
             9,
         ).alias("theta_i"),
@@ -366,7 +403,7 @@ def stat_jackknife_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jackknife_se")
     ).select(
         F.col("gcnt").alias("n_clusters"),
-        F.round(F.col("ts").cast("double") / 10000.0 / F.col("tn"), 6).alias(
+        F.round(F.col("ts").cast("double") / scale / F.col("tn"), 6).alias(
             "theta_hat"
         ),
         "jackknife_se",
@@ -488,6 +525,18 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("event_id"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
+    return poisson_bootstrap_ci(e)
+
+
+def poisson_bootstrap_ci(
+    e: DataFrame, scale: float = 10000.0
+) -> DataFrame:
+    """(event_type, n_rows, mean_value, ci_lo, ci_hi) — Poisson-
+    bootstrap 95% CI for the per-key mean of an iusum-quantized value
+    frame (columns: ``event_type`` key, ``event_id`` bigint draw id,
+    ``q`` exact integer at 1/``scale`` units); the library form the
+    Engine facade exposes (``stat_poisson_bootstrap_ci`` is its
+    registered oracle-checked instance)."""
     obs = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("q").cast("decimal(38,0)").alias("tv"),
@@ -513,7 +562,7 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "r",
             F.round(
-                F.col("swv").cast("double") / 10000.0 / F.col("sw"), 9
+                F.col("swv").cast("double") / scale / F.col("sw"), 9
             ).alias("m"),
         )
     )
@@ -539,7 +588,7 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_rows",
             F.round(
-                F.col("tv").cast("double") / 10000.0 / F.col("n_rows"), 6
+                F.col("tv").cast("double") / scale / F.col("n_rows"), 6
             ).alias("mean_value"),
             "ci_lo",
             "ci_hi",
@@ -1239,9 +1288,17 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wk"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
     )
-    moms = e.groupBy("event_type").agg(
+    return effect_sizes(e)
+
+
+def _two_sample_moments(e: DataFrame) -> DataFrame:
+    """Per-key exact integer moments of a (event_type, wk∈{0,1}, q int)
+    frame — the shared sufficient statistics of effect_sizes and
+    power_mde."""
+    return e.groupBy("event_type").agg(
         F.sum("wk").cast("bigint").alias("n1"),
         F.sum(1 - F.col("wk")).cast("bigint").alias("n2"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
         F.sum(F.col("wk") * F.col("q")).cast("decimal(38,0)").alias("s1"),
         F.sum((1 - F.col("wk")) * F.col("q"))
         .cast("decimal(38,0)")
@@ -1253,6 +1310,15 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("ss2"),
     )
+
+
+def effect_sizes(e: DataFrame) -> DataFrame:
+    """(event_type, n_weekend, n_weekday, cohens_d, hedges_g,
+    cliffs_delta) — the standardized effect-size suite over a prepared
+    two-sample frame (``event_type`` key, ``wk`` ∈ {0,1} group flag,
+    ``q`` exact integer value); the library form the Engine facade
+    exposes (``stat_effect_sizes`` is its registered instance)."""
+    moms = _two_sample_moments(e)
     dvals = e.groupBy("event_type", "q").agg(
         F.sum("wk").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
@@ -1470,6 +1536,17 @@ def eval_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nij")
         )
     )
+    return bradley_terry(wins)
+
+
+def bradley_terry(wins: DataFrame) -> DataFrame:
+    """(event_type, wins, games, pi9, rating) — Bradley-Terry strengths
+    + Elo-scale ratings from an ordered-pair duel frame (columns ``i``,
+    ``j``, ``nij`` = wins of i over j); the library form the Engine
+    facade exposes (``eval_elo_bradley_terry`` is its registered
+    oracle-checked instance). Collects the K² duel matrix driver-side
+    (grid-sized by design) and runs the exact-integer MM iterations."""
+    spark = wins.sparkSession
     rows = wins.collect()  # K*(K-1) integers — grid-sized by design
     nij = {(r.i, r.j): int(r.nij) for r in rows}
     types = sorted({r.i for r in rows})
@@ -1575,21 +1652,16 @@ def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wk"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
     )
-    moms = e.groupBy("event_type").agg(
-        F.sum("wk").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("wk")).cast("bigint").alias("n2"),
-        F.sum("q").cast("decimal(38,0)").alias("s"),
-        F.sum(F.col("wk") * F.col("q")).cast("decimal(38,0)").alias("s1"),
-        F.sum((1 - F.col("wk")) * F.col("q"))
-        .cast("decimal(38,0)")
-        .alias("s2"),
-        F.sum(F.col("wk") * F.col("q") * F.col("q"))
-        .cast("decimal(38,0)")
-        .alias("ss1"),
-        F.sum((1 - F.col("wk")) * F.col("q") * F.col("q"))
-        .cast("decimal(38,0)")
-        .alias("ss2"),
-    )
+    return power_mde(e)
+
+
+def power_mde(e: DataFrame) -> DataFrame:
+    """(event_type, n_weekend, n_weekday, pooled_sd, mde_abs, mde_rel)
+    — two-sample minimal detectable effect at α=0.05 / power 0.8 over
+    the same prepared frame shape as :func:`effect_sizes`; the library
+    form the Engine facade exposes (``stat_power_mde`` is its
+    registered oracle-checked instance)."""
+    moms = _two_sample_moments(e)
     sp = (
         F.sqrt(
             (

@@ -3159,10 +3159,30 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return forecast_backtest(daily, key="event_type", order="day", value="n")
+
+
+def forecast_backtest(
+    daily: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    season: int = 7,
+) -> DataFrame:
+    """(key, n_days, mae, rmse, mape, smape, mase) — seasonal-naive
+    forecast backtest over a keyed DATE-grid integer series (forecast =
+    value ``season`` days back; MASE scaled by one-day persistence);
+    the library form the Engine facade exposes (``ts_forecast_backtest``
+    is its registered oracle-checked instance)."""
+    daily = daily.select(
+        F.col(key).alias("event_type"),
+        F.col(order).alias("day"),
+        F.col(value).alias("n"),
+    )
     a = daily.select("event_type", "day", F.col("n").alias("actual"))
     f7 = daily.select(
         "event_type",
-        F.date_add("day", 7).alias("day"),
+        F.date_add("day", season).alias("day"),
         F.col("n").alias("fc7"),
     )
     f1 = daily.select(
@@ -3174,7 +3194,7 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f1, ["event_type", "day"]
     )
     e7 = F.abs(F.col("actual") - F.col("fc7"))
-    return scored.groupBy("event_type").agg(
+    out = scored.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(F.sum(e7).cast("double") / F.count(F.lit(1)), 6).alias(
             "mae"
@@ -3213,3 +3233,4 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mase"),
     )
+    return out.withColumnRenamed("event_type", key)

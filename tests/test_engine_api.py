@@ -653,3 +653,106 @@ def test_mcc_absent_class_marginals(spark):
     kexp = (s * corr - rc) / (s * s - rc)
     gk = Engine(spark=spark).kappa(conf).collect()[0]
     assert abs(gk.kappa - round(kexp, 6)) < 1e-9
+
+
+def test_engine_inference_facade_parity(spark, sf_dir):
+    """The inference-family facade methods reproduce their registered
+    oracle-checked instances when pointed at the same fixture frames
+    (single-source rule): pass_at_k / fleiss_kappa / jackknife_se /
+    poisson_bootstrap / effect_sizes / power_mde / bradley_terry /
+    forecast_backtest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    e = load(spark, sf_dir, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(key):
+        return rows(get_query(key).fn(spark, sf_dir))
+
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    assert rows(eng.pass_at_k(per)) == want("eval_pass_at_k")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    assert rows(
+        eng.fleiss_kappa(
+            ratings, item="user_id", category="event_type", n_raters=5
+        )
+    ) == want("eval_fleiss_kappa")
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    per_cl = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("g"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("su"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    assert rows(eng.jackknife_se(per_cl)) == want("stat_jackknife_cluster")
+
+    q = e.select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
+    )
+    assert rows(eng.poisson_bootstrap(q)) == want(
+        "stat_poisson_bootstrap_ci"
+    )
+
+    two = e.select(
+        "event_type",
+        F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wk"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    assert rows(eng.effect_sizes(two)) == want("stat_effect_sizes")
+    assert rows(eng.power_mde(two)) == want("stat_power_mde")
+
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("i"), "day", F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("j"), "day", F.col("n").alias("nb")
+    )
+    wins = (
+        a.join(b, "day")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nij")
+        )
+    )
+    assert rows(eng.bradley_terry(wins)) == want("eval_elo_bradley_terry")
+
+    assert rows(
+        eng.forecast_backtest(daily, key="event_type", order="day", value="n")
+    ) == want("ts_forecast_backtest")
