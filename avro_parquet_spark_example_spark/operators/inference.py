@@ -1692,3 +1692,113 @@ def power_mde(e: DataFrame) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / mean_all, 6).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise win-rate matrix with Wilson intervals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_win_rate_matrix",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    duel AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CAST(SUM(CASE WHEN a.n > b.n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN a.n <> b.n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS g
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i, j, w AS wins_i, g AS games,
+           ROUND(CAST(w AS DOUBLE) / g, 6) AS win_rate,
+           ROUND((CAST(w AS DOUBLE) / g + {_Z975} * {_Z975} / (2.0 * g)
+                  - {_Z975} * SQRT((CAST(w AS DOUBLE) / g)
+                                   * (1.0 - CAST(w AS DOUBLE) / g) / g
+                                   + {_Z975} * {_Z975} / (4.0 * g * g)))
+                 / (1.0 + {_Z975} * {_Z975} / g), 6) AS wilson_lo,
+           ROUND((CAST(w AS DOUBLE) / g + {_Z975} * {_Z975} / (2.0 * g)
+                  + {_Z975} * SQRT((CAST(w AS DOUBLE) / g)
+                                   * (1.0 - CAST(w AS DOUBLE) / g) / g
+                                   + {_Z975} * {_Z975} / (4.0 * g * g)))
+                 / (1.0 + {_Z975} * {_Z975} / g), 6) AS wilson_hi,
+           ((CAST(w AS DOUBLE) / g + {_Z975} * {_Z975} / (2.0 * g)
+             - {_Z975} * SQRT((CAST(w AS DOUBLE) / g)
+                              * (1.0 - CAST(w AS DOUBLE) / g) / g
+                              + {_Z975} * {_Z975} / (4.0 * g * g)))
+            / (1.0 + {_Z975} * {_Z975} / g) > 0.5
+            OR (CAST(w AS DOUBLE) / g + {_Z975} * {_Z975} / (2.0 * g)
+                + {_Z975} * SQRT((CAST(w AS DOUBLE) / g)
+                                 * (1.0 - CAST(w AS DOUBLE) / g) / g
+                                 + {_Z975} * {_Z975} / (4.0 * g * g)))
+               / (1.0 + {_Z975} * {_Z975} / g) < 0.5) AS decisive
+    FROM duel
+    """,
+)
+def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — the pairwise WIN-RATE matrix with 95% WILSON score
+    intervals (Wilson 1927): for each unordered pair of event types,
+    i's win rate over decisive daily-volume duels, the score-interval
+    bounds, and whether the pair is DECISIVE (the interval excludes ½)
+    — the arena-leaderboard companion to eval_elo_bradley_terry (BT
+    gives one strength per player; this gives the per-matchup
+    uncertainty that tells you which head-to-heads are actually
+    settled). Wilson is the interval of choice for win rates because
+    it never leaves [0,1] and behaves at small g, unlike the normal
+    (Wald) interval.
+
+    Exactness: wins/games are exact integers; the Wilson bounds are one
+    fixed-order IEEE expression over them with the z quantile as a
+    shared decimal literal (same token stream both engines), rounded 6;
+    the decisiveness booleans compare the UNROUNDED bounds identically
+    on both engines.
+
+    Scale: day-grid duel join (same as BT), K²/2 output rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("i"), "day", F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("j"), "day", F.col("n").alias("nb")
+    )
+    duel = (
+        a.join(b, "day")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    z = F.expr(_Z975)
+    p = F.col("w").cast("double") / F.col("g")
+    g = F.col("g")
+    center = p + z * z / (2.0 * g)
+    half = z * F.sqrt(p * (1.0 - p) / g + z * z / (4.0 * g * g))
+    denom = 1.0 + z * z / g
+    lo = (center - half) / denom
+    hi = (center + half) / denom
+    return duel.select(
+        "i",
+        "j",
+        F.col("w").alias("wins_i"),
+        F.col("g").alias("games"),
+        F.round(p, 6).alias("win_rate"),
+        F.round(lo, 6).alias("wilson_lo"),
+        F.round(hi, 6).alias("wilson_hi"),
+        ((lo > 0.5) | (hi < 0.5)).alias("decisive"),
+    )

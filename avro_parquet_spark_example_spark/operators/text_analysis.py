@@ -2375,3 +2375,157 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
         )
     )
+
+
+@register(
+    "eval_rouge_n",
+    oracle="""
+    WITH pairs AS (
+        SELECT lang, doc_id, text AS cand,
+               LEAD(text) OVER (
+                   PARTITION BY lang, doc_id // 100 ORDER BY doc_id
+               ) AS ref
+        FROM documents
+    ),
+    p AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
+    cu AS (
+        SELECT lang, doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p, LATERAL (SELECT UNNEST(STRING_SPLIT(cand, ' ')) AS tok) u
+        GROUP BY 1, 2, 3
+    ),
+    ru AS (
+        SELECT lang, doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p, LATERAL (SELECT UNNEST(STRING_SPLIT(ref, ' ')) AS tok) u
+        GROUP BY 1, 2, 3
+    ),
+    cb AS (
+        SELECT lang, doc_id, b.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, doc_id, STRING_SPLIT(cand, ' ') AS w FROM p),
+             LATERAL (SELECT UNNEST([w[CAST(i AS INT)] || ' ' ||
+                                     w[CAST(i AS INT) + 1]
+                                     FOR i IN RANGE(1, LEN(w))]) AS tok) b
+        GROUP BY 1, 2, 3
+    ),
+    rb AS (
+        SELECT lang, doc_id, b.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, doc_id, STRING_SPLIT(ref, ' ') AS w FROM p),
+             LATERAL (SELECT UNNEST([w[CAST(i AS INT)] || ' ' ||
+                                     w[CAST(i AS INT) + 1]
+                                     FOR i IN RANGE(1, LEN(w))]) AS tok) b
+        GROUP BY 1, 2, 3
+    ),
+    m1 AS (
+        SELECT cu.lang, CAST(SUM(LEAST(cu.c, ru.c)) AS BIGINT) AS m
+        FROM cu JOIN ru USING (lang, doc_id, tok) GROUP BY 1
+    ),
+    m2 AS (
+        SELECT cb.lang, CAST(SUM(LEAST(cb.c, rb.c)) AS BIGINT) AS m
+        FROM cb JOIN rb USING (lang, doc_id, tok) GROUP BY 1
+    ),
+    lens AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(LEN(STRING_SPLIT(cand, ' '))) AS BIGINT) AS c1,
+               CAST(SUM(LEN(STRING_SPLIT(ref, ' '))) AS BIGINT) AS r1,
+               CAST(SUM(LEN(STRING_SPLIT(cand, ' ')) - 1) AS BIGINT) AS c2,
+               CAST(SUM(LEN(STRING_SPLIT(ref, ' ')) - 1) AS BIGINT) AS r2
+        FROM p GROUP BY 1
+    )
+    SELECT l.lang, l.n_pairs,
+           ROUND(CAST(a.m AS DOUBLE) / l.r1, 6) AS rouge1_recall,
+           ROUND(CAST(a.m AS DOUBLE) / l.c1, 6) AS rouge1_precision,
+           ROUND(2.0 * a.m / (l.r1 + l.c1), 6) AS rouge1_f1,
+           ROUND(CAST(b.m AS DOUBLE) / l.r2, 6) AS rouge2_recall,
+           ROUND(CAST(b.m AS DOUBLE) / l.c2, 6) AS rouge2_precision,
+           ROUND(2.0 * b.m / (l.r2 + l.c2), 6) AS rouge2_f1
+    FROM lens l JOIN m1 a USING (lang) JOIN m2 b USING (lang)
+    """,
+)
+def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-eval — corpus ROUGE-1/ROUGE-2 (Lin 2004): clipped n-gram
+    RECALL against the reference (the summarization-eval complement of
+    eval_bleu_corpus's precision), plus precision and F1, per language.
+    Same bounded LEAD pairing fixture and the same clipped-match
+    machinery as BLEU — the two metrics share Σ min(count_cand,
+    count_ref); only the denominator side differs (reference lengths
+    for recall, candidate lengths for precision).
+
+    Exactness: every numerator/denominator is an exact integer; each
+    emitted metric is one IEEE division (the F1 identity
+    2m/(r+c) — algebraically equal to the harmonic mean of the two
+    ratios — is used so the result is ONE division instead of a
+    composition whose intermediate rounding could differ), rounded 6.
+
+    Scale: identical to eval_bleu_corpus — per-row n-gram transform,
+    (pair, ngram)-keyed partial-aggregated clip join, per-lang fold."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        "lang", F.expr("doc_id div 100")
+    ).orderBy("doc_id")
+    p = (
+        d.select("lang", "doc_id", F.col("text").alias("cand"))
+        .withColumn("ref", F.lead("cand").over(w))
+        .filter(F.col("ref").isNotNull())
+    )
+    p = p.localCheckpoint(eager=True)
+
+    def grams(col: str, n: int) -> Column:
+        if n == 1:
+            return F.explode(F.split(F.col(col), " "))
+        return F.explode(
+            F.expr(
+                f"transform(slice(split({col}, ' '), 1, "
+                f"size(split({col}, ' ')) - 1), "
+                f"(x, i) -> concat(x, ' ', split({col}, ' ')[i + 1]))"
+            )
+        )
+
+    def counts(col: str, n: int) -> DataFrame:
+        return (
+            p.select("lang", "doc_id", grams(col, n).alias("tok"))
+            .groupBy("lang", "doc_id", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    def clip(n: int) -> DataFrame:
+        cu, ru = counts("cand", n), counts("ref", n)
+        return (
+            cu.join(
+                ru.withColumnRenamed("c", "rc"), ["lang", "doc_id", "tok"]
+            )
+            .groupBy("lang")
+            .agg(F.sum(F.least("c", "rc")).cast("bigint").alias(f"m{n}"))
+        )
+
+    lens = p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.size(F.split("cand", " "))).cast("bigint").alias("c1"),
+        F.sum(F.size(F.split("ref", " "))).cast("bigint").alias("r1"),
+        F.sum(F.size(F.split("cand", " ")) - 1).cast("bigint").alias("c2"),
+        F.sum(F.size(F.split("ref", " ")) - 1).cast("bigint").alias("r2"),
+    )
+    return (
+        lens.join(clip(1), "lang")
+        .join(clip(2), "lang")
+        .select(
+            "lang",
+            "n_pairs",
+            F.round(F.col("m1").cast("double") / F.col("r1"), 6).alias(
+                "rouge1_recall"
+            ),
+            F.round(F.col("m1").cast("double") / F.col("c1"), 6).alias(
+                "rouge1_precision"
+            ),
+            F.round(
+                2.0 * F.col("m1") / (F.col("r1") + F.col("c1")), 6
+            ).alias("rouge1_f1"),
+            F.round(F.col("m2").cast("double") / F.col("r2"), 6).alias(
+                "rouge2_recall"
+            ),
+            F.round(F.col("m2").cast("double") / F.col("c2"), 6).alias(
+                "rouge2_precision"
+            ),
+            F.round(
+                2.0 * F.col("m2") / (F.col("r2") + F.col("c2")), 6
+            ).alias("rouge2_f1"),
+        )
+    )

@@ -694,3 +694,101 @@ def test_logistic_gd_tracks_float_and_decreases_loss(spark, sf_dir):
     # squared-error surrogate decreases round over round
     assert losses[1] < losses[0] and losses[2] < losses[1]
     assert losses[3] < losses[2]
+
+
+# --------------------------------------------------------------------------
+# ROUGE-N / Wilson win-rate matrix
+# --------------------------------------------------------------------------
+
+
+def test_rouge_n_matches_python_reference(spark, sf_dir):
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").collect(),
+        key=lambda r: r.doc_id,
+    )
+    groups: dict[tuple, list] = {}
+    for r in docs:
+        groups.setdefault((r.lang, r.doc_id // 100), []).append(r)
+    st: dict[str, list[int]] = {}
+    for (lang, _), rs in groups.items():
+        s = st.setdefault(lang, [0, 0, 0, 0, 0, 0, 0])
+        for cand, ref in zip(rs, rs[1:]):
+            cw, rw = cand.text.split(" "), ref.text.split(" ")
+            cu, ru = Counter(cw), Counter(rw)
+            cb = Counter(zip(cw, cw[1:]))
+            rb = Counter(zip(rw, rw[1:]))
+            s[0] += 1
+            s[1] += len(cw)
+            s[2] += len(rw)
+            s[3] += len(cw) - 1
+            s[4] += len(rw) - 1
+            s[5] += sum(min(c, ru[t]) for t, c in cu.items())
+            s[6] += sum(min(c, rb[t]) for t, c in cb.items())
+    got = {
+        r.lang: r for r in get_query("eval_rouge_n").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(st)
+    for lang, (np_, c1, r1, c2, r2, m1, m2) in st.items():
+        g = got[lang]
+        assert g.n_pairs == np_
+        assert abs(g.rouge1_recall - m1 / r1) < 1e-6
+        assert abs(g.rouge1_precision - m1 / c1) < 1e-6
+        assert abs(g.rouge1_f1 - 2 * m1 / (r1 + c1)) < 1e-6
+        assert abs(g.rouge2_recall - m2 / r2) < 1e-6
+        assert abs(g.rouge2_precision - m2 / c2) < 1e-6
+        assert abs(g.rouge2_f1 - 2 * m2 / (r2 + c2)) < 1e-6
+        # F1 is the harmonic mean of P and R (identity check)
+        p_, r_ = m1 / c1, m1 / r1
+        assert abs(g.rouge1_f1 - 2 * p_ * r_ / (p_ + r_)) < 1e-6
+
+
+def _wilson(w: int, g: int, z: float = 1.959963984540054):
+    p = w / g
+    center = p + z * z / (2 * g)
+    half = z * math.sqrt(p * (1 - p) / g + z * z / (4 * g * g))
+    den = 1 + z * z / g
+    return (center - half) / den, (center + half) / den
+
+
+def test_win_rate_matrix_matches_python_reference(spark, sf_dir):
+    daily: Counter = Counter()
+    for r in _events(spark, sf_dir):
+        daily[(r.event_type, r.ts.date())] += 1
+    types = sorted({t for t, _ in daily})
+    days = {d for _, d in daily}
+    got = {
+        (r.i, r.j): r
+        for r in get_query("eval_win_rate_matrix").fn(spark, sf_dir).collect()
+    }
+    n_pairs = 0
+    for i in types:
+        for j in types:
+            if i >= j:
+                continue
+            w = g = 0
+            for d in days:
+                if (i, d) in daily and (j, d) in daily:
+                    if daily[(i, d)] != daily[(j, d)]:
+                        g += 1
+                        w += daily[(i, d)] > daily[(j, d)]
+            if g == 0:
+                continue
+            n_pairs += 1
+            r = got[(i, j)]
+            assert (r.wins_i, r.games) == (w, g)
+            lo, hi = _wilson(w, g)
+            assert abs(r.wilson_lo - lo) < 1e-6
+            assert abs(r.wilson_hi - hi) < 1e-6
+            assert r.decisive == (lo > 0.5 or hi < 0.5)
+            assert 0.0 <= r.wilson_lo <= r.win_rate <= r.wilson_hi <= 1.0
+    assert len(got) == n_pairs
+
+
+def test_wilson_interval_closed_forms():
+    # w=g (all wins): interval still inside [0,1], lo < 1.
+    lo, hi = _wilson(10, 10)
+    assert 0 < lo < 1 and abs(hi - 1.0) < 1e-12
+    # symmetric: w and g-w mirror around 1/2.
+    lo1, hi1 = _wilson(3, 10)
+    lo2, hi2 = _wilson(7, 10)
+    assert abs(lo1 - (1 - hi2)) < 1e-12 and abs(hi1 - (1 - lo2)) < 1e-12
