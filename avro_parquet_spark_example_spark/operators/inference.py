@@ -1802,3 +1802,164 @@ def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hi, 6).alias("wilson_hi"),
         ((lo > 0.5) | (hi < 0.5)).alias("decisive"),
     )
+
+
+# --------------------------------------------------------------------------
+# Always-valid sequential test (mSPRT, Johari et al. 2017)
+# --------------------------------------------------------------------------
+
+#: ln(1/alpha) rejection boundary at alpha = 0.05, as a shared literal.
+_MSPRT_LN20 = "2.995732273553991"
+
+
+@register(
+    "stat_msprt_sequential",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS DECIMAL(38,0)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS ng,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS sg,
+               CAST(SUM(ss) AS DECIMAL(38,0)) AS ssg
+        FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS DECIMAL(38,0)) AS s,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                              * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS DECIMAL(38,0)) AS ss
+              FROM events GROUP BY 1, 2)
+    ),
+    cum AS (
+        SELECT event_type, day,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(s) OVER w AS DECIMAL(38,0)) AS cs
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ll AS (
+        SELECT c.event_type, c.day, c.cn,
+               ROUND(
+                 0.5 * LN(2.0 * v.var2
+                          / (2.0 * v.var2 + c.cn * v.var2))
+                 + (CAST(c.cn AS DOUBLE) * c.cn * v.var2
+                    * ((CAST(c.cs AS DOUBLE) / 100.0 / c.cn - v.mu0)
+                       * (CAST(c.cs AS DOUBLE) / 100.0 / c.cn - v.mu0)))
+                   / (4.0 * v.var2 * (2.0 * v.var2 + c.cn * v.var2)),
+                 9) AS logl
+        FROM cum c,
+             (SELECT CAST(sg AS DOUBLE) / 100.0 / ng AS mu0,
+                     (CAST(ssg AS DOUBLE) / 10000.0 / ng
+                      - (CAST(sg AS DOUBLE) / 100.0 / ng)
+                        * (CAST(sg AS DOUBLE) / 100.0 / ng)) AS var2
+              FROM gtot) v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(CASE WHEN rn = 1 THEN logl END), 6) AS log_lambda_final,
+           MIN(CASE WHEN logl >= {_MSPRT_LN20} THEN day END)
+               AS first_cross_day,
+           (MIN(CASE WHEN logl >= {_MSPRT_LN20} THEN day END) IS NOT NULL)
+               AS rejected
+    FROM (SELECT event_type, day, logl,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day DESC) AS rn
+          FROM ll)
+    GROUP BY event_type
+    """,
+)
+def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — ALWAYS-VALID sequential test (mixture SPRT, Johari/Pekelis/
+    Walsh 2017): per event type, monitor the running mean value day by
+    day against H0 "μ equals the global mean", with the normal-kernel
+    mixture likelihood ratio
+        log Λ_n = ½·ln(2σ²/(2σ²+nτ²)) + n²τ²(x̄−μ0)²/(4σ²(2σ²+nτ²))
+    (τ² = σ², the standard self-scaled mixture). Unlike a fixed-horizon
+    test, Λ may be inspected EVERY day and the α = 0.05 guarantee still
+    holds — exactly the dashboard-peeking workflow that breaks naive
+    p-values. Emits the final log Λ, the first boundary-crossing day,
+    and the rejection flag.
+
+    Exactness: all cumulative sums are exact integers (2-decimal value
+    quantization) windowed over the DAY GRID per type; μ0 and σ² come
+    from one exact global moment row; each day's log Λ is a fixed-order
+    IEEE expression rounded to the 9-grid BEFORE the boundary
+    comparison (shared ln(20) literal), so crossing decisions are
+    deterministic cross-engine.
+
+    Scale: one (type, day) map-side-combined aggregate; the cumulative
+    window partitions by type over the day grid. At 100 TB this is the
+    canonical streaming-experimentation readout."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    base = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,0)").alias("ss"),
+    )
+    glob = base.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("s").cast("decimal(38,0)").alias("sg"),
+        F.sum("ss").cast("decimal(38,0)").alias("ssg"),
+    ).select(
+        (F.col("sg").cast("double") / 100.0 / F.col("ng")).alias("mu0"),
+        (
+            F.col("ssg").cast("double") / 10000.0 / F.col("ng")
+            - (F.col("sg").cast("double") / 100.0 / F.col("ng"))
+            * (F.col("sg").cast("double") / 100.0 / F.col("ng"))
+        ).alias("var2"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+        F.sum("s").over(wcum).cast("decimal(38,0)").alias("cs"),
+    )
+    j = cum.crossJoin(F.broadcast(glob))
+    xbar_dev = (
+        F.col("cs").cast("double") / 100.0 / F.col("cn") - F.col("mu0")
+    )
+    logl = F.round(
+        0.5
+        * F.log(
+            2.0 * F.col("var2") / (2.0 * F.col("var2") + F.col("cn") * F.col("var2"))
+        )
+        + (
+            F.col("cn").cast("double")
+            * F.col("cn")
+            * F.col("var2")
+            * (xbar_dev * xbar_dev)
+        )
+        / (4.0 * F.col("var2") * (2.0 * F.col("var2") + F.col("cn") * F.col("var2"))),
+        9,
+    )
+    ll = j.select("event_type", "day", logl.alias("logl"))
+    wlast = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    ranked = ll.withColumn("rn", F.row_number().over(wlast))
+    thr = F.expr(_MSPRT_LN20)
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("logl"))), 6
+        ).alias("log_lambda_final"),
+        F.min(F.when(F.col("logl") >= thr, F.col("day"))).alias(
+            "first_cross_day"
+        ),
+        F.min(F.when(F.col("logl") >= thr, F.col("day")))
+        .isNotNull()
+        .alias("rejected"),
+    )

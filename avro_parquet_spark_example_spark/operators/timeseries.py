@@ -3234,3 +3234,104 @@ def forecast_backtest(
         ).alias("mase"),
     )
     return out.withColumnRenamed("event_type", key)
+
+
+@register(
+    "ts_piecewise_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nd
+        FROM daily
+    ),
+    seg AS (
+        SELECT event_type,
+               CAST(LEAST(2, ((r - 1) * 3) // nd) AS BIGINT) AS segment,
+               r, n
+        FROM idx
+    ),
+    moms AS (
+        SELECT event_type, segment,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(r) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(n) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(r * n) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(r * r) AS DECIMAL(38,0)) AS sxx
+        FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type, segment, m AS n_days,
+           ROUND(CAST(sy AS DOUBLE) / m, 6) AS mean_level,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope
+    FROM moms
+    """,
+)
+def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — PIECEWISE-linear trend: split each type's daily-volume
+    series into tercile segments by day rank and fit an exact
+    closed-form OLS slope per segment — the change-of-trend summary
+    (did growth accelerate, flatten, reverse?) that a single global
+    slope (ts_trend_ols) averages away and a changepoint detector
+    (ts_changepoint_shift) only locates. Knots at rank terciles via
+    exact integer division ((r−1)·3 div n).
+
+    Exactness: x = day rank, y = daily count — both exact integers, so
+    every OLS moment (Σx, Σy, Σxy, Σx²) is an exact DECIMAL(38,0) and
+    the slope (mΣxy − ΣxΣy)/(mΣx² − (Σx)²) is two exact integers
+    through ONE IEEE division, rounded 6 (the ts_trend_ols discipline,
+    per segment).
+
+    Scale: one (type, day) aggregate; rank windows partition by type
+    over the day grid; 15 output rows of integer algebra."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("nd"),
+    )
+    seg = idx.select(
+        "event_type",
+        F.least(F.lit(2), F.expr("((r - 1) * 3) div nd"))
+        .cast("bigint")
+        .alias("segment"),
+        "r",
+        "n",
+    )
+    moms = seg.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("r").cast("decimal(38,0)").alias("sx"),
+        F.sum("n").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("r") * F.col("n")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return moms.select(
+        "event_type",
+        "segment",
+        F.col("m").alias("n_days"),
+        F.round(F.col("sy").cast("double") / F.col("m"), 6).alias(
+            "mean_level"
+        ),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope"),
+    )

@@ -885,3 +885,110 @@ def test_scc_closed_form_cycle_vs_chain():
     assert set(cyc.values()) == {1}
     chain = sccs([(1, 2), (2, 3)], [1, 2, 3])
     assert chain == {1: 1, 2: 2, 3: 3}
+
+
+# --------------------------------------------------------------------------
+# mSPRT / piecewise trend
+# --------------------------------------------------------------------------
+
+
+def test_msprt_matches_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    daily: dict[tuple, list[int]] = {}
+    allq = []
+    for r in rows:
+        q = math.floor(r.value * 100.0 + 0.5)
+        daily.setdefault((r.event_type, r.ts.date()), []).append(q)
+        allq.append(q)
+    ng = len(allq)
+    mu0 = sum(allq) / 100.0 / ng
+    var2 = sum(q * q for q in allq) / 10000.0 / ng - mu0 * mu0
+    got = {
+        r.event_type: r
+        for r in get_query("stat_msprt_sequential").fn(spark, sf_dir).collect()
+    }
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        cn = cs = 0
+        logls = []
+        first = None
+        for d in days:
+            qs = daily[(t, d)]
+            cn += len(qs)
+            cs += sum(qs)
+            dev = cs / 100.0 / cn - mu0
+            logl = round(
+                0.5 * math.log(2 * var2 / (2 * var2 + cn * var2))
+                + (cn * cn * var2 * dev * dev)
+                / (4 * var2 * (2 * var2 + cn * var2)),
+                9,
+            )
+            logls.append(logl)
+            if first is None and logl >= 2.995732273553991:
+                first = d
+        g = got[t]
+        assert g.n_days == len(days)
+        assert abs(g.log_lambda_final - round(logls[-1], 6)) < 1e-9, t
+        assert g.first_cross_day == first
+        assert g.rejected == (first is not None)
+
+
+def test_msprt_closed_forms():
+    # at x̄ == μ0 the likelihood ratio is the pure mixture shrinkage
+    # term: log Λ = ½ ln(2/(2+n)) < 0 — can never reject under exact H0.
+    for n in (1, 10, 1000):
+        ll = 0.5 * math.log(2 / (2 + n))
+        assert ll < 0
+    # monotone in |x̄−μ0| at fixed n.
+    def logl(n, dev, var2=1.0):
+        return 0.5 * math.log(2 * var2 / (2 * var2 + n * var2)) + (
+            n * n * var2 * dev * dev
+        ) / (4 * var2 * (2 * var2 + n * var2))
+
+    assert logl(100, 0.2) > logl(100, 0.1) > logl(100, 0.0)
+
+
+def test_piecewise_trend_matches_python_reference(spark, sf_dir):
+    daily: Counter = Counter()
+    for r in _events(spark, sf_dir):
+        daily[(r.event_type, r.ts.date())] += 1
+    got = {
+        (r.event_type, r.segment): r
+        for r in get_query("ts_piecewise_trend").fn(spark, sf_dir).collect()
+    }
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        nd = len(days)
+        segs: dict[int, list[tuple[int, int]]] = {}
+        for i, d in enumerate(days, 1):
+            seg = min(2, (i - 1) * 3 // nd)
+            segs.setdefault(seg, []).append((i, daily[(t, d)]))
+        for seg, pts in segs.items():
+            m = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+            g = got[(t, seg)]
+            assert g.n_days == m
+            assert abs(g.mean_level - sy / m) < 1e-6
+            assert abs(g.slope - slope) < 1e-6, (t, seg)
+    # every type has exactly 3 segments
+    assert len(got) == 3 * len(types)
+
+
+def test_piecewise_trend_exact_line_closed_form():
+    # points exactly on a line -> slope recovered exactly in every
+    # segment split.
+    pts = [(i, 7 + 3 * i) for i in range(1, 31)]
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        seg = pts[lo:hi]
+        m = len(seg)
+        sx = sum(x for x, _ in seg)
+        sy = sum(y for _, y in seg)
+        sxy = sum(x * y for x, y in seg)
+        sxx = sum(x * x for x, _ in seg)
+        assert (m * sxy - sx * sy) / (m * sxx - sx * sx) == 3.0
