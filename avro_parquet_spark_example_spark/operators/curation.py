@@ -1556,8 +1556,10 @@ def _bucket_case_sql(tok: str) -> str:
     )
     SELECT t.cap,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(t.tokens) AS DECIMAL(38,0)) AS total_tokens,
-           CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap AS padded_tokens,
+           CAST(CAST(SUM(t.tokens) AS DECIMAL(38,0)) AS BIGINT)
+               AS total_tokens,
+           CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap AS BIGINT)
+               AS padded_tokens,
            ROUND(CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap
                       - SUM(t.tokens) AS DOUBLE)
                  / CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * t.cap
@@ -1608,8 +1610,8 @@ def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(glob)).select(
         "cap",
         "n_docs",
-        "total_tokens",
-        padded.alias("padded_tokens"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        padded.cast("bigint").alias("padded_tokens"),
         F.round(
             (padded - F.col("total_tokens")).cast("double")
             / padded.cast("double"),
