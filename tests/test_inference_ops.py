@@ -992,3 +992,57 @@ def test_piecewise_trend_exact_line_closed_form():
         sxy = sum(x * y for x, y in seg)
         sxx = sum(x * x for x, _ in seg)
         assert (m * sxy - sx * sy) / (m * sxx - sx * sx) == 3.0
+
+
+# --------------------------------------------------------------------------
+# AUC bootstrap CI — hash-exact Python twin
+# --------------------------------------------------------------------------
+
+
+def test_auc_bootstrap_matches_hash_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    base = [
+        (
+            int(r.l_orderkey) * 10 + int(r.l_linenumber),
+            int(round(r.l_discount * 100)),
+            1 if r.l_returnflag == "R" else 0,
+        )
+        for r in li
+    ]
+
+    def auc_for(weights):
+        from collections import defaultdict
+
+        wp: Counter = Counter()
+        wn: Counter = Counter()
+        for (rid, v, pos), w in zip(base, weights):
+            if pos:
+                wp[v] += w
+            else:
+                wn[v] += w
+        u2 = 0
+        cwn = 0
+        for v in sorted(set(wp) | set(wn)):
+            u2 += wp[v] * (2 * cwn + wn[v])
+            cwn += wn[v]
+        return round(u2 / (2.0 * sum(wp.values()) * sum(wn.values())), 9)
+
+    point = auc_for([1] * len(base))
+    reps = []
+    for rep in range(1, 101):
+        ws = [
+            sum(1 for t in _POIS_T if _u32(f"{rid}:{rep}:ab") >= t)
+            for rid, _, _ in base
+        ]
+        reps.append((auc_for(ws), rep))
+    reps.sort()
+    lo, hi = reps[2][0], reps[97][0]
+    row = get_query("eval_auc_bootstrap_ci").fn(spark, sf_dir).collect()[0]
+    assert row.n_pos == sum(p for _, _, p in base)
+    assert row.n_neg == len(base) - row.n_pos
+    assert abs(row.auc - point) < 1e-6
+    assert abs(row.ci_lo - lo) < 1e-6 and abs(row.ci_hi - hi) < 1e-6
+    # the point estimate must match the exact-AUC operator
+    exact = get_query("eval_auc_exact").fn(spark, sf_dir).collect()[0]
+    assert abs(row.auc - exact.auc) < 1e-6
+    assert row.ci_lo <= row.auc <= row.ci_hi
