@@ -2709,3 +2709,111 @@ def hl_shift(dfx: DataFrame, dfy: DataFrame, value: str) -> DataFrame:
         ).alias("hl_shift")
     )
     return nx.crossJoin(F.broadcast(ny)).crossJoin(F.broadcast(hl))
+
+
+@register(
+    "agg_median_ci",
+    oracle="""
+    WITH per_val AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, v, c,
+               CAST(SUM(c) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        FROM per_val
+    ),
+    ranks AS (
+        SELECT flag, n,
+               CAST((n + 1) // 2 AS BIGINT) AS k_med,
+               GREATEST(CAST(1 AS BIGINT),
+                   CAST(FLOOR((n - 1.959963984540054 * SQRT(n)) / 2.0)
+                        AS BIGINT)) AS k_lo,
+               LEAST(n,
+                   CAST(CEIL(1.0 + (n + 1.959963984540054 * SQRT(n)) / 2.0)
+                        AS BIGINT)) AS k_hi
+        FROM (SELECT flag, MIN(n) AS n FROM cum GROUP BY 1)
+    )
+    SELECT r.flag, r.n,
+           MIN(CASE WHEN c.cc >= r.k_med THEN c.v END) AS median,
+           MIN(CASE WHEN c.cc >= r.k_lo THEN c.v END) AS ci_lo,
+           MIN(CASE WHEN c.cc >= r.k_hi THEN c.v END) AS ci_hi
+    FROM ranks r JOIN cum c ON c.flag = r.flag
+    GROUP BY 1, 2
+    """,
+)
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D — the MEDIAN with a DISTRIBUTION-FREE 95% confidence interval
+    (order-statistic interval, normal approximation to the binomial
+    ranks: k = (n ± z√n)/2): the uncertainty statement the robust-stats
+    family (quantile bands, MAD, trimmed means) was missing — a median
+    without an interval can't power a dashboard alert. Works for ANY
+    distribution (the interval is exact order statistics; only the
+    RANKS use the binomial normal approximation, standard for n > 50).
+
+    Exactness: per-value counts + key-partitioned cumulative counts
+    over the bounded quantity grid (the engine's standard distributed
+    rank machinery); the three ranks are exact integers (floor/ceil of
+    one fixed-order IEEE expression with the z literal, clamped to
+    [1, n]); selection is MIN over the grid — no floats in the output.
+
+    Scale: one distinct-value aggregate + value-grid windows; identical
+    shape to agg_quantile_bands_exact."""
+    per_val = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = per_val.withColumn(
+        "cc", F.sum("c").over(wcum).cast("bigint")
+    ).withColumn("n", F.sum("c").over(wall).cast("bigint"))
+    z = F.expr("1.959963984540054")
+    ranks = (
+        cum.groupBy("flag")
+        .agg(F.min("n").alias("n"))
+        .select(
+            "flag",
+            "n",
+            F.expr("(n + 1) div 2").cast("bigint").alias("k_med"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor((F.col("n") - z * F.sqrt(F.col("n"))) / 2.0).cast(
+                    "bigint"
+                ),
+            ).alias("k_lo"),
+            F.least(
+                F.col("n"),
+                F.ceil(
+                    1.0 + (F.col("n") + z * F.sqrt(F.col("n"))) / 2.0
+                ).cast("bigint"),
+            ).alias("k_hi"),
+        )
+    )
+    return (
+        ranks.join(cum.select("flag", "v", "cc"), "flag")
+        .groupBy("flag", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.col("k_med"), F.col("v"))
+            ).alias("median"),
+            F.min(F.when(F.col("cc") >= F.col("k_lo"), F.col("v"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("cc") >= F.col("k_hi"), F.col("v"))).alias(
+                "ci_hi"
+            ),
+        )
+    )

@@ -1046,3 +1046,42 @@ def test_auc_bootstrap_matches_hash_reference(spark, sf_dir):
     exact = get_query("eval_auc_exact").fn(spark, sf_dir).collect()[0]
     assert abs(row.auc - exact.auc) < 1e-6
     assert row.ci_lo <= row.auc <= row.ci_hi
+
+
+def test_median_ci_matches_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    by_flag: dict[str, list[int]] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(int(r.l_quantity))
+    got = {
+        r.flag: r
+        for r in get_query("agg_median_ci").fn(spark, sf_dir).collect()
+    }
+    z = 1.959963984540054
+    for flag, xs in by_flag.items():
+        xs.sort()
+        n = len(xs)
+        k_med = (n + 1) // 2
+        k_lo = max(1, math.floor((n - z * math.sqrt(n)) / 2.0))
+        k_hi = min(n, math.ceil(1.0 + (n + z * math.sqrt(n)) / 2.0))
+        g = got[flag]
+        assert g.n == n
+        assert g.median == xs[k_med - 1]
+        assert g.ci_lo == xs[k_lo - 1]
+        assert g.ci_hi == xs[k_hi - 1]
+        assert g.ci_lo <= g.median <= g.ci_hi
+
+
+def test_median_ci_binomial_coverage_closed_form():
+    """The order-statistic interval's nominal coverage: for n=100 the
+    ranks are (40, 61) and the exact binomial probability
+    P(40 <= B(100, 1/2) < 61) exceeds 0.95 (conservative interval)."""
+    from fractions import Fraction
+
+    n, z = 100, 1.959963984540054
+    k_lo = max(1, math.floor((n - z * math.sqrt(n)) / 2.0))
+    k_hi = min(n, math.ceil(1.0 + (n + z * math.sqrt(n)) / 2.0))
+    cov = sum(
+        Fraction(math.comb(n, k), 2**n) for k in range(k_lo, k_hi)
+    )
+    assert float(cov) > 0.95
