@@ -2127,3 +2127,150 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tot.crossJoin(F.broadcast(point)).crossJoin(F.broadcast(ci))
     )
+
+
+# --------------------------------------------------------------------------
+# Equivalence testing (TOST via CI inclusion, Schuirmann 1987)
+# --------------------------------------------------------------------------
+
+#: z_{0.95} for the 90% CI that decides TOST at alpha = 0.05.
+_Z90 = "1.6448536269514722"
+
+#: Equivalence margin: +-5% of the global mean (exact rational 1/20).
+_TOST_NUM, _TOST_DEN = 1, 20
+
+
+@register(
+    "stat_equivalence_tost",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    moms AS (
+        SELECT event_type,
+               CAST(SUM(wk) AS BIGINT) AS n1,
+               CAST(SUM(1 - wk) AS BIGINT) AS n2,
+               CAST(SUM(wk * q) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM((1 - wk) * q) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(wk * q * q) AS DECIMAL(38,0)) AS ss1,
+               CAST(SUM((1 - wk) * q * q) AS DECIMAL(38,0)) AS ss2
+        FROM base GROUP BY 1
+    ),
+    gmean AS (
+        SELECT CAST(SUM(q) AS DOUBLE) / 100.0 / COUNT(*) AS mu
+        FROM base
+    ),
+    ci AS (
+        SELECT m.event_type, m.n1 AS n_weekend, m.n2 AS n_weekday,
+               ROUND((CAST(m.s1 AS DOUBLE) / m.n1
+                      - CAST(m.s2 AS DOUBLE) / m.n2) / 100.0, 9) AS diff,
+               ROUND({_Z90}
+                     * (SQRT((CAST(m.ss1 AS DOUBLE)
+                              - CAST(m.s1 AS DOUBLE)
+                                * CAST(m.s1 AS DOUBLE) / m.n1
+                              + CAST(m.ss2 AS DOUBLE)
+                              - CAST(m.s2 AS DOUBLE)
+                                * CAST(m.s2 AS DOUBLE) / m.n2)
+                             / (m.n1 + m.n2 - 2)) / 100.0)
+                     * SQRT(1.0 / m.n1 + 1.0 / m.n2), 9) AS half,
+               ROUND(g.mu * {_TOST_NUM} / {_TOST_DEN}, 9) AS delta
+        FROM moms m, gmean g
+    )
+    SELECT event_type, n_weekend, n_weekday,
+           ROUND(diff, 6) AS mean_diff,
+           ROUND(diff - half, 6) AS ci90_lo,
+           ROUND(diff + half, 6) AS ci90_hi,
+           ROUND(delta, 6) AS margin,
+           (diff - half > -delta AND diff + half < delta) AS equivalent
+    FROM ci
+    """,
+)
+def stat_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — EQUIVALENCE test (TOST, Schuirmann 1987) for the
+    weekend-vs-weekday mean per type: "can we affirmatively conclude
+    the difference is inside ±δ?" — the question a non-significant
+    t-test can NOT answer (absence of evidence ≠ evidence of absence;
+    this is the do-no-harm launch criterion for guardrail metrics).
+    Decided by the standard CI-inclusion equivalence: equivalent iff
+    the 90% CI for the difference lies strictly inside (−δ, δ), which
+    is exactly TOST at α = 0.05; δ = 5% of the global mean (exact
+    rational margin 1/20). Completes the experimentation suite:
+    stat_power_mde (design), stat_msprt_sequential (monitoring),
+    stat_effect_sizes (magnitude), stat_equivalence_tost (parity
+    claims).
+
+    Exactness: same exact integer moments as the effect-size family;
+    diff, CI half-width, and δ each round to the 9-grid BEFORE the
+    strict-inequality inclusion decision, so the boolean is
+    deterministic cross-engine; z_{{0.95}} is a shared literal.
+
+    Scale: one map-side-combined moment aggregate + a 1-row global
+    mean; K rows of algebra."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wk"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    moms = _two_sample_moments(e)
+    gmean = e.agg(
+        (F.sum("q").cast("double") / 100.0 / F.count(F.lit(1))).alias("mu")
+    )
+    diff = F.round(
+        (
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s2").cast("double") / F.col("n2")
+        )
+        / 100.0,
+        9,
+    )
+    half = F.round(
+        F.expr(_Z90)
+        * (
+            F.sqrt(
+                (
+                    F.col("ss1").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n1")
+                    + F.col("ss2").cast("double")
+                    - F.col("s2").cast("double")
+                    * F.col("s2").cast("double")
+                    / F.col("n2")
+                )
+                / (F.col("n1") + F.col("n2") - 2)
+            )
+            / 100.0
+        )
+        * F.sqrt(1.0 / F.col("n1") + 1.0 / F.col("n2")),
+        9,
+    )
+    delta = F.round(
+        F.col("mu") * _TOST_NUM / _TOST_DEN, 9
+    )
+    ci = moms.crossJoin(F.broadcast(gmean)).select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        diff.alias("diff"),
+        half.alias("half"),
+        delta.alias("delta"),
+    )
+    return ci.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.round("diff", 6).alias("mean_diff"),
+        F.round(F.col("diff") - F.col("half"), 6).alias("ci90_lo"),
+        F.round(F.col("diff") + F.col("half"), 6).alias("ci90_hi"),
+        F.round("delta", 6).alias("margin"),
+        (
+            (F.col("diff") - F.col("half") > -F.col("delta"))
+            & (F.col("diff") + F.col("half") < F.col("delta"))
+        ).alias("equivalent"),
+    )

@@ -1085,3 +1085,52 @@ def test_median_ci_binomial_coverage_closed_form():
         Fraction(math.comb(n, k), 2**n) for k in range(k_lo, k_hi)
     )
     assert float(cov) > 0.95
+
+
+def test_tost_matches_python_reference(spark, sf_dir):
+    by_type: dict[str, tuple[list, list]] = {}
+    allq = []
+    for r in _events(spark, sf_dir):
+        q = math.floor(r.value * 100.0 + 0.5)
+        allq.append(q)
+        g = by_type.setdefault(r.event_type, ([], []))
+        (g[0] if r.ts.isoweekday() in (6, 7) else g[1]).append(q)
+    mu = sum(allq) / 100.0 / len(allq)
+    delta = round(mu * 1 / 20, 9)
+    z = 1.6448536269514722
+    got = {
+        r.event_type: r
+        for r in get_query("stat_equivalence_tost").fn(spark, sf_dir).collect()
+    }
+    for t, (xs, ys) in by_type.items():
+        n1, n2 = len(xs), len(ys)
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        diff = round((m1 - m2) / 100.0, 9)
+        sp = math.sqrt(
+            (sum((x - m1) ** 2 for x in xs) + sum((y - m2) ** 2 for y in ys))
+            / (n1 + n2 - 2)
+        ) / 100.0
+        half = round(z * sp * math.sqrt(1 / n1 + 1 / n2), 9)
+        g = got[t]
+        assert abs(g.mean_diff - round(diff, 6)) < 1e-9
+        assert abs(g.ci90_lo - round(diff - half, 6)) < 1e-6
+        assert abs(g.ci90_hi - round(diff + half, 6)) < 1e-6
+        # 1e-6 tolerance: Python round() is half-even, the engines round
+        # half-away — an exact midpoint at the 6th digit differs by 1e-6.
+        assert abs(g.margin - round(delta, 6)) < 2e-6
+        assert g.equivalent == (diff - half > -delta and diff + half < delta), t
+
+
+def test_tost_closed_form_decisions():
+    """CI-inclusion TOST semantics: a tight CI inside the margin is
+    equivalent; any CI touching the margin is not; a tiny-but-precise
+    difference can be equivalent while a zero-mean noisy one is not —
+    the asymmetry that distinguishes TOST from a t-test."""
+
+    def tost(diff, half, delta):
+        return diff - half > -delta and diff + half < delta
+
+    assert tost(0.01, 0.02, 0.05)
+    assert not tost(0.0, 0.05, 0.05)  # CI exactly reaches the margin
+    assert tost(0.03, 0.01, 0.05)  # small precise shift: equivalent
+    assert not tost(0.0, 0.5, 0.05)  # unbiased but too noisy: undecided
