@@ -418,6 +418,13 @@ def jackknife_ratio_se(per: DataFrame, scale: float = 10000.0) -> DataFrame:
 #: Bootstrap replicates. 100 gives a 3rd/98th order-statistic 95% CI.
 _BOOT_R = 100
 
+#: 95% CI order-statistic ranks DERIVED from _BOOT_R (ceil(0.025R) /
+#: ceil(0.975R), exact integer arithmetic — no float 0.975*R edge):
+#: changing _BOOT_R moves the ranks with it on BOTH engines instead of
+#: silently NULLing the CI bounds.
+_BOOT_LO_RK = -((-25 * _BOOT_R) // 1000)
+_BOOT_HI_RK = -((-975 * _BOOT_R) // 1000)
+
 #: floor(CDF_Poisson(1)(i) * 2^32) for i = 0..5 — integer thresholds on the
 #: md5-u32 draw; a draw's weight is the count of thresholds it clears, so
 #: w ~ Poisson(1) truncated at 6 (P(w>6) < 1e-4; the truncation is part of
@@ -631,6 +638,13 @@ _RAND_BASE_DUCK = """
                            / (t.n_t - c.n_c)), 9) AS t_obs
         FROM cells c JOIN tots t USING (event_type)
     ),
+    cells7 AS (
+        SELECT t.event_type, g.dow, COALESCE(c.n_c, 0) AS n_c
+        FROM tots t
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS dow) g
+        LEFT JOIN cells c
+               ON c.event_type = t.event_type AND c.dow = g.dow
+    ),
     thr AS (
         SELECT event_type,
                MAX(CASE WHEN dow = 1 THEN ct END) AS ct1,
@@ -647,7 +661,7 @@ _RAND_BASE_DUCK = """
                                      AND CURRENT ROW)
                         AS DECIMAL(38,0)) * 4294967296 // t.n_t AS BIGINT)
                        AS ct
-            FROM cells c JOIN tots t USING (event_type)
+            FROM cells7 c JOIN tots t USING (event_type)
         ) GROUP BY 1
     ),
     drawn AS (
@@ -708,17 +722,29 @@ def randomization_pvalues(
     Each (row, replicate) draws one md5-u32 and is assigned a PSEUDO
     weekday by inverse-CDF against the type's cumulative weekday
     frequencies ((cum·2³² div n_t) integer thresholds — exact, both
-    engines), i.e. labels are re-drawn multinomially with the observed
-    proportions; `a` counts replicates whose |mean diff| reaches the
-    observed one. All sums quantize through the iusum rule; replicate
-    statistics round to the 9-grid before the >= comparison, so the
-    exceedance count is deterministic cross-engine."""
+    engines; the threshold grid is DENSIFIED to all 7 weekdays with
+    zero-count cells so a missing (type, dow) cell degenerates its
+    band to zero width instead of NULLing the threshold and shifting
+    later labels), i.e. labels are re-drawn multinomially with the
+    observed proportions; `a` counts replicates whose |mean diff|
+    reaches the observed one. All sums quantize through the iusum
+    rule; replicate statistics round to the 9-grid before the >=
+    comparison, so the exceedance count is deterministic
+    cross-engine."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id").cast("bigint").alias("event_id"),
         (F.dayofweek(F.col("ts").cast("date"))).alias("dow"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
+    return randomization_pvalues_frame(e)
+
+
+def randomization_pvalues_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`randomization_pvalues`: ``e`` has
+    columns (event_type, event_id bigint, dow int in 1..7, q exact
+    integer). Split out so the missing-weekday densification can be
+    regression-tested on a fixture with an absent (type, dow) cell."""
     cells = e.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_c"),
         F.sum("q").cast("decimal(38,0)").alias("sv"),
@@ -746,8 +772,26 @@ def randomization_pvalues(
         .orderBy("dow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # densify to ALL 7 weekdays (zero-count cells included): a missing
+    # (type, dow) cell must yield a degenerate threshold band (ct_j ==
+    # ct_{j-1}, the label drawn with probability 0), NOT a NULL ct_j
+    # whose comparison arm silently shifts every later pseudo-label.
+    cells7 = (
+        tots.select("event_type")
+        .withColumn("dow", F.explode(F.sequence(F.lit(1), F.lit(7))))
+        .join(
+            cells.select("event_type", "dow", "n_c"),
+            ["event_type", "dow"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("n_c"), F.lit(0).cast("bigint")).alias("n_c"),
+        )
+    )
     thr = (
-        cells.withColumn("cum", F.sum("n_c").over(wcum))
+        cells7.withColumn("cum", F.sum("n_c").over(wcum))
         .join(tots, "event_type")
         .withColumn(
             "ct",
@@ -954,6 +998,13 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fisher's exact test (Fisher 1935) — 2x2 independence per stratum
 # --------------------------------------------------------------------------
 
+#: Loud-failure bound on the largest stratum's row count: the exact
+#: test broadcasts an O(nmax) log-factorial table and scans an
+#: O(min(r1, c1)) k-grid per stratum, so an unbounded stratum must
+#: error, not silently broadcast gigabytes. 5M rows ≈ 160 MB table —
+#: the broadcast-threshold ballpark; beyond it use chi-square.
+_FISHER_NMAX = 5_000_000
+
 
 def _logfact_frame(spark: SparkSession, nmax: int) -> DataFrame:
     """(i, v) — v = log(i!) as Σ_{j≤i} round(ln j, 12), an exact
@@ -1054,8 +1105,10 @@ def _logfact_frame(spark: SparkSession, nmax: int) -> DataFrame:
         FROM pmf GROUP BY 1
     )
     SELECT m.event_type, m.a, m.r1, m.c1, m.n,
-           ROUND(CAST((m.a * (m.n - m.r1 - m.c1 + m.a)) AS DOUBLE)
-                 / ((m.r1 - m.a) * (m.c1 - m.a)), 6) AS odds_ratio,
+           CASE WHEN m.a = m.r1 OR m.a = m.c1 THEN NULL
+                ELSE ROUND(CAST((m.a * (m.n - m.r1 - m.c1 + m.a)) AS DOUBLE)
+                           / ((m.r1 - m.a) * (m.c1 - m.a)), 6)
+           END AS odds_ratio,
            ROUND(LEAST(t.p_lo, t.p_hi), 6) AS p_one_sided,
            ROUND(LEAST(1.0, 2 * LEAST(t.p_lo, t.p_hi)), 6) AS p_two_sided
     FROM marg m JOIN tails t USING (event_type)
@@ -1078,12 +1131,20 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders below the 6-digit emit grid (pinned against an exact
     math.comb rational reference in tests).
 
-    Scale: the k-grid and factorial table are MARGIN-sized, not
-    row-sized — the exact test is the right tool precisely when strata
-    are bounded (QA slices, A/B cells); for unbounded strata the
-    chi-square operator is the scale path. The factorial table builds
-    with the two-phase bucketed prefix sum (no global window) and
-    broadcasts; margins come from one map-side-combined aggregate."""
+    Scale: the factorial table is O(max stratum row count) — nmax is
+    the LARGEST per-type row count, so the broadcast log-factorial
+    frame and each type's k-grid (≈ min(r1, c1) rows) scale linearly
+    with the biggest stratum, NOT with the margin alone. The exact
+    test is therefore the right tool precisely when strata are bounded
+    (QA slices, A/B cells): a ``_FISHER_NMAX`` guard fails loudly on an
+    unbounded stratum instead of broadcasting a huge factorial table —
+    for strata beyond the guard the chi-square operator is the scale
+    path. The factorial table builds with the two-phase bucketed
+    prefix sum (no global window) and broadcasts; margins come from
+    one map-side-combined aggregate. Degenerate margins (a = r1 or
+    a = c1, a zero cross cell) emit NULL odds_ratio explicitly via the
+    same CASE guard on both engines — Spark's non-ANSI NULL and
+    DuckDB's Inf semantics never get to disagree."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.when(
@@ -1093,6 +1154,15 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wk"),
         F.when(F.col("value") > 50, 1).otherwise(0).alias("hi"),
     )
+    return fisher_exact_frame(e)
+
+
+def fisher_exact_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_fisher_exact`: ``e`` has columns
+    (event_type stratum key, wk 0/1 row factor, hi 0/1 column factor).
+    Split out so the degenerate-margin NULL guard and the _FISHER_NMAX
+    loud-failure bound are testable on synthetic fixtures."""
+    spark = e.sparkSession
     marg = e.groupBy("event_type").agg(
         F.sum(F.col("wk") * F.col("hi")).cast("bigint").alias("a"),
         F.sum("wk").cast("bigint").alias("r1"),
@@ -1101,6 +1171,14 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marg = marg.localCheckpoint(eager=True)  # consumed 3x + driver nmax
     nmax = marg.agg(F.max("n")).collect()[0][0]
+    if int(nmax) > _FISHER_NMAX:  # unbounded stratum: fail loudly
+        raise ValueError(
+            f"stat_fisher_exact: largest stratum has {nmax} rows > "
+            f"_FISHER_NMAX={_FISHER_NMAX}; the O(nmax) factorial "
+            "broadcast would not be bounded — use the chi-square "
+            "operator (agg_chi_square_independence) for strata this "
+            "large, or raise the guard deliberately."
+        )
     lf = F.broadcast(_logfact_frame(spark, int(nmax)))
     kgrid = marg.select(
         "event_type",
@@ -1172,13 +1250,21 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r1",
         "c1",
         "n",
-        F.round(
-            (F.col("a") * (F.col("n") - F.col("r1") - F.col("c1") + F.col("a"))).cast(
-                "double"
+        F.when(
+            (F.col("a") == F.col("r1")) | (F.col("a") == F.col("c1")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("a")
+                    * (F.col("n") - F.col("r1") - F.col("c1") + F.col("a"))
+                ).cast("double")
+                / ((F.col("r1") - F.col("a")) * (F.col("c1") - F.col("a"))),
+                6,
             )
-            / ((F.col("r1") - F.col("a")) * (F.col("c1") - F.col("a"))),
-            6,
-        ).alias("odds_ratio"),
+        )
+        .alias("odds_ratio"),
         F.round(F.least("p_lo", "p_hi"), 6).alias("p_one_sided"),
         F.round(
             F.least(F.lit(1.0), 2 * F.least("p_lo", "p_hi")), 6
@@ -1846,12 +1932,12 @@ _MSPRT_LN20 = "2.995732273553991"
     ll AS (
         SELECT c.event_type, c.day, c.cn,
                ROUND(
-                 0.5 * LN(2.0 * v.var2
-                          / (2.0 * v.var2 + c.cn * v.var2))
+                 0.5 * LN(v.var2
+                          / (v.var2 + c.cn * v.var2))
                  + (CAST(c.cn AS DOUBLE) * c.cn * v.var2
                     * ((CAST(c.cs AS DOUBLE) / 100.0 / c.cn - v.mu0)
                        * (CAST(c.cs AS DOUBLE) / 100.0 / c.cn - v.mu0)))
-                   / (4.0 * v.var2 * (2.0 * v.var2 + c.cn * v.var2)),
+                   / (2.0 * v.var2 * (v.var2 + c.cn * v.var2)),
                  9) AS logl
         FROM cum c,
              (SELECT CAST(sg AS DOUBLE) / 100.0 / ng AS mu0,
@@ -1877,14 +1963,24 @@ _MSPRT_LN20 = "2.995732273553991"
 def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST — ALWAYS-VALID sequential test (mixture SPRT, Johari/Pekelis/
     Walsh 2017): per event type, monitor the running mean value day by
-    day against H0 "μ equals the global mean", with the normal-kernel
-    mixture likelihood ratio
-        log Λ_n = ½·ln(2σ²/(2σ²+nτ²)) + n²τ²(x̄−μ0)²/(4σ²(2σ²+nτ²))
-    (τ² = σ², the standard self-scaled mixture). Unlike a fixed-horizon
-    test, Λ may be inspected EVERY day and the α = 0.05 guarantee still
-    holds — exactly the dashboard-peeking workflow that breaks naive
-    p-values. Emits the final log Λ, the first boundary-crossing day,
-    and the rejection flag.
+    day against H0 "μ equals the global mean", with the ONE-SAMPLE
+    normal-kernel mixture likelihood ratio
+        log Λ_n = ½·ln(σ²/(σ²+nτ²)) + n²τ²(x̄−μ0)²/(2σ²(σ²+nτ²))
+    (τ² = σ², the standard self-scaled mixture — this is the
+    one-sample kernel, matching the one-stream-vs-μ0 comparison; the
+    two-sample kernel's 2σ²/4σ² factors apply only when two streams
+    are differenced). Unlike a fixed-horizon test, Λ may be inspected
+    EVERY day and the α = 0.05 guarantee still holds — exactly the
+    dashboard-peeking workflow that breaks naive p-values. Emits the
+    final log Λ, the first boundary-crossing day, and the rejection
+    flag.
+
+    Caveat (documented, by design): μ0 and σ² are PLUG-IN moments
+    estimated from the pooled data, which includes the monitored
+    stream itself — so the advertised always-valid α = 0.05 holds
+    approximately (asymptotically, as the pooled estimate converges),
+    not exactly; a production deployment would fix μ0/σ² from a
+    holdout period before monitoring starts.
 
     Exactness: all cumulative sums are exact integers (2-decimal value
     quantization) windowed over the DAY GRID per type; μ0 and σ² come
@@ -1936,7 +2032,7 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     logl = F.round(
         0.5
         * F.log(
-            2.0 * F.col("var2") / (2.0 * F.col("var2") + F.col("cn") * F.col("var2"))
+            F.col("var2") / (F.col("var2") + F.col("cn") * F.col("var2"))
         )
         + (
             F.col("cn").cast("double")
@@ -1944,7 +2040,7 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("var2")
             * (xbar_dev * xbar_dev)
         )
-        / (4.0 * F.col("var2") * (2.0 * F.col("var2") + F.col("cn") * F.col("var2"))),
+        / (2.0 * F.col("var2") * (F.col("var2") + F.col("cn") * F.col("var2"))),
         9,
     )
     ll = j.select("event_type", "day", logl.alias("logl"))
@@ -2017,8 +2113,8 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(SUM(pos) AS BIGINT) FROM base) AS n_pos,
            (SELECT CAST(SUM(1 - pos) AS BIGINT) FROM base) AS n_neg,
            (SELECT ROUND(m, 6) FROM rep WHERE r = 0) AS auc,
-           ROUND(MIN(CASE WHEN rk = 3 THEN m END), 6) AS ci_lo,
-           ROUND(MIN(CASE WHEN rk = 98 THEN m END), 6) AS ci_hi
+           ROUND(MIN(CASE WHEN rk = {_BOOT_LO_RK} THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rk = {_BOOT_HI_RK} THEN m END), 6) AS ci_hi
     FROM ranked
     """,
 )
@@ -2027,7 +2123,8 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Whitney identity 2U = Σ_v wp(v)·(2·cumwn(v) + wn(v)) evaluated
     per replicate with Poisson(1) md5-weights (replicate 0 = all-ones =
     the point estimate, which matches eval_auc_exact), CI from the
-    3rd/98th order statistics of the 100 replicate AUCs — uncertainty
+    ceil(0.025R)/ceil(0.975R) order statistics (3rd/98th at R=100,
+    derived from _BOOT_R on both engines) of the replicate AUCs — uncertainty
     for the engine's headline ranking metric without a single
     resampling shuffle. This is the composition the bootstrap family
     was built for: any statistic expressible from weighted sufficient
@@ -2118,10 +2215,10 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ci = ranked.agg(
         F.round(
-            F.min(F.when(F.col("rk") == 3, F.col("xm"))), 6
+            F.min(F.when(F.col("rk") == _BOOT_LO_RK, F.col("xm"))), 6
         ).alias("ci_lo"),
         F.round(
-            F.min(F.when(F.col("rk") == 98, F.col("xm"))), 6
+            F.min(F.when(F.col("rk") == _BOOT_HI_RK, F.col("xm"))), 6
         ).alias("ci_hi"),
     )
     return (

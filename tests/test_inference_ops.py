@@ -919,9 +919,9 @@ def test_msprt_matches_python_reference(spark, sf_dir):
             cs += sum(qs)
             dev = cs / 100.0 / cn - mu0
             logl = round(
-                0.5 * math.log(2 * var2 / (2 * var2 + cn * var2))
+                0.5 * math.log(var2 / (var2 + cn * var2))
                 + (cn * cn * var2 * dev * dev)
-                / (4 * var2 * (2 * var2 + cn * var2)),
+                / (2 * var2 * (var2 + cn * var2)),
                 9,
             )
             logls.append(logl)
@@ -935,18 +935,30 @@ def test_msprt_matches_python_reference(spark, sf_dir):
 
 
 def test_msprt_closed_forms():
-    # at x̄ == μ0 the likelihood ratio is the pure mixture shrinkage
-    # term: log Λ = ½ ln(2/(2+n)) < 0 — can never reject under exact H0.
+    # ONE-SAMPLE kernel (τ² = σ²): at x̄ == μ0 the likelihood ratio is
+    # the pure mixture shrinkage term log Λ = ½ ln(1/(1+n)) < 0 — can
+    # never reject under exact H0.
     for n in (1, 10, 1000):
-        ll = 0.5 * math.log(2 / (2 + n))
+        ll = 0.5 * math.log(1 / (1 + n))
         assert ll < 0
     # monotone in |x̄−μ0| at fixed n.
     def logl(n, dev, var2=1.0):
+        return 0.5 * math.log(var2 / (var2 + n * var2)) + (
+            n * n * var2 * dev * dev
+        ) / (2 * var2 * (var2 + n * var2))
+
+    assert logl(100, 0.2) > logl(100, 0.1) > logl(100, 0.0)
+    # vs the two-sample surrogate the r12 code shipped: the one-sample
+    # quadratic term is strictly larger (1/(2(1+n)) > 1/(4(2+n))), so
+    # once evidence accumulates the correct kernel crosses the boundary
+    # sooner — the surrogate was conservative, as ADVICE r12 noted.
+    def logl_2s(n, dev, var2=1.0):
         return 0.5 * math.log(2 * var2 / (2 * var2 + n * var2)) + (
             n * n * var2 * dev * dev
         ) / (4 * var2 * (2 * var2 + n * var2))
 
-    assert logl(100, 0.2) > logl(100, 0.1) > logl(100, 0.0)
+    for n in (100, 1000):
+        assert logl(n, 0.3) > logl_2s(n, 0.3)
 
 
 def test_piecewise_trend_matches_python_reference(spark, sf_dir):
@@ -1134,3 +1146,134 @@ def test_tost_closed_form_decisions():
     assert not tost(0.0, 0.05, 0.05)  # CI exactly reaches the margin
     assert tost(0.03, 0.01, 0.05)  # small precise shift: equivalent
     assert not tost(0.0, 0.5, 0.05)  # unbiased but too noisy: undecided
+
+
+# --------------------------------------------------------------------------
+# Round 13 ADVICE regressions: missing-dow densification, Fisher guards,
+# derived bootstrap CI ranks
+# --------------------------------------------------------------------------
+
+
+def test_randomization_missing_dow_cell_labels_exact(spark):
+    """A fixture with an ABSENT (type, dow) cell: before the r13 fix the
+    NULL threshold silently shifted every later pseudo-weekday label;
+    after densification each (row, replicate) label must equal the
+    Python md5 inverse-CDF label exactly and the missing dow must never
+    be drawn."""
+    from avro_parquet_spark_example_spark.operators.inference import (
+        randomization_pvalues_frame,
+    )
+
+    # 24 rows for type A covering dows {1,2,4,5,6,7} — dow 3 missing.
+    rows = [("A", i, [1, 2, 4, 5, 6, 7][i % 6], 100 + 7 * i) for i in range(24)]
+    e = spark.createDataFrame(
+        rows, "event_type string, event_id bigint, dow int, q bigint"
+    )
+    got = {
+        (r.event_type, r.dow): r
+        for r in randomization_pvalues_frame(e).collect()
+    }
+    # observed output only carries present cells
+    assert ("A", 3) not in got
+    assert set(d for _, d in got) == {1, 2, 4, 5, 6, 7}
+    # Python twin: densified thresholds over ALL 7 dows
+    n_t = len(rows)
+    n_c = Counter(d for _, _, d, _ in rows)
+    sv = Counter()
+    for _, _, d, q in rows:
+        sv[d] += q
+    cum, cts = 0, []
+    for d in range(1, 8):
+        cum += n_c[d]
+        cts.append(cum * 4294967296 // n_t)
+    tv = sum(q for _, _, _, q in rows)
+    t_obs = {
+        d: round(
+            abs(sv[d] / 10000.0 / n_c[d] - (tv - sv[d]) / 10000.0 / (n_t - n_c[d])),
+            9,
+        )
+        for d in n_c
+    }
+    exceed = Counter()
+    for rep in range(1, 101):
+        cnt, psv = Counter(), Counter()
+        for _, eid, _, q in rows:
+            u = _u32(f"{eid}:{rep}:rt")
+            pd = 1 + sum(1 for c in cts[:6] if u >= c)
+            assert pd != 3  # zero-width band: unreachable
+            cnt[pd] += 1
+            psv[pd] += q
+        for d, c in cnt.items():
+            if c == n_t:
+                continue
+            t_r = round(
+                abs(psv[d] / 10000.0 / c - (tv - psv[d]) / 10000.0 / (n_t - c)), 9
+            )
+            if d in t_obs and t_r >= t_obs[d]:
+                exceed[d] += 1
+    for d in n_c:
+        g = got[("A", d)]
+        assert g.n_c == n_c[d]
+        assert abs(g.t_obs - t_obs[d]) < 1e-9
+        assert g.a == exceed[d], (d, g.a, exceed[d])
+
+
+def test_fisher_degenerate_margin_emits_null_odds_ratio(spark):
+    """a == r1 (every weekend row is high): odds_ratio must be an
+    explicit NULL via the CASE guard, not an engine-specific
+    division-by-zero artifact; p-values still computed."""
+    from avro_parquet_spark_example_spark.operators.inference import (
+        fisher_exact_frame,
+    )
+
+    rows = (
+        [("D", 1, 1)] * 6          # weekend & high: a = r1 = 6
+        + [("D", 0, 1)] * 4        # weekday & high
+        + [("D", 0, 0)] * 10       # weekday & low
+        + [("OK", 1, 1)] * 3 + [("OK", 1, 0)] * 3
+        + [("OK", 0, 1)] * 4 + [("OK", 0, 0)] * 10
+    )
+    e = spark.createDataFrame(rows, "event_type string, wk int, hi int")
+    got = {r.event_type: r for r in fisher_exact_frame(e).collect()}
+    assert got["D"].odds_ratio is None
+    assert got["D"].p_one_sided is not None
+    assert 0.0 < got["D"].p_two_sided <= 1.0
+    # non-degenerate stratum keeps a finite ratio: OR = (3*10)/(3*4)
+    assert abs(got["OK"].odds_ratio - 2.5) < 1e-9
+    lo, hi = _fisher_tails_exact(6, 6, 10, 20)
+    assert abs(got["D"].p_one_sided - round(min(lo, hi), 6)) < 1e-6
+
+
+def test_fisher_nmax_guard_fails_loudly(spark, monkeypatch):
+    """An unbounded stratum must raise, not broadcast an O(n) factorial
+    table."""
+    import pytest as _pytest
+
+    from avro_parquet_spark_example_spark.operators import inference as inf
+
+    rows = [("BIG", i % 2, (i // 2) % 2) for i in range(40)]
+    e = spark.createDataFrame(rows, "event_type string, wk int, hi int")
+    monkeypatch.setattr(inf, "_FISHER_NMAX", 10)
+    with _pytest.raises(ValueError, match="_FISHER_NMAX"):
+        inf.fisher_exact_frame(e).collect()
+
+
+def test_bootstrap_ci_ranks_derive_from_boot_r():
+    """ADVICE r12: the AUC bootstrap CI ranks were hardcoded 3/98;
+    they must be ceil(0.025R)/ceil(0.975R) derived from _BOOT_R so a
+    replicate-count change moves them instead of NULLing the CI."""
+    from fractions import Fraction
+
+    from avro_parquet_spark_example_spark.operators.inference import (
+        _BOOT_HI_RK,
+        _BOOT_LO_RK,
+        _BOOT_R,
+    )
+
+    assert _BOOT_LO_RK == math.ceil(Fraction(25, 1000) * _BOOT_R)
+    assert _BOOT_HI_RK == math.ceil(Fraction(975, 1000) * _BOOT_R)
+    assert 1 <= _BOOT_LO_RK < _BOOT_HI_RK <= _BOOT_R
+    # the integer-exact form matches ceil at awkward R too
+    for r in (40, 100, 123, 200, 999, 1000):
+        assert -((-25 * r) // 1000) == math.ceil(Fraction(25, 1000) * r)
+        assert -((-975 * r) // 1000) == math.ceil(Fraction(975, 1000) * r)
