@@ -1277,3 +1277,90 @@ def test_bootstrap_ci_ranks_derive_from_boot_r():
     for r in (40, 100, 123, 200, 999, 1000):
         assert -((-25 * r) // 1000) == math.ceil(Fraction(25, 1000) * r)
         assert -((-975 * r) // 1000) == math.ceil(Fraction(975, 1000) * r)
+
+
+# --------------------------------------------------------------------------
+# Cell-sufficiency AUC bootstrap (round 13): hash-exact Python twin,
+# per-row-twin equivalence, and Cornish–Fisher draw quality
+# --------------------------------------------------------------------------
+
+
+def _cell_z(v: int, pos: int, rep: int) -> float:
+    """Irwin–Hall-12 z mirroring the engines' left-associated chain."""
+    s = _u32(f"{v}:{pos}:{rep}:cb1") / 4294967296.0
+    for j in range(2, 13):
+        s = s + _u32(f"{v}:{pos}:{rep}:cb{j}") / 4294967296.0
+    return s - 6.0
+
+
+def _cell_w(n: int, v: int, pos: int, rep: int) -> int:
+    if rep == 0:
+        return n
+    z = _cell_z(v, pos, rep)
+    w = math.floor((n + math.sqrt(n) * z) + (z * z - 1.0) / 6.0 + 0.5)
+    return max(0, w)
+
+
+def test_auc_cell_bootstrap_matches_hash_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    cells: Counter = Counter()
+    for r in li:
+        cells[(int(round(r.l_discount * 100)), 1 if r.l_returnflag == "R" else 0)] += 1
+
+    def auc_for(rep):
+        wp, wn = Counter(), Counter()
+        for (v, pos), n in cells.items():
+            w = _cell_w(n, v, pos, rep)
+            (wp if pos else wn)[v] += w
+        u2, cwn = 0, 0
+        for v in sorted(set(wp) | set(wn)):
+            u2 += wp[v] * (2 * cwn + wn[v])
+            cwn += wn[v]
+        return round(u2 / (2.0 * sum(wp.values()) * sum(wn.values())), 9)
+
+    point = auc_for(0)
+    reps = sorted((auc_for(rep), rep) for rep in range(1, 101))
+    lo, hi = reps[2][0], reps[97][0]
+    row = get_query("eval_auc_bootstrap_cell_ci").fn(spark, sf_dir).collect()[0]
+    assert row.n_pos == sum(n for (_, p), n in cells.items() if p)
+    assert row.n_neg == sum(n for (_, p), n in cells.items() if not p)
+    assert abs(row.auc - point) < 1e-6
+    assert abs(row.ci_lo - lo) < 1e-6 and abs(row.ci_hi - hi) < 1e-6
+    assert row.ci_lo <= row.auc <= row.ci_hi
+
+
+def test_auc_cell_point_estimate_identical_to_per_row_twin(spark, sf_dir):
+    """Replicate 0 is all-ones on both forms, so the point estimate
+    must be BIT-identical; the CIs are two Monte-Carlo estimates of the
+    same sampling distribution and must agree distributionally."""
+    cell = get_query("eval_auc_bootstrap_cell_ci").fn(spark, sf_dir).collect()[0]
+    row = get_query("eval_auc_bootstrap_ci").fn(spark, sf_dir).collect()[0]
+    assert cell.auc == row.auc  # exact: same unweighted midrank algebra
+    assert cell.n_pos == row.n_pos and cell.n_neg == row.n_neg
+    # distributional equivalence: each CI covers the other's midpoint,
+    # and widths agree within 2x (100-replicate order statistics carry
+    # ~30% MC noise on the endpoints; 2x is the loud-failure bound).
+    w_cell = cell.ci_hi - cell.ci_lo
+    w_row = row.ci_hi - row.ci_lo
+    assert w_cell > 0 and w_row > 0
+    assert 0.5 < w_cell / w_row < 2.0
+    assert cell.ci_lo <= row.auc <= cell.ci_hi
+    assert row.ci_lo <= cell.auc <= row.ci_hi
+
+
+def test_cell_w_cornish_fisher_moments():
+    """Draw quality: over many md5 seeds the Cornish–Fisher surrogate
+    must match Poisson(N)'s mean, variance, and skewness — the three
+    moments the expansion is built to match."""
+    n = 250
+    m = 20000
+    ws = [_cell_w(n, 7, 1, rep) for rep in range(1, m + 1)]
+    mean = sum(ws) / m
+    var = sum((w - mean) ** 2 for w in ws) / (m - 1)
+    skew = (sum((w - mean) ** 3 for w in ws) / m) / var ** 1.5
+    assert abs(mean - n) < 3 * math.sqrt(n / m) + 0.2   # ±~0.55
+    assert abs(var - n) < 0.06 * n                       # ±6%
+    assert abs(skew - 1 / math.sqrt(n)) < 0.05
+    # never negative, and the r=0 arm is the exact count
+    assert min(ws) >= 0
+    assert _cell_w(n, 7, 1, 0) == n
