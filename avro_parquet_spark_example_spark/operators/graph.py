@@ -970,24 +970,32 @@ HITS_BROADCAST_MAX_NODES = 4_000_000
 def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:
     """One exact HITS round: authority = Σ incident hub scores, hub =
     Σ incident authority scores, each max-normalized and quantized to
-    12 decimals so sums stay order-independent."""
+    12 decimals so sums stay order-independent.
+
+    Every CTE is MATERIALIZED (r13): each score frame is referenced
+    twice (the normalizer's MAX subquery + the next half-round's join),
+    and DuckDB inlines plain CTEs, so the unrolled 3-round chain was
+    re-evaluating the incidence join tree ~2^6 times (~20 s at sf0.1).
+    Materializing makes the oracle one linear pass per half-round —
+    the iteration-table form the Spark side already has via
+    localCheckpoint. DuckDB-only syntax; values are unchanged."""
     return f"""
-    {a_out}_raw AS (
+    {a_out}_raw AS MATERIALIZED (
         SELECT e.part, CAST(SUM(h.score) AS DECIMAL(38,12)) AS s
         FROM inc e JOIN {h_prev} h ON h.supp = e.supp GROUP BY e.part
     ),
-    {a_out} AS (
+    {a_out} AS MATERIALIZED (
         SELECT part,
                CAST(ROUND(CAST(s AS DOUBLE)
                           / (SELECT CAST(MAX(s) AS DOUBLE) FROM {a_out}_raw),
                           12) AS DECIMAL(20,12)) AS score
         FROM {a_out}_raw
     ),
-    {h_out}_raw AS (
+    {h_out}_raw AS MATERIALIZED (
         SELECT e.supp, CAST(SUM(a.score) AS DECIMAL(38,12)) AS s
         FROM inc e JOIN {a_out} a ON a.part = e.part GROUP BY e.supp
     ),
-    {h_out} AS (
+    {h_out} AS MATERIALIZED (
         SELECT supp,
                CAST(ROUND(CAST(s AS DOUBLE)
                           / (SELECT CAST(MAX(s) AS DOUBLE) FROM {h_out}_raw),
@@ -999,10 +1007,10 @@ def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:
 @register(
     "graph_hits_bipartite",
     oracle="""
-    WITH inc AS (
+    WITH inc AS MATERIALIZED (
         SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
     ),
-    h0 AS (
+    h0 AS MATERIALIZED (
         SELECT DISTINCT supp, CAST(1.0 AS DECIMAL(20,12)) AS score FROM inc
     ),
     """

@@ -425,6 +425,15 @@ _BOOT_R = 100
 _BOOT_LO_RK = -((-25 * _BOOT_R) // 1000)
 _BOOT_HI_RK = -((-975 * _BOOT_R) // 1000)
 
+#: Validation-scope row cap for the PER-ROW bootstrap twin
+#: (eval_auc_bootstrap_ci): the textbook ×(R+1) row expansion is
+#: O(N·R) on both engines, so its input is bounded by a deterministic
+#: md5-u32 hash sample (~_BOOT_MAX_ROWS rows, identical on both
+#: engines; a no-op when N ≤ the cap, e.g. the sf0.001 fixture). The
+#: registered AT-SCALE form is eval_auc_bootstrap_cell_ci, which needs
+#: no cap — one draw per (value-cell, replicate).
+_BOOT_MAX_ROWS = 30_000
+
 #: floor(CDF_Poisson(1)(i) * 2^32) for i = 0..5 — integer thresholds on the
 #: md5-u32 draw; a draw's weight is the count of thresholds it clears, so
 #: w ~ Poisson(1) truncated at 6 (P(w>6) < 1e-4; the truncation is part of
@@ -2069,11 +2078,20 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eval_auc_bootstrap_ci",
     oracle=f"""
-    WITH base AS (
+    WITH base0 AS (
         SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
                CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
         FROM lineitem
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM base0),
+    base AS (
+        SELECT b.id, b.v, b.pos FROM base0 b, nn
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(b.id AS VARCHAR) || ':as'),
+                             1, 8)) AS BIGINT)
+            < CAST(4294967296.0
+                   * LEAST(1.0, CAST({_BOOT_MAX_ROWS} AS DOUBLE) / nr)
+               AS BIGINT)
     ),
     weighted AS (
         SELECT g.r, b.v, b.pos,
@@ -2132,8 +2150,11 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the weighted tie-half-credit rank sum is an exact
     integer per replicate (DECIMAL(38,0); < 2^53 as double through
-    ~sf10 — headroom note: WP·WN crosses at ~3·10^8 weighted rows per
-    class); each replicate AUC is one IEEE division rounded to the
+    ~sf10 — headroom note: the double-exactness crossing 2·WP·WN = 2^53
+    sits at ~1.4·10^8 TOTAL rows for this fixture's class split with
+    the measured replicate weight inflation, pinned in
+    tests/test_overflow_headroom.py; the 30k validation cap is ≥10^3
+    inside it); each replicate AUC is one IEEE division rounded to the
     9-grid; the CI is order-statistic selection via the bounded
     replicate-grid pair join (no global window, the stat_bh_fdr rule);
     weights reuse the shared Poisson threshold literals, computed ONCE
@@ -2141,13 +2162,34 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the ×R expansion partial-aggregates to (R × |value grid|)
     rows before the only shuffle — the discount grid has 11 values, so
-    the post-shuffle state is ~1.1k rows regardless of corpus size."""
-    base = load(spark, sf_dir, "lineitem").select(
+    the post-shuffle state is ~1.1k rows regardless of corpus size.
+    VALIDATION SCOPE (r13): the expansion itself is still O(N·R) scan
+    compute, so the input is bounded to a deterministic ~30k-row
+    md5-u32 hash sample (identical rows on both engines; a no-op at
+    N ≤ _BOOT_MAX_ROWS, e.g. sf0.001) — this query's job is to
+    validate the per-row textbook machinery end to end, and its CI
+    (and n_pos/n_neg) describe the sample. The registered AT-SCALE
+    form is :func:`eval_auc_bootstrap_cell_ci` (one draw per
+    value-cell × replicate, corpus-size-independent)."""
+    base0 = load(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
         .cast("bigint")
         .alias("id"),
         F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    nn = base0.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    base = (
+        base0.crossJoin(F.broadcast(nn))
+        .filter(
+            F.expr(
+                "CAST(CONV(SUBSTR(MD5(CONCAT(CAST(id AS STRING), ':as')),"
+                " 1, 8), 16, 10) AS BIGINT)"
+                f" < CAST(4294967296.0 * LEAST(1.0,"
+                f" CAST({_BOOT_MAX_ROWS} AS DOUBLE) / nr) AS BIGINT)"
+            )
+        )
+        .drop("nr")
     )
     # the u32 draw is hoisted into its OWN column: embedding it 6x
     # inside the threshold CASE chain defeats codegen CSE when wrapped

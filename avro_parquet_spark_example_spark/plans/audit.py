@@ -63,7 +63,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_bh_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold cross joins",
         "curation_length_buckets": "broadcast 1-row corpus-total cross join",
         "stat_msprt_sequential": "broadcast 1-row global mu0/sigma2 cross join",
-        "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI cross joins",
+        "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI/sampler-threshold cross joins",
         "eval_auc_bootstrap_cell_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI cross joins (cell-sufficiency form: grid algebra only after the one counting scan)",
         "stat_equivalence_tost": "broadcast 1-row global-mean cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",

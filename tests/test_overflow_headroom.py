@@ -165,3 +165,65 @@ def test_kurtosis_deviation_within_documented_bound(con):
     big_c = c_max * SCALE  # deviations scale with daily volume
     assert big_c < 10**10, "DECIMAL(10,0) cast cap"
     assert big_c**4 * days < DEC38_MAX, "sc4 38-digit cap"
+
+
+def test_auc_bootstrap_ranksum_double_exactness_crossing(con):
+    """AUC bootstrap (per-row AND cell form): the weighted rank sum
+    2U = Σ wp(2·cumwn + wn) ≤ 2·WP·WN is exact DECIMAL(38,0), but the
+    final division casts it to DOUBLE — exact only while 2U < 2^53.
+    Pin the crossing WITH the measured replicate weight factor (the
+    Poisson tails inflate per-class totals beyond the raw counts): if
+    testdata's class split or the _POIS_T weight grid moves the
+    crossing out of the documented ~10^8-total-rows band, this goes
+    red.  The per-row form's _BOOT_MAX_ROWS validation cap must sit
+    ≥10^3 inside the crossing; the cell form shares the same EMISSION
+    bound (its corpus-size independence is about compute, not the
+    final cast) and the largest tested SF must sit ≥10^2 inside."""
+    import math
+
+    from avro_parquet_spark_example_spark.operators.inference import (
+        _BOOT_MAX_ROWS,
+        _POIS_T,
+    )
+
+    [(np_, nn_)] = con.execute(
+        "SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) FROM lineitem"
+    ).fetchall()
+    w_expr = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+    # measured per-replicate weighted class totals on the fixture
+    [(wp_max, wn_max)] = con.execute(
+        f"""
+        WITH base AS (
+            SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+            FROM lineitem),
+        d AS (
+            SELECT g.r, b.pos,
+                   CAST(('0x' || SUBSTR(MD5(CAST(b.id AS VARCHAR) || ':'
+                        || CAST(g.r AS VARCHAR) || ':ab'), 1, 8))
+                        AS BIGINT) AS u
+            FROM base b,
+                 (SELECT UNNEST(GENERATE_SERIES(1, 100)) AS r) g),
+        reps AS (
+            SELECT r,
+                   SUM(CASE WHEN pos = 1 THEN {w_expr} ELSE 0 END) AS wp,
+                   SUM(CASE WHEN pos = 0 THEN {w_expr} ELSE 0 END) AS wn
+            FROM d GROUP BY r)
+        SELECT MAX(wp), MAX(wn) FROM reps
+        """
+    ).fetchall()
+    f_p, f_n = wp_max / np_, wn_max / nn_
+    assert 0.9 < f_p < 1.2 and 0.9 < f_n < 1.2  # Poisson(1) tails are mild
+    p = np_ / (np_ + nn_)
+    q = 1.0 - p
+    # 2·(p·N·f_p)·(q·N·f_n) = 2^53  ->  N_cross total rows
+    n_cross = math.sqrt(2**53 / (2 * p * q * f_p * f_n))
+    assert 1e8 < n_cross < 1e9, n_cross  # the documented crossing band
+    # per-row validation scope: the cap (weight-inflated) is >=10^3 inside
+    assert _BOOT_MAX_ROWS * max(f_p, f_n) * 1e3 < n_cross
+    # cell form at the largest tested SF (sf0.1 ~ 100x this fixture):
+    # >=10^2 margin before the emission bound
+    assert (np_ + nn_) * 100 * 100 < n_cross
