@@ -1085,3 +1085,90 @@ class Engine:
         return forecast_backtest(
             daily, key=key, order=order, value=value, season=season
         )
+
+    def bleu_corpus(
+        self,
+        pairs: DataFrame,
+        group: str = "lang",
+        pair: str = "doc_id",
+        cand: str = "cand",
+        ref: str = "ref",
+    ) -> DataFrame:
+        """(group, n_pairs, c_len, r_len, p1, p2, bp, bleu2) — corpus
+        BLEU-2 over a (group, pair-id, candidate, reference) text-pair
+        frame (operators/text_analysis.py)."""
+        from avro_parquet_spark_example_spark.operators.text_analysis import (
+            bleu_corpus,
+        )
+
+        return bleu_corpus(pairs, group=group, pair=pair, cand=cand, ref=ref)
+
+    def rouge_n(
+        self,
+        pairs: DataFrame,
+        group: str = "lang",
+        pair: str = "doc_id",
+        cand: str = "cand",
+        ref: str = "ref",
+    ) -> DataFrame:
+        """(group, n_pairs, rouge1/2 recall/precision/f1) — corpus
+        ROUGE-1/ROUGE-2 over the same text-pair frame shape as
+        bleu_corpus (operators/text_analysis.py)."""
+        from avro_parquet_spark_example_spark.operators.text_analysis import (
+            rouge_n,
+        )
+
+        return rouge_n(pairs, group=group, pair=pair, cand=cand, ref=ref)
+
+    def scc(
+        self, edges: DataFrame, nodes: DataFrame, rounds: int = 5
+    ) -> DataFrame:
+        """(node, scc_id, scc_size) — strongly connected components of
+        a BOUNDED directed (src, dst) graph by path-doubling closure +
+        mutual reachability (operators/graph.py). For condensation /
+        domain graphs (≤ thousands of nodes), not row-scale graphs."""
+        from avro_parquet_spark_example_spark.operators.graph import scc
+
+        return scc(edges, nodes, rounds=rounds)
+
+    def piecewise_trend(
+        self,
+        daily: DataFrame,
+        key: str,
+        order: str,
+        value: str,
+        segments: int = 3,
+    ) -> DataFrame:
+        """(key, segment, n_days, mean_level, slope) — rank-tercile
+        piecewise OLS trend over a keyed ordered integer series
+        (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            piecewise_trend,
+        )
+
+        return piecewise_trend(
+            daily, key=key, order=order, value=value, segments=segments
+        )
+
+    def median_ci(
+        self, df: DataFrame, group: str, value: str
+    ) -> DataFrame:
+        """(group, n, median, ci_lo, ci_hi) — median with a
+        distribution-free 95% order-statistic CI per group over any
+        integer-valued column (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            median_ci,
+        )
+
+        return median_ci(df, group=group, value=value)
+
+    def auc_bootstrap_cell(self, scored: DataFrame) -> DataFrame:
+        """(n_pos, n_neg, auc, ci_lo, ci_hi) — corpus-size-independent
+        cell-sufficiency AUC bootstrap over a scored frame with integer
+        score column ``v`` (bounded value grid) and 0/1 label ``pos``
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            auc_bootstrap_cell,
+        )
+
+        return auc_bootstrap_cell(scored)

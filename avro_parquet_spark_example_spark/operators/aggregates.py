@@ -2763,13 +2763,24 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct-value aggregate + value-grid windows; identical
     shape to agg_quantile_bands_exact."""
+    rows = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    return median_ci(rows, group="flag", value="v")
+
+
+def median_ci(df: DataFrame, group: str, value: str) -> DataFrame:
+    """(group, n, median, ci_lo, ci_hi) — the median with a
+    distribution-free 95% order-statistic confidence interval per
+    group, over any integer-valued column (the library form the Engine
+    facade exposes; ``agg_median_ci`` is its registered oracle-checked
+    instance). One distinct-value aggregate + value-grid windows — the
+    agg_quantile_bands_exact shape."""
     per_val = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_quantity").cast("bigint").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        df.groupBy(
+            F.col(group).alias("flag"), F.col(value).alias("v")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     wcum = (
         Window.partitionBy("flag")
@@ -2802,7 +2813,7 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k_hi"),
         )
     )
-    return (
+    out = (
         ranks.join(cum.select("flag", "v", "cc"), "flag")
         .groupBy("flag", "n")
         .agg(
@@ -2817,3 +2828,4 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return out.withColumnRenamed("flag", group)

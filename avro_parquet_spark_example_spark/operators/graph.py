@@ -1662,15 +1662,36 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _SCC_NUM * F.col("total")
         )
         .select("src", "dst")
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return scc(edges, nodes)
+
+
+def scc(
+    edges: DataFrame, nodes: DataFrame, rounds: int = _SCC_ROUNDS
+) -> DataFrame:
+    """(node, scc_id, scc_size) — strongly connected components of a
+    BOUNDED directed graph via path-doubling transitive closure +
+    mutual reachability (the library form the Engine facade exposes;
+    ``graph_scc`` is its registered oracle-checked instance). ``edges``
+    has integer columns (src, dst); ``nodes`` has (node) covering every
+    vertex (isolated vertices become singleton SCCs). Targets
+    condensation/domain graphs (≤ thousands of nodes) where the
+    closure frame is ≤ nodes² rows; ``rounds`` must be ≥ log₂ of the
+    longest simple path (the loop also stops early on convergence)."""
+    edges = (
+        edges
         # the closure frame is <= nodes^2 rows by construction: collapse
-        # it to ONE partition so the 5 doubling rounds pay no 32-way
+        # it to ONE partition so the doubling rounds pay no 32-way
         # shuffle overhead (grid-sized data, fixed-cost stages)
         .coalesce(1)
         .localCheckpoint(eager=True)  # consumed every doubling round
     )
     reach = edges
     n_reach = reach.count()
-    for _ in range(_SCC_ROUNDS):
+    for _ in range(rounds):
         hop = (
             reach.alias("a")
             .join(
@@ -1695,10 +1716,8 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.src").alias("u"), F.col("x.dst").alias("v"))
     )
-    nation = load(spark, sf_dir, "nation")
     sid = (
-        nation.select(F.col("n_nationkey").alias("node"))
-        .join(mutual, F.col("node") == F.col("u"), "left")
+        nodes.join(mutual, F.col("node") == F.col("u"), "left")
         .groupBy("node")
         .agg(
             F.least(

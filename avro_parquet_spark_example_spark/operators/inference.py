@@ -2417,7 +2417,17 @@ def eval_auc_bootstrap_cell_ci(
         F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
     )
-    cells = base.groupBy("v", "pos").agg(
+    return auc_bootstrap_cell(base)
+
+
+def auc_bootstrap_cell(scored: DataFrame) -> DataFrame:
+    """(n_pos, n_neg, auc, ci_lo, ci_hi) — the library form of
+    :func:`eval_auc_bootstrap_cell_ci` (its registered oracle-checked
+    instance) over any scored frame with integer column ``v`` (the
+    score, quantized to a bounded value grid) and 0/1 column ``pos``
+    (the class label). One counting scan, then (cells × replicates)
+    grid algebra — corpus-size-independent."""
+    cells = scored.groupBy("v", "pos").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     # ~22 rows; consumed by the replicate grid AND the n_pos/n_neg

@@ -2307,16 +2307,28 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clip join keys on (pair, ngram) — per-document-pair local, so
     cardinality is corpus tokens, and the per-(pair,token) counts
     partial-aggregate before the join shuffle. No global state."""
+    return bleu_corpus(_lead_pairs(spark, sf_dir))
+
+
+def _lead_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture pairing shared by eval_bleu_corpus / eval_rouge_n:
+    candidate = each doc, reference = the next doc of the same language
+    within its 100-id block (a bounded LEAD window)."""
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy(
         "lang", F.expr("doc_id div 100")
     ).orderBy("doc_id")
-    p = (
+    return (
         d.select("lang", "doc_id", F.col("text").alias("cand"))
         .withColumn("ref", F.lead("cand").over(w))
         .filter(F.col("ref").isNotNull())
     )
-    p = p.localCheckpoint(eager=True)  # consumed by 5 branches below
+
+
+def _ngram_clip_counts(p: DataFrame):
+    """Shared clipped-match machinery for corpus BLEU/ROUGE over a
+    normalized (lang, doc_id, cand, ref) pairs frame: returns
+    ``clip(n)`` building per-lang Σ min(count_cand, count_ref)."""
 
     def grams(col: str, n: int) -> Column:
         if n == 1:
@@ -2348,6 +2360,30 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    return clip
+
+
+def bleu_corpus(
+    pairs: DataFrame,
+    group: str = "lang",
+    pair: str = "doc_id",
+    cand: str = "cand",
+    ref: str = "ref",
+) -> DataFrame:
+    """(group, n_pairs, c_len, r_len, p1, p2, bp, bleu2) — corpus-level
+    BLEU-2 over any (group, pair-id, candidate-text, reference-text)
+    frame (the library form the Engine facade exposes;
+    ``eval_bleu_corpus`` is its registered oracle-checked instance).
+    Texts are whitespace-tokenized; clipped modified precision per
+    n-gram order, brevity penalty, geometric mean."""
+    p = pairs.select(
+        F.col(group).alias("lang"),
+        F.col(pair).alias("doc_id"),
+        F.col(cand).alias("cand"),
+        F.col(ref).alias("ref"),
+    )
+    p = p.localCheckpoint(eager=True)  # consumed by 5 branches below
+    clip = _ngram_clip_counts(p)
     lens = p.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.size(F.split("cand", " "))).cast("bigint").alias("c_len"),
@@ -2365,7 +2401,7 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens.join(clip(1), "lang")
         .join(clip(2), "lang")
         .select(
-            "lang",
+            F.col("lang").alias(group),
             "n_pairs",
             "c_len",
             "r_len",
@@ -2457,45 +2493,29 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to eval_bleu_corpus — per-row n-gram transform,
     (pair, ngram)-keyed partial-aggregated clip join, per-lang fold."""
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(
-        "lang", F.expr("doc_id div 100")
-    ).orderBy("doc_id")
-    p = (
-        d.select("lang", "doc_id", F.col("text").alias("cand"))
-        .withColumn("ref", F.lead("cand").over(w))
-        .filter(F.col("ref").isNotNull())
+    return rouge_n(_lead_pairs(spark, sf_dir))
+
+
+def rouge_n(
+    pairs: DataFrame,
+    group: str = "lang",
+    pair: str = "doc_id",
+    cand: str = "cand",
+    ref: str = "ref",
+) -> DataFrame:
+    """(group, n_pairs, rouge1/2 recall/precision/f1) — corpus
+    ROUGE-1/ROUGE-2 over any (group, pair-id, candidate-text,
+    reference-text) frame (the library form the Engine facade exposes;
+    ``eval_rouge_n`` is its registered oracle-checked instance). Shares
+    the clipped-match machinery with :func:`bleu_corpus`."""
+    p = pairs.select(
+        F.col(group).alias("lang"),
+        F.col(pair).alias("doc_id"),
+        F.col(cand).alias("cand"),
+        F.col(ref).alias("ref"),
     )
     p = p.localCheckpoint(eager=True)
-
-    def grams(col: str, n: int) -> Column:
-        if n == 1:
-            return F.explode(F.split(F.col(col), " "))
-        return F.explode(
-            F.expr(
-                f"transform(slice(split({col}, ' '), 1, "
-                f"size(split({col}, ' ')) - 1), "
-                f"(x, i) -> concat(x, ' ', split({col}, ' ')[i + 1]))"
-            )
-        )
-
-    def counts(col: str, n: int) -> DataFrame:
-        return (
-            p.select("lang", "doc_id", grams(col, n).alias("tok"))
-            .groupBy("lang", "doc_id", "tok")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-
-    def clip(n: int) -> DataFrame:
-        cu, ru = counts("cand", n), counts("ref", n)
-        return (
-            cu.join(
-                ru.withColumnRenamed("c", "rc"), ["lang", "doc_id", "tok"]
-            )
-            .groupBy("lang")
-            .agg(F.sum(F.least("c", "rc")).cast("bigint").alias(f"m{n}"))
-        )
-
+    clip = _ngram_clip_counts(p)
     lens = p.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.size(F.split("cand", " "))).cast("bigint").alias("c1"),
@@ -2507,7 +2527,7 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens.join(clip(1), "lang")
         .join(clip(2), "lang")
         .select(
-            "lang",
+            F.col("lang").alias(group),
             "n_pairs",
             F.round(F.col("m1").cast("double") / F.col("r1"), 6).alias(
                 "rouge1_recall"

@@ -3295,23 +3295,43 @@ def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    wr = Window.partitionBy("event_type").orderBy("day")
-    wn = Window.partitionBy("event_type")
+    return piecewise_trend(daily, key="event_type", order="day", value="n")
+
+
+def piecewise_trend(
+    daily: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    segments: int = 3,
+) -> DataFrame:
+    """(key, segment, n_days, mean_level, slope) — piecewise-linear
+    trend over a keyed ordered integer series: split each key's series
+    into ``segments`` rank-tercile segments and fit an exact
+    closed-form OLS slope per segment (the library form the Engine
+    facade exposes; ``ts_piecewise_trend`` is its registered
+    oracle-checked instance). ``value`` must be integer-valued — the
+    OLS moments accumulate as exact DECIMAL(38,0)."""
+    wr = Window.partitionBy(key).orderBy(order)
+    wn = Window.partitionBy(key)
     idx = daily.select(
-        "event_type",
-        "n",
+        F.col(key).alias("__k"),
+        F.col(value).alias("n"),
         F.row_number().over(wr).cast("bigint").alias("r"),
         F.count(F.lit(1)).over(wn).cast("bigint").alias("nd"),
     )
     seg = idx.select(
-        "event_type",
-        F.least(F.lit(2), F.expr("((r - 1) * 3) div nd"))
+        "__k",
+        F.least(
+            F.lit(segments - 1).cast("bigint"),
+            F.expr(f"((r - 1) * {segments}) div nd"),
+        )
         .cast("bigint")
         .alias("segment"),
         "r",
         "n",
     )
-    moms = seg.groupBy("event_type", "segment").agg(
+    moms = seg.groupBy("__k", "segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("r").cast("decimal(38,0)").alias("sx"),
         F.sum("n").cast("decimal(38,0)").alias("sy"),
@@ -3319,7 +3339,7 @@ def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("sxx"),
     )
     return moms.select(
-        "event_type",
+        F.col("__k").alias(key),
         "segment",
         F.col("m").alias("n_days"),
         F.round(F.col("sy").cast("double") / F.col("m"), 6).alias(

@@ -756,3 +756,92 @@ def test_engine_inference_facade_parity(spark, sf_dir):
     assert rows(
         eng.forecast_backtest(daily, key="event_type", order="day", value="n")
     ) == want("ts_forecast_backtest")
+
+
+def test_engine_round13_facade_parity(spark, sf_dir):
+    """r13 facade additions reproduce their registered oracle-checked
+    instances when pointed at the same fixture frames (single-source
+    rule): bleu_corpus / rouge_n / scc / piecewise_trend / median_ci /
+    auc_bootstrap_cell."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(key):
+        return rows(get_query(key).fn(spark, sf_dir))
+
+    # BLEU / ROUGE over the same LEAD-paired fixture
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", F.expr("doc_id div 100")).orderBy(
+        "doc_id"
+    )
+    pairs = (
+        d.select("lang", "doc_id", F.col("text").alias("cand"))
+        .withColumn("ref", F.lead("cand").over(w))
+        .filter(F.col("ref").isNotNull())
+    )
+    assert rows(eng.bleu_corpus(pairs)) == want("eval_bleu_corpus")
+    assert rows(eng.rouge_n(pairs)) == want("eval_rouge_n")
+
+    # SCC over the same thresholded trade-edge fixture
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    c, s = load(spark, sf_dir, "customer"), load(spark, sf_dir, "supplier")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = vol.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    edges = (
+        vol.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("cnt") * 2 > 3 * F.col("total"))
+        .select("src", "dst")
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    assert rows(eng.scc(edges, nodes)) == want("graph_scc")
+
+    # piecewise trend over the same daily-count series
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    assert rows(
+        eng.piecewise_trend(daily, key="event_type", order="day", value="n")
+    ) == want("ts_piecewise_trend")
+
+    # median CI over the same quantity column
+    q = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    assert rows(eng.median_ci(q, group="flag", value="v")) == want(
+        "agg_median_ci"
+    )
+
+    # cell-sufficiency AUC bootstrap over the same scored frame
+    scored = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    assert rows(eng.auc_bootstrap_cell(scored)) == want(
+        "eval_auc_bootstrap_cell_ci"
+    )

@@ -1,15 +1,28 @@
-"""Warm per-query timing sweep over the ENTIRE registry (PERF_r{N}.json).
+"""Per-query timing sweep over the ENTIRE registry (PERF_r{N}.json).
 
 bench.py tracks 7 headline keys; this harness times every registered query
-at $PERF_SF_DIR (default sf0.1) — warm best-of-2 after one discarded
-warm-up run, plan cache enabled (so this measures steady-state execution,
-not Catalyst analysis; note that repeated collects of a cached DataFrame
-also skip completed shuffle map stages — see registry.py — so shuffle
-queries report post-shuffle cost here; full-re-execution timing lives in
-bench.py's "fresh" protocol and the scale-up stresses) — and writes one
-JSON object {query: seconds}.
+at $PERF_SF_DIR (default sf0.1) and writes one JSON object with THREE
+timing sections:
+
+* ``timings`` (warm best-of-2 after one discarded warm-up, plan cache
+  enabled): steady-state execution — no Catalyst analysis, and repeated
+  collects of a cached DataFrame skip completed shuffle map stages (see
+  registry.py), so shuffle queries report post-shuffle cost here. This is
+  the r4..r12 series, kept for round-over-round diffability.
+* ``first_run``: the discarded warm-up's wall time — plan build + FIRST
+  full execution including every shuffle. Noisier than ``timings`` but the
+  only section where a heavy shuffle query shows its real cost, so it is
+  what ranks the fresh section.
+* ``fresh_top`` (r13, VERDICT r12 "what's wrong #2"): for the top-N
+  queries by ``first_run`` (default 20, $PERF_FRESH_TOP), the RAW registry
+  fn is re-invoked per run — new DataFrame, new RDD DAG, full re-execution
+  including every shuffle (bench.py's fresh protocol). Best of 2 after one
+  discarded rebuild. This closes the plan-cache blind spot: a regression
+  in precisely the heaviest family is now a diffable number instead of a
+  0.02 s cached artifact.
+
 Committed per round as PERF_r{N}.json, it turns "did anything regress?"
-into a diff instead of a guess. Queries are run in sorted order; streaming
+into a diff instead of a guess. Queries run in sorted order; streaming
 queries re-execute their sinks, so their numbers include sink setup.
 
 Usage: python tools/perf_sweep.py [out.json]
@@ -25,40 +38,65 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("PERF_SF_DIR", "/root/testdata/sf0.1")
+FRESH_TOP = int(os.environ.get("PERF_FRESH_TOP", "20"))
 
 
 def main(out_path: str | None) -> int:
-    from avro_parquet_spark_example_spark.registry import all_queries
+    from avro_parquet_spark_example_spark.registry import all_queries, get_query
     from avro_parquet_spark_example_spark.session import get_session
 
     spark = get_session(app_name="perf-sweep")
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in all_queries().items():
         try:
-            fn(spark, SF_DIR).collect()  # warm-up (build + first exec)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()  # warm-up (build + first full exec)
+            first_run[name] = round(time.perf_counter() - t0, 4)
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).collect()
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 4)
-            print(f"{name}: {timings[name]}s", flush=True)
+            print(f"{name}: {timings[name]}s (first {first_run[name]}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 - record and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"FAIL {name}: {failures[name]}", flush=True)
+
+    # fresh section: full re-execution for the first_run top-N (the heavy
+    # family the cached series cannot see regress)
+    heavy = sorted(first_run.items(), key=lambda kv: -kv[1])[:FRESH_TOP]
+    fresh_top: dict[str, float] = {}
+    for name, _ in heavy:
+        raw = get_query(name).fn
+        try:
+            runs = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                raw(spark, SF_DIR).collect()  # new DataFrame every run
+                runs.append(time.perf_counter() - t0)
+            fresh_top[name] = round(min(runs[1:]), 4)
+            print(f"fresh {name}: {fresh_top[name]}s", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failures[f"fresh:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"FAIL fresh {name}: {failures[f'fresh:{name}']}", flush=True)
+
     doc = {
         "sf_dir": SF_DIR,
         "total_sec": round(sum(timings.values()), 2),
         "n_queries": len(timings),
         "failures": failures,
+        "fresh_top": dict(sorted(fresh_top.items(), key=lambda kv: -kv[1])),
+        "first_run_top": dict(heavy),
         "timings": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
     }
     out = out_path or "PERF_sweep.json"
     with open(out, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"\nwrote {out}: {len(timings)} queries, {doc['total_sec']}s total, "
-          f"{len(failures)} failures")
+          f"{len(fresh_top)} fresh-timed, {len(failures)} failures")
     return 1 if failures else 0
 
 
