@@ -1172,3 +1172,68 @@ class Engine:
         )
 
         return auc_bootstrap_cell(scored)
+
+    def mcnemar(self, paired: DataFrame) -> DataFrame:
+        """(event_type, n, b, c, chi2, chi2_cc, rejected) — McNemar's
+        paired test over a (event_type, ya, yb) 0/1 frame, one row per
+        shared item (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            mcnemar_paired,
+        )
+
+        return mcnemar_paired(paired)
+
+    def cochran_q(self, paired: DataFrame) -> DataFrame:
+        """(event_type, n, ca, cb, cc, q_stat, rejected) — Cochran's Q
+        over a (event_type, ya, yb, yc) 0/1 frame, k = 3 treatments
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            cochran_q,
+        )
+
+        return cochran_q(paired)
+
+    def krippendorff_alpha(
+        self, ratings: DataFrame, item: str, category: str, n_raters: int
+    ) -> DataFrame:
+        """(n_items, n_raters, d_o, d_e, alpha) — nominal Krippendorff
+        agreement over a ratings frame with exactly n_raters rows per
+        item (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            krippendorff_alpha,
+        )
+
+        return krippendorff_alpha(
+            ratings, item=item, category=category, n_raters=n_raters
+        )
+
+    def auc_delong_se(self, scored: DataFrame) -> DataFrame:
+        """(n_pos, n_neg, auc, se_delong, ci_lo, ci_hi) — DeLong
+        analytic SE + 95% CI for ROC AUC over a (v integer score,
+        pos 0/1) scored frame (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            auc_delong_se,
+        )
+
+        return auc_delong_se(scored)
+
+    def brier_decomposition(self, scored: DataFrame) -> DataFrame:
+        """(event_type, n, brier, reliability, resolution, uncertainty)
+        — Murphy decomposition over a (event_type, q forecast in
+        [0, 10000], o 0/1 outcome, bin bucket id) frame
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            brier_decomposition,
+        )
+
+        return brier_decomposition(scored)
+
+    def g_test(self, e: DataFrame) -> DataFrame:
+        """(event_type, n, g_stat, rejected) — likelihood-ratio G-test
+        of 2x2 independence over a (event_type, wk 0/1, hi 0/1) frame
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            g_test,
+        )
+
+        return g_test(e)

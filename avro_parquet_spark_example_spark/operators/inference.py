@@ -2652,3 +2652,834 @@ def stat_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("diff") + F.col("half") < F.col("delta"))
         ).alias("equivalent"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: paired-model comparison tests (McNemar, Cochran's Q)
+# --------------------------------------------------------------------------
+
+#: chi-square 0.95 critical values for df=1 / df=2, shared literals.
+_CHI2_95_DF1 = "3.841458820694124"
+_CHI2_95_DF2 = "5.991464547107979"
+
+
+@register(
+    "eval_mcnemar_paired",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS ya,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS yb
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ya * (1 - yb)) AS BIGINT) AS b,
+               CAST(SUM((1 - ya) * yb) AS BIGINT) AS c
+        FROM base GROUP BY 1
+    )
+    SELECT event_type, n, b, c,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+           END AS chi2,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND(CAST(GREATEST(ABS(b - c) - 1, 0)
+                                * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+                           / (b + c), 6)
+           END AS chi2_cc,
+           CASE WHEN b + c = 0 THEN FALSE
+                ELSE CAST(GREATEST(ABS(b - c) - 1, 0)
+                          * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+                     / (b + c) > {_CHI2_95_DF1}
+           END AS rejected
+    FROM m
+    """,
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — McNEMAR's test (McNemar 1947) per event type: do two binary
+    classifiers disagree symmetrically on the SAME items? The paired
+    model-comparison test every eval harness needs — comparing two
+    models' per-item pass/fail with independent-sample tests overstates
+    significance because the items are shared; McNemar conditions on
+    the discordant pairs only. Fixture: item = event row, model A =
+    value > 50, model B = weekend. b = #(A only), c = #(B only);
+    χ² = (b−c)²/(b+c), plus Edwards' continuity-corrected
+    (|b−c|−1)²/(b+c) which drives the α = 0.05 rejection.
+
+    Exactness: b and c are exact integer counts; each statistic is one
+    IEEE division rounded to 6; degenerate b+c = 0 emits NULL via the
+    same CASE on both engines; the rejection compares the UNROUNDED
+    double against the shared χ²₀.₉₅,df1 literal.
+
+    Scale: one map-side-combined aggregate to 5 rows. Nothing else."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("ya"),
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("yb"),
+    )
+    return mcnemar_paired(base)
+
+
+def mcnemar_paired(paired: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_mcnemar_paired` (the library
+    form the Engine facade exposes): ``paired`` has columns
+    (event_type group key, ya 0/1, yb 0/1) — one row per shared item."""
+    m = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ya") * (1 - F.col("yb"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("ya")) * F.col("yb")).cast("bigint").alias("c"),
+    )
+    d = F.col("b") - F.col("c")
+    dc = F.greatest(F.abs(d) - 1, F.lit(0))
+    bc = F.col("b") + F.col("c")
+    chi2_cc_raw = (dc * dc).cast("double") / bc
+    return m.select(
+        "event_type",
+        "n",
+        "b",
+        "c",
+        F.when(bc == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((d * d).cast("double") / bc, 6))
+        .alias("chi2"),
+        F.when(bc == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(chi2_cc_raw, 6))
+        .alias("chi2_cc"),
+        F.when(bc == 0, F.lit(False))
+        .otherwise(chi2_cc_raw > F.expr(_CHI2_95_DF1))
+        .alias("rejected"),
+    )
+
+
+@register(
+    "eval_cochran_q",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS ya,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS yb,
+               CASE WHEN CAST(event_id AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS yc
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ya) AS BIGINT) AS ca,
+               CAST(SUM(yb) AS BIGINT) AS cb,
+               CAST(SUM(yc) AS BIGINT) AS cc,
+               CAST(SUM((ya + yb + yc) * (ya + yb + yc)) AS BIGINT) AS sr2
+        FROM base GROUP BY 1
+    )
+    SELECT event_type, n, ca, cb, cc,
+           CASE WHEN 3 * (ca + cb + cc) - sr2 = 0 THEN NULL
+                ELSE ROUND(CAST(2 * (3 * (ca * ca + cb * cb + cc * cc)
+                                     - (ca + cb + cc) * (ca + cb + cc))
+                                AS DOUBLE)
+                           / (3 * (ca + cb + cc) - sr2), 6)
+           END AS q_stat,
+           CASE WHEN 3 * (ca + cb + cc) - sr2 = 0 THEN FALSE
+                ELSE CAST(2 * (3 * (ca * ca + cb * cb + cc * cc)
+                               - (ca + cb + cc) * (ca + cb + cc))
+                          AS DOUBLE)
+                     / (3 * (ca + cb + cc) - sr2) > {_CHI2_95_DF2}
+           END AS rejected
+    FROM m
+    """,
+)
+def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — COCHRAN's Q (Cochran 1950) per event type: the k-treatment
+    generalization of McNemar — do THREE binary classifiers have equal
+    marginal pass rates on the same items? Fixture: item = event row;
+    outcomes A = value > 50, B = weekend, C = even event_id.
+    Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²) with C_j the
+    per-classifier totals and R_i the per-item row sums — every term an
+    exact integer, ONE IEEE division, rejection vs the shared
+    χ²₀.₉₅,df2 literal on the unrounded double.
+
+    Scale: one map-side-combined aggregate (the row sums fold inside
+    it) to 5 rows."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("ya"),
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("yb"),
+        F.when(F.col("event_id").cast("bigint") % 2 == 0, 1)
+        .otherwise(0)
+        .alias("yc"),
+    )
+    return cochran_q(base)
+
+
+def cochran_q(paired: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_cochran_q` (the library form the
+    Engine facade exposes): ``paired`` has columns (event_type group
+    key, ya, yb, yc all 0/1) — one row per shared item, k = 3."""
+    r = F.col("ya") + F.col("yb") + F.col("yc")
+    m = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ya").cast("bigint").alias("ca"),
+        F.sum("yb").cast("bigint").alias("cb"),
+        F.sum("yc").cast("bigint").alias("cc"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    g = F.col("ca") + F.col("cb") + F.col("cc")
+    num = 2 * (
+        3
+        * (
+            F.col("ca") * F.col("ca")
+            + F.col("cb") * F.col("cb")
+            + F.col("cc") * F.col("cc")
+        )
+        - g * g
+    )
+    den = 3 * g - F.col("sr2")
+    q_raw = num.cast("double") / den
+    return m.select(
+        "event_type",
+        "n",
+        "ca",
+        "cb",
+        "cc",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(q_raw, 6))
+        .alias("q_stat"),
+        F.when(den == 0, F.lit(False))
+        .otherwise(q_raw > F.expr(_CHI2_95_DF2))
+        .alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal) — the agreement coefficient that also
+# handles the Fleiss fixture, with a different chance model
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_krippendorff_alpha",
+    oracle=f"""
+    WITH firstn AS (
+        SELECT user_id, event_type
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= {_FLEISS_N}
+    ),
+    nij AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM firstn GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS DECIMAL(38,0)) AS n_items,
+               CAST(SUM(nij * nij) AS DECIMAL(38,0)) AS s_in
+        FROM nij
+    ),
+    cat AS (
+        SELECT CAST(SUM(cj * cj) AS DECIMAL(38,0)) AS s_c
+        FROM (SELECT CAST(SUM(nij) AS DECIMAL(19,0)) AS cj
+              FROM nij GROUP BY event_type)
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           {_FLEISS_N} AS n_raters,
+           ROUND(CAST(n_items * {_FLEISS_N * _FLEISS_N} - s_in AS DOUBLE)
+                 / CAST(n_items * {_FLEISS_N * (_FLEISS_N - 1)}
+                        AS DOUBLE), 6) AS d_o,
+           ROUND(CAST(n_items * n_items * {_FLEISS_N * _FLEISS_N} - s_c
+                      AS DOUBLE)
+                 / CAST(n_items * {_FLEISS_N}
+                        * (n_items * {_FLEISS_N} - 1) AS DOUBLE), 6)
+               AS d_e,
+           ROUND(1.0
+                 - CAST((n_items * {_FLEISS_N * _FLEISS_N} - s_in)
+                        * n_items * {_FLEISS_N}
+                        * (n_items * {_FLEISS_N} - 1) AS DOUBLE)
+                   / CAST(n_items * {_FLEISS_N * (_FLEISS_N - 1)}
+                          * (n_items * n_items * {_FLEISS_N * _FLEISS_N}
+                             - s_c) AS DOUBLE), 6) AS alpha
+    FROM agg, cat
+    """,
+)
+def stat_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — KRIPPENDORFF's alpha (nominal metric, Krippendorff 1970):
+    chance-corrected agreement over the same panel fixture as
+    eval_fleiss_kappa (item = user_id, 5 "ratings" = the first 5 event
+    types by (ts, event_id)) — the agreement coefficient annotation
+    teams actually standardize on, because unlike Fleiss' κ its chance
+    model (D_e from the pooled category marginals WITHOUT replacement,
+    n_tot(n_tot−1) pairs) is sample-size consistent and generalizes to
+    missing ratings and ordinal metrics. α = 1 − D_o/D_e with
+        D_o = (N·m² − Σ n_uc²) / (N·m(m−1)),
+        D_e = (n_tot² − Σ n_c²) / (n_tot(n_tot−1)),  n_tot = N·m.
+
+    Exactness: α is carried as ONE exact integer fraction — the
+    identity α = 1 − (N·m²−Σn_uc²)·n_tot(n_tot−1) /
+    (N·m(m−1)·(n_tot²−Σn_c²)) clears every denominator, so numerator
+    and denominator are exact DECIMAL(38,0) on both engines (terms are
+    O(N³·m⁴) ≈ 10^25 at 10^4 scale, inside 10^38) and the terminal
+    division is one IEEE op rounded 6. D_o and D_e are emitted the same
+    way as audit columns.
+
+    Scale: identical to Fleiss — bounded per-user first-n windows, then
+    (user × category) counts folding to one row."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _FLEISS_N)
+    return krippendorff_alpha(
+        ratings, item="user_id", category="event_type", n_raters=_FLEISS_N
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame, item: str, category: str, n_raters: int
+) -> DataFrame:
+    """(n_items, n_raters, d_o, d_e, alpha) — nominal Krippendorff's
+    alpha over a ratings frame with exactly ``n_raters`` rows per item
+    (the library form the Engine facade exposes;
+    ``stat_krippendorff_alpha`` is its registered oracle-checked
+    instance)."""
+    m = n_raters
+    nij = ratings.groupBy(item, category).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    agg = nij.agg(
+        F.countDistinct(item).cast("decimal(38,0)").alias("n_items"),
+        F.sum(F.col("nij") * F.col("nij"))
+        .cast("decimal(38,0)")
+        .alias("s_in"),
+    )
+    cat = (
+        nij.groupBy(category)
+        .agg(F.sum("nij").cast("decimal(19,0)").alias("cj"))
+        .agg(
+            F.sum(F.col("cj") * F.col("cj"))
+            .cast("decimal(38,0)")
+            .alias("s_c")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(cat))
+    ni = F.col("n_items")
+    ntot = ni * m
+    don = ni * (m * m) - F.col("s_in")
+    den_e = ni * ni * (m * m) - F.col("s_c")
+    return j.select(
+        ni.cast("bigint").alias("n_items"),
+        F.lit(m).alias("n_raters"),
+        F.round(
+            don.cast("double") / (ni * (m * (m - 1))).cast("double"), 6
+        ).alias("d_o"),
+        F.round(
+            den_e.cast("double") / (ntot * (ntot - 1)).cast("double"), 6
+        ).alias("d_e"),
+        F.round(
+            1.0
+            - (don * ntot * (ntot - 1)).cast("double")
+            / (ni * (m * (m - 1)) * den_e).cast("double"),
+            6,
+        ).alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DeLong SE for ROC AUC — the ANALYTIC twin of the bootstrap CI family
+# --------------------------------------------------------------------------
+
+#: z_{0.975} for the 95% DeLong CI, shared literal.
+_Z95 = "1.959963984540054"
+
+
+@register(
+    "eval_auc_delong_se",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT v,
+               CAST(SUM(pos) AS BIGINT) AS wp,
+               CAST(SUM(1 - pos) AS BIGINT) AS wn
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT x.v, x.wp, x.wn,
+               CAST(COALESCE(SUM(y.wn), 0) AS BIGINT) AS cwn,
+               CAST(COALESCE(SUM(y.wp), 0) AS BIGINT) AS cwp
+        FROM grid x LEFT JOIN grid y ON y.v < x.v
+        GROUP BY 1, 2, 3
+    ),
+    tots AS (
+        SELECT CAST(SUM(wp) AS BIGINT) AS np,
+               CAST(SUM(wn) AS BIGINT) AS nn
+        FROM grid
+    ),
+    moms AS (
+        SELECT CAST(SUM(wp * (2 * cwn + wn)) AS DECIMAL(38,0)) AS m10,
+               CAST(SUM(wp * (2 * cwn + wn) * (2 * cwn + wn))
+                    AS DECIMAL(38,0)) AS q10,
+               CAST(SUM(wn * (2 * (t.np - cwp - wp) + wp))
+                    AS DECIMAL(38,0)) AS m01,
+               CAST(SUM(wn * (2 * (t.np - cwp - wp) + wp)
+                           * (2 * (t.np - cwp - wp) + wp))
+                    AS DECIMAL(38,0)) AS q01
+        FROM cum, tots t
+    )
+    SELECT t.np AS n_pos, t.nn AS n_neg,
+           ROUND(CAST(m.m10 AS DOUBLE)
+                 / (2.0 * CAST(t.np AS DOUBLE) * CAST(t.nn AS DOUBLE)),
+                 6) AS auc,
+           ROUND(SQRT(
+               ((CAST(m.q10 AS DOUBLE)
+                 - CAST(m.m10 AS DOUBLE) * CAST(m.m10 AS DOUBLE) / t.np)
+                / (t.np - 1)
+                / (4.0 * CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+               / t.np
+               + ((CAST(m.q01 AS DOUBLE)
+                   - CAST(m.m01 AS DOUBLE) * CAST(m.m01 AS DOUBLE) / t.nn)
+                  / (t.nn - 1)
+                  / (4.0 * CAST(t.np AS DOUBLE) * CAST(t.np AS DOUBLE)))
+                 / t.nn), 6) AS se_delong,
+           ROUND(CAST(m.m10 AS DOUBLE)
+                 / (2.0 * CAST(t.np AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                 - {_Z95} * SQRT(
+               ((CAST(m.q10 AS DOUBLE)
+                 - CAST(m.m10 AS DOUBLE) * CAST(m.m10 AS DOUBLE) / t.np)
+                / (t.np - 1)
+                / (4.0 * CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+               / t.np
+               + ((CAST(m.q01 AS DOUBLE)
+                   - CAST(m.m01 AS DOUBLE) * CAST(m.m01 AS DOUBLE) / t.nn)
+                  / (t.nn - 1)
+                  / (4.0 * CAST(t.np AS DOUBLE) * CAST(t.np AS DOUBLE)))
+                 / t.nn), 6) AS ci_lo,
+           ROUND(CAST(m.m10 AS DOUBLE)
+                 / (2.0 * CAST(t.np AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                 + {_Z95} * SQRT(
+               ((CAST(m.q10 AS DOUBLE)
+                 - CAST(m.m10 AS DOUBLE) * CAST(m.m10 AS DOUBLE) / t.np)
+                / (t.np - 1)
+                / (4.0 * CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+               / t.np
+               + ((CAST(m.q01 AS DOUBLE)
+                   - CAST(m.m01 AS DOUBLE) * CAST(m.m01 AS DOUBLE) / t.nn)
+                  / (t.nn - 1)
+                  / (4.0 * CAST(t.np AS DOUBLE) * CAST(t.np AS DOUBLE)))
+                 / t.nn), 6) AS ci_hi
+    FROM moms m, tots t
+    """,
+)
+def eval_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — DeLONG standard error and 95% CI for ROC AUC (DeLong,
+    DeLong & Clarke-Pearson 1988, with Sun & Xu's midrank tie
+    treatment), computed fully distributed on the VALUE GRID: the
+    ANALYTIC uncertainty twin of eval_auc_bootstrap_cell_ci — zero
+    replicates, one counting scan, grid algebra after.
+
+    Derivation: the AUC is the mean of per-positive placement values
+    V10_i = (#neg below + ½·#neg tied)/WN and symmetrically V01_j per
+    negative; DeLong's SE² = S10/m + S01/n with S10/S01 the sample
+    variances of the placements. All positives at grid value v share
+    the same placement t10(v) = 2·cwn + wn (an exact INTEGER in
+    1/(2WN) units; t01(v) = 2(WP−cwp−wp) + wp), so the variances
+    reduce to grid-weighted moments Σ wp·t10, Σ wp·t10² — exact
+    DECIMAL(38,0) accumulators, one fixed-order IEEE expression at the
+    end (the emitted auc is algebraically the same midrank AUC as
+    eval_auc_exact; the bootstrap CI and this CI agree asymptotically,
+    pinned in tests).
+
+    Scale: ONE corpus scan to the 11-cell grid; everything after is
+    grid-sized. The classic alternative — per-item placements via a
+    corpus-wide rank join — is O(N) state; this form is
+    corpus-size-independent after the scan, like the cell bootstrap."""
+    base = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    return auc_delong_se(base)
+
+
+def auc_delong_se(scored: DataFrame) -> DataFrame:
+    """(n_pos, n_neg, auc, se_delong, ci_lo, ci_hi) — DeLong AUC SE
+    over any scored frame with integer column ``v`` (bounded value
+    grid) and 0/1 column ``pos`` (the library form the Engine facade
+    exposes; ``eval_auc_delong_se`` is its registered oracle-checked
+    instance)."""
+    grid = scored.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("wp"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("wn"),
+    )
+    grid = grid.localCheckpoint(eager=True)  # grid-sized; consumed 3x
+    # cumulative counts via the bounded GRID PAIR JOIN (the stat_bh_fdr
+    # rule) — no unpartitioned window; the join is |grid|² rows by
+    # construction
+    x = grid.select(
+        F.col("v"), F.col("wp"), F.col("wn")
+    )
+    y = grid.select(
+        F.col("v").alias("yv"),
+        F.col("wp").alias("ywp"),
+        F.col("wn").alias("ywn"),
+    )
+    cum = (
+        x.join(y, F.col("yv") < F.col("v"), "left")
+        .groupBy("v", "wp", "wn")
+        .agg(
+            F.coalesce(F.sum("ywn"), F.lit(0))
+            .cast("bigint")
+            .alias("cwn"),
+            F.coalesce(F.sum("ywp"), F.lit(0))
+            .cast("bigint")
+            .alias("cwp"),
+        )
+    )
+    tots = grid.agg(
+        F.sum("wp").cast("bigint").alias("np"),
+        F.sum("wn").cast("bigint").alias("nn"),
+    )
+    j = cum.crossJoin(F.broadcast(tots))
+    t10 = 2 * F.col("cwn") + F.col("wn")
+    t01 = 2 * (F.col("np") - F.col("cwp") - F.col("wp")) + F.col("wp")
+    moms = j.agg(
+        F.sum(F.col("wp") * t10).cast("decimal(38,0)").alias("m10"),
+        F.sum(F.col("wp") * t10 * t10).cast("decimal(38,0)").alias("q10"),
+        F.sum(F.col("wn") * t01).cast("decimal(38,0)").alias("m01"),
+        F.sum(F.col("wn") * t01 * t01).cast("decimal(38,0)").alias("q01"),
+        F.min("np").alias("np"),
+        F.min("nn").alias("nn"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    auc = F.col("m10").cast("double") / (
+        2.0 * np_.cast("double") * nn_.cast("double")
+    )
+    var10 = (
+        (
+            F.col("q10").cast("double")
+            - F.col("m10").cast("double") * F.col("m10").cast("double") / np_
+        )
+        / (np_ - 1)
+        / (4.0 * nn_.cast("double") * nn_.cast("double"))
+    )
+    var01 = (
+        (
+            F.col("q01").cast("double")
+            - F.col("m01").cast("double") * F.col("m01").cast("double") / nn_
+        )
+        / (nn_ - 1)
+        / (4.0 * np_.cast("double") * np_.cast("double"))
+    )
+    se = F.sqrt(var10 / np_ + var01 / nn_)
+    z = F.expr(_Z95)
+    return moms.select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se_delong"),
+        F.round(auc - z * se, 6).alias("ci_lo"),
+        F.round(auc + z * se, 6).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Murphy decomposition of the Brier score (reliability / resolution /
+# uncertainty) — the calibration diagnostic behind every forecast eval
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS o,
+               LEAST(9, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                        // 1000) AS bin
+        FROM events
+    ),
+    bins AS (
+        SELECT event_type, bin,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(o) AS BIGINT) AS so,
+               CAST(SUM(q) AS DECIMAL(38,0)) AS sq
+        FROM base GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o) AS BIGINT) AS so_t,
+               CAST(SUM((q - 10000 * o) * (q - 10000 * o))
+                    AS DECIMAL(38,0)) AS sbr
+        FROM base GROUP BY 1
+    ),
+    parts AS (
+        SELECT b.event_type,
+               CAST(SUM(CAST(ROUND(b.nk
+                   * (CAST(b.sq AS DOUBLE) / 10000.0 / b.nk
+                      - CAST(b.so AS DOUBLE) / b.nk)
+                   * (CAST(b.sq AS DOUBLE) / 10000.0 / b.nk
+                      - CAST(b.so AS DOUBLE) / b.nk), 9)
+                   AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS rel_n,
+               CAST(SUM(CAST(ROUND(b.nk
+                   * (CAST(b.so AS DOUBLE) / b.nk
+                      - CAST(t.so_t AS DOUBLE) / t.n)
+                   * (CAST(b.so AS DOUBLE) / b.nk
+                      - CAST(t.so_t AS DOUBLE) / t.n), 9)
+                   AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS res_n
+        FROM bins b JOIN tot t USING (event_type)
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n,
+           ROUND(CAST(t.sbr AS DOUBLE) / 100000000.0 / t.n, 6) AS brier,
+           ROUND(CAST(p.rel_n AS DOUBLE) / t.n, 6) AS reliability,
+           ROUND(CAST(p.res_n AS DOUBLE) / t.n, 6) AS resolution,
+           ROUND((CAST(t.so_t AS DOUBLE) / t.n)
+                 * (1.0 - CAST(t.so_t AS DOUBLE) / t.n), 6) AS uncertainty
+    FROM tot t JOIN parts p USING (event_type)
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — MURPHY decomposition of the Brier score (Murphy 1973):
+    Brier = Reliability − Resolution + Uncertainty (+ within-bin
+    variance for continuous forecasts), per event type. Fixture:
+    forecast p = value/100 ∈ [0,1], outcome = weekend, 10 equal-width
+    probability bins. Reliability (calibration gap per bin) is the
+    number a model eval actually acts on — a good Brier score from an
+    uncalibrated-but-sharp model and a calibrated-but-flat one look the
+    same until decomposed.
+
+    Exactness: the Brier numerator Σ(q − 10⁴·o)² is an exact
+    DECIMAL(38,0) integer (q the 2-decimal-quantized value); per-bin
+    reliability/resolution terms are fixed-order IEEE expressions over
+    exact integer bin sums, rounded to the 9-grid and accumulated as
+    DECIMAL — order-independent, identical both engines; 10 bins × 5
+    types of grid algebra after one map-side-combined aggregate.
+
+    Scale: one corpus scan to (type × bin) cells; everything after is
+    50 rows. The Murphy identity is pinned in tests with the within-bin
+    variance residual asserted non-negative."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("o"),
+    ).withColumn(
+        "bin",
+        F.least(F.lit(9).cast("bigint"), F.expr("q div 1000")),
+    )
+    return brier_decomposition(base)
+
+
+def brier_decomposition(scored: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_brier_decomposition` (the
+    library form the Engine facade exposes): ``scored`` has columns
+    (event_type group key, q int forecast in [0, 10000] = p·10⁴,
+    o 0/1 outcome, bin int bucket id)."""
+    bins = scored.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("o").cast("bigint").alias("so"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+    )
+    tot = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o").cast("bigint").alias("so_t"),
+        F.sum(
+            (F.col("q") - 10000 * F.col("o"))
+            * (F.col("q") - 10000 * F.col("o"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sbr"),
+    )
+    j = bins.join(tot, "event_type")
+    dev_rel = (
+        F.col("sq").cast("double") / 10000.0 / F.col("nk")
+        - F.col("so").cast("double") / F.col("nk")
+    )
+    dev_res = (
+        F.col("so").cast("double") / F.col("nk")
+        - F.col("so_t").cast("double") / F.col("n")
+    )
+    parts = j.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.col("nk") * dev_rel * dev_rel, 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("rel_n"),
+        F.sum(
+            F.round(F.col("nk") * dev_res * dev_res, 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("res_n"),
+    )
+    ob = F.col("so_t").cast("double") / F.col("n")
+    return tot.join(parts, "event_type").select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("sbr").cast("double") / 100000000.0 / F.col("n"), 6
+        ).alias("brier"),
+        F.round(F.col("rel_n").cast("double") / F.col("n"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_n").cast("double") / F.col("n"), 6).alias(
+            "resolution"
+        ),
+        F.round(ob * (1.0 - ob), 6).alias("uncertainty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G-test of independence (likelihood-ratio chi-square) — the asymptotic
+# companion to Fisher exact on the same 2x2 margins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_g_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS hi
+        FROM events
+    ),
+    marg AS (
+        SELECT event_type,
+               CAST(SUM(wk * hi) AS BIGINT) AS a,
+               CAST(SUM(wk) AS BIGINT) AS r1,
+               CAST(SUM(hi) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ),
+    cells AS (
+        SELECT event_type, n, o, r, c FROM (
+            SELECT event_type, n, a AS o, r1 AS r, c1 AS c FROM marg
+            UNION ALL
+            SELECT event_type, n, r1 - a, r1, n - c1 FROM marg
+            UNION ALL
+            SELECT event_type, n, c1 - a, n - r1, c1 FROM marg
+            UNION ALL
+            SELECT event_type, n, n - r1 - c1 + a, n - r1, n - c1
+            FROM marg
+        )
+    ),
+    terms AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN o = 0 THEN CAST(0 AS DECIMAL(28,9))
+                   ELSE CAST(ROUND(o * LN(CAST(o AS DOUBLE)
+                                          * CAST(n AS DOUBLE)
+                                          / (CAST(r AS DOUBLE)
+                                             * CAST(c AS DOUBLE))), 9)
+                        AS DECIMAL(28,9)) END) AS DECIMAL(38,9)) AS s
+        FROM cells GROUP BY 1
+    )
+    SELECT m.event_type, m.n,
+           ROUND(2.0 * CAST(t.s AS DOUBLE), 6) AS g_stat,
+           (2.0 * CAST(t.s AS DOUBLE) > {_CHI2_95_DF1}) AS rejected
+    FROM marg m JOIN terms t USING (event_type)
+    """,
+)
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — G-TEST of independence (likelihood-ratio chi-square,
+    Woolf 1957) on the SAME 2×2 margins as stat_fisher_exact and
+    agg_chi_square_independence (weekend × high-value per event type):
+    G = 2·Σ O·ln(O/E), E = row·col/n — the additive test (G values sum
+    across partitioned tables, which Pearson's X² does not), closer to
+    the χ² distribution at small expected counts, and the statistic
+    mutual-information estimators are built on (G = 2n·MI in nats).
+
+    Exactness: margins are exact integers; each cell's term
+    O·ln(O·n/(r·c)) is a fixed-order all-double IEEE expression (the
+    ln argument built from double products — deterministic IEEE
+    rounding, identical both engines) rounded to the 9-grid and
+    DECIMAL-summed, so the 4-term total is order-independent; O = 0
+    contributes exactly 0 via the same CASE. Rejection compares the
+    unrounded 2·Σ against the shared χ²₀.₉₅,df1 literal.
+
+    Scale: one map-side-combined aggregate to 5 margin rows; the
+    4-cell expansion is grid algebra."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1
+        )
+        .otherwise(0)
+        .alias("wk"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("hi"),
+    )
+    return g_test(e)
+
+
+def g_test(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_g_test` (the library form the
+    Engine facade exposes): ``e`` has columns (event_type stratum key,
+    wk 0/1 row factor, hi 0/1 column factor)."""
+    marg = e.groupBy("event_type").agg(
+        F.sum(F.col("wk") * F.col("hi")).cast("bigint").alias("a"),
+        F.sum("wk").cast("bigint").alias("r1"),
+        F.sum("hi").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    marg = marg.localCheckpoint(eager=True)  # 5 rows; consumed 5x
+    cells = None
+    for o_expr, r_expr, c_expr in (
+        ("a", "r1", "c1"),
+        ("r1 - a", "r1", "n - c1"),
+        ("c1 - a", "n - r1", "c1"),
+        ("n - r1 - c1 + a", "n - r1", "n - c1"),
+    ):
+        part = marg.select(
+            "event_type",
+            "n",
+            F.expr(o_expr).alias("o"),
+            F.expr(r_expr).alias("r"),
+            F.expr(c_expr).alias("c"),
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    term = F.when(
+        F.col("o") == 0, F.lit(0).cast("decimal(28,9)")
+    ).otherwise(
+        F.round(
+            F.col("o")
+            * F.log(
+                F.col("o").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("r").cast("double") * F.col("c").cast("double"))
+            ),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    terms = cells.groupBy("event_type").agg(
+        F.sum(term).cast("decimal(38,9)").alias("s")
+    )
+    return marg.join(terms, "event_type").select(
+        "event_type",
+        "n",
+        F.round(2.0 * F.col("s").cast("double"), 6).alias("g_stat"),
+        (2.0 * F.col("s").cast("double") > F.expr(_CHI2_95_DF1)).alias(
+            "rejected"
+        ),
+    )

@@ -65,6 +65,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_msprt_sequential": "broadcast 1-row global mu0/sigma2 cross join",
         "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI/sampler-threshold cross joins",
         "eval_auc_bootstrap_cell_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI cross joins (cell-sufficiency form: grid algebra only after the one counting scan)",
+        "eval_auc_delong_se": "value-grid (|grid|<=101 rows) cumulative pair join + 1-row totals cross join (the stat_bh_fdr no-global-window rule)",
+        "stat_krippendorff_alpha": "broadcast 1-row category-totals cross join (the fleiss_kappa shape)",
         "stat_equivalence_tost": "broadcast 1-row global-mean cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",
         "vec_remove_top_component": "broadcast 1-row normalizer/64-row direction cross joins",

@@ -845,3 +845,74 @@ def test_engine_round13_facade_parity(spark, sf_dir):
     assert rows(eng.auc_bootstrap_cell(scored)) == want(
         "eval_auc_bootstrap_cell_ci"
     )
+
+
+def test_engine_round13_stats_facade_parity(spark, sf_dir):
+    """The six r13 inference additions' facade methods reproduce their
+    registered oracle-checked instances (single-source rule): mcnemar /
+    cochran_q / krippendorff_alpha / auc_delong_se /
+    brier_decomposition / g_test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    e = load(spark, sf_dir, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(key):
+        return rows(get_query(key).fn(spark, sf_dir))
+
+    wk = (
+        F.when(F.dayofweek(F.col("ts").cast("date")).isin(1, 7), 1)
+        .otherwise(0)
+    )
+    hi = F.when(F.col("value") > 50, 1).otherwise(0)
+
+    paired2 = e.select("event_type", hi.alias("ya"), wk.alias("yb"))
+    assert rows(eng.mcnemar(paired2)) == want("eval_mcnemar_paired")
+
+    paired3 = e.select(
+        "event_type",
+        hi.alias("ya"),
+        wk.alias("yb"),
+        F.when(F.col("event_id").cast("bigint") % 2 == 0, 1)
+        .otherwise(0)
+        .alias("yc"),
+    )
+    assert rows(eng.cochran_q(paired3)) == want("eval_cochran_q")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    assert rows(
+        eng.krippendorff_alpha(
+            ratings, item="user_id", category="event_type", n_raters=5
+        )
+    ) == want("stat_krippendorff_alpha")
+
+    scored = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    assert rows(eng.auc_delong_se(scored)) == want("eval_auc_delong_se")
+
+    fc = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+        wk.alias("o"),
+    ).withColumn(
+        "bin", F.least(F.lit(9).cast("bigint"), F.expr("q div 1000"))
+    )
+    assert rows(eng.brier_decomposition(fc)) == want(
+        "eval_brier_decomposition"
+    )
+
+    tbl = e.select("event_type", wk.alias("wk"), hi.alias("hi"))
+    assert rows(eng.g_test(tbl)) == want("stat_g_test")

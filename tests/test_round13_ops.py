@@ -1,0 +1,372 @@
+"""Round-13 inference/eval additions (operators/inference.py) vs
+independent Python references + closed-form boundary pins (the
+r11/r12 test model): McNemar, Cochran's Q, Krippendorff's alpha,
+DeLong AUC SE, Brier decomposition, G-test."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+
+def _is_weekend(ts) -> int:
+    return 1 if ts.isoweekday() in (6, 7) else 0
+
+
+# --------------------------------------------------------------------------
+# McNemar
+# --------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_python_reference(spark, sf_dir):
+    b: Counter = Counter()
+    c: Counter = Counter()
+    n: Counter = Counter()
+    for r in _events(spark, sf_dir):
+        ya = 1 if r.value > 50 else 0
+        yb = _is_weekend(r.ts)
+        n[r.event_type] += 1
+        if ya and not yb:
+            b[r.event_type] += 1
+        if yb and not ya:
+            c[r.event_type] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("eval_mcnemar_paired").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(n)
+    for t in n:
+        g = got[t]
+        assert (g.n, g.b, g.c) == (n[t], b[t], c[t])
+        bc = b[t] + c[t]
+        assert abs(g.chi2 - round((b[t] - c[t]) ** 2 / bc, 6)) < 1e-9
+        cc = max(abs(b[t] - c[t]) - 1, 0) ** 2 / bc
+        assert abs(g.chi2_cc - round(cc, 6)) < 1e-9
+        assert g.rejected == (cc > 3.841458820694124)
+
+
+def test_mcnemar_closed_forms():
+    # symmetric discordance -> 0; all-one-sided -> (b-1)^2/b with CC.
+    assert (10 - 10) ** 2 / 20 == 0.0
+    b, c = 10, 0
+    assert (abs(b - c) - 1) ** 2 / (b + c) == 8.1
+    # CC never exceeds the uncorrected statistic
+    for b, c in ((5, 1), (9, 3), (100, 40)):
+        assert (abs(b - c) - 1) ** 2 / (b + c) <= (b - c) ** 2 / (b + c)
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q
+# --------------------------------------------------------------------------
+
+
+def _q_stat(rows):
+    k = 3
+    ca = sum(a for a, _, _ in rows)
+    cb = sum(bb for _, bb, _ in rows)
+    cc = sum(cv for _, _, cv in rows)
+    g = ca + cb + cc
+    sr2 = sum((a + bb + cv) ** 2 for a, bb, cv in rows)
+    den = k * g - sr2
+    if den == 0:
+        return None
+    return (k - 1) * (k * (ca * ca + cb * cb + cc * cc) - g * g) / den
+
+
+def test_cochran_q_matches_python_reference(spark, sf_dir):
+    per: dict[str, list] = {}
+    for r in _events(spark, sf_dir):
+        per.setdefault(r.event_type, []).append(
+            (
+                1 if r.value > 50 else 0,
+                _is_weekend(r.ts),
+                1 if int(r.event_id) % 2 == 0 else 0,
+            )
+        )
+    got = {
+        r.event_type: r
+        for r in get_query("eval_cochran_q").fn(spark, sf_dir).collect()
+    }
+    for t, rows in per.items():
+        g = got[t]
+        q = _q_stat(rows)
+        assert g.n == len(rows)
+        assert abs(g.q_stat - round(q, 6)) < 1e-9, t
+        assert g.rejected == (q > 5.991464547107979)
+
+
+def test_cochran_q_closed_forms():
+    # equal column totals with discordant rows -> Q = 0 (no marginal
+    # differences; note fully concordant rows are degenerate, below)
+    assert _q_stat([(1, 0, 0), (0, 1, 0), (0, 0, 1)]) == 0.0
+    # one dominant column inflates Q
+    q = _q_stat([(1, 0, 0)] * 6 + [(1, 1, 1)] * 2 + [(0, 0, 0)] * 2)
+    assert q > 5.991  # A passes everywhere B/C don't: rejected
+    # all-equal rows (r_i = 0 or 3 only) -> denominator 0 -> undefined
+    assert _q_stat([(1, 1, 1), (0, 0, 0)]) is None
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal)
+# --------------------------------------------------------------------------
+
+
+def _kripp_ref(items):
+    m = len(items[0])
+    big_n = len(items)
+    s_in = 0
+    n_c: Counter = Counter()
+    for it in items:
+        cnt = Counter(it)
+        s_in += sum(v * v for v in cnt.values())
+        n_c.update(cnt)
+    n_tot = big_n * m
+    don = big_n * m * m - s_in
+    den = n_tot * n_tot - sum(v * v for v in n_c.values())
+    d_o = don / (big_n * m * (m - 1))
+    d_e = den / (n_tot * (n_tot - 1))
+    return d_o, d_e, 1 - (don * n_tot * (n_tot - 1)) / (
+        big_n * m * (m - 1) * den
+    )
+
+
+def test_krippendorff_matches_python_reference(spark, sf_dir):
+    by_user: dict[int, list] = {}
+    for r in _events(spark, sf_dir):
+        by_user.setdefault(r.user_id, []).append(r)
+    items = []
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        items.append([r.event_type for r in rs[:5]])
+    d_o, d_e, alpha = _kripp_ref(items)
+    row = get_query("stat_krippendorff_alpha").fn(spark, sf_dir).collect()[0]
+    assert row.n_items == len(items)
+    assert row.n_raters == 5
+    assert abs(row.d_o - d_o) < 1e-6
+    assert abs(row.d_e - d_e) < 1e-6
+    assert abs(row.alpha - alpha) < 1e-6
+
+
+def test_krippendorff_closed_forms():
+    # perfect agreement -> alpha = 1 regardless of mix
+    _, _, a1 = _kripp_ref([["x"] * 5, ["y"] * 5, ["x"] * 5])
+    assert abs(a1 - 1.0) < 1e-12
+    # alpha <= 1 always; systematic disagreement drives it negative
+    _, _, a2 = _kripp_ref(
+        [["a", "b", "a", "b", "a"], ["b", "a", "b", "a", "b"]]
+    )
+    assert a2 < 0.1
+    # vs Fleiss on the same data: same D_o-style numerator, different
+    # chance model — Krippendorff uses n_tot(n_tot-1) pairs (without
+    # replacement), so alpha > kappa slightly for finite samples.
+    items = [["a", "a", "a", "b", "b"], ["b", "b", "a", "a", "a"]]
+    _, _, alpha = _kripp_ref(items)
+    n, big_n = 5, 2
+    p_bar = sum(
+        (sum(v * v for v in Counter(it).values()) - n) / (n * (n - 1))
+        for it in items
+    ) / big_n
+    tot = Counter(c for it in items for c in it)
+    p_e = sum((v / (big_n * n)) ** 2 for v in tot.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert alpha > kappa
+
+
+# --------------------------------------------------------------------------
+# DeLong SE
+# --------------------------------------------------------------------------
+
+
+def test_delong_matches_python_reference(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    pos, neg = [], []
+    for r in li:
+        v = int(round(r.l_discount * 100))
+        (pos if r.l_returnflag == "R" else neg).append(v)
+    m, n = len(pos), len(neg)
+    neg_cnt = Counter(neg)
+    pos_cnt = Counter(pos)
+    below = {}
+    tied_n = {}
+    acc = 0
+    for v in range(0, 101):
+        below[v] = acc
+        tied_n[v] = neg_cnt.get(v, 0)
+        acc += neg_cnt.get(v, 0)
+    above_p = {}
+    tied_p = {}
+    acc = 0
+    for v in range(100, -1, -1):
+        above_p[v] = acc
+        tied_p[v] = pos_cnt.get(v, 0)
+        acc += pos_cnt.get(v, 0)
+    v10 = [(below[v] + tied_n[v] / 2) / n for v in pos]
+    v01 = [(above_p[v] + tied_p[v] / 2) / m for v in neg]
+    auc = sum(v10) / m
+    assert abs(auc - sum(v01) / n) < 1e-9  # DeLong identity
+    s10 = sum((x - auc) ** 2 for x in v10) / (m - 1)
+    s01 = sum((x - auc) ** 2 for x in v01) / (n - 1)
+    se = math.sqrt(s10 / m + s01 / n)
+    row = get_query("eval_auc_delong_se").fn(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (m, n)
+    assert abs(row.auc - auc) < 1e-6
+    assert abs(row.se_delong - se) < 1e-6
+    assert abs(row.ci_lo - (auc - 1.959963984540054 * se)) < 2e-6
+    assert abs(row.ci_hi - (auc + 1.959963984540054 * se)) < 2e-6
+
+
+def test_delong_consistent_with_bootstrap_and_exact(spark, sf_dir):
+    """The analytic CI and the cell-bootstrap CI estimate the same
+    sampling distribution; the point estimate is the exact midrank
+    AUC."""
+    d = get_query("eval_auc_delong_se").fn(spark, sf_dir).collect()[0]
+    e = get_query("eval_auc_exact").fn(spark, sf_dir).collect()[0]
+    assert abs(d.auc - e.auc) < 1e-6
+    b = get_query("eval_auc_bootstrap_cell_ci").fn(spark, sf_dir).collect()[0]
+    w_d = d.ci_hi - d.ci_lo
+    w_b = b.ci_hi - b.ci_lo
+    assert 0.5 < w_d / w_b < 2.0  # same order; bootstrap has MC noise
+    assert d.ci_lo <= d.auc <= d.ci_hi
+
+
+# --------------------------------------------------------------------------
+# Brier decomposition
+# --------------------------------------------------------------------------
+
+
+def test_brier_decomposition_matches_python_reference(spark, sf_dir):
+    per: dict[str, list] = {}
+    for r in _events(spark, sf_dir):
+        q = math.floor(r.value * 100.0 + 0.5)
+        per.setdefault(r.event_type, []).append((q, _is_weekend(r.ts)))
+    got = {
+        r.event_type: r
+        for r in get_query("eval_brier_decomposition")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for t, rows in per.items():
+        n = len(rows)
+        brier = sum((q - 10000 * o) ** 2 for q, o in rows) / 1e8 / n
+        ob = sum(o for _, o in rows) / n
+        bins: dict[int, list] = {}
+        for q, o in rows:
+            bins.setdefault(min(9, q // 1000), []).append((q, o))
+        rel = sum(
+            round(
+                len(bs)
+                * (
+                    sum(q for q, _ in bs) / 10000.0 / len(bs)
+                    - sum(o for _, o in bs) / len(bs)
+                )
+                ** 2,
+                9,
+            )
+            for bs in bins.values()
+        ) / n
+        res = sum(
+            round(len(bs) * (sum(o for _, o in bs) / len(bs) - ob) ** 2, 9)
+            for bs in bins.values()
+        ) / n
+        unc = ob * (1 - ob)
+        g = got[t]
+        assert g.n == n
+        assert abs(g.brier - brier) < 1e-6
+        assert abs(g.reliability - rel) < 1e-6
+        assert abs(g.resolution - res) < 1e-6
+        assert abs(g.uncertainty - unc) < 1e-6
+        # Murphy identity up to within-bin variance (>= 0):
+        wbv = g.brier - (g.reliability - g.resolution + g.uncertainty)
+        assert wbv > -1e-5
+        assert g.resolution <= g.uncertainty + 1e-9  # RES bounded by UNC
+
+
+def test_brier_decomposition_closed_forms():
+    # perfectly calibrated constant forecast p = base rate: REL = 0,
+    # RES = 0, brier = UNC + within-bin variance (0 for binary-matching
+    # quantized p). With p = 0.3 and 30% outcomes in one bin:
+    rows = [(3000, 1)] * 3 + [(3000, 0)] * 7
+    n = len(rows)
+    ob = 0.3
+    rel = n * (3000 / 10000 - ob) ** 2 / n
+    assert rel == 0.0
+    brier = sum((q - 10000 * o) ** 2 for q, o in rows) / 1e8 / n
+    unc = ob * (1 - ob)
+    assert abs(brier - unc) < 1e-12  # identity: brier = UNC here
+
+
+# --------------------------------------------------------------------------
+# G-test
+# --------------------------------------------------------------------------
+
+
+def test_g_test_matches_python_reference(spark, sf_dir):
+    marg: dict[str, list] = {}
+    for r in _events(spark, sf_dir):
+        wk = _is_weekend(r.ts)
+        hi = 1 if r.value > 50 else 0
+        m = marg.setdefault(r.event_type, [0, 0, 0, 0])
+        m[0] += wk * hi
+        m[1] += wk
+        m[2] += hi
+        m[3] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("stat_g_test").fn(spark, sf_dir).collect()
+    }
+    for t, (a, r1, c1, n) in marg.items():
+        s = 0.0
+        for o, rr, cc in (
+            (a, r1, c1),
+            (r1 - a, r1, n - c1),
+            (c1 - a, n - r1, c1),
+            (n - r1 - c1 + a, n - r1, n - c1),
+        ):
+            if o:
+                s += round(o * math.log(o * n / (rr * cc)), 9)
+        g2 = 2.0 * s
+        g = got[t]
+        assert g.n == n
+        assert abs(g.g_stat - round(g2, 6)) < 1e-9, t
+        assert g.rejected == (g2 > 3.841458820694124)
+
+
+def test_g_test_closed_forms():
+    # independence (perfectly proportional cells) -> G = 0
+    a, r1, c1, n = 25, 50, 50, 100  # E11 = 25 = O11
+    s = 0.0
+    for o, rr, cc in (
+        (a, r1, c1),
+        (r1 - a, r1, n - c1),
+        (c1 - a, n - r1, c1),
+        (n - r1 - c1 + a, n - r1, n - c1),
+    ):
+        s += o * math.log(o * n / (rr * cc))
+    assert abs(s) < 1e-12
+    # G ~ Pearson X^2 to first order on mild departures
+    a = 30
+    g2 = 2 * sum(
+        o * math.log(o * n / (rr * cc))
+        for o, rr, cc in (
+            (a, r1, c1),
+            (r1 - a, r1, n - c1),
+            (c1 - a, n - r1, c1),
+            (n - r1 - c1 + a, n - r1, n - c1),
+        )
+    )
+    x2 = sum(
+        (o - rr * cc / n) ** 2 / (rr * cc / n)
+        for o, rr, cc in (
+            (a, r1, c1),
+            (r1 - a, r1, n - c1),
+            (c1 - a, n - r1, c1),
+            (n - r1 - c1 + a, n - r1, n - c1),
+        )
+    )
+    assert abs(g2 - x2) / x2 < 0.05
