@@ -1237,3 +1237,13 @@ class Engine:
         )
 
         return g_test(e)
+
+    def rbo(self, t1: DataFrame, t2: DataFrame, k: int = 50) -> DataFrame:
+        """(k, overlap_at_k, a_k, rbo_trunc, rbo_ext) — rank-biased
+        overlap at p=0.9 between two rank frames (shared id column +
+        r1 / r2 ranks, 1..k), k <= 50 (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            rbo_overlap,
+        )
+
+        return rbo_overlap(t1, t2, k=k)

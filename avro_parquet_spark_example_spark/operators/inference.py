@@ -3029,13 +3029,22 @@ _Z95 = "1.959963984540054"
         FROM grid
     ),
     moms AS (
-        SELECT CAST(SUM(wp * (2 * cwn + wn)) AS DECIMAL(38,0)) AS m10,
-               CAST(SUM(wp * (2 * cwn + wn) * (2 * cwn + wn))
+        SELECT CAST(SUM(CAST(wp AS DECIMAL(38,0))
+                        * CAST(2 * cwn + wn AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS m10,
+               CAST(SUM(CAST(wp AS DECIMAL(38,0))
+                        * CAST(2 * cwn + wn AS DECIMAL(38,0))
+                        * CAST(2 * cwn + wn AS DECIMAL(38,0)))
                     AS DECIMAL(38,0)) AS q10,
-               CAST(SUM(wn * (2 * (t.np - cwp - wp) + wp))
+               CAST(SUM(CAST(wn AS DECIMAL(38,0))
+                        * CAST(2 * (t.np - cwp - wp) + wp
+                               AS DECIMAL(38,0)))
                     AS DECIMAL(38,0)) AS m01,
-               CAST(SUM(wn * (2 * (t.np - cwp - wp) + wp)
-                           * (2 * (t.np - cwp - wp) + wp))
+               CAST(SUM(CAST(wn AS DECIMAL(38,0))
+                        * CAST(2 * (t.np - cwp - wp) + wp
+                               AS DECIMAL(38,0))
+                        * CAST(2 * (t.np - cwp - wp) + wp
+                               AS DECIMAL(38,0)))
                     AS DECIMAL(38,0)) AS q01
         FROM cum, tots t
     )
@@ -3152,13 +3161,20 @@ def auc_delong_se(scored: DataFrame) -> DataFrame:
         F.sum("wn").cast("bigint").alias("nn"),
     )
     j = cum.crossJoin(F.broadcast(tots))
-    t10 = 2 * F.col("cwn") + F.col("wn")
-    t01 = 2 * (F.col("np") - F.col("cwp") - F.col("wp")) + F.col("wp")
+    # placements as DECIMAL(38,0) BEFORE multiplying: wp·t10² is
+    # ~N³/grid and overflows int64 already at 10x sf0.1 (caught by the
+    # backward 10x leg — the third real defect the rule has found)
+    t10 = (2 * F.col("cwn") + F.col("wn")).cast("decimal(38,0)")
+    t01 = (
+        2 * (F.col("np") - F.col("cwp") - F.col("wp")) + F.col("wp")
+    ).cast("decimal(38,0)")
+    wp_d = F.col("wp").cast("decimal(38,0)")
+    wn_d = F.col("wn").cast("decimal(38,0)")
     moms = j.agg(
-        F.sum(F.col("wp") * t10).cast("decimal(38,0)").alias("m10"),
-        F.sum(F.col("wp") * t10 * t10).cast("decimal(38,0)").alias("q10"),
-        F.sum(F.col("wn") * t01).cast("decimal(38,0)").alias("m01"),
-        F.sum(F.col("wn") * t01 * t01).cast("decimal(38,0)").alias("q01"),
+        F.sum(wp_d * t10).cast("decimal(38,0)").alias("m10"),
+        F.sum(wp_d * t10 * t10).cast("decimal(38,0)").alias("q10"),
+        F.sum(wn_d * t01).cast("decimal(38,0)").alias("m01"),
+        F.sum(wn_d * t01 * t01).cast("decimal(38,0)").alias("q01"),
         F.min("np").alias("np"),
         F.min("nn").alias("nn"),
     )
@@ -3482,4 +3498,157 @@ def g_test(e: DataFrame) -> DataFrame:
         (2.0 * F.col("s").cast("double") > F.expr(_CHI2_95_DF1)).alias(
             "rejected"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap (Webber, Moffat & Zobel 2010) — top-weighted
+# agreement between two rankings
+# --------------------------------------------------------------------------
+
+#: RBO evaluation depth and persistence, and the per-depth weights
+#: (1−p)·p^{d−1} precomputed in Python to 12 decimals — shared literals
+#: on both engines (no runtime POWER(), whose libm last bits differ).
+_RBO_K = 50
+_RBO_P = 0.9
+_RBO_W = tuple(
+    round((1 - _RBO_P) * _RBO_P ** (d - 1), 12) for d in range(1, _RBO_K + 1)
+)
+_RBO_PK = round(_RBO_P**_RBO_K, 12)
+
+
+def _rbo_weight_cases() -> str:
+    """CASE mapping depth d → weight literal, valid in both dialects."""
+    arms = " ".join(
+        f"WHEN d = {d} THEN {w}" for d, w in enumerate(_RBO_W, start=1)
+    )
+    return f"CASE {arms} END"
+
+
+@register(
+    "eval_rbo_rankings",
+    oracle=f"""
+    WITH t1 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1
+        FROM (SELECT doc_id, n_chars FROM documents
+              ORDER BY n_chars DESC, doc_id LIMIT {_RBO_K})
+    ),
+    t2 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id) AS r2
+        FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS ntok
+              FROM documents
+              ORDER BY LEN(STRING_SPLIT(text, ' ')) DESC, doc_id
+              LIMIT {_RBO_K})
+    ),
+    inter AS (
+        SELECT GREATEST(t1.r1, t2.r2) AS m
+        FROM t1 JOIN t2 USING (doc_id)
+    ),
+    depths AS (
+        SELECT g.d, CAST(COUNT(b.m) AS BIGINT) AS xd
+        FROM (SELECT UNNEST(GENERATE_SERIES(1, {_RBO_K})) AS d) g
+        LEFT JOIN inter b ON b.m <= g.d
+        GROUP BY g.d
+    ),
+    terms AS (
+        SELECT CAST(SUM(CAST(ROUND(({_rbo_weight_cases()})
+                        * CAST(xd AS DOUBLE) / d, 9)
+                        AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s,
+               MAX(CASE WHEN d = {_RBO_K} THEN xd END) AS xk
+        FROM depths
+    )
+    SELECT {_RBO_K} AS k, xk AS overlap_at_k,
+           ROUND(CAST(xk AS DOUBLE) / {_RBO_K}, 6) AS a_k,
+           ROUND(CAST(s AS DOUBLE), 6) AS rbo_trunc,
+           ROUND(CAST(s AS DOUBLE)
+                 + {_RBO_PK} * CAST(xk AS DOUBLE) / {_RBO_K}, 6) AS rbo_ext
+    FROM terms
+    """,
+)
+def eval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — RANK-BIASED OVERLAP (Webber/Moffat/Zobel 2010) between two
+    top-{_RBO_K} document rankings: by character length vs by
+    whitespace token count — the TOP-WEIGHTED ranking-agreement metric
+    (Kendall/Spearman weight every pair equally; RBO's geometric
+    depth weights match how ranked lists are actually consumed, and it
+    is well-defined for non-conjoint top-k lists). RBO(p={_RBO_P}) =
+    (1−p)·Σ_d p^(d−1)·X_d/d with X_d the depth-d intersection size;
+    emits the truncated sum and the min-extrapolation
+    rbo_ext = rbo_trunc + p^k·A_k.
+
+    Exactness: X_d reduces to a cumulative count of m = max(r1, r2)
+    over the bounded depth grid (a k×k band join — no unbounded
+    window); depth weights are PRECOMPUTED 12-decimal literals shared
+    by both engines (no runtime POWER), each term rounds to the 9-grid
+    and sums as DECIMAL — order-independent.
+
+    Scale: two TakeOrderedAndProject top-k scans (the engine's topk
+    machinery — no global sort) + k²-bounded grid algebra. At 100 TB
+    the cost is the two scans."""
+    d = load(spark, sf_dir, "documents")
+    top1 = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_RBO_K)
+    )
+    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    t1 = top1.select(
+        "doc_id", F.row_number().over(w1).alias("r1")
+    )
+    top2 = (
+        d.select(
+            "doc_id", F.size(F.split("text", " ")).alias("ntok")
+        )
+        .orderBy(F.desc("ntok"), F.asc("doc_id"))
+        .limit(_RBO_K)
+    )
+    w2 = Window.orderBy(F.desc("ntok"), F.asc("doc_id"))
+    t2 = top2.select(
+        "doc_id", F.row_number().over(w2).alias("r2")
+    )
+    return rbo_overlap(t1, t2, k=_RBO_K)
+
+
+def rbo_overlap(t1: DataFrame, t2: DataFrame, k: int = _RBO_K) -> DataFrame:
+    """(k, overlap_at_k, a_k, rbo_trunc, rbo_ext) — rank-biased overlap
+    between two rank frames (columns: shared id + ``r1`` / ``r2``, ranks
+    1..k) at persistence p={_RBO_P} (the library form the Engine facade
+    exposes; ``eval_rbo_rankings`` is its registered oracle-checked
+    instance). ``k`` must be ≤ {_RBO_K} (the precomputed weight grid)."""
+    if k > _RBO_K:
+        raise ValueError(f"rbo_overlap: k={k} exceeds weight grid {_RBO_K}")
+    spark = t1.sparkSession
+    idc = [c for c in t1.columns if c != "r1"][0]
+    both = t1.join(t2, idc).select(
+        F.greatest(F.col("r1"), F.col("r2")).alias("m")
+    )
+    dgrid = spark.range(1, k + 1).select(F.col("id").cast("int").alias("d"))
+    depths = (
+        dgrid.join(F.broadcast(both), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count(F.col("m")).cast("bigint").alias("xd"))
+    )
+    wcase = F.expr(_rbo_weight_cases())
+    terms = depths.agg(
+        F.sum(
+            F.round(
+                wcase * F.col("xd").cast("double") / F.col("d"), 9
+            ).cast("decimal(28,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("s"),
+        F.max(F.when(F.col("d") == k, F.col("xd"))).alias("xk"),
+    )
+    return terms.select(
+        F.lit(k).alias("k"),
+        F.col("xk").alias("overlap_at_k"),
+        F.round(F.col("xk").cast("double") / k, 6).alias("a_k"),
+        F.round(F.col("s").cast("double"), 6).alias("rbo_trunc"),
+        F.round(
+            F.col("s").cast("double")
+            + F.expr(str(_RBO_PK)) * F.col("xk").cast("double") / k,
+            6,
+        ).alias("rbo_ext"),
     )

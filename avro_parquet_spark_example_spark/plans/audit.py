@@ -66,6 +66,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI/sampler-threshold cross joins",
         "eval_auc_bootstrap_cell_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI cross joins (cell-sufficiency form: grid algebra only after the one counting scan)",
         "eval_auc_delong_se": "value-grid (|grid|<=101 rows) cumulative pair join + 1-row totals cross join (the stat_bh_fdr no-global-window rule)",
+        "eval_rbo_rankings": "depth-grid band join (k*k <= 2500 rows by construction: two top-k lists vs the 1..k depth grid)",
         "stat_krippendorff_alpha": "broadcast 1-row category-totals cross join (the fleiss_kappa shape)",
         "stat_equivalence_tost": "broadcast 1-row global-mean cross join",
         "vec_power_iteration_top_pc": "broadcast 1-row max-abs normalizer cross join per round",

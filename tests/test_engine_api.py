@@ -916,3 +916,45 @@ def test_engine_round13_stats_facade_parity(spark, sf_dir):
 
     tbl = e.select("event_type", wk.alias("wk"), hi.alias("hi"))
     assert rows(eng.g_test(tbl)) == want("stat_g_test")
+
+
+def test_engine_rbo_facade_parity(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    d = load(spark, sf_dir, "documents")
+    t1 = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .alias("r1"),
+        )
+    )
+    t2 = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+        .orderBy(F.desc("ntok"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ntok"), F.asc("doc_id")))
+            .alias("r2"),
+        )
+    )
+    got = sorted(map(tuple, eng.rbo(t1, t2).collect()))
+    want = sorted(
+        map(
+            tuple,
+            get_query("eval_rbo_rankings").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want

@@ -227,3 +227,20 @@ def test_auc_bootstrap_ranksum_double_exactness_crossing(con):
     # cell form at the largest tested SF (sf0.1 ~ 100x this fixture):
     # >=10^2 margin before the emission bound
     assert (np_ + nn_) * 100 * 100 < n_cross
+
+
+def test_delong_grid_moments_fit_decimal38(con):
+    """DeLong q10 = Σ wp·t10² ≤ NP·(2·NN)² — the 10× leg caught this
+    overflowing int64 when multiplied before the decimal cast (r13);
+    the DECIMAL(38,0) accumulator must hold the 10^4-scaled corpus
+    (all three factors are row counts)."""
+    [(np_, nn_)] = con.execute(
+        "SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) FROM lineitem"
+    ).fetchall()
+    big_q10 = (np_ * SCALE) * (2 * nn_ * SCALE) ** 2
+    big_q01 = (nn_ * SCALE) * (2 * np_ * SCALE) ** 2
+    assert max(big_q10, big_q01) < DEC38_MAX
+    # and int64 genuinely crosses inside the envelope — the decimal
+    # product was necessary, not cosmetic
+    assert max(big_q10, big_q01) > INT64_MAX

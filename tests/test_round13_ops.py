@@ -370,3 +370,57 @@ def test_g_test_closed_forms():
         )
     )
     assert abs(g2 - x2) / x2 < 0.05
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap
+# --------------------------------------------------------------------------
+
+
+def _rbo_ref(l1, l2, p=0.9, k=50):
+    s1, s2 = set(), set()
+    trunc = 0.0
+    xd = 0
+    for d in range(1, k + 1):
+        s1.add(l1[d - 1])
+        s2.add(l2[d - 1])
+        xd = len(s1 & s2)
+        trunc += round(round((1 - p) * p ** (d - 1), 12) * xd / d, 9)
+    return trunc, xd, trunc + round(p**k, 12) * xd / k
+
+
+def test_rbo_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_chars = sorted(docs, key=lambda r: (-r.n_chars, r.doc_id))[:50]
+    by_tok = sorted(
+        docs, key=lambda r: (-len(r.text.split(" ")), r.doc_id)
+    )[:50]
+    trunc, xk, ext = _rbo_ref(
+        [r.doc_id for r in by_chars], [r.doc_id for r in by_tok]
+    )
+    row = get_query("eval_rbo_rankings").fn(spark, sf_dir).collect()[0]
+    assert row.k == 50
+    assert row.overlap_at_k == xk
+    assert abs(row.a_k - xk / 50) < 1e-9
+    assert abs(row.rbo_trunc - round(trunc, 6)) < 1e-9
+    assert abs(row.rbo_ext - round(ext, 6)) < 1e-6
+
+
+def test_rbo_closed_forms():
+    # identical rankings -> extrapolated RBO = 1 exactly
+    ids = list(range(50))
+    trunc, xk, ext = _rbo_ref(ids, ids)
+    assert xk == 50
+    assert abs(ext - 1.0) < 1e-9
+    assert trunc < 1.0  # truncated form leaves the p^k tail on the table
+    # disjoint rankings -> 0
+    t0, x0, e0 = _rbo_ref(list(range(50)), list(range(100, 150)))
+    assert (t0, x0, e0) == (0.0, 0, 0.0)
+    # top-weighting: agreement at the TOP counts more than at the tail.
+    # swap-in disagreement at depth 1 hurts more than at depth 50
+    head = list(range(50))
+    tail_diff = head[:-1] + [999]
+    head_diff = [999] + head[1:]
+    _, _, e_tail = _rbo_ref(head, tail_diff)
+    _, _, e_head = _rbo_ref(head, head_diff)
+    assert e_head < e_tail

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scaleup_bench import (  # noqa: E402
     BASE,
     synthesize,
+    synthesize_facts,
     synthesize_graph,
 )
 
@@ -41,6 +42,23 @@ DOCS_OPS = [
     "export_dataset_card",
     "mixture_temperature_resample",
 ]
+#: Batch 2 — the round's NEW registrations (the backward-extension rule:
+#: every new op gets a measured 10x leg). Events ops ride the disjoint
+#: isomorphic copies; lineitem ops (the AUC family) ride the facts dir.
+NEW_EVENTS_OPS = [
+    "eval_mcnemar_paired",
+    "eval_cochran_q",
+    "stat_krippendorff_alpha",
+    "eval_brier_decomposition",
+    "stat_g_test",
+]
+NEW_FACTS_OPS = [
+    "eval_auc_bootstrap_cell_ci",
+    "eval_auc_delong_se",
+    "eval_auc_bootstrap_ci",
+]
+NEW_DOCS_OPS = ["eval_rbo_rankings"]
+
 EVENTS_OPS = [
     "ts_holt_linear",
     "ts_holt_winters",
@@ -67,8 +85,15 @@ def main() -> int:
     )
     dc10 = synthesize(spark)
     ev10 = synthesize_graph(spark, 10)
+    fx10 = synthesize_facts(spark, 10)
+    batch2 = "--new-only" in sys.argv
     worst = 0.0
-    for ops, big in ((DOCS_OPS, dc10), (EVENTS_OPS, ev10)):
+    groups = (
+        ((NEW_EVENTS_OPS, ev10), (NEW_FACTS_OPS, fx10), (NEW_DOCS_OPS, dc10))
+        if batch2
+        else ((DOCS_OPS, dc10), (EVENTS_OPS, ev10))
+    )
+    for ops, big in groups:
         for name in ops:
             fn = get_query(name).fn
             t1 = warm_time(fn, spark, BASE)
