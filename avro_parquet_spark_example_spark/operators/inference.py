@@ -434,6 +434,44 @@ _BOOT_HI_RK = -((-975 * _BOOT_R) // 1000)
 #: no cap — one draw per (value-cell, replicate).
 _BOOT_MAX_ROWS = 30_000
 
+#: Same validation-scope cap for the EVENTS replicate-expansion
+#: fixtures (mean bootstrap + randomization/BH family, tag 'es'): each
+#: was ~12 s spark / ~20 s oracle at sf0.1 (10M md5 draws). A no-op
+#: through sf0.01 (events ≤ 10k rows). The LIBRARY forms
+#: (poisson_bootstrap_ci, randomization_pvalues_frame) stay uncapped —
+#: for the mean there is no bounded value grid, so R fused streaming
+#: passes over the full corpus IS the at-scale plan (Chamandy 2012);
+#: the cap bounds only what the VALIDATION fixtures pay per gate run.
+_RAND_MAX_ROWS = 30_000
+
+
+def _events_sample_duck(alias: str) -> str:
+    """DuckDB predicate keeping ~_RAND_MAX_ROWS deterministic rows."""
+    return (
+        f"CAST(('0x' || SUBSTR(MD5(CAST({alias}.event_id AS VARCHAR)"
+        f" || ':es'), 1, 8)) AS BIGINT)"
+        f" < CAST(4294967296.0 * LEAST(1.0,"
+        f" CAST({_RAND_MAX_ROWS} AS DOUBLE) / nr) AS BIGINT)"
+    )
+
+
+def _events_sample_spark(e: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_events_sample_duck`: bound ``e`` (must
+    carry a bigint ``event_id``) to ~_RAND_MAX_ROWS hash-sampled rows."""
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    return (
+        e.crossJoin(F.broadcast(nn))
+        .filter(
+            F.expr(
+                "CAST(CONV(SUBSTR(MD5(CONCAT(CAST(event_id AS STRING),"
+                " ':es')), 1, 8), 16, 10) AS BIGINT)"
+                f" < CAST(4294967296.0 * LEAST(1.0,"
+                f" CAST({_RAND_MAX_ROWS} AS DOUBLE) / nr) AS BIGINT)"
+            )
+        )
+        .drop("nr")
+    )
+
 #: floor(CDF_Poisson(1)(i) * 2^32) for i = 0..5 — integer thresholds on the
 #: md5-u32 draw; a draw's weight is the count of thresholds it clears, so
 #: w ~ Poisson(1) truncated at 6 (P(w>6) < 1e-4; the truncation is part of
@@ -473,11 +511,16 @@ def _pois_w_sql(u: str) -> str:
 @register(
     "stat_poisson_bootstrap_ci",
     oracle=f"""
-    WITH base AS (
+    WITH base0 AS (
         SELECT event_type,
                CAST(event_id AS BIGINT) AS event_id,
                CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
         FROM events
+    ),
+    bn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM base0),
+    base AS (
+        SELECT b.event_type, b.event_id, b.q FROM base0 b, bn
+        WHERE {_events_sample_duck("b")}
     ),
     obs AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -535,13 +578,17 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the ×R expansion happens map-side and partial-aggregates to
     (types × R) rows before any shuffle; the order-statistic window
     sees R rows per type. At 100 TB the cost is R streaming passes
-    fused into one scan — the whole point of the Poisson form."""
+    fused into one scan — the whole point of the Poisson form. The
+    REGISTERED fixture is validation-scoped to a deterministic
+    ~30k-row hash sample (_RAND_MAX_ROWS; a no-op through sf0.01) so
+    the gate doesn't pay the O(N·R) md5 expansion at every SF; the
+    library form below stays uncapped."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id").cast("bigint").alias("event_id"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
-    return poisson_bootstrap_ci(e)
+    return poisson_bootstrap_ci(_events_sample_spark(e))
 
 
 def poisson_bootstrap_ci(
@@ -623,12 +670,17 @@ _RAND_R = 100
 #: weekday (Sunday=1..Saturday=7 — Spark's DAYOFWEEK convention; DuckDB's
 #: 0-based DAYOFWEEK is shifted +1 in the oracle).
 _RAND_BASE_DUCK = """
-    base AS (
+    base0 AS (
         SELECT event_type,
                CAST(event_id AS BIGINT) AS event_id,
                DAYOFWEEK(CAST(ts AS DATE)) + 1 AS dow,
                CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS q
         FROM events
+    ),
+    bn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM base0),
+    base AS (
+        SELECT b.event_type, b.event_id, b.dow, b.q FROM base0 b, bn
+        WHERE {SAMPLE}
     ),
     cells AS (
         SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_c,
@@ -713,9 +765,11 @@ _RAND_BASE_DUCK = """
 
 
 def _rand_base_duck() -> str:
-    return _RAND_BASE_DUCK.replace(
-        "{u}", _u32_duck("b.event_id", "rt")
-    ).replace("{R}", str(_RAND_R))
+    return (
+        _RAND_BASE_DUCK.replace("{u}", _u32_duck("b.event_id", "rt"))
+        .replace("{R}", str(_RAND_R))
+        .replace("{SAMPLE}", _events_sample_duck("b"))
+    )
 
 
 def randomization_pvalues(
@@ -746,7 +800,10 @@ def randomization_pvalues(
         (F.dayofweek(F.col("ts").cast("date"))).alias("dow"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
-    return randomization_pvalues_frame(e)
+    # validation scope (r13): ~30k-row deterministic hash sample — a
+    # no-op through sf0.01; bounds the O(N·R) md5 expansion's gate cost.
+    # The frame-level core below stays uncapped.
+    return randomization_pvalues_frame(_events_sample_spark(e))
 
 
 def randomization_pvalues_frame(e: DataFrame) -> DataFrame:

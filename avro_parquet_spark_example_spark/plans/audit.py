@@ -60,7 +60,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "eval_pass_at_k": "broadcast 3-row k-grid cross join (k-cardinality by design)",
         "eval_fleiss_kappa": "broadcast 1-row agreement/category-total cross join",
         "stat_jackknife_cluster": "broadcast 1-row grand-total / jackknife-mean cross joins",
-        "stat_bh_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold cross joins",
+        "stat_bh_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins",
+        "stat_randomization_dow": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
+        "stat_poisson_bootstrap_ci": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
         "curation_length_buckets": "broadcast 1-row corpus-total cross join",
         "stat_msprt_sequential": "broadcast 1-row global mu0/sigma2 cross join",
         "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI/sampler-threshold cross joins",

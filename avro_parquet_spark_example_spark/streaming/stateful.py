@@ -43,14 +43,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     would accumulate files and the same plan tails it incrementally).
     """
     path = table_path(sf_dir, "events")
-    stage_dir = os.path.join(SCRATCH, "src_" + path.strip("/").replace("/", "_"))
-    os.makedirs(stage_dir, exist_ok=True)
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(path, link)
-        except OSError:
-            shutil.copyfile(path, link)
+    if os.path.isdir(path):
+        # a real parquet DIRECTORY (multi-file table, e.g. the scale-up
+        # dirs): monitor it directly — the file source does not recurse
+        # into nested symlinked directories, so staging a dir symlink
+        # would silently stream ZERO rows (caught by the r13 streaming
+        # 10x legs).
+        stage_dir = path
+    else:
+        # the driver ships one FILE per table; the file source requires
+        # a directory to monitor — stage a symlink into scratch (a real
+        # ingest dir would accumulate files and the same plan tails it
+        # incrementally).
+        stage_dir = os.path.join(
+            SCRATCH, "src_" + path.strip("/").replace("/", "_")
+        )
+        os.makedirs(stage_dir, exist_ok=True)
+        link = os.path.join(stage_dir, "events.parquet")
+        if not os.path.exists(link):
+            try:
+                os.symlink(path, link)
+            except OSError:
+                shutil.copyfile(path, link)
     schema = spark.read.parquet(path).schema
     return normalize_events(spark.readStream.schema(schema).parquet(stage_dir))
 

@@ -173,8 +173,16 @@ def _pois_w(event_id: int, r: int) -> int:
     return sum(1 for t in _POIS_T if u >= t)
 
 
-def test_poisson_bootstrap_matches_hash_reference(spark, sf_dir):
+def _events_sampled(spark, sf_dir):
+    """Mirror the r13 validation-scope ~30k hash sample (tag 'es' — a
+    no-op at sf0.001/sf0.01 where events <= 10k rows)."""
     rows = _events(spark, sf_dir)
+    thr = int(4294967296.0 * min(1.0, 30000.0 / len(rows)))
+    return [r for r in rows if _u32(f"{int(r.event_id)}:es") < thr]
+
+
+def test_poisson_bootstrap_matches_hash_reference(spark, sf_dir):
+    rows = _events_sampled(spark, sf_dir)
     by_type: dict[str, list] = {}
     for r in rows:
         by_type.setdefault(r.event_type, []).append(
@@ -209,7 +217,7 @@ def test_poisson_bootstrap_matches_hash_reference(spark, sf_dir):
 
 def _rand_reference(spark, sf_dir):
     """Hash-exact Python twin of randomization_pvalues."""
-    rows = _events(spark, sf_dir)
+    rows = _events_sampled(spark, sf_dir)
     by_type: dict[str, list] = {}
     for r in rows:
         dow = r.ts.isoweekday() % 7 + 1  # Sunday=1..Saturday=7

@@ -134,3 +134,19 @@ def test_event_ids_unique_precondition(spark):
         total = df.count()
         distinct = df.select("event_id").distinct().count()
         assert total == distinct, f"{sf}: {total - distinct} duplicate event_ids"
+
+
+def test_stream_source_reads_directory_tables(spark, sf_dir, tmp_path):
+    """r13 regression: a table shipped as a parquet DIRECTORY (multi-file
+    — every scale-up dir, any real ingest layout) must stream all its
+    rows. The old staging symlinked the directory into the monitor dir,
+    where the file source ignores nested directories and silently
+    streamed ZERO rows (caught by the r13 streaming 10x legs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    out = str(tmp_path / "dirsf")
+    os.makedirs(out, exist_ok=True)
+    ev.repartition(4).write.parquet(f"{out}/events.parquet")
+    got = get_query("stream_tumbling").fn(spark, out).collect()
+    assert len(got) > 0
+    assert sum(r.n for r in got) == n
