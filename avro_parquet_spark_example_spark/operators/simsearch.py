@@ -2037,13 +2037,12 @@ def ivf_candidates(
     ),
     ad AS (
         SELECT e.vec_id, a.aid, e.embedding,
-               CAST(FLOOR((SELECT SUM(
-                   (CAST(e.embedding[g.i] AS DOUBLE)
-                    - CAST(a.avec[g.i] AS DOUBLE))
-                   * (CAST(e.embedding[g.i] AS DOUBLE)
-                      - CAST(a.avec[g.i] AS DOUBLE)))
-                 FROM GENERATE_SERIES(1, 64) g(i)) * 10000000) AS BIGINT)
-                   AS d7
+               CAST(FLOOR(list_sum(list_transform(range(1, 65), i ->
+                   (CAST(e.embedding[i] AS DOUBLE)
+                    - CAST(a.avec[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(a.avec[i] AS DOUBLE))))
+                 * 10000000) AS BIGINT) AS d7
         FROM embeddings e CROSS JOIN anchors a
     ),
     rnked AS (
@@ -2059,9 +2058,9 @@ def ivf_candidates(
     ),
     cand AS (
         SELECT p.vec_id AS src, q.vec_id AS dst,
-               (SELECT SUM(CAST(p.embedding[g.i] AS DOUBLE)
-                           * CAST(q.embedding[g.i] AS DOUBLE))
-                FROM GENERATE_SERIES(1, 64) g(i)) AS score
+               list_sum(list_transform(range(1, 65), i ->
+                   CAST(p.embedding[i] AS DOUBLE)
+                   * CAST(q.embedding[i] AS DOUBLE))) AS score
         FROM probes p JOIN prim q
           ON q.cell = p.cell AND q.vec_id <> p.vec_id
     ),
