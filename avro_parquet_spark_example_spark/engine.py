@@ -1247,3 +1247,26 @@ class Engine:
         )
 
         return rbo_overlap(t1, t2, k=k)
+
+    def cuped(self, per_user: DataFrame) -> DataFrame:
+        """(n_users, theta, mean_y, var_y, var_y_adj,
+        var_reduction_pct) — CUPED variance reduction over a per-unit
+        frame with exact-integer pre-period covariate ``x`` and metric
+        ``y`` (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            cuped,
+        )
+
+        return cuped(per_user)
+
+    def mann_kendall(
+        self, daily: DataFrame, key: str, order: str, value: str
+    ) -> DataFrame:
+        """(key, n_days, s_stat, var_s, z, trend) — tie-corrected
+        Mann-Kendall trend test over a keyed ordered integer series on
+        a bounded grid (operators/timeseries.py)."""
+        from avro_parquet_spark_example_spark.operators.timeseries import (
+            mann_kendall,
+        )
+
+        return mann_kendall(daily, key=key, order=order, value=value)

@@ -3709,3 +3709,295 @@ def rbo_overlap(t1: DataFrame, t2: DataFrame, k: int = _RBO_K) -> DataFrame:
             6,
         ).alias("rbo_ext"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_cuped_adjustment",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(ts) + INTERVAL 15 DAYS AS cut FROM events
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN e.ts < b.cut
+                    THEN CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN e.ts >= b.cut
+                    THEN CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events e, bounds b
+        GROUP BY 1
+    ),
+    moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM per_user
+    )
+    SELECT n AS n_users,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           ROUND(CAST(sy AS DOUBLE) / 100.0 / n, 6) AS mean_y,
+           ROUND(CAST(n * syy - sy * sy AS DOUBLE)
+                 / 10000.0 / CAST(n AS DOUBLE) / n, 6) AS var_y,
+           ROUND((CAST(n * syy - sy * sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                 / 10000.0 / CAST(n AS DOUBLE) / n, 6) AS var_y_adj,
+           ROUND(100.0
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS var_reduction_pct
+    FROM moms
+    """,
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — CUPED variance reduction (Deng/Xu/Kohavi/Walker 2013,
+    "Improving the Sensitivity of Online Controlled Experiments"): the
+    industry-standard experiment-sensitivity technique — regress the
+    experiment-period metric Y on a PRE-period covariate X (here the
+    same user's value sum in the first 15 days vs after) and analyze
+    Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X). E[Y_adj] = E[Y]
+    (unbiased) while var(Y_adj) = var(Y)·(1−ρ²) — the emitted
+    var_reduction_pct = 100·ρ² is exactly the fraction of experiment
+    traffic the covariate saves.
+
+    Exactness: per-user X/Y are exact quantized integers; all five
+    moments are DECIMAL(38,0) products (decimal BEFORE multiplying —
+    the DeLong lesson); θ, var_y, var_y_adj = var_y − θ²·var_x, and
+    100·ρ² are fixed-order IEEE expressions rounded 6. The 15-day cut
+    is MIN(ts)+15d via a 1-row broadcast (both engines).
+
+    Scale: one per-user aggregate (map-side combined) folding to one
+    moment row — the canonical two-pass experiment readout."""
+    e = load(spark, sf_dir, "events")
+    cut = e.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("cut")
+    )
+    q = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("cut"), q).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= F.col("cut"), q).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return cuped(per_user)
+
+
+def cuped(per_user: DataFrame) -> DataFrame:
+    """(n_users, theta, mean_y, var_y, var_y_adj, var_reduction_pct) —
+    CUPED over a per-unit frame with exact-integer covariate ``x``
+    (pre-period, 2-decimal quantized) and metric ``y`` (the library
+    form the Engine facade exposes; ``stat_cuped_adjustment`` is its
+    registered oracle-checked instance)."""
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    moms = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return moms.select(
+        n.alias("n_users"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round(F.col("sy").cast("double") / 100.0 / n, 6).alias("mean_y"),
+        F.round(cyy / 10000.0 / n.cast("double") / n, 6).alias("var_y"),
+        F.round(
+            (cyy - (cxy * cxy) / cxx) / 10000.0 / n.cast("double") / n, 6
+        ).alias("var_y_adj"),
+        F.round(100.0 * (cxy * cxy) / (cxx * cyy), 6).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-sequential testing with O'Brien–Fleming boundaries (OBF 1979,
+# Pocock 1977 framework) — the scheduled-looks complement of mSPRT
+# --------------------------------------------------------------------------
+
+#: Number of equally-spaced interim looks.
+_GSD_K = 5
+
+#: O'Brien–Fleming z-scale constant for K=5 looks at two-sided
+#: alpha=0.05 (the standard table value); look-k boundary is
+#: C·sqrt(K/k), precomputed to 6 decimals as shared literals.
+_OBF_C = 2.040
+_OBF_BOUNDS = tuple(
+    round(_OBF_C * (_GSD_K / k) ** 0.5, 6) for k in range(1, _GSD_K + 1)
+)
+
+
+def _obf_bound_case() -> str:
+    arms = " ".join(
+        f"WHEN k = {k} THEN {b}" for k, b in enumerate(_OBF_BOUNDS, start=1)
+    )
+    return f"CASE {arms} END"
+
+
+@register(
+    "stat_group_sequential_obf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS DECIMAL(38,0)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS ng,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS sg,
+               CAST(SUM(ss) AS DECIMAL(38,0)) AS ssg
+        FROM (SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS DECIMAL(38,0)) AS s,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                              * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS DECIMAL(38,0)) AS ss
+              FROM events GROUP BY event_type, CAST(ts AS DATE))
+    ),
+    cum AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER w AS r,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nd,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cn,
+               CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,0)) AS cs
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    looks AS (
+        SELECT c.event_type, g.k, c.cn, c.cs
+        FROM cum c JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_GSD_K})) AS k) g
+          ON c.r = (g.k * c.nd) // {_GSD_K}
+    )
+    SELECT l.event_type, l.k AS look, l.cn AS n_k,
+           ROUND((CAST(l.cs AS DOUBLE) / 100.0 / l.cn
+                  - CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
+                 * SQRT(CAST(l.cn AS DOUBLE))
+                 / SQRT(CAST(v.ssg AS DOUBLE) / 10000.0 / v.ng
+                        - (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
+                          * (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)),
+                 6) AS z,
+           {_obf_bound_case().replace("k =", "l.k =")} AS bound,
+           ABS((CAST(l.cs AS DOUBLE) / 100.0 / l.cn
+                - CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
+               * SQRT(CAST(l.cn AS DOUBLE))
+               / SQRT(CAST(v.ssg AS DOUBLE) / 10000.0 / v.ng
+                      - (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
+                        * (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)))
+               > {_obf_bound_case().replace("k =", "l.k =")} AS crossed
+    FROM looks l, gtot v
+    """,
+)
+def stat_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — GROUP-SEQUENTIAL test with O'Brien–Fleming boundaries
+    (O'Brien & Fleming 1979): per event type, 5 equally-spaced interim
+    looks over the day grid, each testing H0 "running mean equals the
+    global mean" against the OBF z-boundary C·√(K/k) (C = 2.040, the
+    standard K=5 two-sided α=0.05 constant) — the SCHEDULED-looks
+    complement of stat_msprt_sequential: mSPRT allows peeking every
+    day at the price of a conservative mixture bound; OBF spends
+    almost no alpha early (boundary 4.56 at look 1) and converges to
+    the fixed-horizon 2.04 at the final look.
+
+    Caveat (documented, the mSPRT convention): μ0 and σ² are plug-in
+    pooled moments including the monitored stream, so the α guarantee
+    is approximate — fix them from a holdout in production.
+
+    Exactness: cumulative sums are exact integers over the per-type
+    day grid; look k is the day at rank (k·n_days) div K (exact
+    integer division); z is one fixed-order IEEE expression rounded 6;
+    boundaries are precomputed 6-decimal literals shared by both
+    engines; the crossing verdict compares the UNROUNDED |z|.
+
+    Scale: one (type, day) map-side-combined aggregate; windows
+    partition per type over the day grid; look grid is K rows/type."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("q"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,0)").alias("ss"),
+    )
+    glob = daily.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("s").cast("decimal(38,0)").alias("sg"),
+        F.sum("ss").cast("decimal(38,0)").alias("ssg"),
+    ).select(
+        (F.col("sg").cast("double") / 100.0 / F.col("ng")).alias("mu0"),
+        F.sqrt(
+            F.col("ssg").cast("double") / 10000.0 / F.col("ng")
+            - (F.col("sg").cast("double") / 100.0 / F.col("ng"))
+            * (F.col("sg").cast("double") / 100.0 / F.col("ng"))
+        ).alias("sigma"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "event_type",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("nd"),
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+        F.sum("s").over(wcum).cast("decimal(38,0)").alias("cs"),
+    )
+    looks = (
+        cum.withColumn(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(_GSD_K)))
+        )
+        .filter(F.col("r") == F.expr(f"(k * nd) div {_GSD_K}"))
+        .crossJoin(F.broadcast(glob))
+    )
+    z = (
+        (
+            F.col("cs").cast("double") / 100.0 / F.col("cn")
+            - F.col("mu0")
+        )
+        * F.sqrt(F.col("cn").cast("double"))
+        / F.col("sigma")
+    )
+    bound = F.expr(_obf_bound_case())
+    return looks.select(
+        "event_type",
+        F.col("k").alias("look"),
+        F.col("cn").alias("n_k"),
+        F.round(z, 6).alias("z"),
+        bound.alias("bound"),
+        (F.abs(z) > bound).alias("crossed"),
+    )

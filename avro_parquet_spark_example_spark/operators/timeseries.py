@@ -3355,3 +3355,163 @@ def piecewise_trend(
             6,
         ).alias("slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test (Mann 1945, Kendall 1975) — the nonparametric
+# companion to ts_trend_ols / ts_theil_sen_slope
+# --------------------------------------------------------------------------
+
+#: z_{0.975} rejection line at two-sided alpha = 0.05, shared literal.
+_MK_Z95 = "1.959963984540054"
+
+
+@register(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.day > a.day
+        GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+        FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, x)
+        GROUP BY 1
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1
+    )
+    SELECT n.event_type, n.n AS n_days, s.s_stat,
+           ROUND((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                  - t.tie_adj) / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1)
+                              * (2 * n.n + 5) - t.tie_adj) / 18.0)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1)
+                              * (2 * n.n + 5) - t.tie_adj) / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN s.s_stat > 0 AND (s.s_stat - 1)
+                     / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1)
+                             * (2 * n.n + 5) - t.tie_adj) / 18.0)
+                     > {_MK_Z95} THEN 'increasing'
+                WHEN s.s_stat < 0 AND (s.s_stat + 1)
+                     / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1)
+                             * (2 * n.n + 5) - t.tie_adj) / 18.0)
+                     < -{_MK_Z95} THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM nd n JOIN s USING (event_type) JOIN ties t USING (event_type)
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — MANN–KENDALL trend test per event type on the daily-count
+    series: the NONPARAMETRIC trend detector (S = Σ_(i<j)
+    sign(x_j − x_i)) that pairs with ts_theil_sen_slope exactly the way
+    the textbook pairs them — Theil–Sen estimates the slope, Mann–
+    Kendall decides whether a monotone trend EXISTS at all, with no
+    normality or linearity assumption and full robustness to outliers.
+    Variance uses the tie-corrected form Var(S) = (n(n−1)(2n+5) −
+    Σ t(t−1)(2t+5))/18; z applies the ±1 continuity correction; the
+    trend verdict compares the UNROUNDED z to the shared z₀.₉₇₅
+    literal.
+
+    Exactness: S and the tie adjustment are exact integers off the
+    bounded day-grid pair join (the ts_active_users band-join shape —
+    no unbounded window, ~n²/2 grid pairs per type); one sqrt + one
+    division at the end, rounded 6.
+
+    Scale: the row-scale stage is the one (type, day) count aggregate;
+    the pair join is day-grid-sized (30 days → 435 pairs per type)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return mann_kendall(daily, key="event_type", order="day", value="x")
+
+
+def mann_kendall(
+    daily: DataFrame, key: str, order: str, value: str
+) -> DataFrame:
+    """(key, n_days, s_stat, var_s, z, trend) — tie-corrected Mann–
+    Kendall over a keyed ordered integer series (the library form the
+    Engine facade exposes; ``ts_mann_kendall`` is its registered
+    oracle-checked instance). The pair join is |order-grid|² per key —
+    meant for bounded grids (days, hours), not row-scale series."""
+    d = daily.select(
+        F.col(key).alias("__k"),
+        F.col(order).alias("__o"),
+        F.col(value).alias("x"),
+    )
+    d = d.localCheckpoint(eager=True)  # grid-sized; consumed 3x
+    a = d.select(
+        F.col("__k"), F.col("__o").alias("oa"), F.col("x").alias("xa")
+    )
+    b = d.select(
+        F.col("__k").alias("__kb"),
+        F.col("__o").alias("ob"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("__kb") == F.col("__k")) & (F.col("ob") > F.col("oa")),
+        )
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        d.groupBy("__k", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("__k")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_adj")
+        )
+    )
+    nd = d.groupBy("__k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = nd.join(s, "__k").join(ties, "__k")
+    n = F.col("n")
+    var_s = (
+        n.cast("double") * (n - 1) * (2 * n + 5) - F.col("tie_adj")
+    ) / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)
+        )
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    zlit = F.expr(_MK_Z95)
+    return j.select(
+        F.col("__k").alias(key),
+        n.alias("n_days"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when((F.col("s_stat") > 0) & (z > zlit), "increasing")
+        .when((F.col("s_stat") < 0) & (z < -zlit), "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )

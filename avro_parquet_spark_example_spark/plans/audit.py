@@ -63,6 +63,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_bh_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins",
         "stat_randomization_dow": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
         "stat_poisson_bootstrap_ci": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
+        "stat_cuped_adjustment": "broadcast 1-row pre-period-cut cross join (MIN(ts)+15d boundary)",
+        "stat_group_sequential_obf": "broadcast 1-row pooled mu0/sigma cross join (the mSPRT shape)",
         "curation_length_buckets": "broadcast 1-row corpus-total cross join",
         "stat_msprt_sequential": "broadcast 1-row global mu0/sigma2 cross join",
         "eval_auc_bootstrap_ci": "replicate-grid (100-row) rank pair join + 1-row point/CI/sampler-threshold cross joins",

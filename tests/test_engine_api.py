@@ -958,3 +958,42 @@ def test_engine_rbo_facade_parity(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_engine_cuped_mann_kendall_facade_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    e = load(spark, sf_dir, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    cut = e.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("cut"))
+    q = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("cut"), q).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= F.col("cut"), q).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    assert rows(eng.cuped(per_user)) == rows(
+        get_query("stat_cuped_adjustment").fn(spark, sf_dir)
+    )
+
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    assert rows(
+        eng.mann_kendall(daily, key="event_type", order="day", value="x")
+    ) == rows(get_query("ts_mann_kendall").fn(spark, sf_dir))

@@ -424,3 +424,178 @@ def test_rbo_closed_forms():
     _, _, e_tail = _rbo_ref(head, tail_diff)
     _, _, e_head = _rbo_ref(head, head_diff)
     assert e_head < e_tail
+
+
+# --------------------------------------------------------------------------
+# CUPED
+# --------------------------------------------------------------------------
+
+
+def test_cuped_matches_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    cut = min(r.ts for r in rows) + __import__("datetime").timedelta(days=15)
+    per: dict[int, list[int]] = {}
+    for r in rows:
+        q = math.floor(r.value * 100.0 + 0.5)
+        x, y = per.setdefault(r.user_id, [0, 0])
+        if r.ts < cut:
+            per[r.user_id][0] = x + q
+        else:
+            per[r.user_id][1] = y + q
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cxy, cxx, cyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    row = get_query("stat_cuped_adjustment").fn(spark, sf_dir).collect()[0]
+    assert row.n_users == n
+    assert abs(row.theta - cxy / cxx) < 1e-6
+    assert abs(row.mean_y - sy / 100.0 / n) < 1e-6
+    assert abs(row.var_y - cyy / 1e4 / n / n) < 1e-4
+    assert abs(row.var_y_adj - (cyy - cxy**2 / cxx) / 1e4 / n / n) < 1e-4
+    assert abs(row.var_reduction_pct - 100.0 * cxy**2 / (cxx * cyy)) < 1e-4
+    # structure: adjustment can only help, and never past 100%
+    assert 0.0 <= row.var_reduction_pct <= 100.0
+    assert row.var_y_adj <= row.var_y + 1e-12
+
+
+def test_cuped_closed_forms():
+    # perfectly correlated covariate -> 100% variance reduction
+    xs, ys = [1, 2, 3, 4], [10, 20, 30, 40]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    cxy = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+    cxx = n * sum(x * x for x in xs) - sx * sx
+    cyy = n * sum(y * y for y in ys) - sy * sy
+    assert abs(100.0 * cxy**2 / (cxx * cyy) - 100.0) < 1e-9
+    # independent covariate (orthogonal) -> theta ~ 0, no reduction
+    xs, ys = [1, -1, 1, -1], [5, 5, -5, -5]
+    sx, sy = sum(xs), sum(ys)
+    cxy = 4 * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+    assert cxy == 0
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall
+# --------------------------------------------------------------------------
+
+
+def _mk_ref(series):
+    n = len(series)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (series[j] > series[i]) - (series[j] < series[i])
+    ties = Counter(series)
+    tie_adj = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    return s, var_s, z
+
+
+def test_mann_kendall_matches_python_reference(spark, sf_dir):
+    daily: Counter = Counter()
+    for r in _events(spark, sf_dir):
+        daily[(r.event_type, r.ts.date())] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("ts_mann_kendall").fn(spark, sf_dir).collect()
+    }
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        series = [daily[(t, d)] for d in days]
+        s, var_s, z = _mk_ref(series)
+        g = got[t]
+        assert g.n_days == len(days)
+        assert g.s_stat == s
+        assert abs(g.var_s - round(var_s, 6)) < 1e-9
+        assert abs(g.z - round(z, 6)) < 1e-9
+        want = (
+            "increasing"
+            if s > 0 and z > 1.959963984540054
+            else "decreasing"
+            if s < 0 and z < -1.959963984540054
+            else "none"
+        )
+        assert g.trend == want, t
+
+
+def test_mann_kendall_closed_forms():
+    # strictly increasing -> S = n(n-1)/2, strong positive z
+    s, _, z = _mk_ref(list(range(1, 11)))
+    assert s == 45 and z > 1.96
+    # strictly decreasing mirrors
+    s2, _, z2 = _mk_ref(list(range(10, 0, -1)))
+    assert s2 == -45 and z2 < -1.96
+    # constant series -> S = 0, var fully tie-corrected to 0 -> z = 0
+    s3, v3, z3 = _mk_ref([7] * 10)
+    assert (s3, v3, z3) == (0, 0.0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Group-sequential OBF
+# --------------------------------------------------------------------------
+
+
+def test_group_sequential_obf_matches_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    allq = [math.floor(r.value * 100.0 + 0.5) for r in rows]
+    ng = len(allq)
+    mu0 = sum(allq) / 100.0 / ng
+    var = sum(q * q for q in allq) / 1e4 / ng - mu0 * mu0
+    sigma = math.sqrt(var)
+    daily: dict[tuple, list[int]] = {}
+    for r in rows:
+        daily.setdefault((r.event_type, r.ts.date()), []).append(
+            math.floor(r.value * 100.0 + 0.5)
+        )
+    got = {
+        (r.event_type, r.look): r
+        for r in get_query("stat_group_sequential_obf")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    bounds = {
+        k: round(2.040 * math.sqrt(5 / k), 6) for k in range(1, 6)
+    }
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        nd = len(days)
+        cn = cs = 0
+        cums = []
+        for d in days:
+            qs = daily[(t, d)]
+            cn += len(qs)
+            cs += sum(qs)
+            cums.append((cn, cs))
+        for k in range(1, 6):
+            r = (k * nd) // 5
+            if r == 0:
+                continue
+            n_k, s_k = cums[r - 1]
+            z = (s_k / 100.0 / n_k - mu0) * math.sqrt(n_k) / sigma
+            g = got[(t, k)]
+            assert g.n_k == n_k
+            assert abs(g.z - round(z, 6)) < 1e-9, (t, k)
+            assert abs(float(g.bound) - bounds[k]) < 1e-9
+            assert g.crossed == (abs(z) > bounds[k])
+    assert len(got) == 5 * len(types)
+
+
+def test_obf_boundary_shape():
+    # boundaries decrease monotonically to ~the fixed-horizon z at the
+    # final look, and spend almost no alpha early
+    bounds = [2.040 * math.sqrt(5 / k) for k in range(1, 6)]
+    assert all(a > b for a, b in zip(bounds, bounds[1:]))
+    assert bounds[0] > 4.5  # look 1 nearly impossible to cross
+    assert abs(bounds[-1] - 2.040) < 1e-12
