@@ -605,17 +605,20 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_round_sql(prev: str, out: str, k: int) -> str:
     """One k-core peel: degrees over the surviving edge set, keep nodes
-    with degree ≥ k, keep edges between kept nodes."""
+    with degree ≥ k, keep edges between kept nodes. Every CTE is
+    MATERIALIZED (r13, the HITS-oracle lesson): each round references
+    the previous edge set twice, so DuckDB's CTE inlining re-evaluated
+    the whole peel chain exponentially."""
     return f"""
-    {out}_deg AS (
+    {out}_deg AS MATERIALIZED (
         SELECT node, COUNT(*) AS d FROM (
             SELECT u AS node FROM {prev}
             UNION ALL
             SELECT v FROM {prev}
         ) GROUP BY node
     ),
-    {out}_keep AS (SELECT node FROM {out}_deg WHERE d >= {k}),
-    {out} AS (
+    {out}_keep AS MATERIALIZED (SELECT node FROM {out}_deg WHERE d >= {k}),
+    {out} AS MATERIALIZED (
         SELECT e.u, e.v FROM {prev} e
         JOIN {out}_keep a ON a.node = e.u
         JOIN {out}_keep b ON b.node = e.v
@@ -630,7 +633,7 @@ KCORE_ROUNDS = 3
 @register(
     "graph_kcore_peel",
     oracle=_edges_sql()
-    + ", e0 AS (SELECT u, v FROM edges),"
+    + ", e0 AS MATERIALIZED (SELECT u, v FROM edges),"
     + ",".join(
         _kcore_round_sql(f"e{i}", f"e{i+1}", KCORE_K)
         for i in range(KCORE_ROUNDS)

@@ -377,7 +377,7 @@ MIN_TRIPLE_SUPPORT = 5
 @register(
     "mine_itemset_triples",
     oracle=f"""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
         FROM events
     )
