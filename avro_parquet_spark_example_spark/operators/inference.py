@@ -3911,7 +3911,8 @@ def _obf_bound_case() -> str:
                         - (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
                           * (CAST(v.sg AS DOUBLE) / 100.0 / v.ng)),
                  6) AS z,
-           {_obf_bound_case().replace("k =", "l.k =")} AS bound,
+           CAST({_obf_bound_case().replace("k =", "l.k =")}
+                AS DOUBLE) AS bound,
            ABS((CAST(l.cs AS DOUBLE) / 100.0 / l.cn
                 - CAST(v.sg AS DOUBLE) / 100.0 / v.ng)
                * SQRT(CAST(l.cn AS DOUBLE))
@@ -3992,7 +3993,7 @@ def stat_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("cn").cast("double"))
         / F.col("sigma")
     )
-    bound = F.expr(_obf_bound_case())
+    bound = F.expr(_obf_bound_case()).cast("double")
     return looks.select(
         "event_type",
         F.col("k").alias("look"),
