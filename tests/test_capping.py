@@ -114,7 +114,13 @@ def test_bipartite_drop_excludes_mega_part(memberships):
 
 
 def test_bipartite_error_raises_on_mega_part(memberships):
-    with pytest.raises(SparkRuntimeException, match="max_part_degree"):
+    # the semantic contract is the raise_error MESSAGE; the wrapper type
+    # is SparkRuntimeException standalone but can surface as a raw
+    # Py4JJavaError when AQE routes the count through a different
+    # collect path mid-suite (observed flaky in full-suite runs, passes
+    # standalone and in most full runs) — accept any
+    # exception carrying the declared message.
+    with pytest.raises(Exception, match="max_part_degree"):
         bipartite_project(
             memberships, max_part_degree=10, on_oversized="error"
         ).count()
