@@ -1270,3 +1270,14 @@ class Engine:
         )
 
         return mann_kendall(daily, key=key, order=order, value=value)
+
+    def kendall_w(self, counts: DataFrame) -> DataFrame:
+        """(n_items, n_judges, w, chi2, rejected) — tie-corrected
+        Kendall's coefficient of concordance over a (judge, item, cnt)
+        score frame; densifies to the complete judge x item block
+        (operators/inference.py)."""
+        from avro_parquet_spark_example_spark.operators.inference import (
+            kendall_w,
+        )
+
+        return kendall_w(counts)

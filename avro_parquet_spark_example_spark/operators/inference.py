@@ -4002,3 +4002,197 @@ def stat_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("bound"),
         (F.abs(z) > bound).alias("crossed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall's W — coefficient of concordance (Kendall & Babington Smith
+# 1939), completing the agreement suite (Cohen κ / Fleiss κ /
+# Krippendorff α are categorical; W is ORDINAL: do m judges rank n
+# items the same way?)
+# --------------------------------------------------------------------------
+
+#: chi-square 0.95 critical value for df = 6 (n_items − 1 weekdays).
+_CHI2_95_DF6 = "12.591587243743977"
+
+
+@register(
+    "stat_kendall_w",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type AS judge,
+               DAYOFWEEK(CAST(ts AS DATE)) + 1 AS item,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    judges AS (SELECT DISTINCT judge FROM counts),
+    items AS (SELECT DISTINCT item FROM counts),
+    dense AS (
+        SELECT j.judge, i.item, COALESCE(c.cnt, 0) AS cnt
+        FROM judges j CROSS JOIN items i
+        LEFT JOIN counts c ON c.judge = j.judge AND c.item = i.item
+    ),
+    r2 AS (
+        SELECT a.judge, a.item,
+               CAST(2 * SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS rr2
+        FROM dense a JOIN dense b ON b.judge = a.judge
+        GROUP BY 1, 2, a.cnt
+    ),
+    dims AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM judges
+    ),
+    dims2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items
+    ),
+    dsum AS (
+        SELECT r.item, CAST(SUM(r.rr2) AS BIGINT) AS d2
+        FROM r2 r GROUP BY 1
+    ),
+    s4 AS (
+        SELECT CAST(SUM((d.d2 - m.m * (n2.n + 1))
+                        * (d.d2 - m.m * (n2.n + 1))) AS DECIMAL(38,0)) AS s
+        FROM dsum d, dims m, dims2 n2
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tt
+        FROM (SELECT judge, cnt, CAST(COUNT(*) AS BIGINT) AS t
+              FROM dense GROUP BY 1, 2)
+    )
+    SELECT n2.n AS n_items, m.m AS n_judges,
+           ROUND(CAST(3 * s4.s AS DOUBLE)
+                 / CAST(m.m * m.m * (n2.n * n2.n * n2.n - n2.n)
+                        - m.m * t.tt AS DOUBLE), 6) AS w,
+           ROUND(CAST(m.m * (n2.n - 1) AS DOUBLE)
+                 * (CAST(3 * s4.s AS DOUBLE)
+                    / CAST(m.m * m.m * (n2.n * n2.n * n2.n - n2.n)
+                           - m.m * t.tt AS DOUBLE)), 6) AS chi2,
+           (CAST(m.m * (n2.n - 1) AS DOUBLE)
+            * (CAST(3 * s4.s AS DOUBLE)
+               / CAST(m.m * m.m * (n2.n * n2.n * n2.n - n2.n)
+                      - m.m * t.tt AS DOUBLE))) > {_CHI2_95_DF6}
+               AS rejected
+    FROM s4, dims m, dims2 n2, ties t
+    """,
+)
+def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — KENDALL's W, the coefficient of CONCORDANCE (Kendall &
+    Babington Smith 1939, tie-corrected): do the m = 5 event types
+    ("judges") rank the n = 7 weekdays ("items") by volume the same
+    way? The ORDINAL member of the agreement suite — Cohen/Fleiss/
+    Krippendorff measure categorical label agreement; W measures
+    agreement of full RANKINGS (W = 1 unanimous order, W = 0 no
+    association), with Friedman's χ² = m(n−1)W deciding significance
+    at df = n−1.
+
+    Exactness: midranks clear halves by carrying 2·rank = 2·(#below) +
+    (#tied) + 1 as exact integers off the judge-partitioned item-grid
+    pair join (n² per judge, bounded by design); with D_i = Σ_j 2r_ij,
+    the identity W = 3·Σ_i(D_i − m(n+1))² / (m²(n³−n) − m·Σ_j Σ(t³−t))
+    clears every denominator (the ×12 tie convention folds into the 3)
+    so numerator and denominator are exact integers through ONE IEEE
+    division; the rejection compares the unrounded χ² to the shared
+    df-6 literal. The item grid densifies to all (judge × item) cells
+    with zero counts — W requires a complete block design.
+
+    Scale: one (type, weekday) map-side-combined aggregate; everything
+    after is (m × n)-grid algebra."""
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("judge"),
+            F.dayofweek(F.col("ts").cast("date")).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return kendall_w(counts)
+
+
+def kendall_w(counts: DataFrame) -> DataFrame:
+    """(n_items, n_judges, w, chi2, rejected) — tie-corrected Kendall's
+    W over a (judge, item, cnt) score frame (the library form the
+    Engine facade exposes; ``stat_kendall_w`` is its registered
+    oracle-checked instance). Densifies to the full judge × item grid
+    with zero scores — a complete block design is required."""
+    # grid-sized from here on: collapse to ONE partition (the graph_scc
+    # rule) so the half-dozen grid stages pay no 32-way shuffle
+    # overhead — the first cut of this operator spent ~10 s of fixed
+    # tiny-stage cost on 35 rows.
+    counts = counts.coalesce(1).localCheckpoint(eager=True)
+    judges = counts.select("judge").distinct()
+    items = counts.select("item").distinct()
+    dense = (
+        judges.crossJoin(items)
+        .join(counts, ["judge", "item"], "left")
+        .select(
+            "judge",
+            "item",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # m*n rows; consumed 3x
+    )
+    # midranks via judge-partitioned RANGE windows (one shuffle, not a
+    # grid self-join): #strictly-below and #tied by integer cnt order
+    wcb = (
+        Window.partitionBy("judge")
+        .orderBy("cnt")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("judge").orderBy("cnt").rangeBetween(0, 0)
+    r2 = dense.select(
+        "judge",
+        "item",
+        (
+            2 * F.count(F.lit(1)).over(wcb)
+            + F.count(F.lit(1)).over(wt)
+            + 1
+        )
+        .cast("bigint")
+        .alias("rr2"),
+    )
+    m_ = judges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    n_ = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dsum = r2.groupBy("item").agg(
+        F.sum("rr2").cast("bigint").alias("d2")
+    )
+    s4 = (
+        dsum.crossJoin(F.broadcast(m_))
+        .crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(
+                (F.col("d2") - F.col("m") * (F.col("n") + 1))
+                * (F.col("d2") - F.col("m") * (F.col("n") + 1))
+            )
+            .cast("decimal(38,0)")
+            .alias("s"),
+            F.min("m").alias("m"),
+            F.min("n").alias("n"),
+        )
+    )
+    ties = (
+        dense.groupBy("judge", "cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    j = s4.crossJoin(F.broadcast(ties))
+    m, n = F.col("m"), F.col("n")
+    den = (m * m * (n * n * n - n) - m * F.col("tt")).cast("double")
+    w = (3 * F.col("s")).cast("double") / den
+    chi2 = (m * (n - 1)).cast("double") * w
+    return j.select(
+        n.alias("n_items"),
+        m.alias("n_judges"),
+        F.round(w, 6).alias("w"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.expr(_CHI2_95_DF6)).alias("rejected"),
+    )

@@ -64,6 +64,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_randomization_dow": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
         "stat_poisson_bootstrap_ci": "broadcast 1-row sampler-threshold cross join (validation-scope hash sample)",
         "stat_cuped_adjustment": "broadcast 1-row pre-period-cut cross join (MIN(ts)+15d boundary)",
+        "stat_kendall_w": "judge x item grid cross join (m*n <= 35 rows, complete-block densification) + 1-row m/n/tie-total cross joins",
         "stat_group_sequential_obf": "broadcast 1-row pooled mu0/sigma cross join (the mSPRT shape)",
         "curation_length_buckets": "broadcast 1-row corpus-total cross join",
         "stat_msprt_sequential": "broadcast 1-row global mu0/sigma2 cross join",

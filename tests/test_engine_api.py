@@ -997,3 +997,26 @@ def test_engine_cuped_mann_kendall_facade_parity(spark, sf_dir):
     assert rows(
         eng.mann_kendall(daily, key="event_type", order="day", value="x")
     ) == rows(get_query("ts_mann_kendall").fn(spark, sf_dir))
+
+
+def test_engine_kendall_w_facade_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.registry import get_query
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("judge"),
+            F.dayofweek(F.col("ts").cast("date")).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    got = sorted(map(tuple, eng.kendall_w(counts).collect()))
+    want = sorted(
+        map(tuple, get_query("stat_kendall_w").fn(spark, sf_dir).collect())
+    )
+    assert got == want

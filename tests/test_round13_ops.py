@@ -599,3 +599,75 @@ def test_obf_boundary_shape():
     assert all(a > b for a, b in zip(bounds, bounds[1:]))
     assert bounds[0] > 4.5  # look 1 nearly impossible to cross
     assert abs(bounds[-1] - 2.040) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# Kendall's W (concordance)
+# --------------------------------------------------------------------------
+
+
+def _kendall_w_ref(matrix):
+    """matrix: {judge: {item: score}} complete block; tie-corrected W
+    via midranks, the exact integer identity the engines use."""
+    judges = sorted(matrix)
+    items = sorted(next(iter(matrix.values())))
+    m, n = len(judges), len(items)
+    d2 = {i: 0 for i in items}
+    tt = 0
+    for j in judges:
+        scores = matrix[j]
+        for i in items:
+            below = sum(1 for i2 in items if scores[i2] < scores[i])
+            tied = sum(1 for i2 in items if scores[i2] == scores[i])
+            d2[i] += 2 * below + tied + 1
+        ties = Counter(scores.values())
+        tt += sum(t**3 - t for t in ties.values())
+    s4 = sum((d2[i] - m * (n + 1)) ** 2 for i in items)
+    den = m * m * (n**3 - n) - m * tt
+    w = 3 * s4 / den
+    return w, m * (n - 1) * w
+
+
+def test_kendall_w_matches_python_reference(spark, sf_dir):
+    mat: dict[str, dict[int, int]] = {}
+    for r in _events(spark, sf_dir):
+        dow = r.ts.isoweekday() % 7 + 1
+        mat.setdefault(r.event_type, {}).setdefault(dow, 0)
+        mat[r.event_type][dow] += 1
+    # complete the block with zero counts (the operator densifies)
+    items = sorted({i for sc in mat.values() for i in sc})
+    for sc in mat.values():
+        for i in items:
+            sc.setdefault(i, 0)
+    w, chi2 = _kendall_w_ref(mat)
+    row = get_query("stat_kendall_w").fn(spark, sf_dir).collect()[0]
+    assert row.n_items == len(items)
+    assert row.n_judges == len(mat)
+    assert abs(row.w - round(w, 6)) < 1e-9
+    assert abs(row.chi2 - round(chi2, 6)) < 1e-9
+    assert row.rejected == (chi2 > 12.591587243743977)
+    assert 0.0 <= row.w <= 1.0
+
+
+def test_kendall_w_closed_forms():
+    # unanimous rankings -> W = 1 exactly
+    mat = {j: {i: i * 10 for i in range(1, 6)} for j in "abc"}
+    w, _ = _kendall_w_ref(mat)
+    assert abs(w - 1.0) < 1e-12
+    # perfectly opposed pair of judges -> W = 0
+    mat2 = {
+        "a": {i: i for i in range(1, 6)},
+        "b": {i: 6 - i for i in range(1, 6)},
+    }
+    w2, _ = _kendall_w_ref(mat2)
+    assert abs(w2) < 1e-12
+    # all-tied scores: denominator fully tie-corrected; S = 0 -> W = 0/0
+    # guarded upstream by design (not a valid concordance question) —
+    # assert the identity's components vanish together
+    mat3 = {"a": {1: 5, 2: 5}, "b": {1: 5, 2: 5}}
+    judges = mat3.keys()
+    tt = sum(
+        sum(t**3 - t for t in Counter(mat3[j].values()).values())
+        for j in judges
+    )
+    assert 2 * 2 * (2**3 - 2) - 2 * tt == 0

@@ -46,6 +46,7 @@ DOCS_OPS = [
 #: every new op gets a measured 10x leg). Events ops ride the disjoint
 #: isomorphic copies; lineitem ops (the AUC family) ride the facts dir.
 NEW_EVENTS_OPS = [
+    "stat_kendall_w",
     "stat_cuped_adjustment",
     "ts_mann_kendall",
     "stat_group_sequential_obf",
