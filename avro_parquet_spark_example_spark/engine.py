@@ -1121,15 +1121,21 @@ class Engine:
         return rouge_n(pairs, group=group, pair=pair, cand=cand, ref=ref)
 
     def scc(
-        self, edges: DataFrame, nodes: DataFrame, rounds: int = 5
+        self, edges: DataFrame, nodes: DataFrame, rounds: int | None = None
     ) -> DataFrame:
         """(node, scc_id, scc_size) — strongly connected components of
         a BOUNDED directed (src, dst) graph by path-doubling closure +
         mutual reachability (operators/graph.py). For condensation /
-        domain graphs (≤ thousands of nodes), not row-scale graphs."""
-        from avro_parquet_spark_example_spark.operators.graph import scc
+        domain graphs (≤ thousands of nodes), not row-scale graphs.
+        rounds=None forwards the operator default (graph._SCC_ROUNDS)."""
+        from avro_parquet_spark_example_spark.operators.graph import (
+            _SCC_ROUNDS,
+            scc,
+        )
 
-        return scc(edges, nodes, rounds=rounds)
+        return scc(
+            edges, nodes, rounds=_SCC_ROUNDS if rounds is None else rounds
+        )
 
     def piecewise_trend(
         self,

@@ -2779,24 +2779,24 @@ def median_ci(df: DataFrame, group: str, value: str) -> DataFrame:
     agg_quantile_bands_exact shape."""
     per_val = (
         df.groupBy(
-            F.col(group).alias("flag"), F.col(value).alias("v")
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            F.col(group).alias("__g"), F.col(value).alias("__v")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
     wcum = (
-        Window.partitionBy("flag")
-        .orderBy("v")
+        Window.partitionBy("__g")
+        .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy("flag")
+    wall = Window.partitionBy("__g")
     cum = per_val.withColumn(
-        "cc", F.sum("c").over(wcum).cast("bigint")
-    ).withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        "__cc", F.sum("__c").over(wcum).cast("bigint")
+    ).withColumn("n", F.sum("__c").over(wall).cast("bigint"))
     z = F.expr("1.959963984540054")
     ranks = (
-        cum.groupBy("flag")
+        cum.groupBy("__g")
         .agg(F.min("n").alias("n"))
         .select(
-            "flag",
+            "__g",
             "n",
             F.expr("(n + 1) div 2").cast("bigint").alias("k_med"),
             F.greatest(
@@ -2814,18 +2814,18 @@ def median_ci(df: DataFrame, group: str, value: str) -> DataFrame:
         )
     )
     out = (
-        ranks.join(cum.select("flag", "v", "cc"), "flag")
-        .groupBy("flag", "n")
+        ranks.join(cum.select("__g", "__v", "__cc"), "__g")
+        .groupBy("__g", "n")
         .agg(
             F.min(
-                F.when(F.col("cc") >= F.col("k_med"), F.col("v"))
+                F.when(F.col("__cc") >= F.col("k_med"), F.col("__v"))
             ).alias("median"),
-            F.min(F.when(F.col("cc") >= F.col("k_lo"), F.col("v"))).alias(
+            F.min(F.when(F.col("__cc") >= F.col("k_lo"), F.col("__v"))).alias(
                 "ci_lo"
             ),
-            F.min(F.when(F.col("cc") >= F.col("k_hi"), F.col("v"))).alias(
+            F.min(F.when(F.col("__cc") >= F.col("k_hi"), F.col("__v"))).alias(
                 "ci_hi"
             ),
         )
     )
-    return out.withColumnRenamed("flag", group)
+    return out.withColumnRenamed("__g", group)

@@ -457,8 +457,11 @@ def _events_sample_duck(alias: str) -> str:
 
 def _events_sample_spark(e: DataFrame) -> DataFrame:
     """Spark twin of :func:`_events_sample_duck`: bound ``e`` (must
-    carry a bigint ``event_id``) to ~_RAND_MAX_ROWS hash-sampled rows."""
-    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    carry a bigint ``event_id``) to ~_RAND_MAX_ROWS hash-sampled rows.
+    Internal count column is collision-proof ``__nr`` so an input frame
+    that already carries ``nr`` (plausible user column) still binds
+    correctly."""
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("__nr"))
     return (
         e.crossJoin(F.broadcast(nn))
         .filter(
@@ -466,10 +469,10 @@ def _events_sample_spark(e: DataFrame) -> DataFrame:
                 "CAST(CONV(SUBSTR(MD5(CONCAT(CAST(event_id AS STRING),"
                 " ':es')), 1, 8), 16, 10) AS BIGINT)"
                 f" < CAST(4294967296.0 * LEAST(1.0,"
-                f" CAST({_RAND_MAX_ROWS} AS DOUBLE) / nr) AS BIGINT)"
+                f" CAST({_RAND_MAX_ROWS} AS DOUBLE) / `__nr`) AS BIGINT)"
             )
         )
-        .drop("nr")
+        .drop("__nr")
     )
 
 #: floor(CDF_Poisson(1)(i) * 2^32) for i = 0..5 — integer thresholds on the
@@ -551,7 +554,8 @@ def _pois_w_sql(u: str) -> str:
            ROUND(MIN(CASE WHEN rk = CAST(CEIL(0.025 * nr) AS BIGINT)
                           THEN m END), 6) AS ci_lo,
            ROUND(MIN(CASE WHEN rk = CAST(CEIL(0.975 * nr) AS BIGINT)
-                          THEN m END), 6) AS ci_hi
+                          THEN m END), 6) AS ci_hi,
+           (SELECT nr > {_RAND_MAX_ROWS} FROM bn) AS sampled
     FROM ranked x JOIN obs o USING (event_type)
     GROUP BY 1, 2, o.tv
     """,
@@ -582,13 +586,20 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     REGISTERED fixture is validation-scoped to a deterministic
     ~30k-row hash sample (_RAND_MAX_ROWS; a no-op through sf0.01) so
     the gate doesn't pay the O(N·R) md5 expansion at every SF; the
-    library form below stays uncapped."""
+    library form below stays uncapped. The ``sampled`` output column
+    flags whether the cap was binding (r14, ADVICE: the validation
+    scope is visible in the output itself, not only here)."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id").cast("bigint").alias("event_id"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
-    return poisson_bootstrap_ci(_events_sample_spark(e))
+    flag = e.agg(
+        (F.count(F.lit(1)) > F.lit(_RAND_MAX_ROWS)).alias("sampled")
+    )
+    return poisson_bootstrap_ci(_events_sample_spark(e)).crossJoin(
+        F.broadcast(flag)
+    )
 
 
 def poisson_bootstrap_ci(
@@ -930,7 +941,8 @@ def randomization_pvalues_frame(e: DataFrame) -> DataFrame:
     WITH {_rand_base_duck()}
     SELECT event_type, dow, n_c, ROUND(t_obs, 6) AS t_obs,
            a AS n_exceed,
-           ROUND(CAST(1 + a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value
+           ROUND(CAST(1 + a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value,
+           (SELECT nr > {_RAND_MAX_ROWS} FROM bn) AS sampled
     FROM pvals
     """,
 )
@@ -946,8 +958,14 @@ def stat_randomization_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression) and partial-aggregates to (types × R × 7) grid rows
     before the only shuffle; the broadcast threshold table is 5 rows.
     p-value resolution at R={_RAND_R} is ~0.01 — raise R linearly in
-    compute for tighter FDR input, nothing else changes."""
+    compute for tighter FDR input, nothing else changes. The
+    ``sampled`` output column flags whether the _RAND_MAX_ROWS
+    validation cap was binding (r14, ADVICE)."""
     p = randomization_pvalues(spark, sf_dir)
+    flag = (
+        load(spark, sf_dir, "events")
+        .agg((F.count(F.lit(1)) > F.lit(_RAND_MAX_ROWS)).alias("sampled"))
+    )
     return p.select(
         "event_type",
         "dow",
@@ -957,7 +975,7 @@ def stat_randomization_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((1 + F.col("a")).cast("double") / (_RAND_R + 1), 6).alias(
             "p_value"
         ),
-    )
+    ).crossJoin(F.broadcast(flag))
 
 
 #: BH target false-discovery rate, as an exact rational (numer, denom).
@@ -2189,7 +2207,8 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(SUM(1 - pos) AS BIGINT) FROM base) AS n_neg,
            (SELECT ROUND(m, 6) FROM rep WHERE r = 0) AS auc,
            ROUND(MIN(CASE WHEN rk = {_BOOT_LO_RK} THEN m END), 6) AS ci_lo,
-           ROUND(MIN(CASE WHEN rk = {_BOOT_HI_RK} THEN m END), 6) AS ci_hi
+           ROUND(MIN(CASE WHEN rk = {_BOOT_HI_RK} THEN m END), 6) AS ci_hi,
+           (SELECT nr > {_BOOT_MAX_ROWS} FROM nn) AS sampled
     FROM ranked
     """,
 )
@@ -2320,8 +2339,13 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rk") == _BOOT_HI_RK, F.col("xm"))), 6
         ).alias("ci_hi"),
     )
+    sampled = nn.select(
+        (F.col("nr") > F.lit(_BOOT_MAX_ROWS)).alias("sampled")
+    )
     return (
-        tot.crossJoin(F.broadcast(point)).crossJoin(F.broadcast(ci))
+        tot.crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(sampled))
     )
 
 
@@ -3668,16 +3692,44 @@ def eval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_overlap(t1, t2, k=_RBO_K)
 
 
-def rbo_overlap(t1: DataFrame, t2: DataFrame, k: int = _RBO_K) -> DataFrame:
+def rbo_overlap(
+    t1: DataFrame,
+    t2: DataFrame,
+    k: int = _RBO_K,
+    id_col: str | None = None,
+) -> DataFrame:
     """(k, overlap_at_k, a_k, rbo_trunc, rbo_ext) — rank-biased overlap
     between two rank frames (columns: shared id + ``r1`` / ``r2``, ranks
     1..k) at persistence p={_RBO_P} (the library form the Engine facade
     exposes; ``eval_rbo_rankings`` is its registered oracle-checked
-    instance). ``k`` must be ≤ {_RBO_K} (the precomputed weight grid)."""
+    instance). ``k`` must be ≤ {_RBO_K} (the precomputed weight grid).
+    ``id_col`` names the shared join id explicitly; when omitted, t1
+    must have EXACTLY two columns (id + r1) and the inferred id must
+    also exist in t2 — anything else raises rather than silently
+    joining on the wrong key."""
     if k > _RBO_K:
         raise ValueError(f"rbo_overlap: k={k} exceeds weight grid {_RBO_K}")
     spark = t1.sparkSession
-    idc = [c for c in t1.columns if c != "r1"][0]
+    if id_col is not None:
+        if id_col not in t1.columns or id_col not in t2.columns:
+            raise ValueError(
+                f"rbo_overlap: id_col {id_col!r} must exist in both frames"
+                f" (t1={t1.columns}, t2={t2.columns})"
+            )
+        idc = id_col
+    else:
+        non_rank = [c for c in t1.columns if c != "r1"]
+        if len(t1.columns) != 2 or len(non_rank) != 1:
+            raise ValueError(
+                "rbo_overlap: without id_col, t1 must have exactly two"
+                f" columns (id + 'r1'); got {t1.columns} — pass id_col"
+            )
+        idc = non_rank[0]
+        if idc not in t2.columns:
+            raise ValueError(
+                f"rbo_overlap: inferred id {idc!r} not in t2 columns"
+                f" {t2.columns} — pass id_col"
+            )
     both = t1.join(t2, idc).select(
         F.greatest(F.col("r1"), F.col("r2")).alias("m")
     )
@@ -3705,7 +3757,13 @@ def rbo_overlap(t1: DataFrame, t2: DataFrame, k: int = _RBO_K) -> DataFrame:
         F.round(F.col("s").cast("double"), 6).alias("rbo_trunc"),
         F.round(
             F.col("s").cast("double")
-            + F.expr(str(_RBO_PK)) * F.col("xk").cast("double") / k,
+            # extrapolation tail is p^k at the REQUESTED depth, not the
+            # grid maximum (r14 fix: k < _RBO_K previously used p^50,
+            # deflating rbo_ext; _RBO_PK == round(p^k,12) when k==_RBO_K
+            # so the registered k=50 instance is bit-unchanged)
+            + F.expr(str(round(_RBO_P**k, 12)))
+            * F.col("xk").cast("double")
+            / k,
             6,
         ).alias("rbo_ext"),
     )

@@ -118,9 +118,14 @@ def test_bipartite_error_raises_on_mega_part(memberships):
     # is SparkRuntimeException standalone but can surface as a raw
     # Py4JJavaError when AQE routes the count through a different
     # collect path mid-suite (observed flaky in full-suite runs, passes
-    # standalone and in most full runs) — accept any
-    # exception carrying the declared message.
-    with pytest.raises(Exception, match="max_part_degree"):
+    # standalone and in most full runs) — accept exactly those two
+    # wrapper types carrying the declared message, nothing broader.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="max_part_degree"
+    ):
         bipartite_project(
             memberships, max_part_degree=10, on_oversized="error"
         ).count()

@@ -1,0 +1,139 @@
+"""Round-14 hardening regressions: ADVICE-item fixes (rbo_overlap id
+validation, collision-proof internal columns, visible sampling scope,
+Engine.scc default forwarding)."""
+
+from __future__ import annotations
+
+import pytest
+
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+# --------------------------------------------------------------------------
+# rbo_overlap id inference is now validated (ADVICE r13 #2)
+# --------------------------------------------------------------------------
+
+
+def _rank_frames(spark):
+    t1 = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id int, r1 int"
+    )
+    t2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id int, r2 int"
+    )
+    return t1, t2
+
+
+def test_rbo_overlap_rejects_ambiguous_t1(spark):
+    from avro_parquet_spark_example_spark.operators.inference import (
+        rbo_overlap,
+    )
+
+    t1, t2 = _rank_frames(spark)
+    wide = t1.withColumn("extra", t1.doc_id * 2)
+    with pytest.raises(ValueError, match="exactly two"):
+        rbo_overlap(wide, t2, k=10)
+    # explicit id_col rescues the wide frame
+    row = rbo_overlap(wide, t2, k=10, id_col="doc_id").collect()[0]
+    assert row.overlap_at_k == 10
+
+
+def test_rbo_overlap_rejects_id_missing_from_t2(spark):
+    from avro_parquet_spark_example_spark.operators.inference import (
+        rbo_overlap,
+    )
+
+    t1, t2 = _rank_frames(spark)
+    t1_renamed = t1.withColumnRenamed("doc_id", "other_id")
+    with pytest.raises(ValueError, match="not in t2"):
+        rbo_overlap(t1_renamed, t2, k=10)
+    with pytest.raises(ValueError, match="must exist in both"):
+        rbo_overlap(t1, t2, k=10, id_col="nope")
+
+
+def test_rbo_overlap_identical_rankings_unchanged(spark):
+    from avro_parquet_spark_example_spark.operators.inference import (
+        rbo_overlap,
+    )
+
+    t1, t2 = _rank_frames(spark)
+    row = rbo_overlap(t1, t2, k=10).collect()[0]
+    assert row.overlap_at_k == 10
+    assert abs(row.rbo_ext - 1.0) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# collision-proof internal columns (ADVICE r13 #3)
+# --------------------------------------------------------------------------
+
+
+def test_events_sample_spark_survives_nr_column(spark):
+    from avro_parquet_spark_example_spark.operators.inference import (
+        _events_sample_spark,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i % 3, 7) for i in range(100)],
+        "event_id long, event_type int, nr int",
+    )
+    out = _events_sample_spark(e)
+    # under the cap -> identity sample; caller's nr column intact
+    assert out.count() == 100
+    assert "nr" in out.columns
+    assert out.agg({"nr": "min"}).collect()[0][0] == 7
+
+
+def test_median_ci_survives_flag_and_v_names(spark):
+    from avro_parquet_spark_example_spark.operators.aggregates import (
+        median_ci,
+    )
+
+    # group column named 'v', value column named 'flag' — the exact
+    # collision class the r13 ADVICE flagged
+    df = spark.createDataFrame(
+        [("a", x) for x in range(1, 102)] + [("b", x) for x in range(5, 16)],
+        "v string, flag int",
+    )
+    got = {r.v: r for r in median_ci(df, "v", "flag").collect()}
+    assert got["a"].median == 51 and got["a"].n == 101
+    assert got["b"].median == 10 and got["b"].n == 11
+    # plain names still work
+    df2 = df.withColumnRenamed("v", "g").withColumnRenamed("flag", "x")
+    got2 = {r.g: r.median for r in median_ci(df2, "g", "x").collect()}
+    assert got2 == {"a": 51, "b": 10}
+
+
+# --------------------------------------------------------------------------
+# sampling scope visible in output (ADVICE r13 #1)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "stat_poisson_bootstrap_ci",
+        "stat_randomization_dow",
+        "eval_auc_bootstrap_ci",
+    ],
+)
+def test_capped_fixtures_emit_sampled_flag(spark, sf_dir, key):
+    df = get_query(key).fn(spark, sf_dir)
+    assert "sampled" in df.columns
+    vals = {r.sampled for r in df.select("sampled").distinct().collect()}
+    # sf0.001 fixtures sit far below both caps -> flag must be False
+    assert vals == {False}
+
+
+# --------------------------------------------------------------------------
+# Engine.scc forwards the operator default (ADVICE r13 #4)
+# --------------------------------------------------------------------------
+
+
+def test_engine_scc_default_tracks_operator_constant():
+    import inspect
+
+    from avro_parquet_spark_example_spark.engine import Engine
+
+    src = inspect.getsource(Engine.scc)
+    assert "_SCC_ROUNDS" in src
+    assert "rounds: int | None = None" in src
