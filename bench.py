@@ -201,32 +201,38 @@ def _noise_guard(
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_session(app_name="bench")
-    # REBUILD_EACH_RUN times raw registry fns (bypassing the wrapper that
-    # self-configures the session), so configure explicitly up front —
-    # correctness must not depend on a wrapped query running first.
-    configure(spark)
-    queries = all_queries()
+#: Contention-recapture rule (VERDICT-r13 #3): BENCH_r13 froze a capture
+#: taken while ALL THREE calibration probes were +75..+109% vs the prior
+#: round — an honest but permanently polluted record (5 phantom flags).
+#: When every calib delta exceeds this threshold, the machine is loaded
+#: beyond what flag-normalization can absorb; back off once and re-capture,
+#: then report the quieter capture as the headline and keep the rejected
+#: one in the record under ``contended_capture``.
+RECAPTURE_THRESHOLD_PTS = 50.0
+RECAPTURE_SLEEP_SEC = 60.0
+
+
+def _capture(spark, sf_dir: str, queries) -> dict:
+    """One full measurement pass: three calibration probes + both timing
+    protocols for every headline query.
+
+    Two timing protocols, both reported:
+
+    * warm (cached handle) — repeated collects of the plan-cached
+      DataFrame. Spark's DAGScheduler skips already-computed shuffle map
+      stages for the same RDD DAG, so for shuffle queries this measures
+      post-shuffle work: the cost a long-lived Engine session pays for a
+      repeated query. This is the series BENCH_r1..r4 reported — kept for
+      round-over-round continuity.
+    * fresh (plan rebuilt per run) — raw registry fn re-invoked each run:
+      new DataFrame, new RDD DAG, full re-execution including every
+      shuffle, plus Catalyst analysis. This is the honest twin of
+      BASELINE.md's "re-run the query text, report 2nd timing" protocol
+      and the number to hold against the 2x bar.
+    """
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
     calib_scan = _calibrate_scan(spark, sf_dir)
-
-    # Two timing protocols, both reported:
-    #
-    # * warm (cached handle) — repeated collects of the plan-cached
-    #   DataFrame. Spark's DAGScheduler skips already-computed shuffle map
-    #   stages for the same RDD DAG, so for shuffle queries this measures
-    #   post-shuffle work: the cost a long-lived Engine session pays for a
-    #   repeated query. This is the series BENCH_r1..r4 reported — kept for
-    #   round-over-round continuity.
-    # * fresh (plan rebuilt per run) — raw registry fn re-invoked each run:
-    #   new DataFrame, new RDD DAG, full re-execution including every
-    #   shuffle, plus Catalyst analysis. This is the honest twin of
-    #   BASELINE.md's "re-run the query text, report 2nd timing" protocol
-    #   and the number to hold against the 2x bar.
     timings: dict[str, float] = {}
     fresh: dict[str, float] = {}
     for bench_key, query_name in HEADLINE.items():
@@ -247,6 +253,79 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             for out in outs:
                 out[bench_key] = round(min(runs[1:]), 4)
+    return {
+        "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
+        "calib_scan_sec": calib_scan,
+        "timings": timings,
+        "fresh": fresh,
+    }
+
+
+def _calib_deltas_vs_prev(cap: dict) -> list[float]:
+    """Calib deltas (pct) of this capture vs the latest committed record —
+    empty when there is no prior record to compare against."""
+    prev = _prev_bench()
+    if prev is None:
+        return []
+    _, pdata = prev
+    out = []
+    for key in ("calib_sec", "calib_shuffle_sec", "calib_scan_sec"):
+        pv = pdata.get(key)
+        if pv:
+            out.append(round((cap[key] - pv) / pv * 100, 1))
+    return out
+
+
+def _should_recapture(deltas: list[float]) -> bool:
+    """True when EVERY calibration probe is elevated beyond the threshold
+    vs the previous committed record — the machine-wide-contention
+    signature (isolated probe elevation stays with flag-normalization)."""
+    return bool(deltas) and min(deltas) > RECAPTURE_THRESHOLD_PTS
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+    # REBUILD_EACH_RUN times raw registry fns (bypassing the wrapper that
+    # self-configures the session), so configure explicitly up front —
+    # correctness must not depend on a wrapped query running first.
+    configure(spark)
+    queries = all_queries()
+
+    cap = _capture(spark, sf_dir, queries)
+    recapture_note: dict = {}
+    deltas = _calib_deltas_vs_prev(cap)
+    if _should_recapture(deltas):
+        # every probe elevated — machine-wide contention; one backoff
+        time.sleep(RECAPTURE_SLEEP_SEC)
+        cap2 = _capture(spark, sf_dir, queries)
+        first, second = cap, cap2
+        # quieter capture (lower trivial-count calib) becomes the headline
+        if cap2["calib_sec"] <= cap["calib_sec"]:
+            cap, rejected = cap2, first
+        else:
+            rejected = second
+        recapture_note = {
+            "recaptured": True,
+            "recapture_reason": (
+                f"all calib deltas vs prev > {RECAPTURE_THRESHOLD_PTS} pts"
+                f" (min {min(deltas)}); slept {RECAPTURE_SLEEP_SEC:.0f}s"
+                " and re-captured; quieter capture is the headline"
+            ),
+            "contended_capture": {
+                "calib_sec": rejected["calib_sec"],
+                "calib_shuffle_sec": rejected["calib_shuffle_sec"],
+                "calib_scan_sec": rejected["calib_scan_sec"],
+                "queries": rejected["fresh"],
+            },
+        }
+
+    timings, fresh = cap["timings"], cap["fresh"]
+    calib = cap["calib_sec"]
+    calib_shuffle = cap["calib_shuffle_sec"]
+    calib_scan = cap["calib_scan_sec"]
 
     # The FRESH (plan-rebuilt) series is the headline: it is the honest
     # twin of BASELINE.md's protocol (re-run the query text, report 2nd
@@ -272,6 +351,7 @@ def main() -> None:
                 "calib_shuffle_sec": calib_shuffle,
                 "calib_scan_sec": calib_scan,
                 **_noise_guard(fresh, calib, calib_shuffle, calib_scan),
+                **recapture_note,
             }
         )
     )
