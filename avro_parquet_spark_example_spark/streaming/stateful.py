@@ -69,21 +69,68 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events(spark.readStream.schema(schema).parquet(stage_dir))
 
 
-def run_to_table(df: DataFrame, output_mode: str) -> DataFrame:
-    """Run a streaming plan to completion (AvailableNow) into a memory sink."""
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count SIZED TO THE REPLAY'S INPUT (r14,
+    VERDICT task #6): each streaming state partition costs a fixed
+    per-micro-batch overhead (HDFSBackedStateStore load + commit +
+    checkpoint file per partition PER stateful operator), so a 100k-row
+    bounded replay at the session's 32 shuffle partitions spends 4-6x
+    more wall time on state plumbing than on data (measured: the
+    stream-stream join 18.1 s at 32 parts vs 4.7 s at 8, identical
+    output). Sizing rule: one state partition per ~25k input rows,
+    floor 4, capped at the session's shuffle parallelism — so the ×100
+    scale-up replay (10M rows) gets the full 32 and an unbounded
+    production deployment (which sets shuffle partitions to cluster
+    width) is uncapped. The parquet row count is metadata-only."""
+    n_rows = spark.read.parquet(table_path(sf_dir, "events")).count()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(4, min(cap, n_rows // 25_000))
+
+
+def run_to_table(
+    df: DataFrame,
+    output_mode: str,
+    state_partitions: int | None = None,
+    final_no_data_batch: bool = True,
+) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    this query only (state-store count is frozen into the checkpoint at
+    first batch — see :func:`stream_state_partitions` for sizing).
+    ``final_no_data_batch=False`` disables the trailing watermark-advance
+    micro-batch — ONLY legal when the sink already holds the full answer
+    after the data batches: complete-mode aggregations and APPEND INNER
+    stream-stream joins (matches emit with the data; the no-data batch
+    only evicts state). Append-mode queries whose late/closed results
+    emit ON watermark advance (outer joins, append windowed aggs,
+    session windows) MUST keep the default."""
+    spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(SCRATCH, name)
     shutil.rmtree(ckpt, ignore_errors=True)
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    spark = df.sparkSession
+    saved: dict[str, str] = {}
+    overrides: dict[str, str] = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if not final_no_data_batch:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return spark.table(name)
 
 
@@ -336,7 +383,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (ts_us(joined, "p_ts") - ts_us(joined, "v_ts")).alias("us_between"),
     )
-    return run_to_table(joined, "append")
+    # INNER join: every match emits with its data batch; the trailing
+    # no-data batch only evicts state, so it's elided (r14 — measured
+    # 18.1 s -> 3.0 s at sf0.1 with input-sized state partitions).
+    return run_to_table(
+        joined,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
 
 
 @register(
@@ -871,7 +926,16 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = bucketed.groupBy("win").agg(
         F.count(F.lit(1)).alias("n_users")
     ).select(F.col("win.start").alias("win_start"), "n_users")
-    return run_to_table(agg, "complete")
+    # COMPLETE mode: the sink holds the full final counts after the data
+    # batch; the trailing watermark-advance batch is pure state plumbing,
+    # elided (r14 — measured 13.3 s -> 1.6 s at sf0.1 with input-sized
+    # state partitions).
+    return run_to_table(
+        agg,
+        "complete",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
 
 
 @register(
