@@ -1079,6 +1079,112 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benjamini–Yekutieli FDR (BY 2001) — BH under arbitrary dependence
+# --------------------------------------------------------------------------
+
+#: Harmonic number H(35) = Σ_{i=1..35} 1/i as a precomputed shared
+#: literal (the BY correction factor for m = 5 types × 7 weekdays).
+_BY_H35 = "4.146781419016861"
+
+
+@register(
+    "stat_by_fdr",
+    oracle=f"""
+    WITH {_rand_base_duck()},
+    ranked AS (
+        SELECT x.event_type, x.dow, x.a,
+               CAST(COUNT(*) AS BIGINT) AS rk
+        FROM pvals x JOIN pvals y
+          ON (y.a < x.a) OR (y.a = x.a AND (y.event_type < x.event_type
+              OR (y.event_type = x.event_type AND y.dow <= x.dow)))
+        GROUP BY 1, 2, 3
+    ),
+    mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pvals),
+    kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN
+                 (((CAST(1 + r.a AS DOUBLE) * t.m) * {_BH_Q[1]})
+                  * {_BY_H35})
+                 <= CAST(r.rk * {_RAND_R + 1} * {_BH_Q[0]} AS DOUBLE)
+               THEN r.rk END), 0) AS k
+        FROM ranked r, mtot t
+    )
+    SELECT r.event_type, r.dow,
+           ROUND(CAST(1 + r.a AS DOUBLE) / {_RAND_R + 1}, 6) AS p_value,
+           r.rk AS p_rank,
+           (r.rk <= k.k) AS rejected
+    FROM ranked r, kmax k
+    """,
+)
+def stat_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — Benjamini–Yekutieli step-up FDR control (BY 2001) at
+    q = {_BH_Q[0]}/{_BH_Q[1]} over the same m = 35 randomization
+    p-values as stat_bh_fdr: BH's FDR guarantee needs positive
+    dependence (PRDS); BY divides the threshold by the harmonic number
+    H(m) and is valid under ARBITRARY dependence — the conservative
+    safety net when the 35 weekday cells are correlated (they share
+    the type's total, so they ARE). Reject H(1)..H(k), k = max{{i :
+    p(i) ≤ i·q/(m·H(m))}}.
+
+    Exactness: the p-values and ranks are the exact integers of
+    stat_bh_fdr; H(35) is a shared precomputed literal and the step-up
+    comparison is ONE identically-parenthesized IEEE expression on
+    both engines ((double(1+a)·m)·{_BH_Q[1]})·H ≤ double(rk·101) — the
+    only float in the decision, bit-identical by fixed order.
+
+    Scale: identical to stat_bh_fdr — the m²-bounded hypothesis-grid
+    pair join after the one corpus-scan pipeline."""
+    p = randomization_pvalues(spark, sf_dir).select(
+        "event_type", "dow", "a"
+    )
+    p = p.localCheckpoint(eager=True)  # m rows; consumed 3x below
+    x = p.select(
+        F.col("event_type").alias("xt"),
+        F.col("dow").alias("xd"),
+        F.col("a").alias("xa"),
+    )
+    y = p.select(
+        F.col("event_type").alias("yt"),
+        F.col("dow").alias("yd"),
+        F.col("a").alias("ya"),
+    )
+    lex = (F.col("ya") < F.col("xa")) | (
+        (F.col("ya") == F.col("xa"))
+        & (
+            (F.col("yt") < F.col("xt"))
+            | ((F.col("yt") == F.col("xt")) & (F.col("yd") <= F.col("xd")))
+        )
+    )
+    ranked = (
+        x.join(y, lex)
+        .groupBy(
+            F.col("xt").alias("event_type"),
+            F.col("xd").alias("dow"),
+            F.col("xa").alias("a"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rk"))
+    )
+    mtot = p.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    lhs = (
+        (1 + F.col("a")).cast("double") * F.col("m") * _BH_Q[1]
+    ) * F.expr(_BY_H35)
+    rhs = (F.col("rk") * (_RAND_R + 1) * _BH_Q[0]).cast("double")
+    kmax = ranked.crossJoin(F.broadcast(mtot)).agg(
+        F.coalesce(
+            F.max(F.when(lhs <= rhs, F.col("rk"))), F.lit(0)
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type",
+        "dow",
+        F.round((1 + F.col("a")).cast("double") / (_RAND_R + 1), 6).alias(
+            "p_value"
+        ),
+        F.col("rk").alias("p_rank"),
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fisher's exact test (Fisher 1935) — 2x2 independence per stratum
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,1221 @@
+"""Rank / ordinal statistics (round 14): the nonparametric test-and-
+effect-size family over bounded value grids — Jonckheere–Terpstra,
+Goodman–Kruskal gamma (+ Somers' D, tau-b), Mood's median test, the
+Wald–Wolfowitz runs test, Cliff's delta, weighted Cohen's kappa, the
+exact two-sample Kolmogorov–Smirnov distance, and the Lorenz curve.
+
+Shared design (the DeLong/g_test discipline): every statistic reduces
+to exact-integer counting over a bounded (group × value) grid — one
+map-side-combined corpus aggregate, then grid algebra with windows and
+pair joins that are grid-sized by construction — so both engines carry
+exact integers (DECIMAL(38,0) before any product that can cross int64;
+the eval_auc_delong_se overflow lesson) into ONE fixed-order IEEE
+expression at the end. Chi-square / z / KS critical values are shared
+precomputed literals; no runtime special functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from avro_parquet_spark_example_spark.registry import register
+from avro_parquet_spark_example_spark.sources.catalog import load
+
+#: Shared critical-value literals (both engines compare UNROUNDED doubles
+#: against these).
+_Z95_2S = "1.959963984540054"  # z_{0.975}
+_CHI2_95_DF4 = "9.487729036781154"
+#: KS two-sided alpha=0.05 asymptotic coefficient sqrt(-ln(0.025)/2).
+_KS_C05 = "1.3581015157406195"
+
+#: Spark/DuckDB weekday twins (Spark dayofweek: 1=Sun..7=Sat; DuckDB
+#: DAYOFWEEK: 0=Sun..6=Sat, shifted +1 in oracles — the stat_g_test rule).
+_DOW_DUCK = "DAYOFWEEK(CAST(ts AS DATE)) + 1"
+
+#: Cliff's delta magnitude bands (Romano et al. 2006 thresholds).
+_CLIFF_BANDS = (0.147, 0.33, 0.474)
+
+
+def _dow_spark():
+    return F.dayofweek(F.col("ts").cast("date"))
+
+
+def _q100():
+    """events.value quantized to exact integer cents (iusum rule)."""
+    return F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Jonckheere–Terpstra ordered-alternative test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_jonckheere_terpstra",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type, {_DOW_DUCK} AS g,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    vals AS (SELECT DISTINCT event_type, v FROM cells),
+    dows AS (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS g),
+    grid AS (
+        SELECT x.event_type, d.g, x.v, COALESCE(c.c, 0) AS c
+        FROM vals x CROSS JOIN dows d
+        LEFT JOIN cells c
+          ON c.event_type = x.event_type AND c.g = d.g AND c.v = x.v
+    ),
+    cum AS (
+        SELECT event_type, g, v, c,
+               CAST(COALESCE(SUM(c) OVER (
+                   PARTITION BY event_type, g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumv
+        FROM grid
+    ),
+    pre AS (
+        SELECT event_type, g, v, c,
+               CAST(COALESCE(SUM(cumv) OVER w, 0) AS BIGINT) AS lessg,
+               CAST(COALESCE(SUM(c) OVER w, 0) AS BIGINT) AS eqg
+        FROM cum
+        WINDOW w AS (PARTITION BY event_type, v ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    jt AS (
+        SELECT event_type,
+               CAST(SUM(c * (2 * lessg + eqg)) AS BIGINT) AS jt2
+        FROM pre GROUP BY 1
+    ),
+    gs AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+                   AS sn2,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c-1) * (2*c+5))
+                   AS DECIMAL(38,0)) AS sn_a,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c-1) * (c-2))
+                   AS DECIMAL(38,0)) AS sn_b,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c-1))
+                   AS DECIMAL(38,0)) AS sn_c
+        FROM (SELECT event_type, g, CAST(SUM(c) AS BIGINT) AS c
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    ts AS (
+        SELECT event_type,
+               CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t-1) * (2*t+5))
+                   AS DECIMAL(38,0)) AS st_a,
+               CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t-1) * (t-2))
+                   AS DECIMAL(38,0)) AS st_b,
+               CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t-1))
+                   AS DECIMAL(38,0)) AS st_c
+        FROM (SELECT event_type, v, CAST(SUM(c) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT j.event_type, g.n, j.jt2,
+           ROUND((CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0,
+                 6) AS mean_jt,
+           ROUND(
+             (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
+              - g.sn_a - t.st_a) / 72.0
+             + CAST(g.sn_b * t.st_b AS DOUBLE)
+               / (36.0 * g.n * (g.n-1) * (g.n-2))
+             + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1)),
+             6) AS var_jt,
+           ROUND(
+             (CAST(j.jt2 AS DOUBLE) / 2.0
+              - (CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0)
+             / SQRT(
+               (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
+                - g.sn_a - t.st_a) / 72.0
+               + CAST(g.sn_b * t.st_b AS DOUBLE)
+                 / (36.0 * g.n * (g.n-1) * (g.n-2))
+               + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))),
+             6) AS z,
+           ABS((CAST(j.jt2 AS DOUBLE) / 2.0
+              - (CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0)
+             / SQRT(
+               (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
+                - g.sn_a - t.st_a) / 72.0
+               + CAST(g.sn_b * t.st_b AS DOUBLE)
+                 / (36.0 * g.n * (g.n-1) * (g.n-2))
+               + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))))
+             > {_Z95_2S} AS rejected
+    FROM jt j JOIN gs g USING (event_type) JOIN ts t USING (event_type)
+    """,
+)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — JONCKHEERE–TERPSTRA ordered-alternative test (Jonckheere
+    1954, Terpstra 1952) per event type: is value stochastically
+    INCREASING across the ordered weekday groups Sun..Sat? The test
+    every ordered-dose / ordered-cohort analysis wants where
+    Kruskal–Wallis only answers "some group differs": JT = Σ_{{i<j}}
+    U_ij sums Mann–Whitney counts over ordered group pairs, so it has
+    power exactly against monotone trends.
+
+    Exactness: JT is carried DOUBLED (2·#less + #equal per pair — the
+    kendall_w midrank trick) as exact integers off two nested
+    cumulative windows on the densified (weekday × value) grid — NO
+    group-pair join: cum_<v per (group, value), then a second prefix
+    over groups at fixed value gives Σ_{{i<j}} in one pass. The
+    tie-corrected null variance (Hollander & Wolfe form, three terms
+    over group sizes n_i and pooled tie sizes t_v) uses DECIMAL(38,0)
+    products (n³·t³ crosses int64 at ~20k rows — the DeLong lesson);
+    z is ONE fixed-order IEEE expression, rejection on the unrounded
+    |z| vs the shared z₀.₉₇₅ literal.
+
+    Scale: one (type, dow, value) counting aggregate; the grid is
+    (values × 7) per type and every window partitions it. At 100 TB
+    the corpus scan dominates; the grid algebra is value-domain-sized."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            _dow_spark().alias("g"),
+            _q100().alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # feeds grid + group sizes + ties
+    )
+    vals = cells.select("event_type", "v").distinct()
+    dows = cells.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("g")
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(dows))
+        .join(cells, ["event_type", "g", "v"], "left")
+        .select(
+            "event_type", "g", "v", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wv = (
+        Window.partitionBy("event_type", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.withColumn(
+        "cumv", F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("bigint")
+    )
+    wg = (
+        Window.partitionBy("event_type", "v")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = cum.select(
+        "event_type",
+        "c",
+        F.coalesce(F.sum("cumv").over(wg), F.lit(0))
+        .cast("bigint")
+        .alias("lessg"),
+        F.coalesce(F.sum("c").over(wg), F.lit(0))
+        .cast("bigint")
+        .alias("eqg"),
+    )
+    jt = pre.groupBy("event_type").agg(
+        F.sum(F.col("c") * (2 * F.col("lessg") + F.col("eqg")))
+        .cast("bigint")
+        .alias("jt2")
+    )
+    gsize = cells.groupBy("event_type", "g").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    gs = gsize.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(cd * F.col("c")).cast("decimal(38,0)").alias("sn2"),
+        F.sum(cd * (F.col("c") - 1) * (2 * F.col("c") + 5))
+        .cast("decimal(38,0)")
+        .alias("sn_a"),
+        F.sum(cd * (F.col("c") - 1) * (F.col("c") - 2))
+        .cast("decimal(38,0)")
+        .alias("sn_b"),
+        F.sum(cd * (F.col("c") - 1)).cast("decimal(38,0)").alias("sn_c"),
+    )
+    tsize = cells.groupBy("event_type", "v").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    ts = tsize.groupBy("event_type").agg(
+        F.sum(td * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("decimal(38,0)")
+        .alias("st_a"),
+        F.sum(td * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("decimal(38,0)")
+        .alias("st_b"),
+        F.sum(td * (F.col("t") - 1)).cast("decimal(38,0)").alias("st_c"),
+    )
+    j = jt.join(gs, "event_type").join(ts, "event_type")
+    n = F.col("n")
+    mean_jt = (n.cast("double") * n - F.col("sn2").cast("double")) / 4.0
+    var_jt = (
+        (
+            n.cast("decimal(38,0)") * (n - 1) * (2 * n + 5)
+            - F.col("sn_a")
+            - F.col("st_a")
+        ).cast("double")
+        / 72.0
+        + (F.col("sn_b") * F.col("st_b")).cast("double")
+        / (36.0 * n * (n - 1) * (n - 2))
+        + (F.col("sn_c") * F.col("st_c")).cast("double")
+        / (8.0 * n * (n - 1))
+    )
+    z = (F.col("jt2").cast("double") / 2.0 - mean_jt) / F.sqrt(var_jt)
+    return j.select(
+        "event_type",
+        "n",
+        "jt2",
+        F.round(mean_jt, 6).alias("mean_jt"),
+        F.round(var_jt, 6).alias("var_jt"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.expr(_Z95_2S)).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Goodman–Kruskal gamma / Somers' D / Kendall tau-b over an ordinal grid
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_gk_gamma_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               DAYOFWEEK(CAST(ts AS DATE)) + 1 AS x,
+               LEAST(9, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) // 1000)
+                   AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS ty,
+               CAST(SUM(CASE WHEN b.x = a.x AND b.y > a.y
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tx
+        FROM cells a JOIN cells b ON b.event_type = a.event_type
+        GROUP BY 1
+    )
+    SELECT event_type, c AS concordant, d AS discordant,
+           ROUND(CAST(c - d AS DOUBLE) / (c + d), 6) AS gamma,
+           ROUND(CAST(c - d AS DOUBLE) / (c + d + ty), 6) AS somers_dyx,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / SQRT(CAST(c + d + tx AS DOUBLE) * (c + d + ty)),
+                 6) AS tau_b
+    FROM pairs
+    """,
+)
+def stat_gk_gamma_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — GOODMAN–KRUSKAL gamma (1954), SOMERS' D (1962), and KENDALL
+    tau-b over the ordinal (weekday × value-decile) contingency per
+    event type — the three standard ordinal-association coefficients,
+    differing only in tie handling: gamma ignores ties, Somers'
+    D_(Y|X) penalizes Y-ties (the coefficient behind the AUC identity
+    D = 2·AUC − 1), tau-b penalizes both symmetrically.
+
+    Exactness: concordant/discordant/tied pair counts come from ONE
+    grid pair self-join on the ≤(7×10)-cell contingency — exact BIGINT
+    products of cell counts — then each coefficient is one fixed-order
+    IEEE expression rounded 6.
+
+    Scale: one counting aggregate to ≤70 cells/type; the pair join is
+    70² rows by construction. The corpus scan dominates at any SF."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            _dow_spark().alias("x"),
+            F.least(F.lit(9), _q100() / F.lit(1000))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # grid-sized; both join sides
+    )
+    a = cells.select(
+        "event_type",
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("etb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("n").alias("nb"),
+    )
+    prod = F.col("na") * F.col("nb")
+    pairs = (
+        a.join(b, F.col("etb") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                    prod,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                    prod,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("xa"))
+                    & (F.col("yb") == F.col("ya")),
+                    prod,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ty"),
+            F.sum(
+                F.when(
+                    (F.col("xb") == F.col("xa"))
+                    & (F.col("yb") > F.col("ya")),
+                    prod,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tx"),
+        )
+    )
+    cmd = F.col("c") - F.col("d")
+    cpd = F.col("c") + F.col("d")
+    return pairs.select(
+        "event_type",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(cmd.cast("double") / cpd, 6).alias("gamma"),
+        F.round(cmd.cast("double") / (cpd + F.col("ty")), 6).alias(
+            "somers_dyx"
+        ),
+        F.round(
+            cmd.cast("double")
+            / F.sqrt(
+                (cpd + F.col("tx")).cast("double") * (cpd + F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mood's median test (k-group, pooled-median 2×k chi-square)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_mood_median",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q
+        FROM events
+    ),
+    vc AS (
+        SELECT q, q // 256 AS bk, CAST(COUNT(*) AS BIGINT) AS cq
+        FROM base GROUP BY q
+    ),
+    btot AS (
+        SELECT bk, CAST(SUM(cq) AS BIGINT) AS bt FROM vc GROUP BY bk
+    ),
+    boff AS (
+        SELECT a.bk,
+               CAST(COALESCE(SUM(CASE WHEN b.bk < a.bk THEN b.bt END), 0)
+                    AS BIGINT) AS off
+        FROM btot a LEFT JOIN btot b ON b.bk < a.bk GROUP BY a.bk
+    ),
+    ntot AS (SELECT CAST(SUM(bt) AS BIGINT) AS n FROM btot),
+    vcum AS (
+        SELECT v.q,
+               o.off + CAST(SUM(v.cq) OVER (PARTITION BY v.bk ORDER BY v.q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+               t.n
+        FROM vc v JOIN boff o USING (bk), ntot t
+    ),
+    med AS (
+        SELECT MIN(CASE WHEN cc >= (n + 1) // 2 THEN q END) AS med
+        FROM vcum
+    ),
+    cnts AS (
+        SELECT b.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(CASE WHEN b.q > m.med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS above
+        FROM base b, med m GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(above) AS BIGINT) AS a
+        FROM cnts
+    ),
+    terms AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                 (above - CAST(n_i AS DOUBLE) * t.a / t.n)
+                 * (above - CAST(n_i AS DOUBLE) * t.a / t.n)
+                 / (CAST(n_i AS DOUBLE) * t.a / t.n)
+               + ((n_i - above) - CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n)
+                 * ((n_i - above) - CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n)
+                 / (CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n), 9)
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s
+        FROM cnts, tot t
+    )
+    SELECT c.event_type, c.n_i, c.above, c.n_i - c.above AS at_or_below,
+           (SELECT med FROM med) AS pooled_median,
+           ROUND(CAST(t.s AS DOUBLE), 6) AS chi2,
+           (CAST(t.s AS DOUBLE) > {_CHI2_95_DF4}) AS rejected
+    FROM cnts c, terms t
+    """,
+)
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — MOOD's median test (Mood 1950): do the k = 5 event types
+    share a common median value? Counts above/at-or-below the POOLED
+    exact median per type and tests the 2×k table with chi-square at
+    df = k−1 = 4 — the median-robust complement of Kruskal–Wallis
+    (which tests mean ranks; Mood's only looks at the median split, so
+    it survives arbitrary tail behavior).
+
+    Exactness: the pooled median is exact order-statistic selection on
+    the value grid (lower median, (n+1) div 2) via the TWO-PHASE
+    BUCKETED prefix sum — per-256-bucket partial totals, exclusive
+    bucket offsets off a bucket-grid pair join, within-bucket running
+    sums PARTITIONED BY BUCKET — so no unpartitioned window exists at
+    any value-domain size (the audit rule); counts are exact integers;
+    each type's chi-square term is a fixed-order IEEE expression
+    rounded to the 9-grid and DECIMAL-summed (the g_test
+    order-independence rule); rejection compares the unrounded total
+    against the shared χ²₀.₉₅,df4 literal.
+
+    Scale: one value-grid aggregate + one counting aggregate. The
+    2-row-per-type table is driver-size by construction."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type", _q100().alias("q")
+    )
+    vc = (
+        base.groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+        .withColumn("bk", (F.col("q") / 256).cast("bigint"))
+        .localCheckpoint(eager=True)  # value-grid; feeds offsets + cum
+    )
+    btot = vc.groupBy("bk").agg(F.sum("cq").cast("bigint").alias("bt"))
+    bb = btot.select(F.col("bk").alias("bkb"), F.col("bt").alias("btb"))
+    boff = (
+        btot.join(bb, F.col("bkb") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(
+            F.coalesce(F.sum("btb"), F.lit(0)).cast("bigint").alias("off")
+        )
+    )
+    ntot = btot.agg(F.sum("bt").cast("bigint").alias("n"))
+    wbk = (
+        Window.partitionBy("bk")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = (
+        vc.join(boff, "bk")
+        .select(
+            "q",
+            (
+                F.col("off") + F.sum("cq").over(wbk).cast("bigint")
+            ).alias("cc"),
+        )
+        .crossJoin(F.broadcast(ntot))
+    )
+    med = vcum.agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.expr("(n + 1) div 2"), F.col("q")
+            )
+        ).alias("med")
+    )
+    cnts = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.when(F.col("q") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("above"),
+        )
+        .localCheckpoint(eager=True)  # 5 rows; consumed twice
+    )
+    tot = cnts.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("above").cast("bigint").alias("a"),
+    )
+    ea = F.col("n_i").cast("double") * F.col("a") / F.col("n")
+    eb = (
+        F.col("n_i").cast("double")
+        * (F.col("n") - F.col("a"))
+        / F.col("n")
+    )
+    term = F.round(
+        (F.col("above") - ea) * (F.col("above") - ea) / ea
+        + ((F.col("n_i") - F.col("above")) - eb)
+        * ((F.col("n_i") - F.col("above")) - eb)
+        / eb,
+        9,
+    ).cast("decimal(28,9)")
+    chi2 = (
+        cnts.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).cast("decimal(38,9)").alias("s"))
+    )
+    return (
+        cnts.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "event_type",
+            "n_i",
+            "above",
+            (F.col("n_i") - F.col("above")).alias("at_or_below"),
+            F.col("med").alias("pooled_median"),
+            F.round(F.col("s").cast("double"), 6).alias("chi2"),
+            (F.col("s").cast("double") > F.expr(_CHI2_95_DF4)).alias(
+                "rejected"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on the daily series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS tq
+        FROM events GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT event_type, tq,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY tq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+               AS BIGINT) AS nd
+        FROM daily GROUP BY event_type, tq
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN cc >= (nd + 1) // 2 THEN tq END) AS med
+        FROM dcum GROUP BY 1
+    ),
+    signs AS (
+        SELECT d.event_type, d.day, (d.tq > m.med) AS hi
+        FROM daily d JOIN med m USING (event_type)
+        WHERE d.tq <> m.med
+    ),
+    flips AS (
+        SELECT event_type, hi,
+               CASE WHEN LAG(hi) OVER (PARTITION BY event_type
+                                       ORDER BY day) IS DISTINCT FROM hi
+                    THEN 1 ELSE 0 END AS brk
+        FROM signs
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(brk) AS BIGINT) AS runs,
+               CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM flips GROUP BY 1
+    )
+    SELECT event_type, runs, n1, n2,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS mean_runs,
+           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z,
+           ABS((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+               / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                         * (n1 + n2 - 1)))) > {_Z95_2S} AS rejected
+    FROM agg
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — WALD–WOLFOWITZ runs test (1940) per event type: is the
+    daily-total series RANDOM around its median, or does it cluster
+    (trend/regime) or alternate (overdispersion)? Days equal to the
+    exact median are excluded (the standard convention); R counts
+    maximal same-sign runs over the day order; z compares R to the
+    exact null mean 2n₁n₂/(n₁+n₂)+1 and variance.
+
+    Exactness: the per-type daily-total median is exact order-statistic
+    selection; the run count is a lag-flag sum over the bounded day
+    grid; z is one fixed-order IEEE expression, rejection on the
+    unrounded |z| against the shared z₀.₉₇₅ literal (the first flip
+    flag is 1 by IS DISTINCT FROM NULL on both engines, so R counts
+    runs directly, not transitions).
+
+    Scale: one (type, day) aggregate; everything after is day-grid
+    windows."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_q100()).cast("bigint").alias("tq"))
+        .localCheckpoint(eager=True)  # day-grid; consumed twice
+    )
+    dcum = (
+        daily.groupBy("event_type", "tq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+        .select(
+            "event_type",
+            "tq",
+            F.sum("cq")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("tq")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("bigint")
+            .alias("cc"),
+            F.sum("cq")
+            .over(Window.partitionBy("event_type"))
+            .cast("bigint")
+            .alias("nd"),
+        )
+    )
+    med = dcum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cc") >= F.expr("(nd + 1) div 2"), F.col("tq"))
+        ).alias("med")
+    )
+    signs = (
+        daily.join(med, "event_type")
+        .filter(F.col("tq") != F.col("med"))
+        .select("event_type", "day", (F.col("tq") > F.col("med")).alias("hi"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    flips = signs.select(
+        "event_type",
+        "hi",
+        F.when(
+            ~F.lag("hi").over(wd).eqNullSafe(F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.sum("brk").cast("bigint").alias("runs"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "runs",
+        "n1",
+        "n2",
+        F.round(mu, 6).alias("mean_runs"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.expr(_Z95_2S)).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta (weekend vs weekday dominance effect size)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_cliff_delta",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, v,
+               CAST(SUM(wk) AS BIGINT) AS cw,
+               CAST(SUM(1 - wk) AS BIGINT) AS cd
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, cw, cd,
+               CAST(COALESCE(SUM(cd) OVER w, 0) AS BIGINT) AS dless,
+               CAST(SUM(cd) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+               CAST(SUM(cw) OVER (PARTITION BY event_type) AS BIGINT) AS nw
+        FROM cells
+        WINDOW w AS (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(MIN(nw) AS BIGINT) AS nw, CAST(MIN(nd) AS BIGINT) AS nd,
+               CAST(SUM(cw * dless) AS BIGINT) AS gt,
+               CAST(SUM(cw * (nd - dless - cd)) AS BIGINT) AS lt
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type, nw AS n_weekend, nd AS n_weekday,
+           ROUND(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd), 6)
+               AS delta,
+           CASE WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
+                     < {_CLIFF_BANDS[0]} THEN 'negligible'
+                WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
+                     < {_CLIFF_BANDS[1]} THEN 'small'
+                WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
+                     < {_CLIFF_BANDS[2]} THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM s
+    """,
+)
+def stat_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — CLIFF's delta (Cliff 1993) per event type: the ordinal
+    effect size P(weekend value > weekday value) − P(< ) — what a
+    Mann–Whitney p-value does NOT tell you (with 20k rows everything
+    is "significant"; delta says whether the difference is LARGE).
+    Magnitude bands at the Romano et al. (2006) thresholds
+    |δ| < {_CLIFF_BANDS[0]}/{_CLIFF_BANDS[1]}/{_CLIFF_BANDS[2]}.
+
+    Exactness: dominance counts gt/lt are exact integer grid sums off
+    the strict-cumulative window (the DeLong placement machinery with
+    ties contributing to neither side); δ is one IEEE division rounded
+    6; the band CASE tests the unrounded |δ| against shared literals.
+
+    Scale: one (type, value) counting aggregate; grid windows after."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
+        _q100().alias("v"),
+    )
+    cells = base.groupBy("event_type", "v").agg(
+        F.sum("wk").cast("bigint").alias("cw"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("cd"),
+    )
+    wless = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "cw",
+        "cd",
+        F.coalesce(F.sum("cd").over(wless), F.lit(0))
+        .cast("bigint")
+        .alias("dless"),
+        F.sum("cd").over(wall).cast("bigint").alias("nd"),
+        F.sum("cw").over(wall).cast("bigint").alias("nw"),
+    )
+    s = cum.groupBy("event_type").agg(
+        F.min("nw").alias("nw"),
+        F.min("nd").alias("nd"),
+        F.sum(F.col("cw") * F.col("dless")).cast("bigint").alias("gt"),
+        F.sum(F.col("cw") * (F.col("nd") - F.col("dless") - F.col("cd")))
+        .cast("bigint")
+        .alias("lt"),
+    )
+    delta = (F.col("gt") - F.col("lt")).cast("double") / (
+        F.col("nw").cast("double") * F.col("nd")
+    )
+    return s.select(
+        "event_type",
+        F.col("nw").alias("n_weekend"),
+        F.col("nd").alias("n_weekday"),
+        F.round(delta, 6).alias("delta"),
+        F.when(F.abs(delta) < _CLIFF_BANDS[0], "negligible")
+        .when(F.abs(delta) < _CLIFF_BANDS[1], "small")
+        .when(F.abs(delta) < _CLIFF_BANDS[2], "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted Cohen's kappa (linear + quadratic) on an ordinal grid
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_kappa_weighted",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               LEAST(9, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) // 1000)
+                   AS ra,
+               LEAST(9, LEAST(9, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                 // 1000)
+                        + CAST(event_id AS BIGINT) % 2) AS rb
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type, ra, rb, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+        FROM obs GROUP BY 1
+    ),
+    ma AS (
+        SELECT event_type, ra, CAST(SUM(o) AS BIGINT) AS r
+        FROM obs GROUP BY 1, 2
+    ),
+    mb AS (
+        SELECT event_type, rb, CAST(SUM(o) AS BIGINT) AS c
+        FROM obs GROUP BY 1, 2
+    ),
+    onum AS (
+        SELECT event_type,
+               CAST(SUM(CAST(ABS(ra - rb) AS DECIMAL(38,0)) * o)
+                    AS DECIMAL(38,0)) AS lin_o,
+               CAST(SUM(CAST((ra - rb) * (ra - rb) AS DECIMAL(38,0)) * o)
+                    AS DECIMAL(38,0)) AS quad_o
+        FROM obs GROUP BY 1
+    ),
+    eden AS (
+        SELECT a.event_type,
+               CAST(SUM(CAST(ABS(a.ra - b.rb) AS DECIMAL(38,0))
+                        * a.r * b.c) AS DECIMAL(38,0)) AS lin_e,
+               CAST(SUM(CAST((a.ra - b.rb) * (a.ra - b.rb)
+                             AS DECIMAL(38,0)) * a.r * b.c)
+                    AS DECIMAL(38,0)) AS quad_e
+        FROM ma a JOIN mb b ON b.event_type = a.event_type
+        GROUP BY 1
+    )
+    SELECT n.event_type, n.n,
+           ROUND(1.0 - CAST(o.lin_o AS DOUBLE) * n.n
+                       / CAST(e.lin_e AS DOUBLE), 6) AS kappa_linear,
+           ROUND(1.0 - CAST(o.quad_o AS DOUBLE) * n.n
+                       / CAST(e.quad_e AS DOUBLE), 6) AS kappa_quadratic
+    FROM n JOIN onum o USING (event_type) JOIN eden e USING (event_type)
+    """,
+)
+def eval_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — WEIGHTED Cohen's kappa (Cohen 1968) per event type, linear
+    AND quadratic weights, over a 10-level ordinal rating pair (rater A
+    = value decile; rater B = the same decile nudged up one level on
+    odd event_ids — a controlled near-agreement fixture). The ordinal
+    agreement coefficient annotation teams use when plain kappa's
+    all-disagreements-equal assumption is wrong (quadratic-weighted
+    kappa is equivalent to an ICC and is THE standard for ordinal
+    label quality).
+
+    Exactness: with integer distance weights d_ij = |i−j| (linear) and
+    (i−j)² (quadratic), κ_w = 1 − N·Σd_ij·O_ij / Σd_ij·R_i·C_j clears
+    every denominator — numerator and denominator are exact
+    DECIMAL(38,0) integers (marginal products R_i·C_j reach N²·81) and
+    the terminal division is ONE IEEE op rounded 6.
+
+    Scale: one counting aggregate to ≤100 cells/type; the marginal
+    cross join is 10×10 grid algebra."""
+    dec = F.least(F.lit(9), _q100() / F.lit(1000)).cast("bigint")
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        dec.alias("ra"),
+        F.least(
+            F.lit(9), dec + F.col("event_id").cast("bigint") % 2
+        ).alias("rb"),
+    )
+    obs = (
+        base.groupBy("event_type", "ra", "rb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # ≤100 cells/type; consumed 4x
+    )
+    n = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n")
+    )
+    ma = obs.groupBy("event_type", "ra").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    mb = obs.groupBy(
+        F.col("event_type").alias("etb"), "rb"
+    ).agg(F.sum("o").cast("bigint").alias("c"))
+    lin_d = F.abs(F.col("ra") - F.col("rb")).cast("decimal(38,0)")
+    quad_d = (
+        (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    ).cast("decimal(38,0)")
+    onum = obs.groupBy("event_type").agg(
+        F.sum(lin_d * F.col("o")).cast("decimal(38,0)").alias("lin_o"),
+        F.sum(quad_d * F.col("o")).cast("decimal(38,0)").alias("quad_o"),
+    )
+    eden = (
+        ma.join(mb, F.col("etb") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(lin_d * F.col("r") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("lin_e"),
+            F.sum(quad_d * F.col("r") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("quad_e"),
+        )
+    )
+    return (
+        n.join(onum, "event_type")
+        .join(eden, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                1.0
+                - F.col("lin_o").cast("double")
+                * F.col("n")
+                / F.col("lin_e").cast("double"),
+                6,
+            ).alias("kappa_linear"),
+            F.round(
+                1.0
+                - F.col("quad_o").cast("double")
+                * F.col("n")
+                / F.col("quad_e").cast("double"),
+                6,
+            ).alias("kappa_quadratic"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov distance
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, v,
+               CAST(SUM(wk) AS BIGINT) AS c1,
+               CAST(SUM(1 - wk) AS BIGINT) AS c2
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER w AS BIGINT) AS f2,
+               CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM cells
+        WINDOW w AS (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+               CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS dstar
+        FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           ROUND(CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+               AS ks_d,
+           ROUND(CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                 * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+               AS ks_stat,
+           (CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+            * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) > {_KS_C05}
+               AS rejected
+    FROM s
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — EXACT two-sample Kolmogorov–Smirnov distance per event
+    type (weekend vs weekday value distributions): D = sup_v |F̂₁(v) −
+    F̂₂(v)| computed EXACTLY as the integer max of |F₁*·n₂ − F₂*·n₁|
+    over the shared value grid (cross-multiplied counts — no float CDF
+    subtraction anywhere), then λ = D·√(n₁n₂/(n₁+n₂)) against the
+    α = 0.05 asymptotic critical value √(−ln(α/2)/2) as a shared
+    literal. The distribution-shape test the mean-based t/TOST pair
+    cannot replace — KS sees variance/shape drift at equal means (the
+    data-drift monitor every training pipeline runs).
+
+    Exactness: the sup is over grid values only (both ECDFs are step
+    functions jumping at data points, so the max over the grid IS the
+    sup); all counts integer; two divisions + one sqrt at the end.
+
+    Scale: one (type, value) counting aggregate; grid windows after."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
+        _q100().alias("v"),
+    )
+    cells = base.groupBy("event_type", "v").agg(
+        F.sum("wk").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("c2"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("c1").over(wcum).cast("bigint").alias("f1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    s = cum.groupBy("event_type").agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("dstar"),
+    )
+    d = F.col("dstar").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    lam = d * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / (F.col("n1") + F.col("n2"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(lam, 6).alias("ks_stat"),
+        (lam > F.expr(_KS_C05)).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve (per-user value concentration, decile points)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY s, user_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+               CAST(SUM(s) OVER (PARTITION BY event_type)
+                    AS DECIMAL(38,0)) AS tot
+        FROM per_user
+    ),
+    dec AS (
+        SELECT event_type,
+               CAST((rk * 10 - 1) // n + 1 AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS ds,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(tot) AS DECIMAL(38,0)) AS tot
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT event_type, decile, n_users,
+           ROUND(CAST(SUM(CAST(n_users AS DECIMAL(38,0))) OVER w AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS cum_user_share,
+           ROUND(CAST(SUM(ds) OVER w AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS cum_value_share
+    FROM dec
+    WINDOW w AS (PARTITION BY event_type ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AG — LORENZ curve (Lorenz 1905) per event type: users ranked by
+    their value total ascending, split into 10 equal-population
+    deciles; each row is one curve point (cumulative user share →
+    cumulative value share). The curve BEHIND agg_gini_concentration
+    (Gini = 1 − 2·area under this curve): the whole distributional
+    picture — "the top decile of users holds X% of spend" — instead of
+    the single coefficient.
+
+    Exactness: per-user sums are exact integers; decile assignment is
+    the exact integer formula (rk·10−1) div n + 1 (rank ties broken by
+    user_id — deterministic); cumulative sums are DECIMAL(38,0); the
+    two shares are single IEEE divisions rounded 6.
+
+    Scale: one per-user aggregate (map-side combined), one per-type
+    window over users, then 10-row grid algebra per type."""
+    per_user = load(spark, sf_dir, "events").groupBy(
+        "event_type", "user_id"
+    ).agg(F.sum(_q100()).cast("bigint").alias("s"))
+    wrk = Window.partitionBy("event_type").orderBy("s", "user_id")
+    wall = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "s",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("s").over(wall).cast("decimal(38,0)").alias("tot"),
+    )
+    dec = ranked.groupBy(
+        "event_type",
+        ((F.col("rk") * 10 - 1) / F.col("n") + 1)
+        .cast("bigint")
+        .alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("s").cast("decimal(38,0)").alias("ds"),
+        F.min("n").alias("n"),
+        F.min("tot").alias("tot"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dec.select(
+        "event_type",
+        "decile",
+        "n_users",
+        F.round(
+            F.sum(F.col("n_users").cast("decimal(38,0)"))
+            .over(wcum)
+            .cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("cum_user_share"),
+        F.round(
+            F.sum("ds").over(wcum).cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("cum_value_share"),
+    )

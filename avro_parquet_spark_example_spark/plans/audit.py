@@ -100,6 +100,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "agg_cramers_v": "broadcast 1-row contingency-totals cross join",
         "eval_mcc_multiclass": "broadcast 1-row marginal-moments cross join",
         "agg_hodges_lehmann_shift": "domain-grid histogram convolution + cumulative theta self-join (<=|Vx|*|Vy| cells) + 1-row total/count cross joins",
+        "stat_jonckheere_terpstra": "broadcast 7-row weekday-grid densification cross join (complete-grid requirement, the kendall_w shape)",
+        "stat_mood_median": "bucket-grid exclusive-offset theta join (<=|value-domain|/256 rows) + 1-row pooled-median/total/chi2 cross joins (two-phase bucketed prefix sum)",
+        "stat_by_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins (the stat_bh_fdr plan verbatim)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.entity",
     "avro_parquet_spark_example_spark.operators.mining",
     "avro_parquet_spark_example_spark.operators.inference",
+    "avro_parquet_spark_example_spark.operators.rankstats",
     "avro_parquet_spark_example_spark.operators.features",
     "avro_parquet_spark_example_spark.sources.python_datasource",
     "avro_parquet_spark_example_spark.sources.avro_datasource",

@@ -1,0 +1,414 @@
+"""Round-14 rank/ordinal statistics (operators/rankstats.py +
+stat_by_fdr) vs independent Python references + closed-form boundary
+pins — the r11/r12/r13 test model: each operator's exact kernel is
+re-derived in plain Python over the collected fixture and compared
+value-for-value, then pinned on hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from avro_parquet_spark_example_spark.registry import get_query
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+
+def _q(v) -> int:
+    return int(math.floor(v * 100.0 + 0.5))
+
+
+def _dow(ts) -> int:
+    # Spark dayofweek: 1=Sunday..7=Saturday
+    return ts.isoweekday() % 7 + 1
+
+
+def _is_weekend(ts) -> bool:
+    return ts.isoweekday() in (6, 7)
+
+
+# --------------------------------------------------------------------------
+# Jonckheere–Terpstra
+# --------------------------------------------------------------------------
+
+
+def _jt_ref(groups: dict[int, list[int]]):
+    """(jt2, mean, var) by brute force over ordered group pairs."""
+    keys = sorted(groups)
+    jt2 = 0
+    for ai, a in enumerate(keys):
+        for b in keys[ai + 1 :]:
+            for x in groups[a]:
+                for y in groups[b]:
+                    jt2 += 2 if x < y else (1 if x == y else 0)
+    ns = [len(groups[k]) for k in keys]
+    n = sum(ns)
+    pooled = Counter()
+    for k in keys:
+        pooled.update(groups[k])
+    ts = list(pooled.values())
+    mean = (n * n - sum(x * x for x in ns)) / 4.0
+    var = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ts)
+        )
+        / 72.0
+        + sum(x * (x - 1) * (x - 2) for x in ns)
+        * sum(t * (t - 1) * (t - 2) for t in ts)
+        / (36.0 * n * (n - 1) * (n - 2))
+        + sum(x * (x - 1) for x in ns)
+        * sum(t * (t - 1) for t in ts)
+        / (8.0 * n * (n - 1))
+    )
+    return jt2, mean, var
+
+
+def test_jonckheere_matches_python_reference(spark, sf_dir):
+    groups: dict[str, dict[int, list[int]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for r in _events(spark, sf_dir):
+        groups[r.event_type][_dow(r.ts)].append(_q(r.value))
+    got = {
+        r.event_type: r
+        for r in get_query("stat_jonckheere_terpstra")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(groups)
+    for t, g in groups.items():
+        jt2, mean, var = _jt_ref(g)
+        row = got[t]
+        assert row.jt2 == jt2
+        assert abs(row.mean_jt - round(mean, 6)) < 1e-9
+        assert abs(row.var_jt - round(var, 6)) < 1e-4
+        z = (jt2 / 2.0 - mean) / math.sqrt(var)
+        assert abs(row.z - round(z, 6)) < 1e-5
+        assert row.rejected == (abs(z) > 1.959963984540054)
+
+
+def test_jonckheere_closed_forms():
+    # perfectly increasing groups -> JT at its maximum n1*n2 (doubled)
+    jt2, mean, var = _jt_ref({1: [1, 2], 2: [3, 4], 3: [5, 6]})
+    # pairs across groups: 2*2*3 group-pairs... each strictly less
+    assert jt2 == 2 * (4 + 4 + 4)
+    # all-equal values -> every pair ties, JT2 = #cross-pairs exactly
+    jt2e, meane, _ = _jt_ref({1: [5, 5], 2: [5, 5]})
+    assert jt2e == 4  # 4 cross pairs, each contributing 1 (tie)
+    assert jt2e / 2.0 == meane  # ties sit exactly at the null mean
+
+
+# --------------------------------------------------------------------------
+# Goodman–Kruskal gamma / Somers' D / tau-b
+# --------------------------------------------------------------------------
+
+
+def test_gk_gamma_matches_python_reference(spark, sf_dir):
+    cells: dict[str, Counter] = defaultdict(Counter)
+    for r in _events(spark, sf_dir):
+        cells[r.event_type][(_dow(r.ts), min(9, _q(r.value) // 1000))] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("stat_gk_gamma_tau").fn(spark, sf_dir).collect()
+    }
+    for t, cnt in cells.items():
+        c = d = tx = ty = 0
+        items = list(cnt.items())
+        for (x1, y1), n1 in items:
+            for (x2, y2), n2 in items:
+                if x2 > x1 and y2 > y1:
+                    c += n1 * n2
+                elif x2 > x1 and y2 < y1:
+                    d += n1 * n2
+                elif x2 > x1 and y2 == y1:
+                    ty += n1 * n2
+                elif x2 == x1 and y2 > y1:
+                    tx += n1 * n2
+        row = got[t]
+        assert (row.concordant, row.discordant) == (c, d)
+        assert abs(row.gamma - round((c - d) / (c + d), 6)) < 1e-9
+        assert abs(row.somers_dyx - round((c - d) / (c + d + ty), 6)) < 1e-9
+        tb = (c - d) / math.sqrt((c + d + tx) * (c + d + ty))
+        assert abs(row.tau_b - round(tb, 6)) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# Mood's median test
+# --------------------------------------------------------------------------
+
+
+def test_mood_median_matches_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    qs = sorted(_q(r.value) for r in rows)
+    med = qs[(len(qs) + 1) // 2 - 1]  # lower median, rank (n+1) div 2
+    per: dict[str, list[int]] = defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(_q(r.value))
+    n = len(qs)
+    a = sum(1 for q in qs if q > med)
+    chi2 = 0.0
+    for t in sorted(per):
+        n_i = len(per[t])
+        above = sum(1 for q in per[t] if q > med)
+        ea, eb = n_i * a / n, n_i * (n - a) / n
+        chi2 += round(
+            (above - ea) ** 2 / ea + ((n_i - above) - eb) ** 2 / eb, 9
+        )
+    got = {
+        r.event_type: r
+        for r in get_query("stat_mood_median").fn(spark, sf_dir).collect()
+    }
+    for t in per:
+        row = got[t]
+        assert row.pooled_median == med
+        assert row.n_i == len(per[t])
+        assert row.above == sum(1 for q in per[t] if q > med)
+        assert abs(row.chi2 - round(chi2, 6)) < 1e-6
+        assert row.rejected == (chi2 > 9.487729036781154)
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_matches_python_reference(spark, sf_dir):
+    daily: dict[str, dict] = defaultdict(dict)
+    for r in _events(spark, sf_dir):
+        day = r.ts.date()
+        daily[r.event_type][day] = daily[r.event_type].get(day, 0) + _q(
+            r.value
+        )
+    got = {
+        r.event_type: r
+        for r in get_query("stat_runs_test").fn(spark, sf_dir).collect()
+    }
+    for t, dm in daily.items():
+        tots = sorted(dm.values())
+        med = tots[(len(tots) + 1) // 2 - 1]
+        seq = [dm[d] > med for d in sorted(dm) if dm[d] != med]
+        runs = sum(
+            1
+            for i, s in enumerate(seq)
+            if i == 0 or s != seq[i - 1]
+        )
+        n1 = sum(seq)
+        n2 = len(seq) - n1
+        row = got[t]
+        assert (row.runs, row.n1, row.n2) == (runs, n1, n2)
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (
+            2.0
+            * n1
+            * n2
+            * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        z = (runs - mu) / math.sqrt(var)
+        assert abs(row.z - round(z, 6)) < 1e-6
+        assert row.rejected == (abs(z) > 1.959963984540054)
+
+
+def test_runs_closed_forms():
+    # perfectly alternating -> R = N (maximal); monotone block -> R = 2
+    seq = [True, False] * 5
+    runs = sum(1 for i, s in enumerate(seq) if i == 0 or s != seq[i - 1])
+    assert runs == 10
+    seq2 = [True] * 5 + [False] * 5
+    runs2 = sum(
+        1 for i, s in enumerate(seq2) if i == 0 or s != seq2[i - 1]
+    )
+    assert runs2 == 2
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta
+# --------------------------------------------------------------------------
+
+
+def test_cliff_delta_matches_python_reference(spark, sf_dir):
+    per: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+    for r in _events(spark, sf_dir):
+        per[r.event_type][0 if _is_weekend(r.ts) else 1].append(_q(r.value))
+    got = {
+        r.event_type: r
+        for r in get_query("stat_cliff_delta").fn(spark, sf_dir).collect()
+    }
+    for t, (w, d) in per.items():
+        cw, cd = Counter(w), Counter(d)
+        gt = sum(
+            nw * nd for vw, nw in cw.items() for vd, nd in cd.items()
+            if vw > vd
+        )
+        lt = sum(
+            nw * nd for vw, nw in cw.items() for vd, nd in cd.items()
+            if vw < vd
+        )
+        delta = (gt - lt) / (len(w) * len(d))
+        row = got[t]
+        assert (row.n_weekend, row.n_weekday) == (len(w), len(d))
+        assert abs(row.delta - round(delta, 6)) < 1e-9
+        bands = (
+            "negligible"
+            if abs(delta) < 0.147
+            else "small"
+            if abs(delta) < 0.33
+            else "medium"
+            if abs(delta) < 0.474
+            else "large"
+        )
+        assert row.magnitude == bands
+
+
+# --------------------------------------------------------------------------
+# Weighted Cohen's kappa
+# --------------------------------------------------------------------------
+
+
+def test_kappa_weighted_matches_python_reference(spark, sf_dir):
+    obs: dict[str, Counter] = defaultdict(Counter)
+    for r in _events(spark, sf_dir):
+        ra = min(9, _q(r.value) // 1000)
+        rb = min(9, ra + int(r.event_id) % 2)
+        obs[r.event_type][(ra, rb)] += 1
+    got = {
+        r.event_type: r
+        for r in get_query("eval_kappa_weighted").fn(spark, sf_dir).collect()
+    }
+    for t, cnt in obs.items():
+        n = sum(cnt.values())
+        ra_m = Counter()
+        rb_m = Counter()
+        for (a, b), o in cnt.items():
+            ra_m[a] += o
+            rb_m[b] += o
+        lin_o = sum(abs(a - b) * o for (a, b), o in cnt.items())
+        quad_o = sum((a - b) ** 2 * o for (a, b), o in cnt.items())
+        lin_e = sum(
+            abs(a - b) * ra_m[a] * rb_m[b] for a in ra_m for b in rb_m
+        )
+        quad_e = sum(
+            (a - b) ** 2 * ra_m[a] * rb_m[b] for a in ra_m for b in rb_m
+        )
+        row = got[t]
+        assert row.n == n
+        assert abs(row.kappa_linear - round(1 - lin_o * n / lin_e, 6)) < 1e-9
+        assert (
+            abs(row.kappa_quadratic - round(1 - quad_o * n / quad_e, 6))
+            < 1e-9
+        )
+
+
+def test_kappa_weighted_closed_forms():
+    # perfect agreement -> kappa_w = 1 for any weights (O-sum = 0)
+    assert 1 - 0 * 10 / 1 == 1.0
+    # quadratic penalizes far disagreements more than linear
+    assert (0 - 9) ** 2 / 9 > abs(0 - 9) / 9
+
+
+# --------------------------------------------------------------------------
+# KS two-sample
+# --------------------------------------------------------------------------
+
+
+def test_ks_two_sample_matches_python_reference(spark, sf_dir):
+    per: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+    for r in _events(spark, sf_dir):
+        per[r.event_type][0 if _is_weekend(r.ts) else 1].append(_q(r.value))
+    got = {
+        r.event_type: r
+        for r in get_query("stat_ks_two_sample").fn(spark, sf_dir).collect()
+    }
+    for t, (w, d) in per.items():
+        n1, n2 = len(w), len(d)
+        c1, c2 = Counter(w), Counter(d)
+        grid = sorted(set(w) | set(d))
+        f1 = f2 = 0
+        dstar = 0
+        for v in grid:
+            f1 += c1.get(v, 0)
+            f2 += c2.get(v, 0)
+            dstar = max(dstar, abs(f1 * n2 - f2 * n1))
+        row = got[t]
+        ks_d = dstar / (n1 * n2)
+        lam = ks_d * math.sqrt(n1 * n2 / (n1 + n2))
+        assert abs(row.ks_d - round(ks_d, 6)) < 1e-9
+        assert abs(row.ks_stat - round(lam, 6)) < 1e-9
+        assert row.rejected == (lam > 1.3581015157406195)
+
+
+def test_ks_closed_forms():
+    # disjoint supports -> D = 1 exactly
+    c1, c2 = Counter([1, 2]), Counter([5, 6])
+    grid = sorted(set(c1) | set(c2))
+    f1 = f2 = dstar = 0
+    for v in grid:
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        dstar = max(dstar, abs(f1 * 2 - f2 * 2))
+    assert dstar / 4 == 1.0
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve
+# --------------------------------------------------------------------------
+
+
+def test_lorenz_matches_python_reference(spark, sf_dir):
+    per: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for r in _events(spark, sf_dir):
+        per[r.event_type][r.user_id] += _q(r.value)
+    got: dict[tuple, object] = {}
+    for r in get_query("agg_lorenz_curve").fn(spark, sf_dir).collect():
+        got[(r.event_type, r.decile)] = r
+    for t, users in per.items():
+        ranked = sorted(users.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ranked)
+        tot = sum(s for _, s in ranked)
+        cum_u = cum_s = 0
+        by_dec: dict[int, list] = defaultdict(list)
+        for rk, (_, s) in enumerate(ranked, start=1):
+            by_dec[(rk * 10 - 1) // n + 1].append(s)
+        for dec in sorted(by_dec):
+            cum_u += len(by_dec[dec])
+            cum_s += sum(by_dec[dec])
+            row = got[(t, dec)]
+            assert row.n_users == len(by_dec[dec])
+            assert abs(row.cum_user_share - round(cum_u / n, 6)) < 1e-9
+            assert abs(row.cum_value_share - round(cum_s / tot, 6)) < 1e-9
+    # last decile closes the curve at (1, 1)
+    for (t, dec), row in got.items():
+        if dec == 10:
+            assert row.cum_user_share == 1.0
+            assert row.cum_value_share == 1.0
+
+
+# --------------------------------------------------------------------------
+# Benjamini–Yekutieli vs Benjamini–Hochberg ordering property
+# --------------------------------------------------------------------------
+
+
+def test_by_fdr_never_rejects_more_than_bh(spark, sf_dir):
+    bh = {
+        (r.event_type, r.dow): r
+        for r in get_query("stat_bh_fdr").fn(spark, sf_dir).collect()
+    }
+    by = {
+        (r.event_type, r.dow): r
+        for r in get_query("stat_by_fdr").fn(spark, sf_dir).collect()
+    }
+    assert set(bh) == set(by) and len(by) == 35
+    # identical p-values and ranks; BY threshold is BH's / H(m) -> BY's
+    # rejection set is a SUBSET of BH's (the defining property)
+    for k in bh:
+        assert bh[k].p_value == by[k].p_value
+        assert bh[k].p_rank == by[k].p_rank
+        if by[k].rejected:
+            assert bh[k].rejected
+    # step-up coherence: rejections are exactly ranks 1..k
+    rej = sorted(r.p_rank for r in by.values() if r.rejected)
+    assert rej == list(range(1, len(rej) + 1))
