@@ -1287,3 +1287,88 @@ class Engine:
         )
 
         return kendall_w(counts)
+
+    def jonckheere_terpstra(
+        self, base: DataFrame, n_groups: int = 7
+    ) -> DataFrame:
+        """(event_type, n, jt2, mean_jt, var_jt, z, rejected) —
+        ordered-alternative trend test over a (event_type, g ordered
+        group, v integer value) observation frame
+        (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            jonckheere_terpstra,
+        )
+
+        return jonckheere_terpstra(base, n_groups=n_groups)
+
+    def gk_gamma_tau(self, base: DataFrame) -> DataFrame:
+        """(event_type, concordant, discordant, gamma, somers_dyx,
+        tau_b) — ordinal association over a (event_type, x, y)
+        observation frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            gk_gamma_tau,
+        )
+
+        return gk_gamma_tau(base)
+
+    def mood_median(self, base: DataFrame) -> DataFrame:
+        """(event_type, n_i, above, at_or_below, pooled_median, chi2,
+        rejected) — Mood's k-group median test over a (event_type, q
+        integer value) observation frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            mood_median,
+        )
+
+        return mood_median(base)
+
+    def runs_test(self, daily: DataFrame) -> DataFrame:
+        """(event_type, runs, n1, n2, mean_runs, z, rejected) —
+        Wald–Wolfowitz randomness test over a keyed ordered integer
+        series (event_type, day, tq) (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            runs_test,
+        )
+
+        return runs_test(daily)
+
+    def cliff_delta(self, base: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, delta, magnitude) —
+        ordinal dominance effect size over a (event_type, wk 0/1, v
+        integer value) frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            cliff_delta,
+        )
+
+        return cliff_delta(base)
+
+    def kappa_weighted(self, base: DataFrame) -> DataFrame:
+        """(event_type, n, kappa_linear, kappa_quadratic) — weighted
+        Cohen's kappa over a (event_type, ra, rb) ordinal rating-pair
+        frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            kappa_weighted,
+        )
+
+        return kappa_weighted(base)
+
+    def ks_two_sample(self, base: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, ks_d, ks_stat, rejected)
+        — exact two-sample Kolmogorov–Smirnov distance over a
+        (event_type, wk 0/1, v integer value) frame
+        (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            ks_two_sample,
+        )
+
+        return ks_two_sample(base)
+
+    def lorenz_curve(self, per_user: DataFrame) -> DataFrame:
+        """(event_type, decile, n_users, cum_user_share,
+        cum_value_share) — Lorenz curve decile points over a
+        (event_type, user_id, s integer total) per-unit frame
+        (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            lorenz_curve,
+        )
+
+        return lorenz_curve(per_user)

@@ -170,18 +170,24 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (type, dow, value) counting aggregate; the grid is
     (values × 7) per type and every window partitions it. At 100 TB
     the corpus scan dominates; the grid algebra is value-domain-sized."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type", _dow_spark().alias("g"), _q100().alias("v")
+    )
+    return jonckheere_terpstra(base)
+
+
+def jonckheere_terpstra(base: DataFrame, n_groups: int = 7) -> DataFrame:
+    """Frame-level core of :func:`stat_jonckheere_terpstra` (the library
+    form the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, g ordered group 1..n_groups, v integer value) — one
+    row per observation."""
     cells = (
-        load(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            _dow_spark().alias("g"),
-            _q100().alias("v"),
-        )
+        base.groupBy("event_type", "g", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)  # feeds grid + group sizes + ties
     )
     vals = cells.select("event_type", "v").distinct()
-    dows = cells.sparkSession.range(1, 8).select(
+    dows = cells.sparkSession.range(1, n_groups + 1).select(
         F.col("id").cast("int").alias("g")
     )
     grid = (
@@ -327,15 +333,22 @@ def stat_gk_gamma_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one counting aggregate to ≤70 cells/type; the pair join is
     70² rows by construction. The corpus scan dominates at any SF."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        _dow_spark().alias("x"),
+        F.least(F.lit(9), _q100() / F.lit(1000)).cast("bigint").alias("y"),
+    )
+    return gk_gamma_tau(base)
+
+
+def gk_gamma_tau(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_gk_gamma_tau` (the library form
+    the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, x ordinal, y ordinal) — one row per observation; the
+    (x × y) contingency must be bounded (it becomes both pair-join
+    sides)."""
     cells = (
-        load(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            _dow_spark().alias("x"),
-            F.least(F.lit(9), _q100() / F.lit(1000))
-            .cast("bigint")
-            .alias("y"),
-        )
+        base.groupBy("event_type", "x", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=True)  # grid-sized; both join sides
     )
@@ -505,6 +518,13 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "events").select(
         "event_type", _q100().alias("q")
     )
+    return mood_median(base)
+
+
+def mood_median(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_mood_median` (the library form
+    the Engine facade exposes): ``base`` has columns (event_type group
+    key, q integer value) — one row per observation."""
     vc = (
         base.groupBy("q")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
@@ -673,8 +693,15 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.sum(_q100()).cast("bigint").alias("tq"))
-        .localCheckpoint(eager=True)  # day-grid; consumed twice
     )
+    return runs_test(daily)
+
+
+def runs_test(daily: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_runs_test` (the library form the
+    Engine facade exposes): ``daily`` has columns (event_type series
+    key, day orderable, tq integer value) — one row per series point."""
+    daily = daily.localCheckpoint(eager=True)  # day-grid; consumed twice
     dcum = (
         daily.groupBy("event_type", "tq")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
@@ -814,6 +841,13 @@ def stat_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
         _q100().alias("v"),
     )
+    return cliff_delta(base)
+
+
+def cliff_delta(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_cliff_delta` (the library form
+    the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, wk 0/1 sample flag, v integer value)."""
     cells = base.groupBy("event_type", "v").agg(
         F.sum("wk").cast("bigint").alias("cw"),
         F.sum(1 - F.col("wk")).cast("bigint").alias("cd"),
@@ -943,6 +977,15 @@ def eval_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9), dec + F.col("event_id").cast("bigint") % 2
         ).alias("rb"),
     )
+    return kappa_weighted(base)
+
+
+def kappa_weighted(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_kappa_weighted` (the library
+    form the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, ra ordinal rating, rb ordinal rating) — one row per
+    rated item; the rating grid must be bounded (marginal cross
+    join)."""
     obs = (
         base.groupBy("event_type", "ra", "rb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
@@ -1071,6 +1114,13 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
         _q100().alias("v"),
     )
+    return ks_two_sample(base)
+
+
+def ks_two_sample(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_ks_two_sample` (the library form
+    the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, wk 0/1 sample flag, v integer value)."""
     cells = base.groupBy("event_type", "v").agg(
         F.sum("wk").cast("bigint").alias("c1"),
         F.sum(1 - F.col("wk")).cast("bigint").alias("c2"),
@@ -1177,6 +1227,14 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = load(spark, sf_dir, "events").groupBy(
         "event_type", "user_id"
     ).agg(F.sum(_q100()).cast("bigint").alias("s"))
+    return lorenz_curve(per_user)
+
+
+def lorenz_curve(per_user: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`agg_lorenz_curve` (the library form
+    the Engine facade exposes): ``per_user`` has columns (event_type
+    group key, user_id ranking tiebreak, s integer value total) — one
+    row per unit."""
     wrk = Window.partitionBy("event_type").orderBy("s", "user_id")
     wall = Window.partitionBy("event_type")
     ranked = per_user.select(

@@ -412,3 +412,68 @@ def test_by_fdr_never_rejects_more_than_bh(spark, sf_dir):
     # step-up coherence: rejections are exactly ranks 1..k
     rej = sorted(r.p_rank for r in by.values() if r.rejected)
     assert rej == list(range(1, len(rej) + 1))
+
+
+# --------------------------------------------------------------------------
+# Engine facade parity for the r14 family
+# --------------------------------------------------------------------------
+
+
+def test_engine_rankstats_facade_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.operators.rankstats import (
+        _dow_spark,
+        _q100,
+    )
+    from avro_parquet_spark_example_spark.sources.catalog import load
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    e = load(spark, sf_dir, "events")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want(name):
+        return rows(get_query(name).fn(spark, sf_dir))
+
+    base_gv = e.select(
+        "event_type", _dow_spark().alias("g"), _q100().alias("v")
+    )
+    assert rows(eng.jonckheere_terpstra(base_gv)) == want(
+        "stat_jonckheere_terpstra"
+    )
+    base_xy = e.select(
+        "event_type",
+        _dow_spark().alias("x"),
+        F.least(F.lit(9), _q100() / F.lit(1000)).cast("bigint").alias("y"),
+    )
+    assert rows(eng.gk_gamma_tau(base_xy)) == want("stat_gk_gamma_tau")
+    assert rows(
+        eng.mood_median(e.select("event_type", _q100().alias("q")))
+    ) == want("stat_mood_median")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_q100()).cast("bigint").alias("tq"))
+    assert rows(eng.runs_test(daily)) == want("stat_runs_test")
+    base_wk = e.select(
+        "event_type",
+        F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
+        _q100().alias("v"),
+    )
+    assert rows(eng.cliff_delta(base_wk)) == want("stat_cliff_delta")
+    assert rows(eng.ks_two_sample(base_wk)) == want("stat_ks_two_sample")
+    dec = F.least(F.lit(9), _q100() / F.lit(1000)).cast("bigint")
+    base_rr = e.select(
+        "event_type",
+        dec.alias("ra"),
+        F.least(
+            F.lit(9), dec + F.col("event_id").cast("bigint") % 2
+        ).alias("rb"),
+    )
+    assert rows(eng.kappa_weighted(base_rr)) == want("eval_kappa_weighted")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(_q100()).cast("bigint").alias("s")
+    )
+    assert rows(eng.lorenz_curve(per_user)) == want("agg_lorenz_curve")
