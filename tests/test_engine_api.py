@@ -718,9 +718,15 @@ def test_engine_inference_facade_parity(spark, sf_dir):
         F.col("event_id").cast("bigint").alias("event_id"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("bigint").alias("q"),
     )
-    assert rows(eng.poisson_bootstrap(q)) == want(
-        "stat_poisson_bootstrap_ci"
+    # the registered instance appends the r14 `sampled` validation-scope
+    # column (ADVICE r13 #1); the library form stays scope-free — drop
+    # it for the parity comparison
+    reg_pb = rows(
+        get_query("stat_poisson_bootstrap_ci")
+        .fn(spark, sf_dir)
+        .drop("sampled")
     )
+    assert rows(eng.poisson_bootstrap(q)) == reg_pb
 
     two = e.select(
         "event_type",
