@@ -702,7 +702,15 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (ts_us(joined, "p_ts") - ts_us(joined, "v_ts")).alias("us_between"),
     )
-    return run_to_table(joined, "append")
+    # OUTER join: NULL-padded rows emit ON watermark advance, so the
+    # trailing no-data batch stays; state partitions size to the input
+    # (r14 — same per-partition state-store fixed-cost argument as the
+    # inner join).
+    return run_to_table(
+        joined,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 @register(
