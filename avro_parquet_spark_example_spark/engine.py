@@ -1362,6 +1362,27 @@ class Engine:
 
         return ks_two_sample(base)
 
+    def auc_partial(self, scored: DataFrame) -> DataFrame:
+        """(n_pos, n_neg, pauc, pauc_mcclish) — partial AUC over FPR ∈
+        [0, 0.1] with McClish standardization, over a scored frame with
+        integer column v (bounded grid, higher = more positive) and 0/1
+        column pos (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            auc_partial,
+        )
+
+        return auc_partial(scored)
+
+    def brunner_munzel(self, base: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, p_hat, w_stat, rejected)
+        — nonparametric Behrens–Fisher test over a (event_type, wk 0/1,
+        v integer value) frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            brunner_munzel,
+        )
+
+        return brunner_munzel(base)
+
     def lorenz_curve(self, per_user: DataFrame) -> DataFrame:
         """(event_type, decile, n_users, cum_user_share,
         cum_value_share) — Lorenz curve decile points over a

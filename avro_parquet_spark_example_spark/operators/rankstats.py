@@ -1277,3 +1277,345 @@ def lorenz_curve(per_user: DataFrame) -> DataFrame:
             6,
         ).alias("cum_value_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partial AUC (McClish 1989) over a bounded FPR range
+# --------------------------------------------------------------------------
+
+#: FPR upper bound for the partial area, as an exact rational (num, den):
+#: beta = 1/10. The low-FPR operating region is the one that matters for
+#: screening / high-precision retrieval.
+_PAUC_B = (1, 10)
+
+
+@register(
+    "eval_auc_partial",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT v, CAST(SUM(pos) AS BIGINT) AS wp,
+               CAST(SUM(1 - pos) AS BIGINT) AS wn
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT x.v, x.wp, x.wn,
+               CAST(COALESCE(SUM(y.wp), 0) AS BIGINT) AS cwp,
+               CAST(COALESCE(SUM(y.wn), 0) AS BIGINT) AS cwn
+        FROM grid x LEFT JOIN grid y ON y.v > x.v
+        GROUP BY 1, 2, 3
+    ),
+    tots AS (
+        SELECT CAST(SUM(wp) AS BIGINT) AS np,
+               CAST(SUM(wn) AS BIGINT) AS nn
+        FROM grid
+    ),
+    terms AS (
+        SELECT CAST(SUM(
+          CASE
+            WHEN c.wn = 0 THEN CAST(0 AS DECIMAL(28,9))
+            WHEN {_PAUC_B[1]} * (c.cwn + c.wn) <= {_PAUC_B[0]} * t.nn THEN
+              CAST(ROUND(CAST(c.wn AS DOUBLE) * (2 * c.cwp + c.wp)
+                         / (2.0 * t.np * t.nn), 9) AS DECIMAL(28,9))
+            WHEN {_PAUC_B[1]} * c.cwn < {_PAUC_B[0]} * t.nn THEN
+              CAST(ROUND(
+                (CAST(t.nn AS DOUBLE) * {_PAUC_B[0]} / {_PAUC_B[1]} - c.cwn)
+                * (2.0 * c.cwp
+                   + (CAST(t.nn AS DOUBLE) * {_PAUC_B[0]} / {_PAUC_B[1]}
+                      - c.cwn) * c.wp / c.wn)
+                / (2.0 * t.np * t.nn), 9) AS DECIMAL(28,9))
+            ELSE CAST(0 AS DECIMAL(28,9))
+          END) AS DECIMAL(38,9)) AS s
+        FROM cum c, tots t
+    )
+    SELECT t.np AS n_pos, t.nn AS n_neg,
+           ROUND(CAST(s AS DOUBLE), 6) AS pauc,
+           ROUND(0.5 * (1.0 + (CAST(s AS DOUBLE) - 0.005) / 0.095), 6)
+               AS pauc_mcclish
+    FROM terms, tots t
+    """,
+)
+def eval_auc_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — PARTIAL AUC over FPR ∈ [0, {_PAUC_B[0]}/{_PAUC_B[1]}]
+    (McClish 1989): the area under the ROC restricted to the low-FPR
+    operating region — the metric that actually ranks screening /
+    high-precision models, where full AUC rewards performance at FPR
+    levels no deployment tolerates. Same scored fixture as
+    eval_auc_delong_se (lineitem discount grid vs returnflag).
+    ``pauc_mcclish`` is the standardized form ½(1 + (pAUC − β²/2)/(β −
+    β²/2)) ∈ [0.5, 1] for a better-than-chance curve.
+
+    Exactness: the ROC is the exact tie-slanted step curve off the
+    descending-score grid cums; each whole trapezoid is
+    wn·(2·cwp+wp)/(2·WP·WN) with integer numerators; the one boundary
+    cell crossing FPR = β is clipped by exact linear interpolation
+    (the crossing test is pure integer: β_den·cwn < β_num·WN). Every
+    cell term rounds to the 9-grid and DECIMAL-sums (the g_test
+    order-independence rule); β and the McClish normalizers are shared
+    literals.
+
+    Scale: ONE corpus scan to the bounded score grid (the DeLong
+    shape); everything after is grid algebra."""
+    base = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    return auc_partial(base)
+
+
+def auc_partial(scored: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_auc_partial` (the library form
+    the Engine facade exposes): ``scored`` has integer column ``v``
+    (bounded score grid, HIGHER = more positive) and 0/1 column
+    ``pos``."""
+    grid = scored.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("wp"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("wn"),
+    )
+    grid = grid.localCheckpoint(eager=True)  # grid-sized; consumed 2x
+    y = grid.select(
+        F.col("v").alias("yv"),
+        F.col("wp").alias("ywp"),
+        F.col("wn").alias("ywn"),
+    )
+    cum = (
+        grid.join(y, F.col("yv") > F.col("v"), "left")
+        .groupBy("v", "wp", "wn")
+        .agg(
+            F.coalesce(F.sum("ywp"), F.lit(0)).cast("bigint").alias("cwp"),
+            F.coalesce(F.sum("ywn"), F.lit(0)).cast("bigint").alias("cwn"),
+        )
+    )
+    tots = grid.agg(
+        F.sum("wp").cast("bigint").alias("np"),
+        F.sum("wn").cast("bigint").alias("nn"),
+    )
+    j = cum.crossJoin(F.broadcast(tots))
+    bn, bd = _PAUC_B
+    np_, nn_ = F.col("np"), F.col("nn")
+    t_clip = nn_.cast("double") * bn / bd - F.col("cwn")
+    full_term = F.round(
+        F.col("wn").cast("double")
+        * (2 * F.col("cwp") + F.col("wp"))
+        / (2.0 * np_ * nn_),
+        9,
+    ).cast("decimal(28,9)")
+    clip_term = F.round(
+        t_clip
+        * (2.0 * F.col("cwp") + t_clip * F.col("wp") / F.col("wn"))
+        / (2.0 * np_ * nn_),
+        9,
+    ).cast("decimal(28,9)")
+    zero = F.lit(0).cast("decimal(28,9)")
+    term = (
+        F.when(F.col("wn") == 0, zero)
+        .when(bd * (F.col("cwn") + F.col("wn")) <= bn * nn_, full_term)
+        .when(bd * F.col("cwn") < bn * nn_, clip_term)
+        .otherwise(zero)
+    )
+    s = j.groupBy("np", "nn").agg(
+        F.sum(term).cast("decimal(38,9)").alias("s")
+    )
+    beta = bn / bd
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(F.col("s").cast("double"), 6).alias("pauc"),
+        F.round(
+            0.5
+            * (
+                1.0
+                + (F.col("s").cast("double") - beta * beta / 2)
+                / (beta - beta * beta / 2)
+            ),
+            6,
+        ).alias("pauc_mcclish"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brunner–Munzel test (nonparametric Behrens–Fisher)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stat_brunner_munzel",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, v,
+               CAST(SUM(wk) AS BIGINT) AS c1,
+               CAST(SUM(1 - wk) AS BIGINT) AS c2
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, c1, c2,
+               CAST(COALESCE(SUM(c1 + c2) OVER w, 0) AS BIGINT) AS cl,
+               CAST(COALESCE(SUM(c1) OVER w, 0) AS BIGINT) AS cl1,
+               CAST(COALESCE(SUM(c2) OVER w, 0) AS BIGINT) AS cl2,
+               CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM cells
+        WINDOW w AS (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    moms AS (
+        SELECT event_type, CAST(MIN(n1) AS BIGINT) AS n1,
+               CAST(MIN(n2) AS BIGINT) AS n2,
+               CAST(SUM(CAST(c1 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 + 1)) AS DECIMAL(38,0)) AS sr1,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 + 1)) AS DECIMAL(38,0)) AS sr2,
+               CAST(SUM(CAST(c1 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 - 2*cl1 - c1)) AS DECIMAL(38,0))
+                   AS sd1,
+               CAST(SUM(CAST(c1 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 - 2*cl1 - c1)
+                        * (2*cl + c1 + c2 - 2*cl1 - c1)) AS DECIMAL(38,0))
+                   AS sq1,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 - 2*cl2 - c2)) AS DECIMAL(38,0))
+                   AS sd2,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * (2*cl + c1 + c2 - 2*cl2 - c2)
+                        * (2*cl + c1 + c2 - 2*cl2 - c2)) AS DECIMAL(38,0))
+                   AS sq2
+        FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2) - (n2 + 1) / 2.0) / n1,
+                 6) AS p_hat,
+           ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2)
+                  - CAST(sr1 AS DOUBLE) / (2.0 * n1))
+                 * n1 * n2 / (n1 + n2)
+                 / SQRT(n1 * ((CAST(sq1 AS DOUBLE)
+                               - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+                                 / n1) / (4.0 * (n1 - 1)))
+                        + n2 * ((CAST(sq2 AS DOUBLE)
+                                 - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                                   / n2) / (4.0 * (n2 - 1)))), 6) AS w_stat,
+           ABS((CAST(sr2 AS DOUBLE) / (2.0 * n2)
+                - CAST(sr1 AS DOUBLE) / (2.0 * n1))
+               * n1 * n2 / (n1 + n2)
+               / SQRT(n1 * ((CAST(sq1 AS DOUBLE)
+                             - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+                               / n1) / (4.0 * (n1 - 1)))
+                      + n2 * ((CAST(sq2 AS DOUBLE)
+                               - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                                 / n2) / (4.0 * (n2 - 1)))))
+               > {_Z95_2S} AS rejected
+    FROM moms
+    """,
+)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — BRUNNER–MUNZEL test (Brunner & Munzel 2000) per event type,
+    weekend vs weekday values: the nonparametric BEHRENS–FISHER test —
+    H0: P(X<Y)+½P(X=Y) = ½ WITHOUT Mann–Whitney's equal-variance
+    (exchangeability) assumption, which real A/B traffic routinely
+    violates. Emits p̂ (the common-language effect / relative treatment
+    effect) and the studentized W statistic.
+
+    Exactness: every observation in a value cell shares its POOLED
+    midrank (doubled: 2·cl + cv + 1) and its WITHIN-SAMPLE midrank, so
+    the rank means R̄ᵢ and the placement variances Sᵢ² (variance of
+    pooled − within midrank, the BM kernel) reduce to exact
+    DECIMAL(38,0) grid moments — sums of cell-count × doubled-rank
+    products (the DeLong/Kendall-W discipline); W is one fixed-order
+    IEEE expression. Large-sample convention: the rejection compares
+    |W| to z₀.₉₅ rather than the t(df̂) quantile — at the fixture's
+    n ≥ 2000/group the difference is < 10⁻³ (documented; the
+    Satterthwaite-df small-sample form needs a t quantile, a special
+    function neither engine carries as a shared literal).
+
+    Scale: one (type, value) counting aggregate; grid windows after."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
+        _q100().alias("v"),
+    )
+    return brunner_munzel(base)
+
+
+def brunner_munzel(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_brunner_munzel` (the library
+    form the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, wk 0/1 sample flag, v integer value)."""
+    cells = base.groupBy("event_type", "v").agg(
+        F.sum("wk").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("c2"),
+    )
+    wless = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wless), F.lit(0))
+        .cast("bigint")
+        .alias("cl"),
+        F.coalesce(F.sum("c1").over(wless), F.lit(0))
+        .cast("bigint")
+        .alias("cl1"),
+        F.coalesce(F.sum("c2").over(wless), F.lit(0))
+        .cast("bigint")
+        .alias("cl2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    # doubled pooled midrank of cell v: 2r = 2*cl + cv + 1; doubled
+    # within-sample midrank: 2r_i = 2*cl_i + c_iv + 1; the BM placement
+    # is their difference (the +1 cancels)
+    cv = F.col("c1") + F.col("c2")
+    pr2 = 2 * F.col("cl") + cv + 1
+    d1 = (2 * F.col("cl") + cv - 2 * F.col("cl1") - F.col("c1")).cast(
+        "decimal(38,0)"
+    )
+    d2 = (2 * F.col("cl") + cv - 2 * F.col("cl2") - F.col("c2")).cast(
+        "decimal(38,0)"
+    )
+    c1d = F.col("c1").cast("decimal(38,0)")
+    c2d = F.col("c2").cast("decimal(38,0)")
+    moms = cum.groupBy("event_type").agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.sum(c1d * pr2).cast("decimal(38,0)").alias("sr1"),
+        F.sum(c2d * pr2).cast("decimal(38,0)").alias("sr2"),
+        F.sum(c1d * d1).cast("decimal(38,0)").alias("sd1"),
+        F.sum(c1d * d1 * d1).cast("decimal(38,0)").alias("sq1"),
+        F.sum(c2d * d2).cast("decimal(38,0)").alias("sd2"),
+        F.sum(c2d * d2 * d2).cast("decimal(38,0)").alias("sq2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    rbar1 = F.col("sr1").cast("double") / (2.0 * n1)
+    rbar2 = F.col("sr2").cast("double") / (2.0 * n2)
+    s1 = (
+        F.col("sq1").cast("double")
+        - F.col("sd1").cast("double") * F.col("sd1").cast("double") / n1
+    ) / (4.0 * (n1 - 1))
+    s2 = (
+        F.col("sq2").cast("double")
+        - F.col("sd2").cast("double") * F.col("sd2").cast("double") / n2
+    ) / (4.0 * (n2 - 1))
+    w = (rbar2 - rbar1) * n1 * n2 / (n1 + n2) / F.sqrt(n1 * s1 + n2 * s2)
+    return moms.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round((rbar2 - (n2 + 1) / 2.0) / n1, 6).alias("p_hat"),
+        F.round(w, 6).alias("w_stat"),
+        (F.abs(w) > F.expr(_Z95_2S)).alias("rejected"),
+    )

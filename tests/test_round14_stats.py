@@ -477,3 +477,119 @@ def test_engine_rankstats_facade_parity(spark, sf_dir):
         F.sum(_q100()).cast("bigint").alias("s")
     )
     assert rows(eng.lorenz_curve(per_user)) == want("agg_lorenz_curve")
+    assert rows(eng.brunner_munzel(base_wk)) == want("stat_brunner_munzel")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    assert rows(eng.auc_partial(li)) == want("eval_auc_partial")
+
+
+# --------------------------------------------------------------------------
+# Partial AUC (McClish)
+# --------------------------------------------------------------------------
+
+
+def test_auc_partial_matches_python_reference(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    cells = Counter()
+    for r in rows:
+        v = int(round(r.l_discount * 100))
+        cells[(v, 1 if r.l_returnflag == "R" else 0)] += 1
+    grid = sorted({v for v, _ in cells}, reverse=True)
+    wp_tot = sum(n for (v, p), n in cells.items() if p == 1)
+    wn_tot = sum(n for (v, p), n in cells.items() if p == 0)
+    beta = 0.1
+    cwp = cwn = 0
+    pauc = 0.0
+    for v in grid:
+        wp, wn = cells.get((v, 1), 0), cells.get((v, 0), 0)
+        if wn > 0:
+            if (cwn + wn) <= beta * wn_tot:
+                pauc += round(wn * (2 * cwp + wp) / (2.0 * wp_tot * wn_tot), 9)
+            elif cwn < beta * wn_tot:
+                t = beta * wn_tot - cwn
+                pauc += round(
+                    t * (2.0 * cwp + t * wp / wn) / (2.0 * wp_tot * wn_tot),
+                    9,
+                )
+        cwp += wp
+        cwn += wn
+    row = get_query("eval_auc_partial").fn(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (wp_tot, wn_tot)
+    assert abs(row.pauc - round(pauc, 6)) < 1e-6
+    std = 0.5 * (1 + (pauc - 0.005) / 0.095)
+    assert abs(row.pauc_mcclish - round(std, 6)) < 1e-5
+    # bounds: 0 <= pauc <= beta; standardized in [0, 1]
+    assert 0.0 <= row.pauc <= 0.1 + 1e-9
+    assert 0.0 <= row.pauc_mcclish <= 1.0 + 1e-9
+
+
+def test_auc_partial_closed_forms():
+    # perfect classifier: TPR=1 before any FP -> pauc = beta exactly
+    # (the whole strip is full) -> mcclish = 1
+    beta = 0.1
+    assert 0.5 * (1 + (beta - 0.005) / 0.095) == 1.0
+    # random classifier: diagonal -> pauc = beta^2/2 -> mcclish = 0.5
+    assert 0.5 * (1 + (beta**2 / 2 - 0.005) / 0.095) == 0.5
+
+
+# --------------------------------------------------------------------------
+# Brunner–Munzel — definitional per-observation midranks (independent of
+# the grid algebra the operator uses)
+# --------------------------------------------------------------------------
+
+
+def _midranks(values):
+    """value -> midrank over the given multiset (1-based)."""
+    cnt = Counter(values)
+    out = {}
+    below = 0
+    for v in sorted(cnt):
+        out[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    return out
+
+
+def test_brunner_munzel_matches_python_reference(spark, sf_dir):
+    per: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+    for r in _events(spark, sf_dir):
+        per[r.event_type][0 if _is_weekend(r.ts) else 1].append(_q(r.value))
+    got = {
+        r.event_type: r
+        for r in get_query("stat_brunner_munzel").fn(spark, sf_dir).collect()
+    }
+    for t, (x1, x2) in per.items():
+        n1, n2 = len(x1), len(x2)
+        pooled = _midranks(x1 + x2)
+        w1 = _midranks(x1)
+        w2 = _midranks(x2)
+        r1 = [pooled[v] for v in x1]
+        r2 = [pooled[v] for v in x2]
+        rb1, rb2 = sum(r1) / n1, sum(r2) / n2
+        p1 = [pooled[v] - w1[v] for v in x1]
+        p2 = [pooled[v] - w2[v] for v in x2]
+        m1, m2 = sum(p1) / n1, sum(p2) / n2
+        s1 = sum((d - m1) ** 2 for d in p1) / (n1 - 1)
+        s2 = sum((d - m2) ** 2 for d in p2) / (n2 - 1)
+        w = (rb2 - rb1) * n1 * n2 / (n1 + n2) / math.sqrt(n1 * s1 + n2 * s2)
+        p_hat = (rb2 - (n2 + 1) / 2.0) / n1
+        row = got[t]
+        assert (row.n_weekend, row.n_weekday) == (n1, n2)
+        assert abs(row.p_hat - round(p_hat, 6)) < 1e-6
+        assert abs(row.w_stat - round(w, 6)) < 1e-4
+        assert row.rejected == (abs(w) > 1.959963984540054)
+
+
+def test_brunner_munzel_closed_forms():
+    # identical samples -> p_hat = 1/2, W = 0
+    x = [1, 2, 3, 4, 5] * 4
+    pooled = _midranks(x + x)
+    n = len(x)
+    rb = sum(pooled[v] for v in x) / n
+    assert abs((rb - (n + 1) / 2.0) / n - 0.5) < 1e-12
+    # complete separation -> p_hat = 1 (every y above every x)
+    lo, hi = [1, 2, 3], [10, 11, 12]
+    pooled = _midranks(lo + hi)
+    rbh = sum(pooled[v] for v in hi) / 3
+    assert (rbh - (3 + 1) / 2.0) / 3 == 1.0

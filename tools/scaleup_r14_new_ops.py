@@ -16,7 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scaleup_bench import BASE, synthesize_graph  # noqa: E402
+from tools.scaleup_bench import (  # noqa: E402
+    BASE,
+    synthesize_facts,
+    synthesize_graph,
+)
 from tools.scaleup_r13 import warm_time  # noqa: E402
 
 NEW_OPS = [
@@ -29,7 +33,9 @@ NEW_OPS = [
     "stat_ks_two_sample",
     "agg_lorenz_curve",
     "stat_by_fdr",
+    "stat_brunner_munzel",
 ]
+FACTS_OPS = ["eval_auc_partial"]
 
 
 def main() -> int:
@@ -40,11 +46,13 @@ def main() -> int:
         app_name="scaleup-r14-new", master="local[32]", shuffle_partitions=32
     )
     ev10 = synthesize_graph(spark, 10)
+    fx10 = synthesize_facts(spark, 10)
     worst = 0.0
-    for name in NEW_OPS:
+    for name in NEW_OPS + FACTS_OPS:
         fn = get_query(name).fn
+        big = fx10 if name in FACTS_OPS else ev10
         t1 = warm_time(fn, spark, BASE)
-        t10 = warm_time(fn, spark, ev10)
+        t10 = warm_time(fn, spark, big)
         ratio = t10 / t1 if t1 > 0 else float("inf")
         worst = max(worst, ratio)
         print(
