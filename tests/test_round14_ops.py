@@ -228,3 +228,36 @@ def test_tuned_streams_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# connected_components observability (r14, the x100-leg instrumentation)
+# --------------------------------------------------------------------------
+
+
+def test_cc_observer_local_and_iterative(spark):
+    from avro_parquet_spark_example_spark.operators import dedup as dd
+
+    # small edge set -> driver union-find, mode 'local'
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    labels = {r.id: r.cluster_id for r in dd.connected_components(edges).collect()}
+    assert dd.LAST_CC_INFO["mode"] == "local"
+    assert dd.LAST_CC_INFO["probe_edges"] == 3
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+
+    # force the iterative path with a tiny threshold: a diameter-1
+    # clique must converge in 2 rounds (1 propagating + 1 confirming)
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "a long, b long",
+    )
+    labels2 = {
+        r.id: r.cluster_id
+        for r in dd.connected_components(clique, local_threshold=2).collect()
+    }
+    assert dd.LAST_CC_INFO["mode"] == "iterative"
+    assert dd.LAST_CC_INFO["rounds"] == 2
+    assert set(labels2.values()) == {0}
