@@ -1383,6 +1383,16 @@ class Engine:
 
         return brunner_munzel(base)
 
+    def kaplan_meier(self, subj: DataFrame) -> DataFrame:
+        """(grp, t, n_risk, n_event, n_censor, survival) — Kaplan–Meier
+        estimator over a (user_id, grp cohort, t integer duration, ev
+        0/1 observed flag) subject frame (operators/survival.py)."""
+        from avro_parquet_spark_example_spark.operators.survival import (
+            kaplan_meier,
+        )
+
+        return kaplan_meier(subj)
+
     def lorenz_curve(self, per_user: DataFrame) -> DataFrame:
         """(event_type, decile, n_users, cum_user_share,
         cum_value_share) — Lorenz curve decile points over a

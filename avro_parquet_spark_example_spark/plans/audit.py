@@ -104,6 +104,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_mood_median": "bucket-grid exclusive-offset theta join (<=|value-domain|/256 rows) + 1-row pooled-median/total/chi2 cross joins (two-phase bucketed prefix sum)",
         "stat_by_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins (the stat_bh_fdr plan verbatim)",
         "eval_auc_partial": "score-grid (|grid|<=101 rows) descending-cumulative pair join + 1-row totals cross join (the eval_auc_delong_se shape)",
+        "surv_kaplan_meier": "broadcast 1-row corpus-max-date cross join (censoring boundary, the ts_rfm_segments shape)",
+        "surv_logrank_test": "broadcast 1-row corpus-max-date cross join + 2-row cohort-grid densification cross join (pooled-time risk grid)",
     },
     "CartesianProduct": {},
     "BatchEvalPython": {

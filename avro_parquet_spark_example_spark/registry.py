@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "avro_parquet_spark_example_spark.operators.mining",
     "avro_parquet_spark_example_spark.operators.inference",
     "avro_parquet_spark_example_spark.operators.rankstats",
+    "avro_parquet_spark_example_spark.operators.survival",
     "avro_parquet_spark_example_spark.operators.features",
     "avro_parquet_spark_example_spark.sources.python_datasource",
     "avro_parquet_spark_example_spark.sources.avro_datasource",

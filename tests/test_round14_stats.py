@@ -593,3 +593,116 @@ def test_brunner_munzel_closed_forms():
     pooled = _midranks(lo + hi)
     rbh = sum(pooled[v] for v in hi) / 3
     assert (rbh - (3 + 1) / 2.0) / 3 == 1.0
+
+
+# --------------------------------------------------------------------------
+# Survival family: Kaplan–Meier + log-rank
+# --------------------------------------------------------------------------
+
+
+def _durations(spark, sf_dir):
+    per: dict[int, list] = {}
+    dmax = None
+    for r in _events(spark, sf_dir):
+        d = r.ts.date()
+        dmax = d if dmax is None or d > dmax else dmax
+        lo, hi = per.get(r.user_id, (d, d))
+        per[r.user_id] = (min(lo, d), max(hi, d))
+    out = []
+    for uid, (d0, d1) in per.items():
+        grp = "treatment" if uid % 2 == 0 else "control"
+        if (dmax - d1).days >= 1:
+            out.append((uid, grp, (d1 - d0).days, 1))
+        else:
+            out.append((uid, grp, (dmax - d0).days, 0))
+    return out
+
+
+def test_kaplan_meier_matches_python_reference(spark, sf_dir):
+    subj = _durations(spark, sf_dir)
+    got = {
+        (r.grp, r.t): r
+        for r in get_query("surv_kaplan_meier").fn(spark, sf_dir).collect()
+    }
+    for grp in ("treatment", "control"):
+        rows = [(t, ev) for _, g, t, ev in subj if g == grp]
+        times = sorted({t for t, _ in rows})
+        surv = 1.0
+        logsum = 0.0
+        for t in times:
+            n_risk = sum(1 for tt, _ in rows if tt >= t)
+            d = sum(1 for tt, ev in rows if tt == t and ev == 1)
+            c = sum(1 for tt, ev in rows if tt == t and ev == 0)
+            if d > 0:
+                logsum += round(math.log(1.0 - d / n_risk), 9)
+            surv = math.exp(logsum)
+            row = got[(grp, t)]
+            assert (row.n_risk, row.n_event, row.n_censor) == (n_risk, d, c)
+            assert abs(row.survival - round(surv, 6)) < 1e-6
+        # KM invariants: S is non-increasing, starts <= 1
+        ss = [got[(grp, t)].survival for t in times]
+        assert all(a >= b - 1e-9 for a, b in zip(ss, ss[1:]))
+        assert ss[0] <= 1.0 + 1e-9
+
+
+def test_logrank_matches_python_reference(spark, sf_dir):
+    subj = _durations(spark, sf_dir)
+    t1 = [(t, ev) for _, g, t, ev in subj if g == "treatment"]
+    t2 = [(t, ev) for _, g, t, ev in subj if g == "control"]
+    times = sorted({t for t, _ in t1 + t2})
+    o1 = sum(ev for _, ev in t1)
+    e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for tt, _ in t1 if tt >= t)
+        n2 = sum(1 for tt, _ in t2 if tt >= t)
+        d1 = sum(1 for tt, ev in t1 if tt == t and ev == 1)
+        d2 = sum(1 for tt, ev in t2 if tt == t and ev == 1)
+        d, n = d1 + d2, n1 + n2
+        if d == 0 or n1 == 0 or n2 == 0:
+            continue
+        e1 += round(d * n1 / n, 9)
+        if n >= 2:
+            v += round(d * n1 * n2 * (n - d) / (n * n * (n - 1)), 9)
+    row = get_query("surv_logrank_test").fn(spark, sf_dir).collect()[0]
+    assert row.o1 == o1
+    assert abs(row.e1 - round(e1, 6)) < 1e-6
+    assert abs(row.var_o1 - round(v, 6)) < 1e-6
+    if v == 0:
+        # degenerate fixture (no death day with both cohorts at risk):
+        # the operator emits NULL chi2 / rejected False by contract
+        assert row.chi2 is None and row.rejected is False
+    else:
+        chi2 = (o1 - e1) ** 2 / v
+        assert abs(row.chi2 - round(chi2, 6)) < 1e-5
+        assert row.rejected == (chi2 > 3.841458820694124)
+
+
+def test_km_closed_forms():
+    # no censoring, one death per time among n: S after k deaths = 1-k/n
+    # via the product form
+    n = 10
+    s = 1.0
+    for k in range(1, 4):
+        s *= 1 - 1 / (n - k + 1)
+    assert abs(s - (n - 3) / n) < 1e-12
+    # all censored -> S stays 1 (no death terms)
+    assert math.exp(0.0) == 1.0
+
+
+def test_engine_kaplan_meier_facade_parity(spark, sf_dir):
+    from avro_parquet_spark_example_spark.engine import Engine
+    from avro_parquet_spark_example_spark.operators.survival import (
+        _user_durations,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    got = sorted(
+        map(tuple, eng.kaplan_meier(_user_durations(spark, sf_dir)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            get_query("surv_kaplan_meier").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want

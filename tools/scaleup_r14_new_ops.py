@@ -34,6 +34,8 @@ NEW_OPS = [
     "agg_lorenz_curve",
     "stat_by_fdr",
     "stat_brunner_munzel",
+    "surv_kaplan_meier",
+    "surv_logrank_test",
 ]
 FACTS_OPS = ["eval_auc_partial"]
 
