@@ -121,9 +121,9 @@ def _q100():
            ROUND(
              (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
               - g.sn_a - t.st_a) / 72.0
-             + CAST(g.sn_b * t.st_b AS DOUBLE)
+             + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                / (36.0 * g.n * (g.n-1) * (g.n-2))
-             + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1)),
+             + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1)),
              6) AS var_jt,
            ROUND(
              (CAST(j.jt2 AS DOUBLE) / 2.0
@@ -131,18 +131,18 @@ def _q100():
              / SQRT(
                (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
                 - g.sn_a - t.st_a) / 72.0
-               + CAST(g.sn_b * t.st_b AS DOUBLE)
+               + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                  / (36.0 * g.n * (g.n-1) * (g.n-2))
-               + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))),
+               + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))),
              6) AS z,
            ABS((CAST(j.jt2 AS DOUBLE) / 2.0
               - (CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0)
              / SQRT(
                (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
                 - g.sn_a - t.st_a) / 72.0
-               + CAST(g.sn_b * t.st_b AS DOUBLE)
+               + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                  / (36.0 * g.n * (g.n-1) * (g.n-2))
-               + CAST(g.sn_c * t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))))
+               + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))))
              > {_Z95_2S} AS rejected
     FROM jt j JOIN gs g USING (event_type) JOIN ts t USING (event_type)
     """,
@@ -163,7 +163,11 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     over groups at fixed value gives Σ_{{i<j}} in one pass. The
     tie-corrected null variance (Hollander & Wolfe form, three terms
     over group sizes n_i and pooled tie sizes t_v) uses DECIMAL(38,0)
-    products (n³·t³ crosses int64 at ~20k rows — the DeLong lesson);
+    sums (n³·t³ crosses int64 at ~20k rows — the DeLong lesson), but
+    the CROSS products sn_b·st_b / sn_c·st_c are formed in DOUBLE
+    (each factor cast first, both engines): the decimal product is
+    ~n⁶ per stratum and would overflow precision 38 at ~2.1M rows per
+    event_type — NULL var/z on Spark, an overflow error on DuckDB;
     z is ONE fixed-order IEEE expression, rejection on the unrounded
     |z| vs the shared z₀.₉₇₅ literal.
 
@@ -263,9 +267,15 @@ def jonckheere_terpstra(base: DataFrame, n_groups: int = 7) -> DataFrame:
             - F.col("st_a")
         ).cast("double")
         / 72.0
-        + (F.col("sn_b") * F.col("st_b")).cast("double")
+        # each factor is cast to double BEFORE the product: sn_b*st_b is
+        # ~n^6 per stratum and overflows DECIMAL(38,0) at ~2.1M rows per
+        # event_type (right at the x100 scale-up edge — Spark would emit
+        # NULL var/z, DuckDB an overflow error); precision loss is
+        # irrelevant since the term is divided by 36*n(n-1)(n-2) in
+        # double anyway. Oracle carries the identical shape.
+        + F.col("sn_b").cast("double") * F.col("st_b").cast("double")
         / (36.0 * n * (n - 1) * (n - 2))
-        + (F.col("sn_c") * F.col("st_c")).cast("double")
+        + F.col("sn_c").cast("double") * F.col("st_c").cast("double")
         / (8.0 * n * (n - 1))
     )
     z = (F.col("jt2").cast("double") / 2.0 - mean_jt) / F.sqrt(var_jt)

@@ -133,7 +133,9 @@ def _km_grid(subj: DataFrame) -> DataFrame:
     ),
     km AS (
         SELECT grp, t, d, c, n_risk,
-               CAST(SUM(CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
+               CAST(SUM(CASE
+                    WHEN d >= n_risk THEN CAST(-1000000000 AS DECIMAL(28,9))
+                    WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
                     ELSE CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk),
                                     9) AS DECIMAL(28,9)) END)
                     OVER (PARTITION BY grp ORDER BY t
@@ -161,7 +163,10 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-fixed within the window frame, identical IEEE expression
     both engines — the g_test discipline), exponentiated once and
     rounded 6; a zero-death day contributes an exact 0 term via the
-    same CASE on both engines.
+    same CASE on both engines, and a d == n_risk day (survival hits
+    exactly 0) contributes a -1e9 sentinel term so exp() underflows to
+    an exact 0.0 on both engines instead of ln(0) = -inf poisoning the
+    decimal cast (NULL on Spark, CAST error on DuckDB).
 
     Scale: one corpus scan to per-user (first, last) — map-side
     combined — then duration-grid algebra (≤ observation-window days
@@ -175,7 +180,18 @@ def kaplan_meier(subj: DataFrame) -> DataFrame:
     the Engine facade exposes): ``subj`` has columns (user_id, grp
     group key, t integer duration, ev 0/1 event-observed flag)."""
     risk = _km_grid(subj)
+    # d == n_risk (everyone still at risk dies at t — e.g. any fully
+    # observed cohort at its last death time) makes ln(1 - d/n) = -inf,
+    # which Spark's decimal cast turns into NULL (window SUM then skips
+    # it — survival silently stays at its prior value) and DuckDB turns
+    # into a CAST error. Guard with a -1e9 sentinel term: the cumulative
+    # sum stays <= -1e9 from that t onward and exp() underflows to an
+    # exact IEEE 0.0 on BOTH engines, i.e. survival = 0 for t and all
+    # later t in the group, as the estimator requires.
     term = F.when(
+        F.col("d") >= F.col("n_risk"),
+        F.lit(-1000000000).cast("decimal(28,9)"),
+    ).when(
         F.col("d") == 0, F.lit(0).cast("decimal(28,9)")
     ).otherwise(
         F.round(
@@ -272,7 +288,7 @@ def kaplan_meier(subj: DataFrame) -> DataFrame:
 def surv_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SV — LOG-RANK test (Mantel 1966) treatment vs control (id-parity)
     user survival: H0 "the two cohorts share one hazard function". At
-    each distinct death day the observed weekend-cohort deaths are
+    each distinct death day the observed treatment-cohort deaths are
     compared to the hypergeometric expectation d·n₁/n given the risk
     sets; χ² = (O₁−E₁)²/V at df 1 — THE standard two-cohort retention
     comparison (a t-test on observed lifetimes is censoring-biased;

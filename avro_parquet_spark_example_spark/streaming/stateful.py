@@ -104,7 +104,16 @@ def run_to_table(
     stream-stream joins (matches emit with the data; the no-data batch
     only evicts state). Append-mode queries whose late/closed results
     emit ON watermark advance (outer joins, append windowed aggs,
-    session windows) MUST keep the default."""
+    session windows) MUST keep the default.
+
+    NOT REENTRANT: the overrides mutate SESSION-global confs around the
+    run (Spark offers no per-query knob for either — the state-store
+    partition count comes from the session shuffle conf at first batch,
+    and noDataMicroBatches has no writeStream option). Concurrent batch
+    or streaming work in the same session during the window sees the
+    override, and two concurrent run_to_table calls can restore each
+    other's values. All registry/test callers are serial; a production
+    deployment would set these per-job at session build instead."""
     spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(SCRATCH, name)

@@ -689,6 +689,55 @@ def test_km_closed_forms():
     assert math.exp(0.0) == 1.0
 
 
+def test_km_full_observation_reaches_exact_zero(spark):
+    # r14 ADVICE: when d == n_risk at a group's last death time (any
+    # FULLY OBSERVED cohort), ln(1 - d/n) = -inf; Spark's decimal cast
+    # turned it into NULL, the window SUM skipped it, and survival
+    # silently stayed at its prior value (0.4 below). The -1e9 sentinel
+    # guard must drive survival to an exact IEEE 0.0 instead.
+    from avro_parquet_spark_example_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    subj = spark.createDataFrame(
+        [(i, "g", t, 1) for i, t in enumerate([1, 1, 2, 3, 3])],
+        "user_id int, grp string, t bigint, ev int",
+    )
+    surv = {r.t: r.survival for r in kaplan_meier(subj).collect()}
+    assert surv[1] == 0.6 and surv[2] == 0.4
+    assert surv[3] == 0.0  # exact zero — NOT 0.4 (the pre-guard bug)
+
+    # DuckDB twin of the oracle's km CASE on the same histogram: the
+    # sentinel must underflow to the same exact 0.0 (a plain CAST of
+    # LN(0) would instead raise a conversion error there).
+    import duckdb
+
+    got = duckdb.sql(
+        """
+        WITH risk(t, d, n_risk) AS (VALUES (1,2,5),(2,1,3),(3,2,2)),
+        km AS (
+            SELECT t,
+                   CAST(SUM(CASE
+                        WHEN d >= n_risk
+                            THEN CAST(-1000000000 AS DECIMAL(28,9))
+                        WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
+                        ELSE CAST(ROUND(
+                            LN(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                            AS DECIMAL(28,9)) END)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,9)) AS logs
+            FROM risk
+        )
+        SELECT t, ROUND(EXP(CAST(logs AS DOUBLE)), 6) AS survival
+        FROM km ORDER BY t
+        """
+    ).fetchall()
+    assert [(t, s) for t, s in got] == [(1, 0.6), (2, 0.4), (3, 0.0)]
+    for t, s in got:
+        assert s == surv[t]
+
+
 def test_engine_kaplan_meier_facade_parity(spark, sf_dir):
     from avro_parquet_spark_example_spark.engine import Engine
     from avro_parquet_spark_example_spark.operators.survival import (
