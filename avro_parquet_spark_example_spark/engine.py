@@ -1403,3 +1403,16 @@ class Engine:
         )
 
         return lorenz_curve(per_user)
+
+    def lorenz_curve_bucketed(
+        self, per_user: DataFrame, n_buckets: int = 64
+    ) -> DataFrame:
+        """:meth:`lorenz_curve` with the per-type rank computed by the
+        partitioned two-phase bucketed prefix sum — bit-identical
+        output, no per-type full-population sort (the 100 TB form;
+        operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            lorenz_curve_bucketed,
+        )
+
+        return lorenz_curve_bucketed(per_user, n_buckets=n_buckets)

@@ -1289,6 +1289,168 @@ def lorenz_curve(per_user: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "agg_lorenz_curve_bucketed",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY s, user_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+               CAST(SUM(s) OVER (PARTITION BY event_type)
+                    AS DECIMAL(38,0)) AS tot
+        FROM per_user
+    ),
+    dec AS (
+        SELECT event_type,
+               CAST((rk * 10 - 1) // n + 1 AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS ds,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(tot) AS DECIMAL(38,0)) AS tot
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT event_type, decile, n_users,
+           ROUND(CAST(SUM(CAST(n_users AS DECIMAL(38,0))) OVER w AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS cum_user_share,
+           ROUND(CAST(SUM(ds) OVER w AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS cum_value_share
+    FROM dec
+    WINDOW w AS (PARTITION BY event_type ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def agg_lorenz_curve_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AG — :func:`agg_lorenz_curve` with the per-type user rank computed
+    by a PARTITIONED TWO-PHASE BUCKETED prefix sum instead of a
+    per-event-type row_number window (VERDICT r14 task #4): event_type
+    has 3–5 values, so the window form sorts each type's ENTIRE user
+    population in one task — fine at sf0.1 (10× leg 1.7×), billions of
+    rows in one sorter at 100 TB. Same oracle, bit-identical output
+    (pinned in tests/test_round15_ops.py); the window form stays
+    registered as the semantics reference."""
+    per_user = load(spark, sf_dir, "events").groupBy(
+        "event_type", "user_id"
+    ).agg(F.sum(_q100()).cast("bigint").alias("s"))
+    return lorenz_curve_bucketed(per_user)
+
+
+def lorenz_curve_bucketed(
+    per_user: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """Frame-level core of :func:`agg_lorenz_curve_bucketed` — the
+    low-cardinality-partition rank pattern, pure-DataFrame (no driver
+    collect, unlike ``global_ntiles``' offset round-trip, because the
+    offsets here are per-GROUP and must stay distributed):
+
+    1. one per-type aggregate → exact (min, max, n, tot) per event_type
+       (broadcast — |types| rows);
+    2. range-bucket each user on a uniform [min, max] grid per type —
+       value-disjoint and monotone in s, so bucket order + within-bucket
+       (s, user_id) order == the window form's total order;
+    3. exclusive bucket offsets per type via a bucket-grid theta join
+       (≤ n_buckets² rows PER TYPE — grid-sized, never corpus-sized);
+    4. rank = offset + per-(type, bucket) row_number — the only window
+       partitions by (event_type, bk), so no task ever sorts more than
+       one bucket of one type (~n/(types·n_buckets) rows).
+
+    Skew note: a single s value held by most users lands one bucket
+    (same caveat as ``stat_mood_median``'s 256-wide value buckets); the
+    decile CURVE of such a distribution is degenerate anyway."""
+    stats = per_user.groupBy("event_type").agg(
+        F.min("s").alias("__mn"),
+        F.max("s").alias("__mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("tot"),
+    )
+    span = (F.col("__mx") - F.col("__mn")).cast("double")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("__mn")).cast("double")
+                / span
+                * n_buckets
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    pu = per_user.join(F.broadcast(stats), "event_type").withColumn(
+        "bk", bucket
+    )
+    btot = pu.groupBy("event_type", "bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bt")
+    )
+    bb = btot.select(
+        F.col("event_type").alias("__et"),
+        F.col("bk").alias("__bkb"),
+        F.col("bt").alias("__btb"),
+    )
+    boff = (
+        btot.join(
+            bb,
+            (F.col("__et") == F.col("event_type"))
+            & (F.col("__bkb") < F.col("bk")),
+            "left",
+        )
+        .groupBy("event_type", "bk")
+        .agg(
+            F.coalesce(F.sum("__btb"), F.lit(0))
+            .cast("bigint")
+            .alias("__off")
+        )
+    )
+    wbk = Window.partitionBy("event_type", "bk").orderBy("s", "user_id")
+    ranked = pu.join(boff, ["event_type", "bk"]).select(
+        "event_type",
+        "s",
+        "n",
+        "tot",
+        (F.col("__off") + F.row_number().over(wbk)).alias("rk"),
+    )
+    dec = ranked.groupBy(
+        "event_type",
+        ((F.col("rk") * 10 - 1) / F.col("n") + 1)
+        .cast("bigint")
+        .alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("s").cast("decimal(38,0)").alias("ds"),
+        F.min("n").alias("n"),
+        F.min("tot").alias("tot"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dec.select(
+        "event_type",
+        "decile",
+        "n_users",
+        F.round(
+            F.sum(F.col("n_users").cast("decimal(38,0)"))
+            .over(wcum)
+            .cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("cum_user_share"),
+        F.round(
+            F.sum("ds").over(wcum).cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("cum_value_share"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Partial AUC (McClish 1989) over a bounded FPR range
 # --------------------------------------------------------------------------

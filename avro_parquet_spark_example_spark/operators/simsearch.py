@@ -143,16 +143,45 @@ def hyperplanes(
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_table_keys(vec: Column, planes: list[list[float]]) -> Column:
+def scaled_lsh_bits(
+    corpus_rows: int, ref_rows: int, ref_bits: int = K_BITS
+) -> int:
+    """The DENSITY dial for the LSH index (r15, the ×100 ANN program's
+    finding): per-table sign bits K must grow with the corpus so expected
+    bucket occupancy n/2^K — and with it the scored-candidate fraction
+    ≈ L·(K+1)·n/2^K — stays constant. At the fixture's K=4 a ×100 corpus
+    is scored at 99.4% (tools/scaleup_r15_ann.py measured: 16 buckets per
+    table cannot prune 200k vectors — the index degenerates to brute
+    force with extra steps); K = 4 + log₂(100) ≈ 11 restores ~constant
+    per-bucket occupancy. The price is per-table collision p^K for
+    distant neighbors — recall for a given cos floor is bought back with
+    more tables (L) or more probes, the (L, K, probes) tradeoff the
+    operator docstring names; for near-duplicate-grade neighbors
+    (cos ≥ 0.9, per-bit agreement ≥ 0.9) recall stays ≈1 at the scaled K
+    (measured 1.0 @10 at ×100)."""
+    if corpus_rows <= 0 or ref_rows <= 0:
+        raise ValueError("row counts must be positive")
+    return ref_bits + max(0, round(math.log2(corpus_rows / ref_rows)))
+
+
+def lsh_table_keys(
+    vec: Column,
+    planes: list[list[float]],
+    l: int = L_TABLES,
+    k: int = K_BITS,
+) -> Column:
     """Array of L bucket keys, one per hash table: key_t encodes the table
     id plus K sign bits of the vector against that table's hyperplanes.
     Plane literals ride in the plan; computation is per-row folds — map-side
-    only, no shuffle to index the corpus."""
+    only, no shuffle to index the corpus. ``l``/``k`` default to the
+    fixture-scale constants; at-scale callers pass ``k`` from
+    :func:`scaled_lsh_bits` (planes must then hold l·k rows:
+    ``hyperplanes(n_planes=l * k)``)."""
     keys = []
-    for t in range(L_TABLES):
+    for t in range(l):
         key = F.lit(t << 32).cast("long")
-        for j in range(K_BITS):
-            plane_col = F.array(*[F.lit(v) for v in planes[t * K_BITS + j]])
+        for j in range(k):
+            plane_col = F.array(*[F.lit(v) for v in planes[t * k + j]])
             proj = F.aggregate(
                 F.zip_with(vec, plane_col, lambda x, p: x.cast("double") * p),
                 F.lit(0.0),
