@@ -118,14 +118,21 @@ def _q100():
     SELECT j.event_type, g.n, j.jt2,
            ROUND((CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0,
                  6) AS mean_jt,
-           ROUND(
+           CASE WHEN g.n < 3 THEN NULL ELSE ROUND(
              (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
               - g.sn_a - t.st_a) / 72.0
              + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                / (36.0 * g.n * (g.n-1) * (g.n-2))
              + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1)),
-             6) AS var_jt,
-           ROUND(
+             6) END AS var_jt,
+           CASE WHEN g.n < 3 OR (
+               (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
+                - g.sn_a - t.st_a) / 72.0
+               + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
+                 / (36.0 * g.n * (g.n-1) * (g.n-2))
+               + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE)
+                 / (8.0 * g.n * (g.n-1))) = 0
+           THEN NULL ELSE ROUND(
              (CAST(j.jt2 AS DOUBLE) / 2.0
               - (CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0)
              / SQRT(
@@ -134,7 +141,15 @@ def _q100():
                + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                  / (36.0 * g.n * (g.n-1) * (g.n-2))
                + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))),
-             6) AS z,
+             6) END AS z,
+           CASE WHEN g.n < 3 OR (
+               (CAST(g.n AS DECIMAL(38,0)) * (g.n-1) * (2*g.n+5)
+                - g.sn_a - t.st_a) / 72.0
+               + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
+                 / (36.0 * g.n * (g.n-1) * (g.n-2))
+               + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE)
+                 / (8.0 * g.n * (g.n-1))) = 0
+           THEN FALSE ELSE
            ABS((CAST(j.jt2 AS DOUBLE) / 2.0
               - (CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE)) / 4.0)
              / SQRT(
@@ -143,7 +158,7 @@ def _q100():
                + CAST(g.sn_b AS DOUBLE) * CAST(t.st_b AS DOUBLE)
                  / (36.0 * g.n * (g.n-1) * (g.n-2))
                + CAST(g.sn_c AS DOUBLE) * CAST(t.st_c AS DOUBLE) / (8.0 * g.n * (g.n-1))))
-             > {_Z95_2S} AS rejected
+             > {_Z95_2S} END AS rejected
     FROM jt j JOIN gs g USING (event_type) JOIN ts t USING (event_type)
     """,
 )
@@ -279,14 +294,29 @@ def jonckheere_terpstra(base: DataFrame, n_groups: int = 7) -> DataFrame:
         / (8.0 * n * (n - 1))
     )
     z = (F.col("jt2").cast("double") / 2.0 - mean_jt) / F.sqrt(var_jt)
+    # degenerate-margin guard (r15 self-review): n < 3 divides by zero
+    # inside the variance itself; a fully-tied single-group stratum has
+    # var_jt exactly 0 (all three terms cancel — derived in the review
+    # note) so z would divide by zero. ANSI Spark throws where DuckDB
+    # returns NULL; NULL var/z, FALSE rejected on both engines.
+    null_d = F.lit(None).cast("double")
+    n_small = F.col("n") < 3
     return j.select(
         "event_type",
         "n",
         "jt2",
         F.round(mean_jt, 6).alias("mean_jt"),
-        F.round(var_jt, 6).alias("var_jt"),
-        F.round(z, 6).alias("z"),
-        (F.abs(z) > F.expr(_Z95_2S)).alias("rejected"),
+        F.when(n_small, null_d)
+        .otherwise(F.round(var_jt, 6))
+        .alias("var_jt"),
+        F.when(n_small, null_d)
+        .when(var_jt == 0, null_d)
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(n_small, F.lit(False))
+        .when(var_jt == 0, F.lit(False))
+        .otherwise(F.abs(z) > F.expr(_Z95_2S))
+        .alias("rejected"),
     )
 
 
@@ -309,22 +339,33 @@ def jonckheere_terpstra(base: DataFrame, n_groups: int = 7) -> DataFrame:
     pairs AS (
         SELECT a.event_type,
                CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
-                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+                             THEN CAST(a.n AS DECIMAL(19,0)) * b.n
+                             ELSE 0 END) AS DECIMAL(38,0)) AS c,
                CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
-                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d,
+                             THEN CAST(a.n AS DECIMAL(19,0)) * b.n
+                             ELSE 0 END) AS DECIMAL(38,0)) AS d,
                CAST(SUM(CASE WHEN b.x > a.x AND b.y = a.y
-                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS ty,
+                             THEN CAST(a.n AS DECIMAL(19,0)) * b.n
+                             ELSE 0 END) AS DECIMAL(38,0)) AS ty,
                CAST(SUM(CASE WHEN b.x = a.x AND b.y > a.y
-                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tx
+                             THEN CAST(a.n AS DECIMAL(19,0)) * b.n
+                             ELSE 0 END) AS DECIMAL(38,0)) AS tx
         FROM cells a JOIN cells b ON b.event_type = a.event_type
         GROUP BY 1
     )
     SELECT event_type, c AS concordant, d AS discordant,
-           ROUND(CAST(c - d AS DOUBLE) / (c + d), 6) AS gamma,
-           ROUND(CAST(c - d AS DOUBLE) / (c + d + ty), 6) AS somers_dyx,
-           ROUND(CAST(c - d AS DOUBLE)
-                 / SQRT(CAST(c + d + tx AS DOUBLE) * (c + d + ty)),
-                 6) AS tau_b
+           CASE WHEN c + d = 0 THEN NULL
+                ELSE ROUND(CAST(c - d AS DOUBLE)
+                           / CAST(c + d AS DOUBLE), 6) END AS gamma,
+           CASE WHEN c + d + ty = 0 THEN NULL
+                ELSE ROUND(CAST(c - d AS DOUBLE)
+                           / CAST(c + d + ty AS DOUBLE), 6)
+                END AS somers_dyx,
+           CASE WHEN c + d + tx = 0 OR c + d + ty = 0 THEN NULL
+                ELSE ROUND(CAST(c - d AS DOUBLE)
+                           / SQRT(CAST(c + d + tx AS DOUBLE)
+                                  * CAST(c + d + ty AS DOUBLE)), 6)
+                END AS tau_b
     FROM pairs
     """,
 )
@@ -337,9 +378,13 @@ def stat_gk_gamma_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = 2·AUC − 1), tau-b penalizes both symmetrically.
 
     Exactness: concordant/discordant/tied pair counts come from ONE
-    grid pair self-join on the ≤(7×10)-cell contingency — exact BIGINT
-    products of cell counts — then each coefficient is one fixed-order
-    IEEE expression rounded 6.
+    grid pair self-join on the ≤(7×10)-cell contingency — exact
+    DECIMAL(38,0) products of cell counts (pair counts are ~n² per
+    stratum and cross int64 at ~3e9 rows/event_type; r15 self-review,
+    the JT/DeLong class) — then each coefficient is one fixed-order
+    IEEE expression rounded 6, NULL-guarded on its zero-pair
+    denominator (single-x/single-y strata: ANSI Spark would throw where
+    DuckDB returns NULL).
 
     Scale: one counting aggregate to ≤70 cells/type; the pair join is
     70² rows by construction. The corpus scan dominates at any SF."""
@@ -374,7 +419,14 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
         F.col("y").alias("yb"),
         F.col("n").alias("nb"),
     )
-    prod = F.col("na") * F.col("nb")
+    # r15 self-review: pair counts are ~n² per stratum and cross int64 at
+    # ~3.04e9 rows/event_type — the JT/DeLong overflow class. Each factor
+    # is DECIMAL(19,0) so the product is exact DECIMAL(38,0) on both
+    # engines; the accumulators (and the output c/d columns) carry
+    # DECIMAL(38,0) end to end.
+    prod = F.col("na").cast("decimal(19,0)") * F.col("nb").cast(
+        "decimal(19,0)"
+    )
     pairs = (
         a.join(b, F.col("etb") == F.col("event_type"))
         .groupBy("event_type")
@@ -385,7 +437,7 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
                     prod,
                 ).otherwise(0)
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("c"),
             F.sum(
                 F.when(
@@ -393,7 +445,7 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
                     prod,
                 ).otherwise(0)
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("d"),
             F.sum(
                 F.when(
@@ -402,7 +454,7 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
                     prod,
                 ).otherwise(0)
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("ty"),
             F.sum(
                 F.when(
@@ -411,27 +463,45 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
                     prod,
                 ).otherwise(0)
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("tx"),
         )
     )
     cmd = F.col("c") - F.col("d")
     cpd = F.col("c") + F.col("d")
+    # degenerate-margin guards (r15 self-review): a single-x or single-y
+    # stratum has zero comparable pairs — the terminal division would
+    # THROW on Spark (ANSI divide-by-zero) while DuckDB returns NULL.
+    # Guard each coefficient on its own denominator; NULL on both engines.
+    null_d = F.lit(None).cast("double")
     return pairs.select(
         "event_type",
         F.col("c").alias("concordant"),
         F.col("d").alias("discordant"),
-        F.round(cmd.cast("double") / cpd, 6).alias("gamma"),
-        F.round(cmd.cast("double") / (cpd + F.col("ty")), 6).alias(
-            "somers_dyx"
-        ),
-        F.round(
-            cmd.cast("double")
-            / F.sqrt(
-                (cpd + F.col("tx")).cast("double") * (cpd + F.col("ty"))
-            ),
-            6,
-        ).alias("tau_b"),
+        F.when(cpd == 0, null_d)
+        .otherwise(F.round(cmd.cast("double") / cpd.cast("double"), 6))
+        .alias("gamma"),
+        F.when(cpd + F.col("ty") == 0, null_d)
+        .otherwise(
+            F.round(
+                cmd.cast("double") / (cpd + F.col("ty")).cast("double"), 6
+            )
+        )
+        .alias("somers_dyx"),
+        F.when(
+            (cpd + F.col("tx") == 0) | (cpd + F.col("ty") == 0), null_d
+        )
+        .otherwise(
+            F.round(
+                cmd.cast("double")
+                / F.sqrt(
+                    (cpd + F.col("tx")).cast("double")
+                    * (cpd + F.col("ty")).cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("tau_b"),
     )
 
 
@@ -487,20 +557,22 @@ def gk_gamma_tau(base: DataFrame) -> DataFrame:
         FROM cnts
     ),
     terms AS (
-        SELECT CAST(SUM(CAST(ROUND(
+        SELECT CAST(SUM(CASE WHEN t.a = 0 OR t.a = t.n THEN NULL
+               ELSE CAST(ROUND(
                  (above - CAST(n_i AS DOUBLE) * t.a / t.n)
                  * (above - CAST(n_i AS DOUBLE) * t.a / t.n)
                  / (CAST(n_i AS DOUBLE) * t.a / t.n)
                + ((n_i - above) - CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n)
                  * ((n_i - above) - CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n)
                  / (CAST(n_i AS DOUBLE) * (t.n - t.a) / t.n), 9)
-               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s
+               AS DECIMAL(28,9)) END) AS DECIMAL(38,9)) AS s
         FROM cnts, tot t
     )
     SELECT c.event_type, c.n_i, c.above, c.n_i - c.above AS at_or_below,
            (SELECT med FROM med) AS pooled_median,
            ROUND(CAST(t.s AS DOUBLE), 6) AS chi2,
-           (CAST(t.s AS DOUBLE) > {_CHI2_95_DF4}) AS rejected
+           COALESCE(CAST(t.s AS DOUBLE) > {_CHI2_95_DF4}, FALSE)
+               AS rejected
     FROM cnts c, terms t
     """,
 )
@@ -521,7 +593,10 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     each type's chi-square term is a fixed-order IEEE expression
     rounded to the 9-grid and DECIMAL-summed (the g_test
     order-independence rule); rejection compares the unrounded total
-    against the shared χ²₀.₉₅,df4 literal.
+    against the shared χ²₀.₉₅,df4 literal. Degenerate margin a = 0 or
+    a = n (pooled median at an extreme) → NULL chi2 / FALSE rejected on
+    both engines (r15 self-review: the unguarded expected-count
+    division THROWS on ANSI Spark where DuckDB returns NULL).
 
     Scale: one value-grid aggregate + one counting aggregate. The
     2-row-per-type table is driver-size by construction."""
@@ -594,13 +669,24 @@ def mood_median(base: DataFrame) -> DataFrame:
         * (F.col("n") - F.col("a"))
         / F.col("n")
     )
-    term = F.round(
-        (F.col("above") - ea) * (F.col("above") - ea) / ea
-        + ((F.col("n_i") - F.col("above")) - eb)
-        * ((F.col("n_i") - F.col("above")) - eb)
-        / eb,
-        9,
-    ).cast("decimal(28,9)")
+    # degenerate-margin guard (r15 self-review): a == 0 or a == n (the
+    # pooled median sits at an extreme — e.g. >50% of mass on one value
+    # with nothing above it) zeroes a whole expected margin; the χ² is
+    # undefined and the unguarded division THROWS on ANSI Spark while
+    # DuckDB returns NULL. Emit NULL term → NULL chi2 / FALSE rejected
+    # identically on both engines.
+    degenerate = (F.col("a") == 0) | (F.col("a") == F.col("n"))
+    term = F.when(
+        degenerate, F.lit(None).cast("decimal(28,9)")
+    ).otherwise(
+        F.round(
+            (F.col("above") - ea) * (F.col("above") - ea) / ea
+            + ((F.col("n_i") - F.col("above")) - eb)
+            * ((F.col("n_i") - F.col("above")) - eb)
+            / eb,
+            9,
+        ).cast("decimal(28,9)")
+    )
     chi2 = (
         cnts.crossJoin(F.broadcast(tot))
         .agg(F.sum(term).cast("decimal(38,9)").alias("s"))
@@ -615,9 +701,10 @@ def mood_median(base: DataFrame) -> DataFrame:
             (F.col("n_i") - F.col("above")).alias("at_or_below"),
             F.col("med").alias("pooled_median"),
             F.round(F.col("s").cast("double"), 6).alias("chi2"),
-            (F.col("s").cast("double") > F.expr(_CHI2_95_DF4)).alias(
-                "rejected"
-            ),
+            F.coalesce(
+                F.col("s").cast("double") > F.expr(_CHI2_95_DF4),
+                F.lit(False),
+            ).alias("rejected"),
         )
     )
 
@@ -671,14 +758,16 @@ def mood_median(base: DataFrame) -> DataFrame:
     )
     SELECT event_type, runs, n1, n2,
            ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS mean_runs,
-           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 2 THEN NULL
+                ELSE ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
                  / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                           * (n1 + n2 - 1))), 6) AS z,
-           ABS((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                           * (n1 + n2 - 1))), 6) END AS z,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 2 THEN FALSE
+                ELSE ABS((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
                / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                         * (n1 + n2 - 1)))) > {_Z95_2S} AS rejected
+                         * (n1 + n2 - 1)))) > {_Z95_2S} END AS rejected
     FROM agg
     """,
 )
@@ -771,14 +860,23 @@ def runs_test(daily: DataFrame) -> DataFrame:
         / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
     )
     z = (F.col("runs") - mu) / F.sqrt(var)
+    # degenerate-margin guard (r15 self-review): one-sided series after
+    # median exclusion (n1 or n2 = 0) or n1 = n2 = 1 have null variance
+    # 0 — the z division THROWS on ANSI Spark, NULL on DuckDB. NULL z /
+    # FALSE rejected on both engines.
+    degenerate = (n1 == 0) | (n2 == 0) | ((n1 + n2) <= 2)
     return agg.select(
         "event_type",
         "runs",
         "n1",
         "n2",
         F.round(mu, 6).alias("mean_runs"),
-        F.round(z, 6).alias("z"),
-        (F.abs(z) > F.expr(_Z95_2S)).alias("rejected"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > F.expr(_Z95_2S))
+        .alias("rejected"),
     )
 
 
@@ -815,14 +913,20 @@ def runs_test(daily: DataFrame) -> DataFrame:
     s AS (
         SELECT event_type,
                CAST(MIN(nw) AS BIGINT) AS nw, CAST(MIN(nd) AS BIGINT) AS nd,
-               CAST(SUM(cw * dless) AS BIGINT) AS gt,
-               CAST(SUM(cw * (nd - dless - cd)) AS BIGINT) AS lt
+               CAST(SUM(CAST(cw AS DECIMAL(19,0))
+                        * CAST(dless AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS gt,
+               CAST(SUM(CAST(cw AS DECIMAL(19,0))
+                        * CAST(nd - dless - cd AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS lt
         FROM cum GROUP BY 1
     )
     SELECT event_type, nw AS n_weekend, nd AS n_weekday,
-           ROUND(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd), 6)
-               AS delta,
-           CASE WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
+           CASE WHEN nw = 0 OR nd = 0 THEN NULL
+                ELSE ROUND(CAST(gt - lt AS DOUBLE)
+                           / (CAST(nw AS DOUBLE) * nd), 6) END AS delta,
+           CASE WHEN nw = 0 OR nd = 0 THEN NULL
+                WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
                      < {_CLIFF_BANDS[0]} THEN 'negligible'
                 WHEN ABS(CAST(gt - lt AS DOUBLE) / (CAST(nw AS DOUBLE) * nd))
                      < {_CLIFF_BANDS[1]} THEN 'small'
@@ -840,10 +944,14 @@ def stat_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Magnitude bands at the Romano et al. (2006) thresholds
     |δ| < {_CLIFF_BANDS[0]}/{_CLIFF_BANDS[1]}/{_CLIFF_BANDS[2]}.
 
-    Exactness: dominance counts gt/lt are exact integer grid sums off
-    the strict-cumulative window (the DeLong placement machinery with
-    ties contributing to neither side); δ is one IEEE division rounded
-    6; the band CASE tests the unrounded |δ| against shared literals.
+    Exactness: dominance counts gt/lt are exact DECIMAL(38,0) grid sums
+    off the strict-cumulative window (the DeLong placement machinery
+    with ties contributing to neither side; ~n²/4 per stratum crosses
+    int64 at ~6e9 rows/type — r15 self-review); δ is one IEEE division
+    rounded 6; the band CASE tests the unrounded |δ| against shared
+    literals. Empty-side strata (nw or nd = 0) → NULL δ and NULL
+    magnitude on both engines (pre-guard: ANSI-Spark throw vs DuckDB
+    NULL, and the band CASE fell through NULL to 'large').
 
     Scale: one (type, value) counting aggregate; grid windows after."""
     base = load(spark, sf_dir, "events").select(
@@ -878,23 +986,43 @@ def cliff_delta(base: DataFrame) -> DataFrame:
         F.sum("cd").over(wall).cast("bigint").alias("nd"),
         F.sum("cw").over(wall).cast("bigint").alias("nw"),
     )
+    # r15 self-review: dominance counts are ~n²/4 per stratum — the int64
+    # overflow class (crosses at ~6e9 rows/event_type); DECIMAL factors
+    # and accumulators on both engines.
+    cwd = F.col("cw").cast("decimal(19,0)")
     s = cum.groupBy("event_type").agg(
         F.min("nw").alias("nw"),
         F.min("nd").alias("nd"),
-        F.sum(F.col("cw") * F.col("dless")).cast("bigint").alias("gt"),
-        F.sum(F.col("cw") * (F.col("nd") - F.col("dless") - F.col("cd")))
-        .cast("bigint")
+        F.sum(cwd * F.col("dless").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("gt"),
+        F.sum(
+            cwd
+            * (F.col("nd") - F.col("dless") - F.col("cd")).cast(
+                "decimal(19,0)"
+            )
+        )
+        .cast("decimal(38,0)")
         .alias("lt"),
     )
     delta = (F.col("gt") - F.col("lt")).cast("double") / (
         F.col("nw").cast("double") * F.col("nd")
     )
+    # degenerate-margin guard (r15 self-review): an empty side (nw or nd
+    # = 0) has no dominance pairs — the division THROWS on ANSI Spark
+    # (NULL on DuckDB), and the unguarded band CASE would then fall
+    # through every NULL comparison to 'large'. NULL delta AND NULL
+    # magnitude on both engines.
+    degenerate = (F.col("nw") == 0) | (F.col("nd") == 0)
     return s.select(
         "event_type",
         F.col("nw").alias("n_weekend"),
         F.col("nd").alias("n_weekday"),
-        F.round(delta, 6).alias("delta"),
-        F.when(F.abs(delta) < _CLIFF_BANDS[0], "negligible")
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(delta, 6))
+        .alias("delta"),
+        F.when(degenerate, F.lit(None).cast("string"))
+        .when(F.abs(delta) < _CLIFF_BANDS[0], "negligible")
         .when(F.abs(delta) < _CLIFF_BANDS[1], "small")
         .when(F.abs(delta) < _CLIFF_BANDS[2], "medium")
         .otherwise("large")
@@ -954,10 +1082,12 @@ def cliff_delta(base: DataFrame) -> DataFrame:
         GROUP BY 1
     )
     SELECT n.event_type, n.n,
-           ROUND(1.0 - CAST(o.lin_o AS DOUBLE) * n.n
-                       / CAST(e.lin_e AS DOUBLE), 6) AS kappa_linear,
-           ROUND(1.0 - CAST(o.quad_o AS DOUBLE) * n.n
-                       / CAST(e.quad_e AS DOUBLE), 6) AS kappa_quadratic
+           CASE WHEN e.lin_e = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(o.lin_o AS DOUBLE) * n.n
+                       / CAST(e.lin_e AS DOUBLE), 6) END AS kappa_linear,
+           CASE WHEN e.quad_e = 0 THEN NULL
+                ELSE ROUND(1.0 - CAST(o.quad_o AS DOUBLE) * n.n
+                       / CAST(e.quad_e AS DOUBLE), 6) END AS kappa_quadratic
     FROM n JOIN onum o USING (event_type) JOIN eden e USING (event_type)
     """,
 )
@@ -1030,26 +1160,38 @@ def kappa_weighted(base: DataFrame) -> DataFrame:
             .alias("quad_e"),
         )
     )
+    # degenerate-margin guard (r15 self-review): both raters constant at
+    # the same level ⇒ Σd·R·C = 0 — chance disagreement undefined, and
+    # the unguarded division THROWS on ANSI Spark (NULL on DuckDB).
+    null_d = F.lit(None).cast("double")
     return (
         n.join(onum, "event_type")
         .join(eden, "event_type")
         .select(
             "event_type",
             "n",
-            F.round(
-                1.0
-                - F.col("lin_o").cast("double")
-                * F.col("n")
-                / F.col("lin_e").cast("double"),
-                6,
-            ).alias("kappa_linear"),
-            F.round(
-                1.0
-                - F.col("quad_o").cast("double")
-                * F.col("n")
-                / F.col("quad_e").cast("double"),
-                6,
-            ).alias("kappa_quadratic"),
+            F.when(F.col("lin_e") == 0, null_d)
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.col("lin_o").cast("double")
+                    * F.col("n")
+                    / F.col("lin_e").cast("double"),
+                    6,
+                )
+            )
+            .alias("kappa_linear"),
+            F.when(F.col("quad_e") == 0, null_d)
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.col("quad_o").cast("double")
+                    * F.col("n")
+                    / F.col("quad_e").cast("double"),
+                    6,
+                )
+            )
+            .alias("kappa_quadratic"),
         )
     )
 
@@ -1088,18 +1230,25 @@ def kappa_weighted(base: DataFrame) -> DataFrame:
     s AS (
         SELECT event_type,
                CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
-               CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS dstar
+               CAST(MAX(ABS(CAST(f1 AS DECIMAL(19,0))
+                            * CAST(n2 AS DECIMAL(19,0))
+                            - CAST(f2 AS DECIMAL(19,0))
+                              * CAST(n1 AS DECIMAL(19,0))))
+                    AS DECIMAL(38,0)) AS dstar
         FROM cum GROUP BY event_type
     )
     SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
-           ROUND(CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
-               AS ks_d,
-           ROUND(CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE ROUND(CAST(dstar AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE ROUND(CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
                  * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
-               AS ks_stat,
-           (CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                END AS ks_stat,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN FALSE
+                ELSE (CAST(dstar AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
             * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) > {_KS_C05}
-               AS rejected
+               END AS rejected
     FROM s
     """,
 )
@@ -1116,7 +1265,10 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the sup is over grid values only (both ECDFs are step
     functions jumping at data points, so the max over the grid IS the
-    sup); all counts integer; two divisions + one sqrt at the end.
+    sup); all counts integer, cross-products DECIMAL(38,0) (f·n is ~n²
+    per stratum — int64 crossing at ~3e9 rows/type, r15 self-review);
+    two divisions + one sqrt at the end, NULL/FALSE-guarded for an
+    empty side (ANSI-Spark throw vs DuckDB NULL otherwise).
 
     Scale: one (type, value) counting aggregate; grid windows after."""
     base = load(spark, sf_dir, "events").select(
@@ -1148,13 +1300,21 @@ def ks_two_sample(base: DataFrame) -> DataFrame:
         F.sum("c1").over(wall).cast("bigint").alias("n1"),
         F.sum("c2").over(wall).cast("bigint").alias("n2"),
     )
+    # r15 self-review: the cross-multiplied CDF terms f1·n2 are ~n² per
+    # stratum — int64 crossing at ~3e9 rows/type; DECIMAL factors and
+    # max on both engines (dstar is internal; outputs unchanged).
     s = cum.groupBy("event_type").agg(
         F.min("n1").alias("n1"),
         F.min("n2").alias("n2"),
         F.max(
-            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            F.abs(
+                F.col("f1").cast("decimal(19,0)")
+                * F.col("n2").cast("decimal(19,0)")
+                - F.col("f2").cast("decimal(19,0)")
+                * F.col("n1").cast("decimal(19,0)")
+            )
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("dstar"),
     )
     d = F.col("dstar").cast("double") / (
@@ -1165,13 +1325,21 @@ def ks_two_sample(base: DataFrame) -> DataFrame:
         * F.col("n2")
         / (F.col("n1") + F.col("n2"))
     )
+    # degenerate-margin guard: an empty side has no ECDF to compare —
+    # NULL D/λ, FALSE rejected on both engines (ANSI-throw class)
+    degenerate = (F.col("n1") == 0) | (F.col("n2") == 0)
+    null_d = F.lit(None).cast("double")
     return s.select(
         "event_type",
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
-        F.round(d, 6).alias("ks_d"),
-        F.round(lam, 6).alias("ks_stat"),
-        (lam > F.expr(_KS_C05)).alias("rejected"),
+        F.when(degenerate, null_d).otherwise(F.round(d, 6)).alias("ks_d"),
+        F.when(degenerate, null_d)
+        .otherwise(F.round(lam, 6))
+        .alias("ks_stat"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(lam > F.expr(_KS_C05))
+        .alias("rejected"),
     )
 
 
@@ -1211,7 +1379,9 @@ def ks_two_sample(base: DataFrame) -> DataFrame:
     SELECT event_type, decile, n_users,
            ROUND(CAST(SUM(CAST(n_users AS DECIMAL(38,0))) OVER w AS DOUBLE)
                  / CAST(n AS DOUBLE), 6) AS cum_user_share,
-           ROUND(CAST(SUM(ds) OVER w AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           CASE WHEN tot = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(ds) OVER w AS DOUBLE)
+                           / CAST(tot AS DOUBLE), 6) END
                AS cum_value_share
     FROM dec
     WINDOW w AS (PARTITION BY event_type ORDER BY decile
@@ -1281,11 +1451,17 @@ def lorenz_curve(per_user: DataFrame) -> DataFrame:
             / F.col("n").cast("double"),
             6,
         ).alias("cum_user_share"),
-        F.round(
-            F.sum("ds").over(wcum).cast("double")
-            / F.col("tot").cast("double"),
-            6,
-        ).alias("cum_value_share"),
+        # all-zero totals (tot = 0) leave value shares undefined — an
+        # ANSI-Spark divide-by-zero throw vs DuckDB NULL (r15 review)
+        F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("ds").over(wcum).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            )
+        )
+        .alias("cum_value_share"),
     )
 
 
@@ -1320,7 +1496,9 @@ def lorenz_curve(per_user: DataFrame) -> DataFrame:
     SELECT event_type, decile, n_users,
            ROUND(CAST(SUM(CAST(n_users AS DECIMAL(38,0))) OVER w AS DOUBLE)
                  / CAST(n AS DOUBLE), 6) AS cum_user_share,
-           ROUND(CAST(SUM(ds) OVER w AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           CASE WHEN tot = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(ds) OVER w AS DOUBLE)
+                           / CAST(tot AS DOUBLE), 6) END
                AS cum_value_share
     FROM dec
     WINDOW w AS (PARTITION BY event_type ORDER BY decile
@@ -1443,11 +1621,17 @@ def lorenz_curve_bucketed(
             / F.col("n").cast("double"),
             6,
         ).alias("cum_user_share"),
-        F.round(
-            F.sum("ds").over(wcum).cast("double")
-            / F.col("tot").cast("double"),
-            6,
-        ).alias("cum_value_share"),
+        # all-zero totals (tot = 0) leave value shares undefined — an
+        # ANSI-Spark divide-by-zero throw vs DuckDB NULL (r15 review)
+        F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("ds").over(wcum).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            )
+        )
+        .alias("cum_value_share"),
     )
 
 
@@ -1489,6 +1673,7 @@ _PAUC_B = (1, 10)
     terms AS (
         SELECT CAST(SUM(
           CASE
+            WHEN t.np = 0 OR t.nn = 0 THEN CAST(0 AS DECIMAL(28,9))
             WHEN c.wn = 0 THEN CAST(0 AS DECIMAL(28,9))
             WHEN {_PAUC_B[1]} * (c.cwn + c.wn) <= {_PAUC_B[0]} * t.nn THEN
               CAST(ROUND(CAST(c.wn AS DOUBLE) * (2 * c.cwp + c.wp)
@@ -1505,9 +1690,11 @@ _PAUC_B = (1, 10)
         FROM cum c, tots t
     )
     SELECT t.np AS n_pos, t.nn AS n_neg,
-           ROUND(CAST(s AS DOUBLE), 6) AS pauc,
-           ROUND(0.5 * (1.0 + (CAST(s AS DOUBLE) - 0.005) / 0.095), 6)
-               AS pauc_mcclish
+           CASE WHEN t.np = 0 OR t.nn = 0 THEN NULL
+                ELSE ROUND(CAST(s AS DOUBLE), 6) END AS pauc,
+           CASE WHEN t.np = 0 OR t.nn = 0 THEN NULL
+                ELSE ROUND(0.5 * (1.0 + (CAST(s AS DOUBLE) - 0.005)
+                                  / 0.095), 6) END AS pauc_mcclish
     FROM terms, tots t
     """,
 )
@@ -1583,8 +1770,12 @@ def auc_partial(scored: DataFrame) -> DataFrame:
         9,
     ).cast("decimal(28,9)")
     zero = F.lit(0).cast("decimal(28,9)")
+    # leading one-class guard (r15 self-review): np = 0 with negatives
+    # present reaches full_term's division by 2·np·nn — an ANSI-Spark
+    # throw (NULL on DuckDB)
     term = (
-        F.when(F.col("wn") == 0, zero)
+        F.when((np_ == 0) | (nn_ == 0), zero)
+        .when(F.col("wn") == 0, zero)
         .when(bd * (F.col("cwn") + F.col("wn")) <= bn * nn_, full_term)
         .when(bd * F.col("cwn") < bn * nn_, clip_term)
         .otherwise(zero)
@@ -1593,19 +1784,27 @@ def auc_partial(scored: DataFrame) -> DataFrame:
         F.sum(term).cast("decimal(38,9)").alias("s")
     )
     beta = bn / bd
+    one_class = (F.col("np") == 0) | (F.col("nn") == 0)
+    null_d = F.lit(None).cast("double")
     return s.select(
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
-        F.round(F.col("s").cast("double"), 6).alias("pauc"),
-        F.round(
-            0.5
-            * (
-                1.0
-                + (F.col("s").cast("double") - beta * beta / 2)
-                / (beta - beta * beta / 2)
-            ),
-            6,
-        ).alias("pauc_mcclish"),
+        F.when(one_class, null_d)
+        .otherwise(F.round(F.col("s").cast("double"), 6))
+        .alias("pauc"),
+        F.when(one_class, null_d)
+        .otherwise(
+            F.round(
+                0.5
+                * (
+                    1.0
+                    + (F.col("s").cast("double") - beta * beta / 2)
+                    / (beta - beta * beta / 2)
+                ),
+                6,
+            )
+        )
+        .alias("pauc_mcclish"),
     )
 
 
@@ -1665,9 +1864,17 @@ def auc_partial(scored: DataFrame) -> DataFrame:
         FROM cum GROUP BY event_type
     )
     SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
-           ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2) - (n2 + 1) / 2.0) / n1,
-                 6) AS p_hat,
-           ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2)
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2)
+                            - (n2 + 1) / 2.0) / n1, 6) END AS p_hat,
+           CASE WHEN n1 < 2 OR n2 < 2 OR
+                (n1 * ((CAST(sq1 AS DOUBLE)
+                        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+                          / n1) / (4.0 * (n1 - 1)))
+                 + n2 * ((CAST(sq2 AS DOUBLE)
+                          - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                            / n2) / (4.0 * (n2 - 1)))) = 0 THEN NULL
+           ELSE ROUND((CAST(sr2 AS DOUBLE) / (2.0 * n2)
                   - CAST(sr1 AS DOUBLE) / (2.0 * n1))
                  * n1 * n2 / (n1 + n2)
                  / SQRT(n1 * ((CAST(sq1 AS DOUBLE)
@@ -1675,8 +1882,16 @@ def auc_partial(scored: DataFrame) -> DataFrame:
                                  / n1) / (4.0 * (n1 - 1)))
                         + n2 * ((CAST(sq2 AS DOUBLE)
                                  - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
-                                   / n2) / (4.0 * (n2 - 1)))), 6) AS w_stat,
-           ABS((CAST(sr2 AS DOUBLE) / (2.0 * n2)
+                                   / n2) / (4.0 * (n2 - 1)))), 6)
+           END AS w_stat,
+           CASE WHEN n1 < 2 OR n2 < 2 OR
+                (n1 * ((CAST(sq1 AS DOUBLE)
+                        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+                          / n1) / (4.0 * (n1 - 1)))
+                 + n2 * ((CAST(sq2 AS DOUBLE)
+                          - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                            / n2) / (4.0 * (n2 - 1)))) = 0 THEN FALSE
+           ELSE ABS((CAST(sr2 AS DOUBLE) / (2.0 * n2)
                 - CAST(sr1 AS DOUBLE) / (2.0 * n1))
                * n1 * n2 / (n1 + n2)
                / SQRT(n1 * ((CAST(sq1 AS DOUBLE)
@@ -1685,7 +1900,7 @@ def auc_partial(scored: DataFrame) -> DataFrame:
                       + n2 * ((CAST(sq2 AS DOUBLE)
                                - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
                                  / n2) / (4.0 * (n2 - 1)))))
-               > {_Z95_2S} AS rejected
+               > {_Z95_2S} END AS rejected
     FROM moms
     """,
 )
@@ -1783,11 +1998,26 @@ def brunner_munzel(base: DataFrame) -> DataFrame:
         - F.col("sd2").cast("double") * F.col("sd2").cast("double") / n2
     ) / (4.0 * (n2 - 1))
     w = (rbar2 - rbar1) * n1 * n2 / (n1 + n2) / F.sqrt(n1 * s1 + n2 * s2)
+    # degenerate-margin guards (r15 self-review): n1 = 0 divides p̂ by
+    # zero; n_i < 2 divides the placement variance by (n_i − 1); two
+    # constant samples make the pooled variance term exactly 0 under W.
+    # ANSI Spark throws on each where DuckDB returns NULL — NULL
+    # p̂/W, FALSE rejected on both engines.
+    null_d = F.lit(None).cast("double")
+    small = (n1 < 2) | (n2 < 2)
     return moms.select(
         "event_type",
         n1.alias("n_weekend"),
         n2.alias("n_weekday"),
-        F.round((rbar2 - (n2 + 1) / 2.0) / n1, 6).alias("p_hat"),
-        F.round(w, 6).alias("w_stat"),
-        (F.abs(w) > F.expr(_Z95_2S)).alias("rejected"),
+        F.when((n1 == 0) | (n2 == 0), null_d)
+        .otherwise(F.round((rbar2 - (n2 + 1) / 2.0) / n1, 6))
+        .alias("p_hat"),
+        F.when(small, null_d)
+        .when(n1 * s1 + n2 * s2 == 0, null_d)
+        .otherwise(F.round(w, 6))
+        .alias("w_stat"),
+        F.when(small, F.lit(False))
+        .when(n1 * s1 + n2 * s2 == 0, F.lit(False))
+        .otherwise(F.abs(w) > F.expr(_Z95_2S))
+        .alias("rejected"),
     )
