@@ -1404,6 +1404,56 @@ class Engine:
 
         return lorenz_curve(per_user)
 
+    def nelson_aalen(self, subj: DataFrame) -> DataFrame:
+        """(grp, t, n_risk, n_event, n_censor, cum_hazard, var_hazard)
+        — Nelson–Aalen cumulative hazard over a (user_id, grp, t, ev)
+        subject frame (operators/survival.py)."""
+        from avro_parquet_spark_example_spark.operators.survival import (
+            nelson_aalen,
+        )
+
+        return nelson_aalen(subj)
+
+    def rmst(self, subj: DataFrame, tau: int = 30) -> DataFrame:
+        """(grp, tau, rmst) — restricted mean survival time at horizon
+        ``tau`` over a (user_id, grp, t, ev) subject frame
+        (operators/survival.py)."""
+        from avro_parquet_spark_example_spark.operators.survival import (
+            rmst,
+        )
+
+        return rmst(subj, tau=tau)
+
+    def cvm_two_sample(self, base: DataFrame) -> DataFrame:
+        """(event_type, n_weekend, n_weekday, cvm_t, rejected) —
+        Cramér–von Mises two-sample criterion over a (event_type, wk
+        0/1, v integer) frame (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            cvm_two_sample,
+        )
+
+        return cvm_two_sample(base)
+
+    def cochran_armitage(self, base: DataFrame) -> DataFrame:
+        """(event_type, n, r, n_groups, z, rejected) — Cochran–Armitage
+        trend test over a (event_type, s integer score, y 0/1) frame
+        (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            cochran_armitage,
+        )
+
+        return cochran_armitage(base)
+
+    def hosmer_lemeshow(self, scored: DataFrame) -> DataFrame:
+        """(n, n_groups, hl_chi2, rejected) — Hosmer–Lemeshow
+        calibration test over a (v integer score, pos 0/1) frame
+        (operators/rankstats.py)."""
+        from avro_parquet_spark_example_spark.operators.rankstats import (
+            hosmer_lemeshow,
+        )
+
+        return hosmer_lemeshow(scored)
+
     def lorenz_curve_bucketed(
         self, per_user: DataFrame, n_buckets: int = 64
     ) -> DataFrame:

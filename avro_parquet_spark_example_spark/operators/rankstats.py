@@ -2021,3 +2021,375 @@ def brunner_munzel(base: DataFrame) -> DataFrame:
         .otherwise(F.abs(w) > F.expr(_Z95_2S))
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér–von Mises two-sample criterion (round 15)
+# --------------------------------------------------------------------------
+
+#: Asymptotic α=0.05 critical value of the limiting ω² (Cramér–von Mises)
+#: distribution (Anderson & Darling 1952, Table; the two-sample T
+#: statistic converges to the same limit — Anderson 1962).
+_CVM_C05 = "0.461"
+
+
+@register(
+    "stat_cvm_two_sample",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, v,
+               CAST(SUM(wk) AS BIGINT) AS c1,
+               CAST(SUM(1 - wk) AS BIGINT) AS c2
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, c1 + c2 AS cz,
+               CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER w AS BIGINT) AS f2,
+               CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM cells
+        WINDOW w AS (PARTITION BY event_type ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN n1 = 0 OR n2 = 0
+                             THEN CAST(0 AS DECIMAL(28,9))
+                        ELSE CAST(ROUND(CAST(cz AS DOUBLE)
+                          * ((CAST(f1 AS DOUBLE) * n2
+                              - CAST(f2 AS DOUBLE) * n1)
+                             / (CAST(n1 AS DOUBLE) * n2))
+                          * ((CAST(f1 AS DOUBLE) * n2
+                              - CAST(f2 AS DOUBLE) * n1)
+                             / (CAST(n1 AS DOUBLE) * n2)), 9)
+                          AS DECIMAL(28,9)) END) AS DECIMAL(38,9)) AS s
+        FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_weekend, n2 AS n_weekday,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE ROUND(CAST(n1 AS DOUBLE) * n2
+                           / ((n1 + n2) * CAST(n1 + n2 AS DOUBLE))
+                           * CAST(s AS DOUBLE), 6) END AS cvm_t,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN FALSE
+                ELSE (CAST(n1 AS DOUBLE) * n2
+                      / ((n1 + n2) * CAST(n1 + n2 AS DOUBLE))
+                      * CAST(s AS DOUBLE)) > {_CVM_C05} END AS rejected
+    FROM s
+    """,
+)
+def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — CRAMÉR–VON MISES two-sample criterion (Anderson 1962) per
+    event type, weekend vs weekday values: T = n₁n₂/(n₁+n₂)² ·
+    Σ_z c_z·(F̂₁(z) − F̂₂(z))² over the pooled sample points — the
+    INTEGRATED-squared ECDF distance that complements stat_ks_two_sample's
+    sup: KS is driven by the single worst gap, CvM accumulates shape
+    drift across the whole distribution (more power against diffuse
+    alternatives — the usual drift-monitor pairing). Rejection against
+    the asymptotic ω² α=0.05 critical value as a shared literal.
+
+    Exactness: ECDF differences are cross-multiplied exact counts; each
+    pooled point's term is ONE fixed-order IEEE expression (identical
+    text both engines) rounded to the 9-grid and DECIMAL-summed (the
+    g_test discipline); empty-side strata → NULL/FALSE on both engines
+    (the r15 ANSI guard rule).
+
+    Scale: the stat_ks_two_sample plan verbatim — one (type, value)
+    counting aggregate, grid windows after."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_dow_spark().isin(1, 7), 1).otherwise(0).alias("wk"),
+        _q100().alias("v"),
+    )
+    return cvm_two_sample(base)
+
+
+def cvm_two_sample(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_cvm_two_sample` (the library form
+    the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, wk 0/1 sample flag, v integer value)."""
+    cells = base.groupBy("event_type", "v").agg(
+        F.sum("wk").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("wk")).cast("bigint").alias("c2"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        (F.col("c1") + F.col("c2")).alias("cz"),
+        F.sum("c1").over(wcum).cast("bigint").alias("f1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    diff = (
+        F.col("f1").cast("double") * F.col("n2")
+        - F.col("f2").cast("double") * F.col("n1")
+    ) / (F.col("n1").cast("double") * F.col("n2"))
+    term = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0),
+        F.lit(0).cast("decimal(28,9)"),
+    ).otherwise(
+        F.round(F.col("cz").cast("double") * diff * diff, 9).cast(
+            "decimal(28,9)"
+        )
+    )
+    s = cum.groupBy("event_type").agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.sum(term).cast("decimal(38,9)").alias("s"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    t = (
+        n1.cast("double")
+        * n2
+        / ((n1 + n2) * (n1 + n2).cast("double"))
+        * F.col("s").cast("double")
+    )
+    degenerate = (n1 == 0) | (n2 == 0)
+    return s.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(t, 6))
+        .alias("cvm_t"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(t > F.expr(_CVM_C05))
+        .alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran–Armitage trend test (round 15)
+# --------------------------------------------------------------------------
+
+#: Success threshold for the trend fixture: value ≥ 50.00 (integer cents)
+#: — a fixed shared literal, the "high-value event" indicator.
+_CA_THRESH = 5000
+
+
+@register(
+    "stat_cochran_armitage",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, {_DOW_DUCK} AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  >= {_CA_THRESH} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_i
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(r_i) AS BIGINT) AS r,
+               CAST(SUM(s * r_i) AS BIGINT) AS sr,
+               CAST(SUM(s * n_i) AS BIGINT) AS sn,
+               CAST(SUM(s * s * n_i) AS BIGINT) AS s2n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g GROUP BY 1
+    )
+    SELECT event_type, n, r, k AS n_groups,
+           CASE WHEN r = 0 OR r = n OR
+                     (CAST(s2n AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * sn / n) = 0 THEN NULL
+                ELSE ROUND((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)
+                  / SQRT(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                         * (CAST(s2n AS DOUBLE)
+                            - CAST(sn AS DOUBLE) * sn / n)), 6)
+                END AS z,
+           CASE WHEN r = 0 OR r = n OR
+                     (CAST(s2n AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * sn / n) = 0 THEN FALSE
+                ELSE ABS((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)
+                  / SQRT(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+                         * (CAST(s2n AS DOUBLE)
+                            - CAST(sn AS DOUBLE) * sn / n)))
+                  > {_Z95_2S} END AS rejected
+    FROM m
+    """,
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — COCHRAN–ARMITAGE trend test (Cochran 1954, Armitage 1955)
+    per event type: does the proportion of HIGH-VALUE events (value ≥
+    {_CA_THRESH} cents, a shared literal) trend MONOTONICALLY across
+    the ordered weekday groups Sun..Sat (scores s = 1..7)? The binary-
+    outcome counterpart of Jonckheere–Terpstra: a 2×k chi-square only
+    answers "some weekday differs"; CA is the one-df test with power
+    exactly against a linear-in-score trend in proportions.
+
+    Kernel: T = Σsᵢrᵢ − p̄·Σsᵢnᵢ; Var(T) = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N)
+    under H0 (hypergeometric conditioning on R); Z = T/√Var vs z₀.₉₇₅.
+
+    Exactness: one (type, weekday) counting aggregate → exact BIGINT
+    moment sums (s ≤ 7, so every sum is ≤ 49N — no int64 hazard); Z is
+    ONE fixed-order IEEE expression; degenerate margins (r = 0, r = N,
+    or a single represented weekday making the score variance 0) →
+    NULL z / FALSE rejected on both engines (the r15 ANSI guard rule).
+
+    Scale: the corpus scan dominates; everything after is a ≤7-row
+    grid per type."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        _dow_spark().cast("bigint").alias("s"),
+        F.when(_q100() >= _CA_THRESH, 1).otherwise(0).alias("y"),
+    )
+    return cochran_armitage(base)
+
+
+def cochran_armitage(base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`stat_cochran_armitage` (the library
+    form the Engine facade exposes): ``base`` has columns (event_type
+    stratum key, s integer group score, y 0/1 outcome) — one row per
+    trial; the score domain must be bounded (grid algebra)."""
+    g = base.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("y").cast("bigint").alias("r_i"),
+    )
+    m = g.groupBy("event_type").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("bigint").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("bigint")
+        .alias("s2n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    n, r = F.col("n"), F.col("r")
+    svar = (
+        F.col("s2n").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / n
+    )
+    t_stat = F.col("sr").cast("double") - r.cast("double") * F.col("sn") / n
+    z = t_stat / F.sqrt(
+        r.cast("double") / n * (1.0 - r.cast("double") / n) * svar
+    )
+    degenerate = (r == 0) | (r == n) | (svar == 0)
+    return m.select(
+        "event_type",
+        "n",
+        "r",
+        F.col("k").alias("n_groups"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > F.expr(_Z95_2S))
+        .alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hosmer–Lemeshow calibration test (round 15)
+# --------------------------------------------------------------------------
+
+#: χ²₀.₉₅ at df = g − 2 = 9 for the 11-level score grid (shared literal,
+#: the stat_mood_median convention).
+_CHI2_95_DF9 = "16.918977604620448"
+
+#: Predicted probability for score level v ∈ 0..10: (v + 1)/12 — the
+#: add-one-smoothed score mapping, strictly inside (0, 1) so every
+#: group's binomial variance n·π(1−π) is positive by construction.
+_HL_SMOOTH = (1, 12)
+
+
+@register(
+    "eval_hosmer_lemeshow",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(pos) AS BIGINT) AS o_g
+        FROM base GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(
+                 (o_g - n_g * (CAST(v + {_HL_SMOOTH[0]} AS DOUBLE)
+                               / {_HL_SMOOTH[1]}))
+                 * (o_g - n_g * (CAST(v + {_HL_SMOOTH[0]} AS DOUBLE)
+                                 / {_HL_SMOOTH[1]}))
+                 / (n_g * (CAST(v + {_HL_SMOOTH[0]} AS DOUBLE)
+                           / {_HL_SMOOTH[1]})
+                    * (1.0 - CAST(v + {_HL_SMOOTH[0]} AS DOUBLE)
+                             / {_HL_SMOOTH[1]})), 9)
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS s
+        FROM grp
+    )
+    SELECT n, n_groups,
+           ROUND(CAST(s AS DOUBLE), 6) AS hl_chi2,
+           (CAST(s AS DOUBLE) > {_CHI2_95_DF9}) AS rejected
+    FROM terms
+    """,
+)
+def eval_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV — HOSMER–LEMESHOW goodness-of-calibration test (Hosmer &
+    Lemeshow 1980) on the lineitem discount→return fixture (the
+    eval_calibration_bins / eval_ece fixture, now as a TEST): group by
+    the 11-level score v = round(100·discount), predicted probability
+    π_g = (v+1)/{_HL_SMOOTH[1]} (add-one-smoothed score mapping — a
+    shared literal map strictly inside (0,1), so every group's binomial
+    variance is positive BY CONSTRUCTION and no degenerate-margin guard
+    is needed), Ĉ = Σ_g (O_g − n_g·π_g)²/(n_g·π_g(1−π_g)) vs χ² at
+    df = g − 2 = 9. ECE/reliability bins DESCRIBE miscalibration; HL
+    is the decision rule reviewers ask for.
+
+    Exactness: (n_g, O_g) are exact integers off one counting
+    aggregate; each group's term is ONE fixed-order IEEE expression
+    rounded to the 9-grid and DECIMAL-summed; rejection compares the
+    unrounded total to the shared χ²₀.₉₅,df9 literal.
+
+    Scale: one corpus scan to an 11-row grid."""
+    base = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    return hosmer_lemeshow(base)
+
+
+def hosmer_lemeshow(scored: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`eval_hosmer_lemeshow` (the library
+    form the Engine facade exposes): ``scored`` has integer score
+    column ``v`` (bounded grid; π = (v+1)/{_HL_SMOOTH[1]} must stay in
+    (0,1)) and 0/1 column ``pos``."""
+    grp = scored.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("pos").cast("bigint").alias("o_g"),
+    )
+    pi = (F.col("v") + _HL_SMOOTH[0]).cast("double") / _HL_SMOOTH[1]
+    dev = F.col("o_g") - F.col("n_g") * pi
+    term = F.round(
+        dev * dev / (F.col("n_g") * pi * (1.0 - pi)), 9
+    ).cast("decimal(28,9)")
+    terms = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(term).cast("decimal(38,9)").alias("s"),
+    )
+    return terms.select(
+        "n",
+        "n_groups",
+        F.round(F.col("s").cast("double"), 6).alias("hl_chi2"),
+        (F.col("s").cast("double") > F.expr(_CHI2_95_DF9)).alias(
+            "rejected"
+        ),
+    )

@@ -391,3 +391,235 @@ def surv_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(chi2 > F.expr(_CHI2_95_DF1))
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (round 15)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "surv_nelson_aalen",
+    oracle=f"""
+    WITH {_DUR_DUCK},
+    hist AS (
+        SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT grp, t, d, c,
+               CAST(SUM(d + c) OVER (PARTITION BY grp ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+        FROM hist
+    ),
+    na AS (
+        SELECT grp, t, d, c, n_risk,
+               CAST(SUM(CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
+                    ELSE CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 9)
+                              AS DECIMAL(28,9)) END)
+                    OVER (PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,9)) AS hcum,
+               CAST(SUM(CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
+                    ELSE CAST(ROUND(CAST(d AS DOUBLE)
+                                    / (CAST(n_risk AS DOUBLE) * n_risk), 9)
+                              AS DECIMAL(28,9)) END)
+                    OVER (PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,9)) AS vcum
+        FROM risk
+    )
+    SELECT grp, t, n_risk, d AS n_event, c AS n_censor,
+           ROUND(CAST(hcum AS DOUBLE), 6) AS cum_hazard,
+           ROUND(CAST(vcum AS DOUBLE), 6) AS var_hazard
+    FROM na
+    """,
+)
+def surv_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SV — NELSON–AALEN cumulative hazard estimator (Nelson 1972,
+    Aalen 1978) over the same treatment/control user-lifetime frame as
+    :func:`surv_kaplan_meier`: Ĥ(t) = Σ_{{t_i ≤ t}} d_i/n_i with the
+    Poisson-type variance estimate Σ d_i/n_i² — the hazard-scale twin
+    of the KM survival curve (Ĥ is what hazard-ratio eyeballing,
+    piecewise-exponential fits, and the Breslow estimator consume;
+    exp(−Ĥ) is the Fleming–Harrington survival alternative). Unlike
+    KM's product, the SUM needs no d = n_risk guard: the last-death
+    cell contributes the finite term d/n = 1.
+
+    Exactness: the same exact-integer (d, c, n_risk) grid as KM; each
+    hazard and variance increment is ONE IEEE division rounded to the
+    9-grid and DECIMAL-summed per group (order-fixed window frames —
+    the g_test discipline); zero-death days contribute exact-0 terms
+    via the same CASE on both engines. n_risk ≥ 1 on every grid row by
+    construction, so no division can hit zero.
+
+    Scale: identical to surv_kaplan_meier — one user_id-shuffled
+    aggregate, then day-grid algebra."""
+    return nelson_aalen(_user_durations(spark, sf_dir))
+
+
+def nelson_aalen(subj: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`surv_nelson_aalen` (the library form
+    the Engine facade exposes): ``subj`` has columns (user_id, grp
+    group key, t integer duration, ev 0/1 event-observed flag)."""
+    risk = _km_grid(subj)
+    zero = F.lit(0).cast("decimal(28,9)")
+    h_term = F.when(F.col("d") == 0, zero).otherwise(
+        F.round(F.col("d").cast("double") / F.col("n_risk"), 9).cast(
+            "decimal(28,9)"
+        )
+    )
+    v_term = F.when(F.col("d") == 0, zero).otherwise(
+        F.round(
+            F.col("d").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk")),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return risk.select(
+        "grp",
+        "t",
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censor"),
+        F.round(
+            F.sum(h_term).over(wcum).cast("decimal(38,9)").cast("double"), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(v_term).over(wcum).cast("decimal(38,9)").cast("double"), 6
+        ).alias("var_hazard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (round 15)
+# --------------------------------------------------------------------------
+
+#: RMST truncation horizon in days: the restricted window every bounded
+#: observation period imposes anyway; 30 days is the standard monthly
+#: retention reporting window and is inside the fixture's duration range
+#: at every SF.
+_RMST_TAU = 30
+
+
+@register(
+    "surv_rmst",
+    oracle=f"""
+    WITH {_DUR_DUCK},
+    hist AS (
+        SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT grp, t, d, c,
+               CAST(SUM(d + c) OVER (PARTITION BY grp ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+        FROM hist
+    ),
+    km AS (
+        SELECT grp, t,
+               CAST(SUM(CASE
+                    WHEN d >= n_risk THEN CAST(-1000000000 AS DECIMAL(28,9))
+                    WHEN d = 0 THEN CAST(0 AS DECIMAL(28,9))
+                    ELSE CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk),
+                                    9) AS DECIMAL(28,9)) END)
+                    OVER (PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,9)) AS logs
+        FROM risk
+    ),
+    spans AS (
+        SELECT grp, t, ROUND(EXP(CAST(logs AS DOUBLE)), 6) AS s,
+               LEAD(t) OVER (PARTITION BY grp ORDER BY t) AS nt
+        FROM km
+    ),
+    terms AS (
+        SELECT grp,
+               CAST(SUM(CASE WHEN t >= {_RMST_TAU}
+                             THEN CAST(0 AS DECIMAL(28,9))
+                        ELSE CAST(ROUND(s * (LEAST(
+                                 COALESCE(nt, {_RMST_TAU}), {_RMST_TAU})
+                                 - t), 9) AS DECIMAL(28,9)) END)
+                    AS DECIMAL(38,9)) AS area,
+               CAST(MIN(t) AS BIGINT) AS t0
+        FROM spans GROUP BY 1
+    )
+    SELECT grp, {_RMST_TAU} AS tau,
+           ROUND(CAST(area AS DOUBLE)
+                 + CAST(LEAST(t0, {_RMST_TAU}) AS DOUBLE), 6) AS rmst
+    FROM terms
+    """,
+)
+def surv_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SV — RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013; the
+    τ-truncated AUC of the KM curve, Irwin 1949): E[min(T, τ)] =
+    ∫₀^τ Ŝ(t)dt at τ = {_RMST_TAU} days per cohort — "expected active
+    days in the first month", THE modern A/B retention effect measure
+    (hazard-ratio-free, valid under non-proportional hazards, defined
+    even with heavy censoring; the difference of the two cohorts' RMST
+    is the treatment effect in day units).
+
+    Exactness: the KM step curve (same sentinel-guarded DECIMAL log-sum
+    grid as surv_kaplan_meier) integrated exactly over its own steps:
+    per grid day, term = Ŝ(t)·(min(next_t, τ) − t) — one IEEE multiply
+    of the rounded-6 survival by an exact integer span, rounded to the
+    9-grid and DECIMAL-summed; the head segment (S = 1 on [0, t₀))
+    contributes exactly min(t₀, τ); S is constant beyond the last grid
+    day (the KM convention). τ is a shared literal on both engines.
+
+    Scale: identical to surv_kaplan_meier — one user aggregate, then
+    day-grid algebra (LEAD over the bounded per-group day grid)."""
+    return rmst(_user_durations(spark, sf_dir))
+
+
+def rmst(subj: DataFrame, tau: int = _RMST_TAU) -> DataFrame:
+    """Frame-level core of :func:`surv_rmst` (the library form the
+    Engine facade exposes): ``subj`` as in :func:`kaplan_meier`;
+    ``tau`` = truncation horizon in duration units."""
+    surv = kaplan_meier(subj).select("grp", "t", F.col("survival").alias("s"))
+    wlead = Window.partitionBy("grp").orderBy("t")
+    spans = surv.select(
+        "grp",
+        "t",
+        "s",
+        F.lead("t").over(wlead).alias("nt"),
+    )
+    term = F.when(
+        F.col("t") >= tau, F.lit(0).cast("decimal(28,9)")
+    ).otherwise(
+        F.round(
+            F.col("s")
+            * (
+                F.least(
+                    F.coalesce(F.col("nt"), F.lit(tau).cast("bigint")),
+                    F.lit(tau).cast("bigint"),
+                )
+                - F.col("t")
+            ),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    terms = spans.groupBy("grp").agg(
+        F.sum(term).cast("decimal(38,9)").alias("area"),
+        F.min("t").cast("bigint").alias("t0"),
+    )
+    return terms.select(
+        "grp",
+        F.lit(tau).alias("tau"),
+        F.round(
+            F.col("area").cast("double")
+            + F.least(F.col("t0"), F.lit(tau).cast("bigint")).cast(
+                "double"
+            ),
+            6,
+        ).alias("rmst"),
+    )

@@ -106,6 +106,8 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_by_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins (the stat_bh_fdr plan verbatim)",
         "eval_auc_partial": "score-grid (|grid|<=101 rows) descending-cumulative pair join + 1-row totals cross join (the eval_auc_delong_se shape)",
         "surv_kaplan_meier": "broadcast 1-row corpus-max-date cross join (censoring boundary, the ts_rfm_segments shape)",
+        "surv_nelson_aalen": "broadcast 1-row corpus-max-date cross join (censoring boundary — the surv_kaplan_meier subject frame verbatim)",
+        "surv_rmst": "broadcast 1-row corpus-max-date cross join (censoring boundary — the surv_kaplan_meier subject frame verbatim)",
         "surv_logrank_test": "broadcast 1-row corpus-max-date cross join + 2-row cohort-grid densification cross join (pooled-time risk grid)",
     },
     "CartesianProduct": {},
