@@ -40,6 +40,12 @@ DECIMAL_ALLOWED = {
     # operators/simsearch.py (vec_top2_pcs quantizes each direction component
     # the same way as vec_power_iteration_top_pc); gate PASS at sf0.01+sf0.1.
     ("vec_top2_pcs", "direction"),
+    # both sides decimal(38,0) BY DESIGN (r15 self-review): pair counts
+    # are ~n² per stratum and cross int64 at ~3e9 rows/event_type, so
+    # Spark emits the identical DecimalType (operators/rankstats.py
+    # gk_gamma_tau); gate PASS hash-verified at sf0.01 + sf0.1.
+    ("stat_gk_gamma_tau", "concordant"),
+    ("stat_gk_gamma_tau", "discordant"),
 }
 
 

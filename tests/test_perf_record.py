@@ -54,7 +54,8 @@ def test_perf_record_covers_live_registry():
 def test_perf_record_reports_no_failures():
     record = _latest_perf_record()
     data = json.loads(record.read_text())
-    assert data.get("failures", 0) == 0, (
-        f"{record.name} records {data['failures']} failing queries — the "
-        "committed perf record must be green"
+    failures = data.get("failures") or {}  # dict of name -> error (or 0)
+    assert not failures, (
+        f"{record.name} records failing queries — the committed perf "
+        f"record must be green: {failures}"
     )
