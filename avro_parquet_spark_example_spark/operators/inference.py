@@ -268,11 +268,20 @@ def fleiss_kappa(
         F.round(s.cast("double") / (ni * ni * n2).cast("double"), 6).alias(
             "p_e"
         ),
-        F.round(
-            (a * ni * n2 - F.lit(nn1) * s).cast("double")
-            / (F.lit(nn1) * (ni * ni * n2 - s)).cast("double"),
-            6,
-        ).alias("kappa"),
+        # single-category corpus ⇒ p_e = 1 ⇒ the kappa denominator
+        # ni²n² − s is exactly 0: κ is undefined (ANSI Spark would
+        # throw; DuckDB NULL) — NULL on both engines (r15 ANSI sweep)
+        F.when(
+            (ni * ni * n2 - s) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (a * ni * n2 - F.lit(nn1) * s).cast("double")
+                / (F.lit(nn1) * (ni * ni * n2 - s)).cast("double"),
+                6,
+            )
+        )
+        .alias("kappa"),
     )
 
 
@@ -1627,24 +1636,51 @@ def effect_sizes(e: DataFrame) -> DataFrame:
         / (F.col("n1") + F.col("n2") - 2)
     )
     d = (m1 - m2) / sp
+    # degenerate-margin guards (r15 ANSI sweep): an empty side divides
+    # the moments by 0; n1 + n2 = 2 zeroes the pooled-variance df; two
+    # constant samples make sp exactly 0 — each THREW on ANSI Spark
+    # (NULL on DuckDB). Sequential whens: the small-n guard fires
+    # before sp is ever evaluated.
+    null_d = F.lit(None).cast("double")
+    small = (
+        (F.col("n1") == 0)
+        | (F.col("n2") == 0)
+        | ((F.col("n1") + F.col("n2")) <= 2)
+    )
     return moms.join(r2, "event_type").select(
         "event_type",
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
-        F.round(d, 6).alias("cohens_d"),
-        F.round(
-            d * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2") - 2) - 1.0)),
-            6,
-        ).alias("hedges_g"),
-        F.round(
-            (
-                F.col("r1x2")
-                - F.col("n1") * (F.col("n1") + 1)
-                - F.col("n1") * F.col("n2")
-            ).cast("double")
-            / (F.col("n1").cast("double") * F.col("n2")),
-            6,
-        ).alias("cliffs_delta"),
+        F.when(small, null_d)
+        .when(sp == 0, null_d)
+        .otherwise(F.round(d, 6))
+        .alias("cohens_d"),
+        F.when(small, null_d)
+        .when(sp == 0, null_d)
+        .otherwise(
+            F.round(
+                d
+                * (
+                    1.0
+                    - 3.0 / (4.0 * (F.col("n1") + F.col("n2") - 2) - 1.0)
+                ),
+                6,
+            )
+        )
+        .alias("hedges_g"),
+        F.when((F.col("n1") == 0) | (F.col("n2") == 0), null_d)
+        .otherwise(
+            F.round(
+                (
+                    F.col("r1x2")
+                    - F.col("n1") * (F.col("n1") + 1)
+                    - F.col("n1") * F.col("n2")
+                ).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            )
+        )
+        .alias("cliffs_delta"),
     )
 
 
@@ -1960,13 +1996,25 @@ def power_mde(e: DataFrame) -> DataFrame:
         * F.sqrt(1.0 / F.col("n1") + 1.0 / F.col("n2"))
     )
     mean_all = F.col("s").cast("double") / 100.0 / (F.col("n1") + F.col("n2"))
+    # degenerate-margin guards (r15 ANSI sweep): empty side / df = 0
+    # divide the pooled variance by zero; an all-zero metric makes the
+    # relative MDE's mean denominator 0 — ANSI Spark threw on each.
+    null_d = F.lit(None).cast("double")
+    small = (
+        (F.col("n1") == 0)
+        | (F.col("n2") == 0)
+        | ((F.col("n1") + F.col("n2")) <= 2)
+    )
     return moms.select(
         "event_type",
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
-        F.round(sp, 6).alias("pooled_sd"),
-        F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / mean_all, 6).alias("mde_rel"),
+        F.when(small, null_d).otherwise(F.round(sp, 6)).alias("pooled_sd"),
+        F.when(small, null_d).otherwise(F.round(mde, 6)).alias("mde_abs"),
+        F.when(small, null_d)
+        .when(F.col("s") == 0, null_d)
+        .otherwise(F.round(mde / mean_all, 6))
+        .alias("mde_rel"),
     )
 
 
@@ -3163,21 +3211,35 @@ def krippendorff_alpha(
     ntot = ni * m
     don = ni * (m * m) - F.col("s_in")
     den_e = ni * ni * (m * m) - F.col("s_c")
+    # single-category corpus ⇒ den_e = 0 ⇒ α undefined (the r15 ANSI
+    # sweep found the REVIEW_r14 "NULL on both engines" claim wrong:
+    # ANSI Spark THREW here); single-rating corpus (ntot ≤ 1) ⇒ D_e
+    # undefined. NULL on both engines.
+    null_d = F.lit(None).cast("double")
     return j.select(
         ni.cast("bigint").alias("n_items"),
         F.lit(m).alias("n_raters"),
         F.round(
             don.cast("double") / (ni * (m * (m - 1))).cast("double"), 6
         ).alias("d_o"),
-        F.round(
-            den_e.cast("double") / (ntot * (ntot - 1)).cast("double"), 6
-        ).alias("d_e"),
-        F.round(
-            1.0
-            - (don * ntot * (ntot - 1)).cast("double")
-            / (ni * (m * (m - 1)) * den_e).cast("double"),
-            6,
-        ).alias("alpha"),
+        F.when(ntot <= 1, null_d)
+        .otherwise(
+            F.round(
+                den_e.cast("double") / (ntot * (ntot - 1)).cast("double"),
+                6,
+            )
+        )
+        .alias("d_e"),
+        F.when(den_e == 0, null_d)
+        .otherwise(
+            F.round(
+                1.0
+                - (don * ntot * (ntot - 1)).cast("double")
+                / (ni * (m * (m - 1)) * den_e).cast("double"),
+                6,
+            )
+        )
+        .alias("alpha"),
     )
 
 
@@ -3387,13 +3449,24 @@ def auc_delong_se(scored: DataFrame) -> DataFrame:
     )
     se = F.sqrt(var10 / np_ + var01 / nn_)
     z = F.expr(_Z95)
+    # degenerate-margin guards (r15 ANSI sweep): a one-class input
+    # (np or nn = 0) has no AUC; a single positive/negative (np or
+    # nn = 1) zeroes a placement-variance df — ANSI Spark threw on
+    # both where DuckDB returns NULL.
+    null_d = F.lit(None).cast("double")
+    one_class = (np_ == 0) | (nn_ == 0)
+    small = (np_ < 2) | (nn_ < 2)
     return moms.select(
         np_.alias("n_pos"),
         nn_.alias("n_neg"),
-        F.round(auc, 6).alias("auc"),
-        F.round(se, 6).alias("se_delong"),
-        F.round(auc - z * se, 6).alias("ci_lo"),
-        F.round(auc + z * se, 6).alias("ci_hi"),
+        F.when(one_class, null_d).otherwise(F.round(auc, 6)).alias("auc"),
+        F.when(small, null_d).otherwise(F.round(se, 6)).alias("se_delong"),
+        F.when(small, null_d)
+        .otherwise(F.round(auc - z * se, 6))
+        .alias("ci_lo"),
+        F.when(small, null_d)
+        .otherwise(F.round(auc + z * se, 6))
+        .alias("ci_hi"),
     )
 
 
@@ -3988,17 +4061,30 @@ def cuped(per_user: DataFrame) -> DataFrame:
     cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # degenerate-margin guards (r15 registry-wide ANSI sweep — the
+    # REVIEW_r14 claim "constant covariate → NULL θ on both engines" was
+    # WRONG: ANSI Spark THROWS on cxy/cxx at cxx = 0; DuckDB returns
+    # NULL). Constant covariate (cxx = 0) → NULL θ/var_y_adj/reduction;
+    # constant metric (cyy = 0) additionally → NULL reduction.
+    null_d = F.lit(None).cast("double")
     return moms.select(
         n.alias("n_users"),
-        F.round(cxy / cxx, 6).alias("theta"),
+        F.when(cxx == 0, null_d)
+        .otherwise(F.round(cxy / cxx, 6))
+        .alias("theta"),
         F.round(F.col("sy").cast("double") / 100.0 / n, 6).alias("mean_y"),
         F.round(cyy / 10000.0 / n.cast("double") / n, 6).alias("var_y"),
-        F.round(
-            (cyy - (cxy * cxy) / cxx) / 10000.0 / n.cast("double") / n, 6
-        ).alias("var_y_adj"),
-        F.round(100.0 * (cxy * cxy) / (cxx * cyy), 6).alias(
-            "var_reduction_pct"
-        ),
+        F.when(cxx == 0, null_d)
+        .otherwise(
+            F.round(
+                (cyy - (cxy * cxy) / cxx) / 10000.0 / n.cast("double") / n,
+                6,
+            )
+        )
+        .alias("var_y_adj"),
+        F.when((cxx == 0) | (cyy == 0), null_d)
+        .otherwise(F.round(100.0 * (cxy * cxy) / (cxx * cyy), 6))
+        .alias("var_reduction_pct"),
     )
 
 
@@ -4231,11 +4317,11 @@ _CHI2_95_DF6 = "12.591587243743977"
                  * (CAST(3 * s4.s AS DOUBLE)
                     / CAST(m.m * m.m * (n2.n * n2.n * n2.n - n2.n)
                            - m.m * t.tt AS DOUBLE)), 6) AS chi2,
-           (CAST(m.m * (n2.n - 1) AS DOUBLE)
+           COALESCE((CAST(m.m * (n2.n - 1) AS DOUBLE)
             * (CAST(3 * s4.s AS DOUBLE)
                / CAST(m.m * m.m * (n2.n * n2.n * n2.n - n2.n)
-                      - m.m * t.tt AS DOUBLE))) > {_CHI2_95_DF6}
-               AS rejected
+                      - m.m * t.tt AS DOUBLE))) > {_CHI2_95_DF6},
+               FALSE) AS rejected
     FROM s4, dims m, dims2 n2, ties t
     """,
 )
@@ -4353,10 +4439,19 @@ def kendall_w(counts: DataFrame) -> DataFrame:
     den = (m * m * (n * n * n - n) - m * F.col("tt")).cast("double")
     w = (3 * F.col("s")).cast("double") / den
     chi2 = (m * (n - 1)).cast("double") * w
+    # degenerate-margin guard (r15 ANSI sweep): a single-item design
+    # (n = 1 ⇒ n³ − n = 0 and no ties beyond the trivial one) zeroes
+    # the W denominator — ANSI Spark threw where DuckDB returns NULL.
+    degenerate = den == 0
+    null_d = F.lit(None).cast("double")
     return j.select(
         n.alias("n_items"),
         m.alias("n_judges"),
-        F.round(w, 6).alias("w"),
-        F.round(chi2, 6).alias("chi2"),
-        (chi2 > F.expr(_CHI2_95_DF6)).alias("rejected"),
+        F.when(degenerate, null_d).otherwise(F.round(w, 6)).alias("w"),
+        F.when(degenerate, null_d)
+        .otherwise(F.round(chi2, 6))
+        .alias("chi2"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(chi2 > F.expr(_CHI2_95_DF6))
+        .alias("rejected"),
     )
