@@ -2692,14 +2692,25 @@ def lead_lag_xcorr(
         F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sab"),
     )
     nd = F.col("n").cast("double")
-    r = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")) / (
-        F.sqrt(nd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
-        * F.sqrt(nd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
-    )
+    vara = nd * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa").cast("double")
+    varb = nd * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    r = (
+        nd * F.col("sab").cast("double")
+        - F.col("sa").cast("double") * F.col("sb").cast("double")
+    ) / (F.sqrt(vara) * F.sqrt(varb))
+    # degenerate-margin guard (r15 ANSI sweep): a constant side in the
+    # overlap window zeroes its variance — Pearson undefined; ANSI
+    # Spark threw where DuckDB returns NULL
     return sums.select(
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").alias("n_days"),
-        F.round(r, 6).alias("xcorr"),
+        F.when((vara == 0) | (varb == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6))
+        .alias("xcorr"),
     )
 
 
@@ -2797,13 +2808,28 @@ def anova_oneway(
     )
     ssb = F.col("between_raw") - F.col("st").cast("double") * F.col("st") / F.col("nt")
     ssw = F.col("qt") - F.col("between_raw")
+    # degenerate-margin guard (r15 ANSI sweep): a single group level
+    # (k = 1), no within-group df (nt = k), or zero within-group
+    # variance each zero an F denominator — ANSI Spark threw where
+    # DuckDB returns NULL. NULL F on both engines.
+    degenerate = (
+        (F.col("k") <= 1)
+        | (F.col("nt") <= F.col("k"))
+        | (ssw.cast("double") == 0)
+    )
     return per_seg.select(
         F.col("seg").alias(segment),
         "k",
         F.col("nt").alias("n_obs"),
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 6).alias(
-            "f_stat"
-        ),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("nt") - F.col("k"))),
+                6,
+            )
+        )
+        .alias("f_stat"),
     )
 
 
@@ -2912,15 +2938,26 @@ def autocorr(
         F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sab"),
     )
     nd = F.col("n").cast("double")
-    r = (nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")) / (
-        F.sqrt(nd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
-        * F.sqrt(nd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
-    )
+    vara = nd * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa").cast("double")
+    varb = nd * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    r = (
+        nd * F.col("sab").cast("double")
+        - F.col("sa").cast("double") * F.col("sb").cast("double")
+    ) / (F.sqrt(vara) * F.sqrt(varb))
+    # degenerate-margin guard (r15 ANSI sweep): a constant (or
+    # single-point) window zeroes either variance — the Pearson
+    # denominator is 0 and ANSI Spark threw where DuckDB returns NULL
     return sums.select(
         F.col("k").alias(key),
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").alias("n_days"),
-        F.round(r, 6).alias("acf"),
+        F.when((vara == 0) | (varb == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6))
+        .alias("acf"),
     )
 
 
@@ -2985,12 +3022,18 @@ def fano_factor(daily: DataFrame, key: str, value: str) -> DataFrame:
         F.round(F.col("s1").cast("double") / F.col("nd"), 6).alias(
             "mean_daily"
         ),
-        F.round(
-            (ndd * F.col("s2").cast("double")
-             - F.col("s1").cast("double") * F.col("s1").cast("double"))
-            / (ndd * F.col("s1").cast("double")),
-            6,
-        ).alias("fano"),
+        # zero-total series (s1 = 0): variance-to-mean is undefined —
+        # ANSI Spark threw where DuckDB returns NULL (r15 ANSI sweep)
+        F.when(F.col("s1") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (ndd * F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / (ndd * F.col("s1").cast("double")),
+                6,
+            )
+        )
+        .alias("fano"),
     )
 
 
@@ -3125,15 +3168,23 @@ def theil_sen(
                AS mae,
            ROUND(SQRT(CAST(SUM((actual - fc7) * (actual - fc7)) AS DOUBLE)
                       / COUNT(*)), 6) AS rmse,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(ABS(actual - fc7) AS DOUBLE)
-                                     / actual, 9) AS DECIMAL(18,9)))
-                      AS DOUBLE) / COUNT(*), 6) AS mape,
-           ROUND(CAST(SUM(CAST(ROUND(2.0 * ABS(actual - fc7)
+           CASE WHEN SUM(CASE WHEN actual = 0 THEN 1 ELSE 0 END) > 0
+                THEN NULL
+                ELSE ROUND(CAST(SUM(CASE WHEN actual = 0
+                                    THEN CAST(0 AS DECIMAL(18,9))
+                               ELSE CAST(ROUND(
+                                     CAST(ABS(actual - fc7) AS DOUBLE)
+                                     / actual, 9) AS DECIMAL(18,9)) END)
+                      AS DOUBLE) / COUNT(*), 6) END AS mape,
+           ROUND(CAST(SUM(CASE WHEN actual + fc7 = 0
+                               THEN CAST(0 AS DECIMAL(18,9))
+                          ELSE CAST(ROUND(2.0 * ABS(actual - fc7)
                                      / (actual + fc7), 9)
-                               AS DECIMAL(18,9)))
+                               AS DECIMAL(18,9)) END)
                       AS DOUBLE) / COUNT(*), 6) AS smape,
-           ROUND(CAST(SUM(ABS(actual - fc7)) AS DOUBLE)
-                 / SUM(ABS(actual - fc1)), 6) AS mase
+           CASE WHEN SUM(ABS(actual - fc1)) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(ABS(actual - fc7)) AS DOUBLE)
+                 / SUM(ABS(actual - fc1)), 6) END AS mase
     FROM scored GROUP BY event_type
     """,
 )
@@ -3209,29 +3260,59 @@ def forecast_backtest(
             ),
             6,
         ).alias("rmse"),
+        # degenerate-margin guards (r15 ANSI sweep): an actual = 0 day
+        # makes its MAPE term divide by zero (MAPE is undefined there —
+        # NULL when any zero-actual day exists, the standard caveat); an
+        # actual = fc7 = 0 day's sMAPE term is the conventional exact 0
+        # (no error, no contribution); a CONSTANT series zeroes MASE's
+        # one-day-persistence scale. Each threw on ANSI Spark.
+        F.when(
+            F.sum(F.when(F.col("actual") == 0, 1).otherwise(0)) > 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("actual") == 0,
+                        F.lit(0).cast("decimal(18,9)"),
+                    ).otherwise(
+                        F.round(
+                            e7.cast("double") / F.col("actual"), 9
+                        ).cast("decimal(18,9)")
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+        )
+        .alias("mape"),
         F.round(
             F.sum(
-                F.round(e7.cast("double") / F.col("actual"), 9).cast(
-                    "decimal(18,9)"
+                F.when(
+                    F.col("actual") + F.col("fc7") == 0,
+                    F.lit(0).cast("decimal(18,9)"),
+                ).otherwise(
+                    F.round(
+                        2.0 * e7 / (F.col("actual") + F.col("fc7")), 9
+                    ).cast("decimal(18,9)")
                 )
             ).cast("double")
             / F.count(F.lit(1)),
             6,
-        ).alias("mape"),
-        F.round(
-            F.sum(
-                F.round(
-                    2.0 * e7 / (F.col("actual") + F.col("fc7")), 9
-                ).cast("decimal(18,9)")
-            ).cast("double")
-            / F.count(F.lit(1)),
-            6,
         ).alias("smape"),
-        F.round(
-            F.sum(e7).cast("double")
-            / F.sum(F.abs(F.col("actual") - F.col("fc1"))),
-            6,
-        ).alias("mase"),
+        F.when(
+            F.sum(F.abs(F.col("actual") - F.col("fc1"))) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sum(e7).cast("double")
+                / F.sum(F.abs(F.col("actual") - F.col("fc1"))),
+                6,
+            )
+        )
+        .alias("mase"),
     )
     return out.withColumnRenamed("event_type", key)
 
@@ -3269,8 +3350,9 @@ def forecast_backtest(
     )
     SELECT event_type, segment, m AS n_days,
            ROUND(CAST(sy AS DOUBLE) / m, 6) AS mean_level,
-           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
-                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope
+           CASE WHEN m <= 1 THEN NULL
+                ELSE ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) END AS slope
     FROM moms
     """,
 )
@@ -3345,15 +3427,22 @@ def piecewise_trend(
         F.round(F.col("sy").cast("double") / F.col("m"), 6).alias(
             "mean_level"
         ),
-        F.round(
-            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
+        # single-day segment (m = 1; ranks are distinct so m >= 2 has
+        # positive x-variance): slope undefined — ANSI Spark threw
+        # where DuckDB returns NULL (r15 ANSI sweep)
+        F.when(F.col("m") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                6,
             )
-            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            ),
-            6,
-        ).alias("slope"),
+        )
+        .alias("slope"),
     )
 
 
