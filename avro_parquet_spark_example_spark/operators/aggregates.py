@@ -2117,7 +2117,13 @@ def hhi_index(df: DataFrame, group: str, amount: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
     share = F.col("cents").cast("double") / F.col("total")
-    t12 = F.floor(share * share * F.lit(1000000000000)).cast("bigint")
+    # zero-total group: shares undefined — ANSI Spark threw where
+    # DuckDB returns NULL (r15 ANSI sweep); NULL hhi12/hhi
+    t12 = F.when(
+        F.col("total") == 0, F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor(share * share * F.lit(1000000000000)).cast("bigint")
+    )
     return (
         rev.join(F.broadcast(tot), "grp")
         .groupBy("grp", "n_members")
@@ -2219,13 +2225,26 @@ def cramers_v(df: DataFrame, x: str, y: str) -> DataFrame:
     )
     return terms.groupBy("n", "nr", "nc").agg(
         F.round(F.sum("term").cast("double"), 6).alias("chi2"),
-        F.round(
-            F.sqrt(
-                F.sum("term").cast("double")
-                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
-            ),
-            6,
-        ).alias("cramers_v"),
+        # single-level factor on either axis: min(r−1, c−1) = 0 and V is
+        # undefined (χ² is exactly 0 there) — ANSI Spark threw where
+        # DuckDB returns NULL (r15 ANSI sweep)
+        F.when(
+            F.least(F.col("nr") - 1, F.col("nc") - 1) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sqrt(
+                    F.sum("term").cast("double")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("cramers_v"),
     ).select("n", "chi2", "cramers_v")
 
 

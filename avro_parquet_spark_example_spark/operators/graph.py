@@ -1549,13 +1549,25 @@ def degree_assortativity(e: DataFrame) -> DataFrame:
         F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("skk"),
     )
     md = F.col("m").cast("double")
-    r = (md * F.col("sjk").cast("double") - F.col("sj").cast("double") * F.col("sk").cast("double")) / (
-        F.sqrt(md * F.col("sjj").cast("double") - F.col("sj").cast("double") * F.col("sj").cast("double"))
-        * F.sqrt(md * F.col("skk").cast("double") - F.col("sk").cast("double") * F.col("sk").cast("double"))
-    )
+    varj = md * F.col("sjj").cast("double") - F.col("sj").cast(
+        "double"
+    ) * F.col("sj").cast("double")
+    vark = md * F.col("skk").cast("double") - F.col("sk").cast(
+        "double"
+    ) * F.col("sk").cast("double")
+    r = (
+        md * F.col("sjk").cast("double")
+        - F.col("sj").cast("double") * F.col("sk").cast("double")
+    ) / (F.sqrt(varj) * F.sqrt(vark))
+    # degenerate-margin guard (r15 ANSI sweep): a REGULAR graph (every
+    # endpoint the same degree — e.g. a cycle) zeroes the excess-degree
+    # variance; the Pearson r is undefined (networkx raises there too)
+    # — ANSI Spark threw where DuckDB returns NULL
     return sums.select(
         F.expr("m div 2").alias("n_edges"),
-        F.round(r, 6).alias("assortativity"),
+        F.when((varj == 0) | (vark == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6))
+        .alias("assortativity"),
     )
 
 

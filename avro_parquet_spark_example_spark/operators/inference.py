@@ -1721,6 +1721,12 @@ def _bt_iter_py(types, nij, rounds=_BT_ROUNDS, s=_BT_S):
         }
         raw = {t: hdiv(wins[t] * s * s, d[t]) if d[t] else 0 for t in types}
         tsum = sum(raw.values())
+        if tsum == 0:
+            # no games anywhere (degenerate catalog): the MM update has
+            # no information — keep the uniform strengths instead of
+            # dividing by zero (r15 ANSI sweep; the registered fixture
+            # always has games)
+            continue
         pi = {t: hdiv(raw[t] * k * s, tsum) for t in types}
     return pi, wins, {t: sum(tot[(t, u)] for u in types if u != t) for t in types}
 
@@ -2453,17 +2459,28 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("wn").over(wcum), F.lit(0)).cast("decimal(38,0)"),
     )
     rep = cum.groupBy("r").agg(
-        F.round(
-            F.sum(F.col("wp") * (2 * F.col("cwn") + F.col("wn"))).cast(
-                "double"
+        # one-class input: a replicate's positive (or negative) weight
+        # total is 0 and its AUC is undefined — ANSI Spark threw where
+        # DuckDB returns NULL (r15 sweep); the NULL propagates to the
+        # point estimate and CI (the rank join drops NULL replicates)
+        F.when(
+            (F.sum("wp") == 0) | (F.sum("wn") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sum(
+                    F.col("wp") * (2 * F.col("cwn") + F.col("wn"))
+                ).cast("double")
+                / (
+                    2.0
+                    * F.sum("wp").cast("double")
+                    * F.sum("wn").cast("double")
+                ),
+                9,
             )
-            / (
-                2.0
-                * F.sum("wp").cast("double")
-                * F.sum("wn").cast("double")
-            ),
-            9,
-        ).alias("m")
+        )
+        .alias("m")
     )
     rep = rep.localCheckpoint(eager=True)  # R+1 rows; consumed 3x
     boot = rep.filter(F.col("r") > 0)
@@ -2693,17 +2710,28 @@ def auc_bootstrap_cell(scored: DataFrame) -> DataFrame:
         F.coalesce(F.sum("wn").over(wcum), F.lit(0)).cast("decimal(38,0)"),
     )
     rep = cum.groupBy("r").agg(
-        F.round(
-            F.sum(F.col("wp") * (2 * F.col("cwn") + F.col("wn"))).cast(
-                "double"
+        # one-class input: a replicate's positive (or negative) weight
+        # total is 0 and its AUC is undefined — ANSI Spark threw where
+        # DuckDB returns NULL (r15 sweep); the NULL propagates to the
+        # point estimate and CI (the rank join drops NULL replicates)
+        F.when(
+            (F.sum("wp") == 0) | (F.sum("wn") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sum(
+                    F.col("wp") * (2 * F.col("cwn") + F.col("wn"))
+                ).cast("double")
+                / (
+                    2.0
+                    * F.sum("wp").cast("double")
+                    * F.sum("wn").cast("double")
+                ),
+                9,
             )
-            / (
-                2.0
-                * F.sum("wp").cast("double")
-                * F.sum("wn").cast("double")
-            ),
-            9,
-        ).alias("m")
+        )
+        .alias("m")
     )
     rep = rep.localCheckpoint(eager=True)  # R+1 rows; consumed 3x
     boot = rep.filter(F.col("r") > 0)

@@ -2747,7 +2747,12 @@ def cohens_kappa(conf: DataFrame) -> DataFrame:
         "n",
         "diag",
         F.round(nd * diagd / (nd * nd), 6).alias("observed_agreement"),
-        F.round((nd * diagd - rcd) / (nd * nd - rcd), 6).alias("kappa"),
+        # all mass in one (true, pred) cell ⇒ chance agreement p_e = 1
+        # ⇒ κ denominator n² − rc is exactly 0 — undefined; ANSI Spark
+        # threw where DuckDB returns NULL (r15 ANSI sweep)
+        F.when(nd * nd - rcd == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((nd * diagd - rcd) / (nd * nd - rcd), 6))
+        .alias("kappa"),
     )
 
 
@@ -2861,14 +2866,22 @@ def mcc_multiclass(conf: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(pp))
     )
     sd = F.col("s").cast("double")
-    mcc = (F.col("corr").cast("double") * F.col("s") - F.col("sum_pt").cast("double")) / (
-        F.sqrt(sd * F.col("s") - F.col("sum_pp").cast("double"))
-        * F.sqrt(sd * F.col("s") - F.col("sum_tt").cast("double"))
-    )
+    dent = sd * F.col("s") - F.col("sum_tt").cast("double")
+    denp = sd * F.col("s") - F.col("sum_pp").cast("double")
+    mcc = (
+        F.col("corr").cast("double") * F.col("s")
+        - F.col("sum_pt").cast("double")
+    ) / (F.sqrt(denp) * F.sqrt(dent))
+    # one-class margin on either side (all true labels equal, or all
+    # predictions equal) ⇒ s² = Σt² or Σp² ⇒ a zero factor — MCC is
+    # undefined (sklearn returns 0 with a warning; NULL is this
+    # engine's honest convention); ANSI Spark threw here (r15 sweep)
     return marg.crossJoin(F.broadcast(pt)).select(
         F.col("s").alias("n"),
         "corr",
-        F.round(mcc, 6).alias("mcc"),
+        F.when((dent == 0) | (denp == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(mcc, 6))
+        .alias("mcc"),
     )
 
 
