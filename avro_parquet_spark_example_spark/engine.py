@@ -1404,6 +1404,20 @@ class Engine:
 
         return lorenz_curve(per_user)
 
+    def equidepth_histogram_bucketed(
+        self, e: DataFrame, tiles: int = 8, n_buckets: int = 64
+    ) -> DataFrame:
+        """(event_type, bucket, n, lo, hi) — per-type equi-depth NTILE
+        histogram via the partitioned two-phase bucketed rank — no
+        per-type full-population sort (operators/aggregates.py)."""
+        from avro_parquet_spark_example_spark.operators.aggregates import (
+            equidepth_histogram_bucketed,
+        )
+
+        return equidepth_histogram_bucketed(
+            e, tiles=tiles, n_buckets=n_buckets
+        )
+
     def nelson_aalen(self, subj: DataFrame) -> DataFrame:
         """(grp, t, n_risk, n_event, n_censor, cum_hazard, var_hazard)
         — Nelson–Aalen cumulative hazard over a (user_id, grp, t, ev)

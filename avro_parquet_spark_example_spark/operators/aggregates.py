@@ -860,6 +860,122 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_equidepth_histogram_bucketed",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               NTILE(8) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_equidepth_histogram_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D3b' — :func:`agg_equidepth_histogram` with the per-type NTILE
+    computed by the PARTITIONED TWO-PHASE BUCKETED rank (the
+    agg_lorenz_curve_bucketed pattern — VERDICT r14 task #4's family
+    audit found this operator's full-table per-type (value, event_id)
+    window to be the registry's last row-scale low-cardinality-partition
+    sort; its own docstring carried the skew caveat). Same oracle,
+    bit-identical output (pinned); the window form stays registered as
+    the semantics reference."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    return equidepth_histogram_bucketed(e)
+
+
+def equidepth_histogram_bucketed(
+    e: DataFrame, tiles: int = 8, n_buckets: int = 64
+) -> DataFrame:
+    """Frame-level core of :func:`agg_equidepth_histogram_bucketed`:
+    ``e`` has columns (event_type, value orderable-numeric, event_id
+    tiebreak). Range-buckets on a per-type [min, max] grid (monotone in
+    the (value, event_id) total order), exclusive offsets via a
+    bucket-grid theta join (≤ n_buckets² rows per type), within-bucket
+    row_number partitioned by (type, bucket), then the closed-form ISO
+    NTILE remainder rule applied to the exact rank with PER-TYPE
+    column arithmetic (q = n div tiles, r = n mod tiles as columns —
+    unlike ``global_ntile``'s driver-side constants, the type count
+    varies per partition and never touches the driver)."""
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("__mn"),
+        F.max("value").alias("__mx"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    span = (F.col("__mx") - F.col("__mn")).cast("double")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("__mn")).cast("double")
+                / span
+                * n_buckets
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    pu = e.join(F.broadcast(stats), "event_type").withColumn("__bk", bucket)
+    btot = pu.groupBy("event_type", "__bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__bt")
+    )
+    bb = btot.select(
+        F.col("event_type").alias("__et"),
+        F.col("__bk").alias("__bkb"),
+        F.col("__bt").alias("__btb"),
+    )
+    boff = (
+        btot.join(
+            bb,
+            (F.col("__et") == F.col("event_type"))
+            & (F.col("__bkb") < F.col("__bk")),
+            "left",
+        )
+        .groupBy("event_type", "__bk")
+        .agg(
+            F.coalesce(F.sum("__btb"), F.lit(0))
+            .cast("bigint")
+            .alias("__off")
+        )
+    )
+    wbk = Window.partitionBy("event_type", "__bk").orderBy(
+        "value", "event_id"
+    )
+    ranked = (
+        pu.join(boff, ["event_type", "__bk"])
+        .withColumn(
+            "__rn",
+            (F.col("__off") + F.row_number().over(wbk)).cast("bigint"),
+        )
+        .withColumn("__q", F.expr(f"__n div {tiles}"))
+        .withColumn("__r", F.col("__n") % tiles)
+    )
+    # ISO NTILE remainder rule, column-wise: the first r tiles hold
+    # q + 1 rows. The ELSE branch divides by greatest(q, 1) — at
+    # n < tiles, q = 0 and the WHEN branch covers every rank, but ANSI
+    # division-by-zero must stay unreachable in the compiled expression.
+    tile = F.expr(
+        "CASE WHEN __rn <= __r * (__q + 1)"
+        "     THEN (__rn + __q) div (__q + 1) "
+        "     ELSE __r + (__rn - __r * (__q + 1) + greatest(__q, 1) - 1)"
+        "              div greatest(__q, 1) END"
+    )
+    return (
+        ranked.withColumn("bucket", tile.cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
     "agg_equidepth_histogram",
     oracle="""
     WITH b AS (

@@ -103,6 +103,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "stat_jonckheere_terpstra": "broadcast 7-row weekday-grid densification cross join (complete-grid requirement, the kendall_w shape)",
         "stat_mood_median": "bucket-grid exclusive-offset theta join (<=|value-domain|/256 rows) + 1-row pooled-median/total/chi2 cross joins (two-phase bucketed prefix sum)",
         "agg_lorenz_curve_bucketed": "bucket-grid exclusive-offset theta join (<=64^2 rows per event_type) — the partitioned two-phase rank that REPLACES the per-type full-population sort",
+        "agg_equidepth_histogram_bucketed": "bucket-grid exclusive-offset theta join (<=64^2 rows per event_type) — the partitioned two-phase NTILE that REPLACES the registry's last row-scale per-type sort window",
         "stat_by_fdr": "hypothesis-grid (m<=35 rows) lexicographic rank pair join + 1-row m/k-threshold/sampler-threshold cross joins (the stat_bh_fdr plan verbatim)",
         "eval_auc_partial": "score-grid (|grid|<=101 rows) descending-cumulative pair join + 1-row totals cross join (the eval_auc_delong_se shape)",
         "surv_kaplan_meier": "broadcast 1-row corpus-max-date cross join (censoring boundary, the ts_rfm_segments shape)",

@@ -26,6 +26,8 @@ from tools.scaleup_r13 import warm_time  # noqa: E402
 
 NEW_OPS = [
     "agg_lorenz_curve_bucketed",
+    "agg_equidepth_histogram_bucketed",
+    "agg_equidepth_histogram",
     "agg_lorenz_curve",
     "surv_nelson_aalen",
     "surv_rmst",
