@@ -44,7 +44,10 @@ from avro_parquet_spark_example_spark.operators.dedup import (
     simhash64,
     substring_dup_spans,
 )
-from avro_parquet_spark_example_spark.operators.simsearch import dot_product
+from avro_parquet_spark_example_spark.operators.simsearch import (
+    dot_product,
+    sql_double_array,
+)
 from avro_parquet_spark_example_spark.session import configure, get_session
 from avro_parquet_spark_example_spark.sources import catalog
 from avro_parquet_spark_example_spark.sources.avro_schema import parse_avro_schema
@@ -226,9 +229,11 @@ class Engine:
         """Exact cosine top-k against a literal query vector (unit-norm
         corpus ⇒ dot == cosine). Plans TakeOrderedAndProject — per-partition
         heaps, no global sort."""
-        q: Column = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
-            df.withColumn("score", dot_product(F.col(vec_col), q))
+            df.withColumn(
+                "score",
+                dot_product(f"`{vec_col}`", sql_double_array(query_vec)),
+            )
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )

@@ -27,7 +27,7 @@ from avro_parquet_spark_example_spark.operators.capping import (
     oversized_groups,
 )
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, spread
 
 # ---------------------------------------------------------------------------
 # H1 — exact dedup
@@ -955,21 +955,34 @@ _BIT_MASKS = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
 def simhash64(text: Column) -> Column:
     """64-bit SimHash: per token, xxhash64 → ±1 vote per bit position;
     fingerprint bit j is set iff the summed vote is ≥ 0. Pure higher-order
-    expression, map-side only."""
+    expression, map-side only.
+
+    Shape (r15): ONE aggregate pass accumulating the 64 bit-vote counters
+    as an int array. The previous form evaluated a separate fold per bit,
+    and because interpreted HOFs have no common-subexpression elimination,
+    each of the 64 folds re-tokenized and re-hashed the document — 64
+    split/distinct/xxhash64 passes per row (the r15 profile's dominant
+    cost, 5.6 s single-task at sf0.1). Votes are exact integers either
+    way, so fingerprints are bit-identical."""
     toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-
-    def bit_vote(mask: Column) -> Column:
-        votes = F.transform(
-            hashes,
-            lambda h: F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-        return F.aggregate(votes, F.lit(0), lambda acc, v: acc + v) >= 0
-
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
     # OR together the masks of set bits (XOR of disjoint masks == OR).
     return F.aggregate(
-        F.transform(masks, lambda m: F.when(bit_vote(m), m).otherwise(F.lit(0).cast("long"))),
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseXOR(x),
     )
@@ -984,7 +997,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_injected_duplicates(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    fp = docs.select("doc_id", simhash64(F.col("text")).alias("fingerprint"))
+    # single-split scan otherwise fingerprints the corpus in one task
+    fp = spread(docs).select(
+        "doc_id", simhash64(F.col("text")).alias("fingerprint")
+    )
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -1236,7 +1252,7 @@ def semantic_cell_dropped(
     )
     from avro_parquet_spark_example_spark.operators.simsearch import dot_product
 
-    dot = dot_product(F.col("ea"), F.col("eb"))
+    dot = dot_product("ea", "eb")
     return (
         a.join(b, (F.col("a_cell") == F.col("cell")) & (F.col("a_id") < F.col(id_col)))
         .filter(dot >= threshold)

@@ -22,7 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, spread
 
 # --------------------------------------------------------------------------
 # pass@k (Chen et al. 2021, "Evaluating LLMs Trained on Code", eq. 1)
@@ -606,7 +606,11 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = e.agg(
         (F.count(F.lit(1)) > F.lit(_RAND_MAX_ROWS)).alias("sampled")
     )
-    return poisson_bootstrap_ci(_events_sample_spark(e)).crossJoin(
+    # spread the bounded sample across the session's parallelism before
+    # the xR md5 expansion (single-split scan otherwise = one task)
+    return poisson_bootstrap_ci(
+        spread(_events_sample_spark(e), width_from=e)
+    ).crossJoin(
         F.broadcast(flag)
     )
 
@@ -823,7 +827,11 @@ def randomization_pvalues(
     # validation scope (r13): ~30k-row deterministic hash sample — a
     # no-op through sf0.01; bounds the O(N·R) md5 expansion's gate cost.
     # The frame-level core below stays uncapped.
-    return randomization_pvalues_frame(_events_sample_spark(e))
+    # spread the bounded sample across the session's parallelism before
+    # the xR md5 expansion (single-split scan otherwise = one task)
+    return randomization_pvalues_frame(
+        spread(_events_sample_spark(e), width_from=e)
+    )
 
 
 def randomization_pvalues_frame(e: DataFrame) -> DataFrame:
@@ -2427,6 +2435,9 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("nr")
     )
+    # spread the bounded sample across the session's parallelism before
+    # the xR md5 expansion (single-split scan otherwise = one task)
+    base = spread(base, width_from=base0)
     # the u32 draw is hoisted into its OWN column: embedding it 6x
     # inside the threshold CASE chain defeats codegen CSE when wrapped
     # in the r=0 branch (measured 30s -> 4.3s at sf0.01 x101 reps)

@@ -31,19 +31,47 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, spread
 
 #: The checked queries search for neighbors of this vector (arbitrary, fixed).
 QUERY_VEC_ID = 0
 
 
-def dot_product(vec_a: Column, vec_b: Column) -> Column:
-    """Double-precision ordered fold — deterministic across engines."""
+def dot_product(
+    vec_a: Column | str, vec_b: Column | str, dim: int | None = None
+) -> Column:
+    """Double-precision ordered fold — deterministic across engines.
+
+    The aggregate/zip_with fold is the RUNTIME WINNER, not just the
+    deterministic form: an r15 A/B at 2M rows measured the fold at
+    0.95 s vs 4.3 s for a flat 64-term per-index codegen chain (Spark
+    4.1 evaluates higher-order functions as a tight loop over the
+    ArrayData; the flat chain pays per-term child-eval/null-check
+    overhead and, at l·k·dim widths, Janino compile failures). Operands
+    may be SQL STRINGS — a column name or any SQL array expression such
+    as :func:`sql_double_array` — parsed in ONE JVM round trip; the
+    equivalent Column-object literal build costs ~2 py4j calls per
+    element (the ``minhash_signatures_df`` lesson). ``dim`` restricts
+    the fold to the leading ``dim`` elements via slice (the matryoshka
+    prefix convention). The IEEE sequence is 0.0 + a1·b1 + … in index
+    order in every variant, so every double — and every oracle hash —
+    is bit-identical across the operand forms (oracle-verified, r15)."""
+    a = F.expr(vec_a) if isinstance(vec_a, str) else vec_a
+    b = F.expr(vec_b) if isinstance(vec_b, str) else vec_b
+    if dim is not None:
+        a, b = F.slice(a, 1, dim), F.slice(b, 1, dim)
     return F.aggregate(
-        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def sql_double_array(vals) -> str:
+    """SQL double-array literal string (ONE JVM parse instead of ~2 py4j
+    round trips per element for the F.array(*[F.lit(x) ...]) form; repr()
+    round-trips every IEEE double exactly, so values are identical)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
 
 
 def _query_vector(e: DataFrame) -> Column:
@@ -79,7 +107,7 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(_query_vector(e))
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "label", F.round("score", 5).alias("score"))
@@ -112,7 +140,7 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(q)
         .filter(F.col("label") == F.col("qlabel"))
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", F.round("score", 5).alias("score"))
@@ -165,7 +193,7 @@ def scaled_lsh_bits(
 
 
 def lsh_table_keys(
-    vec: Column,
+    vec: Column | str,
     planes: list[list[float]],
     l: int = L_TABLES,
     k: int = K_BITS,
@@ -176,7 +204,34 @@ def lsh_table_keys(
     only, no shuffle to index the corpus. ``l``/``k`` default to the
     fixture-scale constants; at-scale callers pass ``k`` from
     :func:`scaled_lsh_bits` (planes must then hold l·k rows:
-    ``hyperplanes(n_planes=l * k)``)."""
+    ``hyperplanes(n_planes=l * k)``). A STRING operand (column name)
+    builds the SAME aggregate/zip_with tree as ONE JVM-parsed SQL string
+    — identical values and runtime shape, but a single py4j round trip
+    instead of the ~4k ``F.lit`` calls the Column build costs (~3 s of
+    driver time per call site, the dominant build cost at r15). A flat
+    per-term codegen chain was tried and REJECTED: l·k·dim ≈ 4096 terms
+    in one projection exceeds Janino's method limit — three failed
+    compile attempts per run, then interpreted fallback anyway
+    (measured 2.1 s → 45 s exec at sf0.1)."""
+    if isinstance(vec, str):
+        key_sqls = []
+        for t in range(l):
+            parts = [f"CAST({t << 32} AS BIGINT)"]
+            for j in range(k):
+                plane_lit = sql_double_array(planes[t * k + j])
+                proj = (
+                    f"aggregate(zip_with({vec}, {plane_lit},"
+                    " (x, p) -> CAST(x AS DOUBLE) * p),"
+                    " 0.0D, (acc, v) -> acc + v)"
+                )
+                parts.append(
+                    f"(CASE WHEN ({proj}) >= 0 THEN CAST({1 << j} AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END)"
+                )
+            key_sqls.append(" + ".join(parts))
+        return F.expr("array(" + ", ".join(key_sqls) + ")")
+    # Column operand: the original Column-object form (same tree — kept
+    # for expression callers like tests and scale tools)
     keys = []
     for t in range(l):
         key = F.lit(t << 32).cast("long")
@@ -224,7 +279,10 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §5 gate)."""
     planes = hyperplanes()
     e = load(spark, sf_dir, "embeddings")
-    signed = e.withColumn("keys", lsh_table_keys(F.col("embedding"), planes))
+    # single-split scan otherwise signs the whole corpus in one task
+    signed = spread(e).withColumn(
+        "keys", lsh_table_keys("embedding", planes)
+    )
     qkeys = F.broadcast(
         signed.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.explode(multiprobe_keys(F.col("keys"))).alias("key"))
@@ -239,7 +297,7 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.crossJoin(qvec)
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "label", F.round("score", 5).alias("score"))
@@ -412,10 +470,9 @@ def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
         .limit(PQ_RERANK)
     )
-    qvec = F.array(*[F.lit(x) for x in q])
     return (
         candidates.withColumn(
-            "score", F.round(dot_product(F.col("embedding"), qvec), 5)
+            "score", F.round(dot_product("embedding", sql_double_array(q)), 5)
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
@@ -459,11 +516,12 @@ def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = by_score[:nprobe]
 
-    qvec = F.array(*[F.lit(x) for x in q])
     return (
         assigned.filter(F.col("cluster").isin(probe))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("score", F.round(dot_product(F.col("embedding"), qvec), 5))
+        .withColumn(
+            "score", F.round(dot_product("embedding", sql_double_array(q)), 5)
+        )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "score")
@@ -559,7 +617,7 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.crossJoin(q)
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", F.round("score", 5).alias("score"))
@@ -735,7 +793,7 @@ def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming_d") <= HAMMING_RADIUS)
     )
     return (
-        cand.withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        cand.withColumn("score", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "label", "hamming_d", F.round("score", 5).alias("score"))
@@ -786,22 +844,19 @@ def simsearch_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qvec")
         )
     )
-    pre = lambda c: F.slice(c, 1, MRL_DIM)  # noqa: E731
-    sq_norm = lambda c: F.aggregate(  # noqa: E731
-        pre(c),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    dot32 = dot_product(pre(F.col("embedding")), pre(F.col("qvec")))
-    norm_e = F.sqrt(sq_norm(F.col("embedding")))
-    norm_q = F.sqrt(sq_norm(F.col("qvec")))
+    # width-limited flat dots (no slice materialization): same IEEE
+    # sequence as the previous slice+fold form, but codegen arithmetic
+    sq_norm = lambda c: dot_product(c, c, dim=MRL_DIM)  # noqa: E731  (name)
+    dot32 = dot_product("embedding", "qvec", dim=MRL_DIM)
+    norm_e = F.sqrt(sq_norm("embedding"))
+    norm_q = F.sqrt(sq_norm("qvec"))
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(q)
         .withColumn("norm_e", norm_e)
         .filter(F.col("norm_e") > 0)
         .withColumn("score_prefix", dot32 / (F.col("norm_e") * norm_q))
-        .withColumn("score_full", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score_full", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score_prefix"), F.asc("vec_id"))
         .limit(10)
         .select(
@@ -897,7 +952,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_list = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(q)
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(RRF_DEPTH)
         .select("vec_id", F.round("score", 5).alias("score"))
@@ -1091,7 +1146,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(q)
-        .withColumn("rel", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("rel", dot_product("embedding", "qvec"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_CANDIDATES)
         .select(
@@ -1218,7 +1273,7 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.crossJoin(qs)
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     top = (
@@ -1297,7 +1352,7 @@ def vec_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: one codegen'd fold + one transform per row, no shuffle, no
     Python — at 100 TB this fuses into whatever scan follows it."""
     e = load(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    norm = F.sqrt(dot_product("embedding", "embedding"))
     n = e.withColumn("norm", norm).filter(F.col("norm") > 0)
     return n.select(
         "vec_id",
@@ -1705,7 +1760,7 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") != F.col("qid"))
             & (F.col("label") != F.col("qlabel"))
         )
-        .withColumn("dot", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("dot", dot_product("embedding", "qvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
     return (
@@ -1785,19 +1840,26 @@ def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row map over codegen'd arithmetic — no shuffle, no
     UDF, no collect; at 100 TB this runs at scan speed and cuts every
     downstream vector shuffle by 4×."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    # The whole 16×64-term ± projection as ONE JVM-parsed SQL expression
+    # (the sql_double_array/lsh_table_keys convention): the Column-object
+    # chain costs ~4k py4j round trips ≈ 4 s of driver time per build, and
+    # an F.get-per-term variant measured 22 s. Flat per-term indexing also
+    # drops the transform()-cast array alias whose interpreted HOF re-ran
+    # per reference after CollapseProject inlining. The ± chain folds in
+    # the same index order over the same double casts, so every
+    # intermediate double — and the oracle hash — is unchanged
+    # (oracle-verified, r15).
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     outs = []
     for j in range(JL_OUT_DIM):
-        chain: Column = F.lit(0.0)
-        for i, s in enumerate(JL_SIGNS[j]):
-            term = F.col("e")[i]
-            chain = chain + term if s > 0 else chain - term
-        outs.append(F.round(chain / 4.0, 5))
-    return e.select("vec_id", "label", F.array(*outs).alias("proj"))
+        chain = "0.0D" + "".join(
+            f" {'+' if s > 0 else '-'} CAST(embedding[{i}] AS DOUBLE)"
+            for i, s in enumerate(JL_SIGNS[j])
+        )
+        outs.append(f"round(({chain}) / 4.0D, 5)")
+    return e.select(
+        "vec_id", "label", F.expr("array(" + ",".join(outs) + ")").alias("proj")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1836,7 +1898,7 @@ def simsearch_range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(_query_vector(e))
-        .withColumn("score", dot_product(F.col("embedding"), F.col("qvec")))
+        .withColumn("score", dot_product("embedding", "qvec"))
         .filter(F.col("score") >= RANGE_QUERY_TAU)
         .select("vec_id", "label", F.round("score", 5).alias("score"))
     )
@@ -1904,7 +1966,7 @@ def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         a.join(b, F.col("dst") != F.col("src"))
-        .withColumn("score", dot_product(F.col("ea"), F.col("eb")))
+        .withColumn("score", dot_product("ea", "eb"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
@@ -2030,8 +2092,10 @@ def ivf_candidates(
     # this frame is full-corpus — the largest exposure to the r10
     # flake class (evicted checkpoint blocks in long single-JVM
     # sessions become unrecoverable Py4JJavaErrors; ADVICE r10 #3).
+    # spread: the assignment + the downstream candidate scoring otherwise
+    # run in the single task a small one-split scan yields
     assigned = _spectral_materialize(
-        pool.select(
+        spread(pool).select(
             "vec_id",
             "embedding",
             F.element_at(cells, 1)["aid"].alias("cell"),
@@ -2053,7 +2117,7 @@ def ivf_candidates(
     return (
         src.join(dst, "pcell")
         .filter(F.col("dst") != F.col("src"))
-        .withColumn("score", dot_product(F.col("ea"), F.col("eb")))
+        .withColumn("score", dot_product("ea", "eb"))
     )
 
 

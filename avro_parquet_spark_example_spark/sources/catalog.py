@@ -87,6 +87,40 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, width_from: DataFrame | None = None) -> DataFrame:
+    """Widen a narrow frame to the session's default parallelism before
+    heavy map-side work (×R explode expansions, per-row md5 draws, wide
+    sign/dot folds).
+
+    The test tables are single small parquet files, so a scan yields ONE
+    input split (maxPartitionBytes ≫ file size) and everything map-side
+    downstream — including a ×100 explode — runs in one task: the
+    input-parallelism skew of guide §2.5, measured as the dominant cost
+    of the randomization/bootstrap family at sf0.1 (r15). The dial is
+    ``defaultParallelism`` (follows the master's core count locally, the
+    cluster width in production) and the repartition only fires when the
+    frame is NARROWER than it, so production-size inputs — which already
+    carry enough splits — never pay a gratuitous shuffle. Same rule and
+    rationale as ``dedup.minhash_signatures_df`` (r12, measured −0.25 s).
+
+    Round-robin repartition is deterministic here (sort-before-repartition
+    is on by default, SPARK-23207) and every caller's downstream
+    aggregation is exact (integer/decimal sums or per-row projections),
+    so results are unchanged by the new partitioning.
+
+    ``width_from``: the frame whose partition count decides whether to
+    fire. Pass the RAW scan when ``df``'s own plan carries exchanges or
+    broadcasts — materializing ``.rdd`` under AQE executes the plan's
+    query stages (an extra job), while on a plain scan+project it is
+    metadata-only.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    probe = width_from if width_from is not None else df
+    if probe.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 #: ``events.ts`` read types this catalog knows how to normalize. Anything
 #: else is environment drift and must fail loudly (see module docstring).
 HANDLED_TS_DTYPES = ("bigint", "timestamp_ntz", "timestamp")
