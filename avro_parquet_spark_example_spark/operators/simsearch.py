@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import random
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1471,6 +1472,96 @@ def _pi_round_sql(win: str, wout: str) -> str:
 PI_ROUNDS = 3
 
 
+def _round_half_up9(x: float, scale: int = 9) -> Decimal:
+    """Exact replica of Spark's ``ROUND(double, s)`` followed by the cast
+    to ``DECIMAL(_, s)``: Java evaluates ``BigDecimal.valueOf(x)`` —
+    which parses ``Double.toString``'s shortest round-trip decimal, the
+    same digits CPython's ``repr`` produces — then ``setScale(s,
+    HALF_UP)`` (ties away from zero, == decimal.ROUND_HALF_UP). The
+    subsequent double→decimal cast is value-preserving for ≤ s-dp
+    values (the rounded double is within 1 ulp ≈ 1e-17 of the s-dp
+    grid point, far inside the 5e-10 tie boundary), so one quantize
+    reproduces the whole Spark chain bit-for-bit."""
+    return Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+
+
+def _gram_df(e: DataFrame) -> DataFrame:
+    """The 64×64 exact Gram matrix (i, j, m = Σ v7ᵢ·v7ⱼ) as a JOIN-FREE
+    single-pass aggregate: each row emits its flattened 4,096-long outer
+    product (per-product max 1e14 — no long overflow; the cross-row SUM
+    is decimal), partially aggregated map-side, so the only shuffle is
+    4,096 partials per task. Replaces the exploded self-join on vec_id
+    (corpus×64 rows shuffled + sorted twice, then the same 4,096-key
+    aggregate): measured 2.4 s → 0.78 s at sf0.1, exact-equal cells.
+    ``spread`` because the one-split scan otherwise generates the whole
+    corpus×4096 expansion in a single task (guide §2.5)."""
+    v7 = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+    )
+    outer = F.expr(
+        "flatten(transform(v7arr, iv -> transform(v7arr, jv -> iv * jv)))"
+    )
+    return (
+        spread(e, width_from=e)
+        .select(v7.alias("v7arr"))
+        .select(F.posexplode(outer).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("m"))
+        .select(
+            (F.col("pos") / 64 + 1).cast("bigint").alias("i"),
+            (F.col("pos") % 64 + 1).cast("bigint").alias("j"),
+            "m",
+        )
+    )
+
+
+def _gram_collect(gram_df: DataFrame) -> list[list[int]]:
+    """Collect the 64×64 exact-integer Gram matrix — a bounded driver
+    merge (4,096 cells regardless of corpus size, the k-centroids
+    precedent). DECIMAL(38,0) cells arrive as exact ``decimal.Decimal``;
+    returned as Python ints, 0-based."""
+    m = [[0] * 64 for _ in range(64)]
+    for r in gram_df.collect():
+        m[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["m"])
+    return m
+
+
+def _pi_rounds_driver(gram: list[list[int]], w9: list[int]) -> list[int]:
+    """PI_ROUNDS exact power-iteration rounds on the DRIVER — the same
+    arithmetic the per-round Spark jobs ran, on 64-row frames that never
+    warranted a distributed plan (measured: the lazy unrolled DAG plans
+    288 Exchanges / 7.2 s for vec_remove_top_component; per-round
+    collect+re-literal jobs still ~1 s/round of pure stage latency).
+
+    Bit-exactness, term by term against the Spark/DuckDB forms:
+    * mat-vec  SUM(m::DECIMAL(19,0) * w::DECIMAL(12,9)) — exact integer
+      arithmetic at scale 9: Σ m_ij·w9_j as unbounded Python ints.
+    * mx       MAX(ABS(y)) — exact integer comparison.
+    * cast-to-double  y::DOUBLE / mx::DOUBLE — Python int/int true
+      division is correctly rounded, same as BigDecimal.doubleValue.
+    * ROUND(…, 9) + decimal cast — :func:`_round_half_up9`.
+    ``w9`` is the direction vector as scale-9 integers."""
+    for _ in range(PI_ROUNDS):
+        w9 = _pi_step_driver(gram, w9)
+    return w9
+
+
+def _pi_step_driver(gram: list[list[int]], w9: list[int]) -> list[int]:
+    """One exact mat-vec + max-abs-normalize round (see
+    :func:`_pi_rounds_driver` for the term-by-term exactness map)."""
+    y9 = [
+        sum(m_i[j] * w9[j] for j in range(64)) for m_i in gram
+    ]  # DECIMAL(38,9) cells as scale-9-applied-once ints (m is scale 0)
+    mx9 = max(abs(v) for v in y9)
+    return [
+        int(_round_half_up9((v / 10**9) / (mx9 / 10**9)).scaleb(9))
+        for v in y9
+    ]
+
+
 def _spectral_materialize(df: DataFrame) -> DataFrame:
     """Disk-backed, LINEAGE-PRESERVING materialization for the spectral
     pipelines' multi-action frames (VERDICT r9 #2 flake class): these
@@ -1527,48 +1618,20 @@ def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dominant-component removal, Mu & Viswanath 2018) and what a PCA
     whitening stage computes first.
 
-    Scale: the Gram build is one self-join keyed by row id (dim² cells,
-    corpus-size-independent output); each round is a broadcast-size
-    mat-vec over 64 rows. At 100 TB the Gram aggregation dominates and
-    combines map-side; rounds are free."""
+    Scale: the Gram build (:func:`_gram_df`, join-free single-pass
+    aggregate — dim² cells, corpus-size-independent output) is the ONLY
+    corpus-sized stage, and the only distributed one: the 64-row
+    mat-vec rounds run on the driver in exact integer arithmetic
+    (:func:`_pi_rounds_driver` — r15: the lazy unrolled round DAG
+    planned 72 Exchanges of 64-row data, ~2.2 s of pure stage
+    latency)."""
     e = load(spark, sf_dir, "embeddings")
-    fixed = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    gram = _gram_collect(_gram_df(e))
+    w9 = _pi_rounds_driver(gram, [10**9] * 64)
+    return spark.createDataFrame(
+        [(j + 1, Decimal(w).scaleb(-9)) for j, w in enumerate(w9)],
+        "pos bigint, direction decimal(12,9)",
     )
-    a, b = fixed.alias("a"), fixed.alias("b")
-    gram = _spectral_materialize(
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.v7").cast("decimal(19,0)")
-                * F.col("b.v7").cast("decimal(19,0)")
-            ).alias("m")
-        )
-    )
-    w = spark.range(1, 65).select(
-        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
-    )
-    for _ in range(PI_ROUNDS):
-        y = (
-            gram.join(F.broadcast(w), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(
-                F.sum(F.col("m").cast("decimal(19,0)") * F.col("w")).alias("y")
-            )
-        )
-        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
-        w = y.crossJoin(F.broadcast(mx)).select(
-            F.col("pos").alias("j"),
-            F.round(F.col("y").cast("double") / F.col("mx").cast("double"), 9)
-            .cast("decimal(12,9)")
-            .alias("w"),
-        )
-    return w.select(F.col("j").alias("pos"), F.col("w").alias("direction"))
 
 
 @register(
@@ -1635,54 +1698,37 @@ def vec_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per vector, no extra shuffle beyond the Gram build it
     shares with the power iteration."""
     e = load(spark, sf_dir, "embeddings")
+    gram = _gram_collect(_gram_df(e))
+    # the exploded form is only needed for the 50-vector output sample
+    # now that the Gram is the join-free _gram_df aggregate; the pushed
+    # vec_id filter makes both remaining scans trivial
     fixed = _spectral_materialize(
-        e.select(
-            "vec_id", F.posexplode("embedding").alias("pos0", "val")
-        ).select(
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
             "vec_id",
             (F.col("pos0") + 1).cast("bigint").alias("pos"),
             F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
         )
     )
-    a, b = fixed.alias("a"), fixed.alias("b")
-    gram = _spectral_materialize(
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.v7").cast("decimal(19,0)")
-                * F.col("b.v7").cast("decimal(19,0)")
-            ).alias("m")
-        )
-    )
-    w = spark.range(1, 65).select(
-        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
-    )
-    for _ in range(PI_ROUNDS):
-        y = (
-            gram.join(F.broadcast(w), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(
-                F.sum(F.col("m").cast("decimal(19,0)") * F.col("w")).alias("y")
+    # Power iteration + L2-unit normalization on the driver, exact
+    # (_pi_rounds_driver contract; r15 — the lazy unrolled DAG planned
+    # 288 Exchanges / 7.2 s). n2 = SUM((w*w)::DECIMAL(30,18)) is an
+    # exact scale-18 integer sum; the unit division and sqrt are the
+    # same IEEE doubles as the Spark expressions they replace.
+    w9 = _pi_rounds_driver(gram, [10**9] * 64)
+    n2_18 = sum(w * w for w in w9)  # scale 18
+    unit = spark.createDataFrame(
+        [
+            (
+                j + 1,
+                _round_half_up9(
+                    (w / 10**9) / math.sqrt(n2_18 / 10**18)
+                ),
             )
-        )
-        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
-        w = y.crossJoin(F.broadcast(mx)).select(
-            F.col("pos").alias("j"),
-            F.round(F.col("y").cast("double") / F.col("mx").cast("double"), 9)
-            .cast("decimal(12,9)")
-            .alias("w"),
-        )
-    n2 = w.agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(30,18)")).alias("n2")
-    )
-    unit = w.crossJoin(F.broadcast(n2)).select(
-        "j",
-        F.round(
-            F.col("w").cast("double") / F.sqrt(F.col("n2").cast("double")), 9
-        )
-        .cast("decimal(12,9)")
-        .alias("u"),
+            for j, w in enumerate(w9)
+        ],
+        "j bigint, u decimal(12,9)",
     )
     sample = fixed.filter(F.col("vec_id") < 50)
     proj = (
@@ -2482,113 +2528,34 @@ def vec_top2_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage (one self-join keyed by row id, dim² output);
     both iterations run on 64-row broadcast-sized frames."""
     e = load(spark, sf_dir, "embeddings")
-    fixed = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
-    )
-    a, b = fixed.alias("a"), fixed.alias("b")
-    gram = _spectral_materialize(
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.v7").cast("decimal(19,0)")
-                * F.col("b.v7").cast("decimal(19,0)")
-            ).alias("m")
-        )
-    )
-
-    def pi_step(w: DataFrame) -> DataFrame:
-        y = (
-            gram.join(F.broadcast(w), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(
-                F.sum(
-                    F.col("m").cast("decimal(19,0)") * F.col("w")
-                ).alias("y")
-            )
-        )
-        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
-        return y.crossJoin(F.broadcast(mx)).select(
-            F.col("pos").alias("j"),
-            F.round(
-                F.col("y").cast("double") / F.col("mx").cast("double"), 9
-            )
-            .cast("decimal(12,9)")
-            .alias("w"),
-        )
-
-    def relit(df: DataFrame) -> DataFrame:
-        """Materialize a 64-row direction frame to the DRIVER and rebuild
-        it as a literal DataFrame — a bounded driver merge (64 scalars,
-        the k-centroids precedent) that gives each round a FRESH plan.
-        persist() is not enough here: it keeps lineage, and the nested
-        per-round joins make the retained plan tree grow exponentially
-        (measured: plan stringification alone OOMs an 8g heap at round
-        6); a lazy chain instead re-executes the whole upstream
-        iteration per broadcast job (measured 48 s at sf0.01)."""
-        rows = [(int(r["j"]), r["w"]) for r in df.collect()]
-        return spark.createDataFrame(rows, "j bigint, w decimal(12,9)")
-
-    w = spark.range(1, 65).select(
-        F.col("id").alias("j"), F.lit(1.0).cast("decimal(12,9)").alias("w")
-    )
+    gram = _gram_collect(_gram_df(e))
+    # Both iterations on the driver, exact (_pi_rounds_driver contract;
+    # r15 — the previous per-round collect+re-literal jobs spent ~1 s of
+    # stage latency per 64-row round, 10 s build). The Gram–Schmidt
+    # coefficient c replicates ROUND(num::double / den, 12) — num is an
+    # exact scale-18 integer sum, den an exact scale-18 sum cast to
+    # double, ROUND-on-double has no decimal cast so c stays the double
+    # Spark multiplies with; the re-orthogonalized component re-rounds
+    # at scale 9 like every direction component.
+    v1_9 = _pi_rounds_driver(gram, [10**9] * 64)
+    den = sum(w * w for w in v1_9) / 10**18
+    u9 = [10**9 if (j + 1) % 2 == 1 else -(10**9) for j in range(64)]
     for _ in range(PI_ROUNDS):
-        w = relit(pi_step(w))
-    v1 = w  # 64 rows; joined every PC2 round
-    den = v1.agg(
-        (F.sum(F.col("w") * F.col("w"))).cast("double").alias("den")
-    )
-    u = spark.range(1, 65).select(
-        F.col("id").alias("j"),
-        F.when(F.col("id") % 2 == 1, F.lit(1.0))
-        .otherwise(F.lit(-1.0))
-        .cast("decimal(12,9)")
-        .alias("w"),
-    )
-    v1j = v1.select(F.col("j"), F.col("w").alias("vw"))
-    for _ in range(PI_ROUNDS):
-        n = relit(pi_step(u))
-        c = (
-            n.join(F.broadcast(v1j), "j")
-            .agg(F.sum(F.col("w") * F.col("vw")).alias("num"))
-            .crossJoin(F.broadcast(den))
-            .select(
-                F.round(
-                    F.col("num").cast("double") / F.col("den"), 12
-                ).alias("c")
+        n9 = _pi_step_driver(gram, u9)
+        num_18 = sum(n * v for n, v in zip(n9, v1_9))
+        c = float(_round_half_up9((num_18 / 10**18) / den, scale=12))
+        u9 = [
+            int(
+                _round_half_up9(
+                    (n / 10**9) - c * (v / 10**9)
+                ).scaleb(9)
             )
-        )
-        u = relit(
-            n.join(F.broadcast(v1j), "j")
-            .crossJoin(F.broadcast(c))
-            .select(
-                "j",
-                F.round(
-                    F.col("w").cast("double")
-                    - F.col("c") * F.col("vw").cast("double"),
-                    9,
-                )
-                .cast("decimal(12,9)")
-                .alias("w"),
-            )
-        )
-    return (
-        v1.select(
-            F.lit(1).cast("int").alias("pc"),
-            F.col("j").alias("pos"),
-            F.col("w").alias("direction"),
-        )
-        .unionByName(
-            u.select(
-                F.lit(2).cast("int").alias("pc"),
-                F.col("j").alias("pos"),
-                F.col("w").alias("direction"),
-            )
-        )
+            for n, v in zip(n9, v1_9)
+        ]
+    return spark.createDataFrame(
+        [(1, j + 1, Decimal(w).scaleb(-9)) for j, w in enumerate(v1_9)]
+        + [(2, j + 1, Decimal(w).scaleb(-9)) for j, w in enumerate(u9)],
+        "pc int, pos bigint, direction decimal(12,9)",
     )
 
 
