@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from avro_parquet_spark_example_spark.operators.simsearch import sql_double_array
 from avro_parquet_spark_example_spark.registry import register
 from avro_parquet_spark_example_spark.sources.catalog import load
 
@@ -39,21 +40,32 @@ MAX_ITERS = 12
 DRIFT_EPS = 1e-7
 
 
-def _sq_dist(vec_col, centroid: list[float]):
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
     """Squared L2 distance between an array<float> column and a literal
-    centroid — a fold over zip_with, evaluated JVM-side."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lit_c, lambda x, y: (x.cast("double") - y) ** 2),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    centroid — a fold over zip_with, evaluated JVM-side. Emitted as SQL
+    text (one JVM parse for the whole per-round distance array instead
+    of ~2 py4j round trips per centroid element — at k=8 × 64 dims ×
+    12 Lloyd rounds the Column-object build cost ~0.8 s/round of pure
+    driver time, the r15 profile's dominant cluster_kmeans cost). The
+    tree — zip_with / POWER(x - y, 2) / ordered fold — is the same one
+    the Column form produced, so assignments and centroids are
+    bit-identical."""
+    lit_c = sql_double_array(centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, {lit_c},"
+        " (x, y) -> POWER(CAST(x AS DOUBLE) - y, 2.0D)),"
+        " 0.0D, (acc, v) -> acc + v)"
     )
 
 
 def assign_clusters(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """vectors(vec_id, embedding) → + cluster (nearest centroid id) and
     sq_dist. One narrow projection, no shuffle."""
-    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
+    dists = F.expr(
+        "array("
+        + ",".join(_sq_dist_sql("embedding", c) for c in centroids)
+        + ")"
+    )
     return vectors.select(
         "vec_id",
         "embedding",

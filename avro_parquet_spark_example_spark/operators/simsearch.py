@@ -365,23 +365,25 @@ def pq_train_codebooks(
         # transform/aggregate. The expression tree stays tiny (fast Janino
         # compile each round); the folds run interpreted, which is fine
         # because training reads a bounded sample by design (codebooks need
-        # coverage, not the corpus — the FAISS convention).
-        books_lit = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        # coverage, not the corpus — the FAISS convention). Built as ONE
+        # JVM-parsed SQL string: the nested-F.lit Column build cost ~2
+        # py4j round trips per codebook element (m·k·subdim ≈ 1k elements
+        # × iters ≈ 2 s/round of driver time, the r15 profile's dominant
+        # simsearch_pq_topk build cost); the parsed tree — and therefore
+        # every distance, assignment, and codebook — is identical.
+        books_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(sql_double_array(c) for c in book) + ")"
                 for book in books
-            ]
+            )
+            + ")"
         )
-        cents = F.element_at(books_lit, F.col("j") + 1)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col("sub"), c, lambda x, y: (x.cast("double") - y) ** 2
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        dists = F.expr(
+            f"transform(element_at({books_sql}, j + 1),"
+            " c -> aggregate(zip_with(sub, c,"
+            " (x, y) -> POWER(CAST(x AS DOUBLE) - y, 2.0D)),"
+            " 0.0D, (acc, v) -> acc + v))"
         )
         assigned = subs.select(
             "j",
@@ -401,19 +403,18 @@ def pq_train_codebooks(
     return books
 
 
-def _sq_dist_flat(vec_col: Column, offset: int, centroid: list[float]) -> Column:
-    """Flat (HOF-free) squared distance from ``vec_col[offset:offset+len]``
+def _sq_dist_flat_sql(vec_sql: str, offset: int, centroid: list[float]) -> str:
+    """Flat (HOF-free) squared distance from ``vec_sql[offset:offset+len]``
     to a literal centroid — pure arithmetic that stays inside whole-stage
-    codegen, for the full-corpus encode path (interpreted HOF folds would
-    cost ~100× on billions of rows; see the MinHash note in SCALING.md)."""
-    terms = [
-        (F.element_at(vec_col, offset + d + 1).cast("double") - c) ** 2
+    codegen, for the full-corpus encode path, as SQL text (the m·k·subdim
+    ≈ 1k-term Column-object build cost ~4k py4j round trips ≈ 3 s of
+    driver time per pq_encode call — r15; the parsed tree and every
+    distance are identical)."""
+    return " + ".join(
+        f"POWER(CAST(element_at({vec_sql}, {offset + d + 1}) AS DOUBLE)"
+        f" - {float(c)!r}D, 2.0D)"
         for d, c in enumerate(centroid)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return total
+    )
 
 
 def pq_encode(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
@@ -421,15 +422,23 @@ def pq_encode(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     of the nearest codebook centroid. All m × k distances are FLAT codegen
     arithmetic in ONE projection — a single scan encodes the corpus; at
     100 TB the 8-byte codes are what you persist and serve from."""
-    code_cols = []
+    code_sqls = []
     for j, book in enumerate(books):
-        dists = F.array(
-            *[_sq_dist_flat(F.col("embedding"), j * PQ_SUBDIM, c) for c in book]
+        dists = (
+            "array("
+            + ",".join(
+                _sq_dist_flat_sql("embedding", j * PQ_SUBDIM, c) for c in book
+            )
+            + ")"
         )
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        code_sqls.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
         )
-    return e.select("vec_id", "embedding", F.array(*code_cols).alias("codes"))
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.expr("array(" + ",".join(code_sqls) + ")").alias("codes"),
+    )
 
 
 @register("simsearch_pq_topk")
@@ -2117,21 +2126,19 @@ def ivf_candidates(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in pool.orderBy("vec_id").limit(n_anchors).collect()
     ]
-    cells = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    F.floor(
-                        _sq_dist_flat(F.col("embedding"), 0, avec)
-                        * 10000000
-                    )
-                    .cast("bigint")
-                    .alias("d7"),
-                    F.lit(aid).cast("bigint").alias("aid"),
-                )
-                for aid, avec in anchors
-            ]
+    # one JVM-parsed SQL expression: the anchors×dim Column-object build
+    # cost ~10k py4j round trips ≈ 5 s of driver time (r15); the parsed
+    # tree — flat distances, 1e7 floor quantization, (d7, aid) sort — is
+    # identical, so cells and candidates are unchanged.
+    cells = F.expr(
+        "sort_array(array("
+        + ",".join(
+            "named_struct('d7', CAST(FLOOR(("
+            + _sq_dist_flat_sql("embedding", 0, avec)
+            + f") * 10000000) AS BIGINT), 'aid', CAST({aid} AS BIGINT))"
+            for aid, avec in anchors
         )
+        + "))"
     )
     # One assignment scan feeds both join sides. Materialized via the
     # lineage-PRESERVING disk persist, not an eager localCheckpoint:

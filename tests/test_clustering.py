@@ -39,9 +39,12 @@ def test_kmeans_assignment_optimal(spark, vectors, fitted):
     centroids, _ = fitted
     assigned = assign_clusters(vectors, centroids)
     # independent check: sq_dist equals min over all centroid distances
-    from avro_parquet_spark_example_spark.operators.clustering import _sq_dist
+    from avro_parquet_spark_example_spark.operators.clustering import _sq_dist_sql
 
-    dists = [_sq_dist(F.col("embedding"), c).alias(f"d{i}") for i, c in enumerate(centroids)]
+    dists = [
+        F.expr(_sq_dist_sql("embedding", c)).alias(f"d{i}")
+        for i, c in enumerate(centroids)
+    ]
     wide = assigned.select("vec_id", "cluster", "sq_dist", *dists)
     bad = wide.filter(
         F.col("sq_dist")
