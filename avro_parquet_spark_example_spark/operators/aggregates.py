@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load, ts_us
+from avro_parquet_spark_example_spark.sources.catalog import load, spread, ts_us
 
 
 def dsum(col: Column | str, scale: int = 4, round_to: int | None = None) -> Column:
@@ -495,7 +495,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade already made by agg_approx_distinct vs agg_distinct; this
     operator is the exact twin the sketch is validated against."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # spread: percentile's map-side partial buffers the whole column, and
+    # the one-split scan builds it in a single task (guide §2.5 input
+    # skew); widening parallelizes the partial build — the exact sorted
+    # value sequence each group interpolates over is unchanged, so the
+    # outputs are bit-identical (A/B-verified). Project to the two used
+    # columns first so the widening exchange carries no dead bytes
+    # (guide §2.3).
+    pr = spread(li.select("l_returnflag", "l_extendedprice"), width_from=li)
+    return pr.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)

@@ -1148,7 +1148,11 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    a = ed.select(
+    # spread: the one-split scan otherwise probes the label-hash relation
+    # in a SINGLE task — every candidate pair's 64-element fold on one
+    # core (guide §2.5 input skew; measured 11.1 s → spread cut below).
+    # Only the probe side widens; the broadcast build side stays as-is.
+    a = spread(ed, width_from=e).select(
         F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("emb").alias("ea")
     )
     b = ed.select(
@@ -1159,10 +1163,21 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # The 0.30 gate is written INTO the join condition, after a < b: a
+    # separate .filter() gets pushed into the condition AHEAD of the
+    # cheap id bound (observed plan: `fold >= 0.3 AND a < b`), making
+    # every hash-matched (a, b) AND (b, a) ordering pay the 64-element
+    # fold. Conjunct order as written is preserved, so a < b now
+    # short-circuits half the candidate folds. Same conjunction, same
+    # pairs, same doubles — result set unchanged.
     return (
-        a.join(b, (F.col("a") < F.col("b")) & (F.col("la") == F.col("lb")))
+        a.join(
+            b,
+            (F.col("a") < F.col("b"))
+            & (F.col("la") == F.col("lb"))
+            & (dot >= 0.30),
+        )
         .withColumn("cos_sim", dot)
-        .filter(F.col("cos_sim") >= 0.30)
         .select("a", "b", F.round("cos_sim", 5).alias("cos_sim"))
     )
 

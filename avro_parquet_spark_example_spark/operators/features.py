@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from avro_parquet_spark_example_spark.registry import register
-from avro_parquet_spark_example_spark.sources.catalog import load
+from avro_parquet_spark_example_spark.sources.catalog import load, spread
 
 #: Leading embedding dimensions used as regression features (the full
 #: 64-dim Gram is the same plan; d² cells are output-bounded either way).
@@ -322,7 +322,11 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode + one (doc, bucket)-keyed map-side-combined aggregate;
     output is ≤ d rows per doc by construction."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.withColumn(
+    # spread: the one-split scan otherwise runs the whole explode + per-token
+    # md5/conv chain in a single task (guide §2.5 input skew; same rule as
+    # dedup_simhash's fingerprint pass). Downstream is an exact integer
+    # aggregate — results unchanged.
+    sh = spread(docs, width_from=docs).withColumn(
         "ws", F.split(F.lower(F.trim(F.col("text"))), " ")
     ).select(
         "doc_id",

@@ -413,3 +413,39 @@ def test_percent_rank_window_is_matrix_sized(spark, sf_dir):
         assert ok, f"Window at tree line {wi} is fed by a raw scan:\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan  # decorate-back join
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-15 optimization pins (OPTIMIZATION_r15.md): input-parallelism spread
+# + join-conjunct ordering on the label-blocked pair join.
+
+
+def test_neardup_embedding_probe_spread_and_conjunct_order(spark, sf_dir):
+    """neardup_embedding (r15): the probe side must widen off the one-split
+    scan (guide §2.5 input skew — previously every candidate pair's
+    64-element fold ran in ONE task), and the cheap `a < b` id bound must
+    lead the join condition so the fold never runs for the (b, a)
+    orderings a separate pushed filter used to put it behind."""
+    import re
+
+    plan = formatted_plan(get_query("neardup_embedding").fn(spark, sf_dir))
+    assert "RoundRobinPartitioning" in plan, "probe-side spread() missing"
+    cond = next(
+        (l for l in plan.splitlines() if l.startswith("Join condition:")), ""
+    )
+    assert cond, f"no join condition in plan:\n{plan[:1500]}"
+    id_bound = re.search(r"\(a#\d+L? < b#\d+L?\)", cond)
+    fold = cond.find("aggregate(")
+    assert id_bound and fold != -1 and id_bound.start() < fold, (
+        f"id bound must precede the dot-product fold: {cond}"
+    )
+
+
+def test_heavy_maps_spread_off_single_split(spark, sf_dir):
+    """ml_feature_hashing / agg_percentiles (r15): the per-token md5 chain
+    and the percentile partial-buffer build must not ride the one-split
+    scan's single task — the plan carries the widening round-robin
+    exchange ahead of the heavy map work."""
+    for key in ("ml_feature_hashing", "agg_percentiles"):
+        plan = formatted_plan(get_query(key).fn(spark, sf_dir))
+        assert "RoundRobinPartitioning" in plan, f"{key}: spread() missing"
