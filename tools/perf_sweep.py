@@ -46,6 +46,18 @@ def main(out_path: str | None) -> int:
     from avro_parquet_spark_example_spark.session import get_session
 
     spark = get_session(app_name="perf-sweep")
+    # Calibration header (r15): PERF records are diffed across rounds that
+    # may run on differently-loaded sandboxes (the r15 continuation session
+    # measured 3-4x machine-level elevation vs the round's first capture).
+    # Record the same three noise probes bench.py uses, at sweep start AND
+    # end, so a reader can normalize before calling a delta a regression.
+    from bench import _calibrate, _calibrate_scan, _calibrate_shuffle
+
+    calib_start = {
+        "calib_sec": _calibrate(spark),
+        "calib_shuffle_sec": _calibrate_shuffle(spark),
+        "calib_scan_sec": _calibrate_scan(spark, SF_DIR),
+    }
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -83,8 +95,15 @@ def main(out_path: str | None) -> int:
             failures[f"fresh:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"FAIL fresh {name}: {failures[f'fresh:{name}']}", flush=True)
 
+    calib_end = {
+        "calib_sec": _calibrate(spark),
+        "calib_shuffle_sec": _calibrate_shuffle(spark),
+        "calib_scan_sec": _calibrate_scan(spark, SF_DIR),
+    }
     doc = {
         "sf_dir": SF_DIR,
+        "calib_start": calib_start,
+        "calib_end": calib_end,
         "total_sec": round(sum(timings.values()), 2),
         "n_queries": len(timings),
         "failures": failures,
