@@ -1547,22 +1547,35 @@ def agg_exact_median_distributed(
     j = cum.join(F.broadcast(totals), "g")
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
-    m_lo = (
-        j.filter(
-            (F.col("cum") - F.col("cnt") < lo_rank) & (F.col("cum") >= lo_rank)
-        )
-        .select("g", "n", F.col("cents").alias("m_lo"))
+    # ONE pass selects the row(s) covering either middle rank (exactly one
+    # distinct-value row covers each; a row covering both contributes its
+    # value twice, same as the former m_lo ⋈ m_hi self-join) — r15: the
+    # two-filter + join form planned the scan→agg→window subtree TWICE
+    # (16 Exchanges); this conditional-sum form plans it once.
+    covers_lo = (F.col("cum") - F.col("cnt") < lo_rank) & (
+        F.col("cum") >= lo_rank
     )
-    m_hi = (
-        j.filter(
-            (F.col("cum") - F.col("cnt") < hi_rank) & (F.col("cum") >= hi_rank)
-        )
-        .select("g", F.col("cents").alias("m_hi"))
+    covers_hi = (F.col("cum") - F.col("cnt") < hi_rank) & (
+        F.col("cum") >= hi_rank
     )
-    return m_lo.join(m_hi, "g").select(
-        F.col("g").alias("l_returnflag"),
-        "n",
-        (F.col("m_lo") + F.col("m_hi")).alias("median_x2_cents"),
+    return (
+        j.filter(covers_lo | covers_hi)
+        .select(
+            "g",
+            "n",
+            F.when(covers_lo, F.col("cents")).otherwise(F.lit(0)).alias(
+                "m_lo"
+            ),
+            F.when(covers_hi, F.col("cents")).otherwise(F.lit(0)).alias(
+                "m_hi"
+            ),
+        )
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            (F.sum("m_lo") + F.sum("m_hi")).alias("median_x2_cents"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "n", "median_x2_cents")
     )
 
 
