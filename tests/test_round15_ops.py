@@ -573,3 +573,62 @@ def test_lsh_table_keys_scaled_k_roundtrip(spark):
         ).alias("p")
     )
     assert probes.distinct().count() == L_TABLES * (k + 1)
+
+
+def test_ngram_clip_counts_matches_join_form_semantics(spark):
+    """Pin the r15 tagged-union clip rewrite (§7, OPTIMIZATION_r15.md) to
+    the OLD double-inner-join semantics on the cases the fixtures never
+    exercise:
+
+    * one-sided tokens contribute 0, never a negative/phantom match;
+    * a lang with unigram matches but NO co-occurring bigram is DROPPED
+      (the old clip(2) inner join produced no row for it), including the
+      all-NULL conditional-sum case where no bigram rows exist at all;
+    * clipping uses min(count_cand, count_ref) per token.
+    """
+    from avro_parquet_spark_example_spark.operators.text_analysis import (
+        _ngram_clip_counts,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # lang 'a': cand has 'x' twice / ref once (clip -> 1);
+            # bigram 'x x' co-occurs once -> kept, m1=1+1(y), m2=1
+            ("a", 1, "x x y", "x y z"),
+            # lang 'b': unigram match ('x') but the two bigrams are
+            # disjoint ('x p' vs 'x q') -> old clip(2) join empty ->
+            # lang dropped entirely
+            ("b", 1, "x p", "x q"),
+            # lang 'c': single-word texts -> NO bigram rows at all
+            # (all-NULL conditional sum) -> dropped
+            ("c", 1, "x", "x"),
+            # lang 'd': no shared tokens at all -> m1=0 -> dropped
+            ("d", 1, "p p", "q q"),
+        ],
+        "lang string, doc_id int, cand string, ref string",
+    )
+    out = {r["lang"]: r for r in _ngram_clip_counts(pairs).collect()}
+    assert set(out) == {"a"}
+    assert out["a"]["m1"] == 2  # min(2,1) for 'x' + min(1,1) for 'y'
+    assert out["a"]["m2"] == 1  # 'x x' bigram co-occurs min(1,1)
+
+
+def test_ngram_clip_plan_has_no_token_join(spark, sf_dir):
+    """The §7 rewrite's plan pin: the BLEU/ROUGE clip machinery must not
+    reintroduce the per-token (lang, doc_id, tok) joins — the only joins
+    left are the two broadcast lens+clips attachments on the lang key
+    (plan census: 14 -> 6 Exchanges, 8 -> 2 BHJ per consumer)."""
+    import re
+
+    from avro_parquet_spark_example_spark.registry import get_query
+
+    for name in ("eval_bleu_corpus", "eval_rouge_n"):
+        df = get_query(name).fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" not in plan, name
+        assert len(re.findall(r"BroadcastHashJoin", plan)) <= 2, name
+        assert len(re.findall(r"\bExchange\b", plan)) <= 6, name
