@@ -1542,9 +1542,13 @@ def agg_exact_median_distributed(
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dv.withColumn("cum", F.sum("cnt").over(w))
-    totals = dv.groupBy("g").agg(F.sum("cnt").alias("n"))
-    j = cum.join(F.broadcast(totals), "g")
+    # Group totals ride the SAME group-partitioned exchange as the
+    # cumulative window (an unbounded frame needs no order) instead of a
+    # separate groupBy + broadcast join — the former totals branch
+    # planned the scan→agg subtree TWICE (8 Exchanges / 2 BHJ; r15).
+    j = dv.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("g"))
+    )
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
     # ONE pass selects the row(s) covering either middle rank (exactly one
@@ -1628,10 +1632,10 @@ def agg_weighted_median_distributed(
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dv.withColumn("cum", F.sum("w").over(w))
-    totals = dv.groupBy("g").agg(F.sum("w").alias("tot"))
+    # Same-exchange group totals (r15) — see agg_exact_median_distributed.
     return (
-        cum.join(F.broadcast(totals), "g")
+        dv.withColumn("cum", F.sum("w").over(w))
+        .withColumn("tot", F.sum("w").over(Window.partitionBy("g")))
         .filter(
             (2 * (F.col("cum") - F.col("w")) < F.col("tot"))
             & (2 * F.col("cum") >= F.col("tot"))
