@@ -1349,14 +1349,17 @@ def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_returnflag", "l_suppkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias("r")
     )
-    tot = rev.groupBy("l_returnflag").agg(F.sum("r").alias("t"))
     w = (
         Window.partitionBy("l_returnflag")
         .orderBy(F.desc("r"), F.asc("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = rev.join(F.broadcast(tot), "l_returnflag").withColumn(
-        "cum", F.sum("r").over(w)
+    # Flag totals ride the cumulative window's own exchange (unbounded
+    # same-partition frame) instead of a groupBy branch broadcast-joined
+    # back — the former shape planned the scan→supplier-aggregate
+    # subtree twice (r15; same decimal Sum expression, values identical).
+    ranked = rev.withColumn("cum", F.sum("r").over(w)).withColumn(
+        "t", F.sum("r").over(Window.partitionBy("l_returnflag"))
     )
     in_head = 5 * (F.col("cum") - F.col("r")) < 4 * F.col("t")
     return ranked.groupBy("l_returnflag").agg(

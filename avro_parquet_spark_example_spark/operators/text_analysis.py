@@ -846,11 +846,16 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
     )
     counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # Per-doc totals ride a same-key window on the counts frame instead
+    # of a groupBy branch joined back — the former shape planned the
+    # scan→explode→count subtree twice, tokenizing the corpus twice
+    # (r15; exact integer sum either way).
     p = F.col("c") * 1.0 / F.col("n")
     term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
     return (
-        counts.join(totals, "doc_id")
+        counts.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("doc_id"))
+        )
         .select("doc_id", "n", term.alias("term"))
         .groupBy("doc_id", "n")
         .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))

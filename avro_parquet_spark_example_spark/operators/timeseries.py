@@ -1538,11 +1538,14 @@ def ts_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.hour("ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = hourly.groupBy("event_type").agg(F.sum("n").alias("t"))
     w = Window.partitionBy("event_type")
     mx = F.max("n").over(w)
     first_peak_hr = F.min(F.when(F.col("n") == mx, F.col("hr"))).over(w)
-    return hourly.join(F.broadcast(tot), "event_type").select(
+    # Type totals ride the same window the peak columns already use
+    # instead of a groupBy branch broadcast-joined back — the former
+    # shape planned the scan→hourly-aggregate subtree twice (r15; exact
+    # integer sum either way).
+    return hourly.withColumn("t", F.sum("n").over(w)).select(
         "event_type",
         "hr",
         "n",
