@@ -756,38 +756,69 @@ def text_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data report tracks — a collapsing TTR flags boilerplate or
     synthetic-loop contamination before a model ever sees the data).
 
-    Scale shape: one tokenize+explode pass feeds both the unigram and
-    (via a per-doc positional self-join that stays inside the doc key)
-    bigram counts; COUNT(DISTINCT) runs as Spark's two-level
+    Scale shape (r15): ONE corpus pass — the doc/unigram/bigram streams
+    are tagged with a kind literal and union-all'd into a single per-lang
+    aggregate of conditional counts (the former shape built bigrams
+    through a positional SELF-JOIN of the exploded token stream — a
+    corpus-sized (doc, position) shuffle join — and planned the
+    documents scan four times across the uni/bi/docs branches plus the
+    join's two sides; bigrams are now the same per-row codegen'd
+    adjacent-pair transform text_bigram_logprob uses, identical strings,
+    no join). COUNT(DISTINCT) runs as Spark's expand-based
     partial-distinct plan per lang. At 100 TB the exact distinct counts
     are the expensive knob — swap in approx_count_distinct (D5's HLL
     sketch) for a fixed-size-state version with the same report schema."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("i", "w"),
+    # Materialize the token array into a column FIRST (the
+    # text_bigram_logprob rule): element_at on a bound array column is
+    # O(1), while referencing the raw split() expression inside the
+    # transform lambda re-evaluates the split per element — O(len²)
+    # bigram construction, measured 3× slower.
+    ws = d.select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
     )
-    nxt = toks.select(
-        F.col("doc_id").alias("b_doc"),
-        (F.col("i") - 1).alias("b_i"),
-        F.col("w").alias("w2"),
+    adjacent = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("w")),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("w"), i - 1), F.element_at(F.col("w"), i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = (
+        ws.select("lang", F.lit(0).alias("k"), F.lit(None).cast("string").alias("val"))
+        .unionByName(ws.select("lang", F.lit(1).alias("k"), F.explode("w").alias("val")))
+        .unionByName(ws.select("lang", F.lit(2).alias("k"), F.explode(adjacent).alias("val")))
     )
-    bigrams = toks.join(
-        nxt, (F.col("b_doc") == F.col("doc_id")) & (F.col("b_i") == F.col("i"))
-    ).select("lang", F.concat_ws(" ", "w", "w2").alias("bg"))
-    uni = toks.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct("w").alias("distinct_unigrams"),
+    # Two-level distinct spelled manually (count per (lang, k, val), then
+    # one per-lang roll-up of conditional sums/counts): a single aggregate
+    # with two COUNT(DISTINCT)s plans an Expand(×3) over the whole union —
+    # measured 2.5× slower; this shape keeps every row through exactly one
+    # map-side-combined partial per level. The isNotNull filter reproduces
+    # the former docs⋈uni⋈bi INNER joins, which dropped a lang with no
+    # tokens or no bigrams (sums over an absent kind are NULL).
+    per = tagged.groupBy("lang", "k", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    bi = bigrams.groupBy("lang").agg(
-        F.count_distinct("bg").alias("distinct_bigrams"),
-        F.count(F.lit(1)).alias("n_bigrams"),
-    )
-    docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        docs.join(uni, "lang")
-        .join(bi, "lang")
+        per.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("k") == 0, F.col("cnt")))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(F.when(F.col("k") == 1, F.col("cnt")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.count(F.when(F.col("k") == 1, 1)).alias("distinct_unigrams"),
+            F.sum(F.when(F.col("k") == 2, F.col("cnt")))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.count(F.when(F.col("k") == 2, 1)).alias("distinct_bigrams"),
+        )
+        .where(
+            F.col("n_tokens").isNotNull() & F.col("n_bigrams").isNotNull()
+        )
         .select(
             "lang",
             "n_docs",

@@ -632,3 +632,38 @@ def test_ngram_clip_plan_has_no_token_join(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
         assert len(re.findall(r"BroadcastHashJoin", plan)) <= 2, name
         assert len(re.findall(r"\bExchange\b", plan)) <= 6, name
+
+
+def test_text_diversity_single_pass_matches_join_form_semantics(spark):
+    """Pin the r15 tagged-union rewrite of text_diversity_metrics' core
+    to the OLD docs⋈uni⋈bi inner-join semantics on degenerate langs the
+    fixtures never exercise: a lang whose docs are all single words has
+    no bigrams (dropped), a lang with only NULL text has no tokens
+    (dropped), and n_docs counts NULL-text docs for surviving langs."""
+    from avro_parquet_spark_example_spark.operators import text_analysis
+    from avro_parquet_spark_example_spark.sources import catalog
+    import avro_parquet_spark_example_spark.operators.text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            ("en", 1, "a b a"),      # tokens 3, bigrams 2 ('a b','b a')
+            ("en", 2, None),          # counted in n_docs, no tokens
+            ("solo", 3, "x"),         # 1-word docs only -> no bigrams
+            ("nul", 4, None),         # all-NULL text -> no tokens
+        ],
+        "lang string, doc_id int, text string",
+    )
+    orig = catalog.load
+    try:
+        catalog.load = lambda spark, sf_dir, name: docs
+        ta.load = catalog.load
+        out = {r["lang"]: r for r in
+               ta.text_diversity_metrics(spark, "ignored").collect()}
+    finally:
+        catalog.load = orig
+        ta.load = orig
+    assert set(out) == {"en"}
+    r = out["en"]
+    assert (r["n_docs"], r["n_tokens"], r["distinct_unigrams"]) == (2, 3, 2)
+    assert r["distinct_bigrams"] == 2
+    assert r["distinct_bigram_ratio"] == 1.0  # 2 distinct / 2 bigrams
