@@ -1901,7 +1901,9 @@ def spearman_rho(
     registered oracle-checked instance (facade-parity single-source
     rule). Columns must have bounded distinct domains (quantize
     continuous ones first)."""
-    jm = _joint_matrix(df, x, y, group)
+    # Domain-sized joint matrix materialized once (r15) — consumed by
+    # both rank maps and the final decoration below.
+    jm = _joint_matrix(df, x, y, group).localCheckpoint(eager=True)
 
     def rank_map(col: str, out: str) -> DataFrame:
         per_val = jm.groupBy("grp", col).agg(F.sum("f").alias("cf"))
@@ -2023,7 +2025,11 @@ def kendall_tau_b(
     oracle-checked instance (facade-parity single-source rule). Columns
     must have bounded distinct domains (quantize continuous ones
     first)."""
-    jm = _joint_matrix(df, x, y, group)
+    # The joint matrix is domain-sized; materialize once — it feeds the
+    # self-join's two sides plus the marginal/tie terms, so the lazy form
+    # re-planned the corpus scan+aggregate five times (r15; the
+    # "consumed 3x" localCheckpoint precedent, bounded frames only).
+    jm = _joint_matrix(df, x, y, group).localCheckpoint(eager=True)
     a, b = jm.alias("a"), jm.alias("b")
     conc = (
         a.join(
@@ -2159,10 +2165,17 @@ def mutual_information(
     base = df.select(
         F.col(segment).alias("seg"), F.col(x).alias("x"), F.col(y).alias("y")
     )
-    cxy = base.groupBy("seg", "x", "y").agg(F.count(F.lit(1)).alias("cxy"))
-    cx = base.groupBy("seg", "x").agg(F.count(F.lit(1)).alias("cx"))
-    cy = base.groupBy("seg", "y").agg(F.count(F.lit(1)).alias("cy"))
-    cn = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    # The joint count table is domain-sized; materialize it once and fold
+    # the marginals out of it (Σ over an axis = the axis count, exactly)
+    # instead of four separate corpus scans (r15).
+    cxy = (
+        base.groupBy("seg", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=True)
+    )
+    cx = cxy.groupBy("seg", "x").agg(F.sum("cxy").alias("cx"))
+    cy = cxy.groupBy("seg", "y").agg(F.sum("cxy").alias("cy"))
+    cn = cxy.groupBy("seg").agg(F.sum("cxy").alias("n"))
     term = F.round(
         (F.col("cxy").cast("double") / F.col("n"))
         * F.log(
@@ -2344,9 +2357,14 @@ def cramers_v(df: DataFrame, x: str, y: str) -> DataFrame:
     registered oracle-checked instance (facade-parity single-source
     rule). Domains must be bounded (the contingency table is |x|·|y|
     cells)."""
-    cells = df.groupBy(
-        F.col(x).alias("xv"), F.col(y).alias("yv")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    # Contingency cells are domain-sized; materialize once — the lazy
+    # form re-planned the corpus scan+aggregate four times (cells, rt,
+    # ct, n; r15).
+    cells = (
+        df.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     rt = cells.groupBy("xv").agg(F.sum("o").cast("bigint").alias("r"))
     ct = cells.groupBy("yv").agg(F.sum("o").cast("bigint").alias("c"))
     n = cells.agg(
@@ -2843,6 +2861,13 @@ def hl_shift(dfx: DataFrame, dfy: DataFrame, value: str) -> DataFrame:
     hy = dfy.groupBy(F.col(value).cast("bigint").alias("vy")).agg(
         F.count(F.lit(1)).cast("bigint").alias("fy")
     )
+    # The two corpus histograms are domain-sized; materialize them once —
+    # hx/hy feed the convolution AND the n_x/n_y totals, and diffs feeds
+    # three consumers (a, b, tot) below, so the unmaterialized form
+    # re-planned the corpus scan 8 times (r15; the "consumed 3x"
+    # localCheckpoint precedent, bounded frames only).
+    hx = hx.localCheckpoint(eager=True)
+    hy = hy.localCheckpoint(eager=True)
     diffs = (
         hx.crossJoin(F.broadcast(hy))
         .groupBy((F.col("vx") - F.col("vy")).alias("d"))
@@ -2864,8 +2889,15 @@ def hl_shift(dfx: DataFrame, dfy: DataFrame, value: str) -> DataFrame:
         .agg(F.sum("b.w").alias("cw"))
     )
     tot = diffs.agg(F.sum("w").alias("npairs"))
-    nx = dfx.agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
-    ny = dfy.agg(F.count(F.lit(1)).cast("bigint").alias("n_y"))
+    # Group sizes fold out of the checkpointed histograms (Σf = COUNT(*)
+    # exactly, NULL value groups included) instead of two more corpus
+    # scans.
+    nx = hx.agg(
+        F.coalesce(F.sum("fx"), F.lit(0)).cast("bigint").alias("n_x")
+    )
+    ny = hy.agg(
+        F.coalesce(F.sum("fy"), F.lit(0)).cast("bigint").alias("n_y")
+    )
     hl = cum.crossJoin(F.broadcast(tot)).agg(
         F.min(
             F.when(F.col("cw") * 2 >= F.col("npairs"), F.col("d"))
