@@ -828,9 +828,17 @@ def randomization_pvalues(
     # no-op through sf0.01; bounds the O(N·R) md5 expansion's gate cost.
     # The frame-level core below stays uncapped.
     # spread the bounded sample across the session's parallelism before
-    # the xR md5 expansion (single-split scan otherwise = one task)
+    # the xR md5 expansion (single-split scan otherwise = one task).
+    # localCheckpoint (r15): the core consumes the sample through SIX
+    # lazy branches (cells/tots/obs/cells7 and the ×R drawn side), each
+    # re-planning the events scan + hash sample — 15 scans in one plan.
+    # The sample is bounded (~30k rows) BY CONSTRUCTION here, so the
+    # materialization is grid-class, not corpus-class; the uncapped
+    # library form (randomization_pvalues_frame) stays lazy.
     return randomization_pvalues_frame(
-        spread(_events_sample_spark(e), width_from=e)
+        spread(_events_sample_spark(e), width_from=e).localCheckpoint(
+            eager=True
+        )
     )
 
 
