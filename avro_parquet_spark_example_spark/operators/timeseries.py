@@ -1967,6 +1967,10 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The per-day frame is calendar-bounded; materialize it once — the
+    # lazy form re-planned the whole corpus sessionize window through
+    # the carry self-join's two sides plus the final join (3× = 6 scans
+    # in one plan; r15, the consumed-3x localCheckpoint precedent).
     per_day = (
         net.withColumn("run", F.sum("delta").over(w_day))
         .groupBy("day")
@@ -1975,6 +1979,7 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("run").alias("mx"),
             F.sum("delta").alias("tot"),
         )
+        .localCheckpoint(eager=True)
     )
     g1, g2 = per_day.alias("g1"), per_day.alias("g2")
     carry = (
@@ -2030,10 +2035,18 @@ def ts_anomaly_seasonal_residual(
     first groupBy); the medians are 1-row aggregates over the tiny
     grid, broadcast back."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.col("ts").cast("date").alias("day"),
-        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # The day grid is calendar-bounded; materialize it once — the lazy
+    # form re-planned the corpus scan+daily aggregate through every
+    # downstream branch (dw/resid/med/with_med/mad/final = 8 scans in
+    # one plan; r15, the consumed-3x localCheckpoint precedent).
+    daily = (
+        e.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     dw = daily.groupBy("dow").agg(
         (F.sum("n") * 1.0 / F.count(F.lit(1))).alias("dow_mean")
     )
