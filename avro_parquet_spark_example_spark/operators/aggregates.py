@@ -911,11 +911,15 @@ def equidepth_histogram_bucketed(
     column arithmetic (q = n div tiles, r = n mod tiles as columns —
     unlike ``global_ntile``'s driver-side constants, the type count
     varies per partition and never touches the driver)."""
+    # stats (|types| rows) and btot (types x n_buckets rows) are bounded
+    # grids consumed by multiple lazy branches; materializing them cuts
+    # the re-planned corpus passes 6 -> 3 (r15, the consumed-3x
+    # localCheckpoint precedent).
     stats = e.groupBy("event_type").agg(
         F.min("value").alias("__mn"),
         F.max("value").alias("__mx"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-    )
+    ).localCheckpoint(eager=True)
     span = (F.col("__mx") - F.col("__mn")).cast("double")
     bucket = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
@@ -930,15 +934,18 @@ def equidepth_histogram_bucketed(
     pu = e.join(F.broadcast(stats), "event_type").withColumn("__bk", bucket)
     btot = pu.groupBy("event_type", "__bk").agg(
         F.count(F.lit(1)).cast("bigint").alias("__bt")
-    )
+    ).localCheckpoint(eager=True)
     bb = btot.select(
         F.col("event_type").alias("__et"),
         F.col("__bk").alias("__bkb"),
         F.col("__bt").alias("__btb"),
     )
+    # explicit broadcast hints (r15): the checkpointed grids lose their
+    # size estimates, so AQE would otherwise plan SMJs — and shuffle the
+    # corpus side of the ranked join — for kilobyte-scale build sides.
     boff = (
         btot.join(
-            bb,
+            F.broadcast(bb),
             (F.col("__et") == F.col("event_type"))
             & (F.col("__bkb") < F.col("__bk")),
             "left",
@@ -954,7 +961,7 @@ def equidepth_histogram_bucketed(
         "value", "event_id"
     )
     ranked = (
-        pu.join(boff, ["event_type", "__bk"])
+        pu.join(F.broadcast(boff), ["event_type", "__bk"])
         .withColumn(
             "__rn",
             (F.col("__off") + F.row_number().over(wbk)).cast("bigint"),

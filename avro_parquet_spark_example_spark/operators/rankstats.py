@@ -1549,7 +1549,7 @@ def lorenz_curve_bucketed(
         F.max("s").alias("__mx"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("s").cast("decimal(38,0)").alias("tot"),
-    )
+    ).localCheckpoint(eager=True)
     span = (F.col("__mx") - F.col("__mn")).cast("double")
     bucket = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
@@ -1564,17 +1564,23 @@ def lorenz_curve_bucketed(
     pu = per_user.join(F.broadcast(stats), "event_type").withColumn(
         "bk", bucket
     )
+    # bounded grid (types x n_buckets) consumed by bb and boff; the
+    # stats grid above likewise feeds the bucket expression and ranked —
+    # materializing both cuts the re-planned corpus passes 6 -> 3 (r15).
     btot = pu.groupBy("event_type", "bk").agg(
         F.count(F.lit(1)).cast("bigint").alias("bt")
-    )
+    ).localCheckpoint(eager=True)
     bb = btot.select(
         F.col("event_type").alias("__et"),
         F.col("bk").alias("__bkb"),
         F.col("bt").alias("__btb"),
     )
+    # explicit broadcast hints (r15): the checkpointed grids lose their
+    # size estimates, so AQE would otherwise plan SMJs — and shuffle the
+    # corpus side of the ranked join — for kilobyte-scale build sides.
     boff = (
         btot.join(
-            bb,
+            F.broadcast(bb),
             (F.col("__et") == F.col("event_type"))
             & (F.col("__bkb") < F.col("bk")),
             "left",
@@ -1587,7 +1593,7 @@ def lorenz_curve_bucketed(
         )
     )
     wbk = Window.partitionBy("event_type", "bk").orderBy("s", "user_id")
-    ranked = pu.join(boff, ["event_type", "bk"]).select(
+    ranked = pu.join(F.broadcast(boff), ["event_type", "bk"]).select(
         "event_type",
         "s",
         "n",
