@@ -2684,7 +2684,11 @@ def mad_robust(df: DataFrame, group: str, value: str) -> DataFrame:
     bounded-domain value column per group — the library form the Engine
     facade exposes; ``agg_mad_robust`` is its registered oracle-checked
     instance (facade-parity single-source rule)."""
-    jm = _value_matrix(df, group, value)
+    # The value matrix is domain-sized and feeds both the median and the
+    # deviation re-bin branches; materializing it once keeps the corpus
+    # scan single (the lazy form re-planned it per branch — r15, the
+    # consumed-3x localCheckpoint precedent).
+    jm = _value_matrix(df, group, value).localCheckpoint(eager=True)
     cum = _cumulative_matrix(jm)
     med = cum.groupBy("p").agg(
         F.min("n").alias("n"),

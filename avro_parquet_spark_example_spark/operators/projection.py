@@ -571,9 +571,15 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combined daily aggregation; both medians run over
     the (types × days) grid — tiny at any corpus size."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # The (types × days) grid is calendar-bounded and feeds the
+    # med/dev/mad/out branches; materializing it once keeps the corpus
+    # scan single (the lazy form re-planned it 4× — r15, the
+    # consumed-3x localCheckpoint precedent).
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     med = daily.groupBy("event_type").agg(
         F.percentile("n", F.lit(0.5)).alias("med")
     )
