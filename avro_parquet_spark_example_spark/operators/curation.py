@@ -570,27 +570,35 @@ def dsir_selected(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("w"),
         is_target.alias("__tgt"),
     )
-    raw_vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
-    raw_tot = raw_vocab.agg(F.sum("cr").alias("r"), F.count(F.lit(1)).alias("v"))
-    tgt_vocab = (
-        toks.filter(F.col("__tgt")).groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    # Both vocab tables fold into ONE tokenize pass (r15): the target
+    # count is a conditional sum of the same aggregate (a token absent
+    # from the target gets ct = 0, exactly the old left-join coalesce;
+    # Σct over all tokens = Σ over target tokens, the extra terms are 0),
+    # and the vocab-sized result is checkpointed — the lazy two-vocab
+    # form re-planned the corpus tokenize+explode five times.
+    vocab = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tgt_tot = tgt_vocab.agg(F.sum("ct").alias("t"))
+    tots = vocab.agg(
+        F.sum("cr").alias("r"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ct").alias("t"),
+    )
     lr = (
         F.round(
-            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+            F.log((F.col("ct") + 1.0) / (F.col("t") + F.col("v")))
             - F.log(F.col("cr") * 1.0 / F.col("r")),
             9,
         )
         .cast("decimal(18,9)")
         .alias("lr")
     )
-    ratios = (
-        raw_vocab.join(tgt_vocab, "w", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select("w", lr)
-    )
+    ratios = vocab.crossJoin(F.broadcast(tots)).select("w", lr)
     scored = toks.join(F.broadcast(ratios), "w").select(id_col, *keep_cols, "lr")
     return (
         scored.groupBy(id_col, *keep_cols)
