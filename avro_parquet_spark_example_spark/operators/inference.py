@@ -371,6 +371,10 @@ def jackknife_ratio_se(per: DataFrame, scale: float = 10000.0) -> DataFrame:
     exact integer columns ``su`` (iusum-quantized value sum, at
     1/``scale`` units) and ``cnt``; the library form the Engine facade
     exposes (``stat_jackknife_cluster`` is its registered instance)."""
+    # per is G rows by contract (one per cluster); materialize once —
+    # the lazy form re-planned the corpus join+aggregate through every
+    # downstream branch (tot/loo/jbar/final = 8 scans in one plan; r15).
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("su").cast("decimal(38,0)").alias("ts"),
         F.sum("cnt").cast("bigint").alias("tn"),
@@ -608,8 +612,15 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread the bounded sample across the session's parallelism before
     # the xR md5 expansion (single-split scan otherwise = one task)
+    # localCheckpoint (r15): the core consumes the ~30k-row bounded
+    # sample through its obs and ×R drawn branches — the lazy form
+    # re-planned the events scan + hash sample 5× in one plan (the
+    # randomization-core precedent; the uncapped library form stays
+    # lazy).
     return poisson_bootstrap_ci(
-        spread(_events_sample_spark(e), width_from=e)
+        spread(_events_sample_spark(e), width_from=e).localCheckpoint(
+            eager=True
+        )
     ).crossJoin(
         F.broadcast(flag)
     )
