@@ -827,6 +827,10 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "word")
         .agg(F.bit_or("mask").alias("bits"))
+        # the bitmap table is domain-bounded (types x id-range/62 words)
+        # and feeds tot plus both sides of the pair self-join — the lazy
+        # form re-planned the corpus scan 4x (r15)
+        .localCheckpoint(eager=True)
     )
     tot = words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n")

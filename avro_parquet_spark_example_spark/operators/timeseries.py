@@ -3241,11 +3241,14 @@ def forecast_backtest(
     value ``season`` days back; MASE scaled by one-day persistence);
     the library form the Engine facade exposes (``ts_forecast_backtest``
     is its registered oracle-checked instance)."""
+    # date-grid by contract (calendar-bounded); materialize once — the
+    # lazy form re-planned the upstream corpus aggregate through the
+    # actual/forecast/persistence branches (3 scans in one plan; r15)
     daily = daily.select(
         F.col(key).alias("event_type"),
         F.col(order).alias("day"),
         F.col(value).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     a = daily.select("event_type", "day", F.col("n").alias("actual"))
     f7 = daily.select(
         "event_type",
