@@ -1513,7 +1513,14 @@ def graph_degree_assortativity(
     the degree-join partitions, the same hazard PageRank already
     carries (AQE splits them). (The ``degree_assortativity`` library
     form the Engine facade exposes.)"""
-    return degree_assortativity(cooccurrence_edges(spark, sf_dir))
+    # materialize the derived edge list once (the graph_triangle_count
+    # precedent): the library form consumes it through four lazy union
+    # branches (nodes u/v, sym u/v), so the unmaterialized form
+    # re-planned the co-occurrence self-join pipeline 4x — 46 Exchanges
+    # in one plan (r15)
+    return degree_assortativity(
+        cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 def degree_assortativity(e: DataFrame) -> DataFrame:
