@@ -2728,7 +2728,14 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     1×1 cross join. The pattern generalizes to any two categorical
     columns — truth vs any model's prediction column (the
     ``cohens_kappa`` library form the Engine facade exposes)."""
-    return cohens_kappa(vec_nearest_centroid_assign(spark, sf_dir))
+    # materialize the |labels|²-row confusion grid once (r15): the
+    # library form consumes it through several lazy marginal branches,
+    # each otherwise re-planning the whole centroid-assign pipeline
+    return cohens_kappa(
+        vec_nearest_centroid_assign(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    )
 
 
 def confusion_matrix(
@@ -2854,7 +2861,14 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + a 1-row cross join — the ``eval_cohens_kappa`` shape
     with one more moment (the ``mcc_multiclass`` library form the
     Engine facade exposes)."""
-    return mcc_multiclass(vec_nearest_centroid_assign(spark, sf_dir))
+    # materialize the confusion grid once (r15) — the lazy form
+    # re-planned the centroid-assign pipeline through marg/tr/pr
+    # (56 Exchanges in one plan)
+    return mcc_multiclass(
+        vec_nearest_centroid_assign(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    )
 
 
 def mcc_multiclass(conf: DataFrame) -> DataFrame:
