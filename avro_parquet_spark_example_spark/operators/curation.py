@@ -691,10 +691,14 @@ def temperature_selection(
     # belong in the budget total — exclude them from the rate table and
     # left-join below so null-domain rows pass through UNSELECTED rather
     # than vanishing.
+    # |domains| rows, consumed by tot/weights (and transitively
+    # wsum/rates) — the lazy form re-planned the corpus scan 5× in one
+    # plan (r15, the consumed-3x localCheckpoint precedent)
     counts = (
         df.filter(F.col(domain_col).isNotNull())
         .groupBy(domain_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(F.sum("n").alias("total"))
     p = F.col("n") * 1.0 / F.col("total")

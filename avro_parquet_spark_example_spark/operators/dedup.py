@@ -2126,6 +2126,11 @@ def neardup_jaccard_prefix_filter(
             ).alias("tok"),
         )
     )
+    # the universe is doc_id-capped (PREFIX_JACCARD_MAX_DOC) so the
+    # distinct-shingle frame is bounded; materialize it once — toks
+    # feeds dfreq/sizes/prefix and both verification sides, 20 pushed-
+    # filter scans in the lazy plan (r15)
+    toks = toks.localCheckpoint(eager=True)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok"))

@@ -290,8 +290,16 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's variants. Integer Levenshtein on both engines ⇒ hash-exact.
     ``on_oversized="error"``: the oracle is uncapped, so the block cap
     must be exact-or-fail (the ``dedup_minhash_verified`` precedent)."""
+    # materialize the records frame once (the er_golden_record
+    # precedent, entity.py:376): the blocking self-join consumes it on
+    # both sides plus the shared block-size aggregate, and er_records
+    # itself is a 4-branch union — the lazy form planned 16 customer
+    # scans in one query (r15)
     return blocked_match_pairs(
-        er_records(load(spark, sf_dir, "customer")), on_oversized="error"
+        er_records(load(spark, sf_dir, "customer")).localCheckpoint(
+            eager=True
+        ),
+        on_oversized="error",
     )
 
 
@@ -328,7 +336,11 @@ def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = blocked_match_pairs(
-        er_records(load(spark, sf_dir, "customer")), on_oversized="error"
+        # materialized once — same 16-scan shape as er_blocked_match (r15)
+        er_records(load(spark, sf_dir, "customer")).localCheckpoint(
+            eager=True
+        ),
+        on_oversized="error",
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return connected_components(pairs).select(
         "id",

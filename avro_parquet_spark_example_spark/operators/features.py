@@ -76,40 +76,39 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition partial Grams; the emitted statistics are identical."""
     e = load(spark, sf_dir, "embeddings")
     n_row = e.count()
-    dims = e.select(
-        "vec_id", F.posexplode(F.slice("embedding", 1, OLS_DIMS)).alias(
-            "pos0", "val"
-        )
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        F.floor(F.col("val").cast("double") * 10000000).alias("v7"),
+    # Join-free moment build (r15, the _gram_df precedent): each row
+    # emits the flattened (d+2)² outer product of its [1 | x | y] v7
+    # vector (long products max ~1e14 — no overflow; the cross-row SUM
+    # is decimal, identical to the former decimal-product sum), and the
+    # upper triangle is kept by a pos filter. The former shape
+    # self-joined a 3-branch union on vec_id — 6 corpus scans plus a
+    # corpus-sized shuffle for what one map-side-combined aggregate
+    # computes.
+    side = OLS_DIMS + 2
+    # try_element_at keeps vals at a FIXED length (d+2) with NULL dim
+    # slots for null/short embeddings, so their products null out (sum
+    # skips) while the intercept/label cells still contribute — exactly
+    # the old union form, where such rows emitted only pos-0 and pos-y.
+    vals = F.expr(
+        f"concat(array(CAST(10000000 AS BIGINT)), "
+        f"transform(sequence(1, {OLS_DIMS}), "
+        f"k -> CAST(FLOOR(CAST(try_element_at(embedding, k) AS DOUBLE)"
+        f" * 10000000) AS BIGINT)), "
+        f"array(CAST(label AS BIGINT) * 10000000))"
     )
-    ones = e.select(
-        "vec_id",
-        F.lit(0).cast("bigint").alias("pos"),
-        F.lit(10000000).cast("bigint").alias("v7"),
+    outer = F.expr(
+        "flatten(transform(vals, iv -> transform(vals, jv -> iv * jv)))"
     )
-    ys = e.select(
-        "vec_id",
-        F.lit(OLS_DIMS + 1).cast("bigint").alias("pos"),
-        (F.col("label").cast("bigint") * 10000000).alias("v7"),
-    )
-    z = ones.unionByName(dims).unionByName(ys)
-    a, b = z.alias("a"), z.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.pos") <= F.col("b.pos")),
+        spread(e, width_from=e)
+        .select(vals.alias("vals"))
+        .select(F.posexplode(outer).alias("pos", "p"))
+        .filter(F.expr(f"pos div {side} <= pos % {side}"))
+        .groupBy(
+            F.expr(f"CAST(pos div {side} AS BIGINT)").alias("i"),
+            F.expr(f"CAST(pos % {side} AS BIGINT)").alias("j"),
         )
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.v7").cast("decimal(19,0)")
-                * F.col("b.v7").cast("decimal(19,0)")
-            ).alias("s")
-        )
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
         .select(
             "i",
             "j",
