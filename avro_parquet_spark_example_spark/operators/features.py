@@ -249,12 +249,21 @@ def ml_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
     )
-    per = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    cls = toks.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("class_tokens")
+    # class totals and the vocabulary size fold out of the (lang, tok)
+    # count table exactly (Σcnt per lang = class tokens; every token
+    # appears in some (lang, tok) row, so distinct tok is unchanged);
+    # checkpointing the vocab-sized table cuts the corpus tokenize from
+    # three passes to one (r15)
+    per = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cls = per.groupBy("lang").agg(
+        F.sum("cnt").alias("class_tokens")
     )
     ndocs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("class_docs"))
-    vocab = toks.select("tok").distinct().agg(
+    vocab = per.select("tok").distinct().agg(
         F.count(F.lit(1)).alias("vocab")
     )
     return (

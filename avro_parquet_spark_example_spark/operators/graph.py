@@ -126,7 +126,10 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Undirected degree = appearances on either side of the oriented edge
     list. Two map-side-combined aggregations; output is degree-cardinality
     rows regardless of graph size."""
-    e = cooccurrence_edges(spark, sf_dir)
+    # edge list materialized once (the assortativity/triangle-count
+    # precedent) — the u/v union branches otherwise re-plan the
+    # co-occurrence self-join twice (4 events scans in one plan; r15)
+    e = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )

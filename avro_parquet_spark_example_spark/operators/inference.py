@@ -2455,8 +2455,11 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("nr")
     )
     # spread the bounded sample across the session's parallelism before
-    # the xR md5 expansion (single-split scan otherwise = one task)
-    base = spread(base, width_from=base0)
+    # the xR md5 expansion (single-split scan otherwise = one task);
+    # localCheckpoint (r15): the sample is bounded (~_BOOT_MAX_ROWS) and
+    # consumed by multiple lazy branches — the randomization-core
+    # precedent (3 lineitem scans -> 1 in the plan)
+    base = spread(base, width_from=base0).localCheckpoint(eager=True)
     # the u32 draw is hoisted into its OWN column: embedding it 6x
     # inside the threshold CASE chain defeats codegen CSE when wrapped
     # in the r=0 branch (measured 30s -> 4.3s at sf0.01 x101 reps)
@@ -3627,22 +3630,34 @@ def brier_decomposition(scored: DataFrame) -> DataFrame:
     library form the Engine facade exposes): ``scored`` has columns
     (event_type group key, q int forecast in [0, 10000] = p·10⁴,
     o 0/1 outcome, bin int bucket id)."""
-    bins = scored.groupBy("event_type", "bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nk"),
-        F.sum("o").cast("bigint").alias("so"),
-        F.sum("q").cast("decimal(38,0)").alias("sq"),
-    )
-    tot = scored.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("o").cast("bigint").alias("so_t"),
-        F.sum(
-            (F.col("q") - 10000 * F.col("o"))
-            * (F.col("q") - 10000 * F.col("o"))
+    # ONE corpus scan (r15): the per-type totals fold exactly out of the
+    # per-(type, bin) partials (sums of exact integers/decimals are
+    # associative), so the bin grid — checkpointed, it is domain-sized —
+    # carries a per-bin Brier partial and the totals are a grid roll-up
+    # instead of a second scan.
+    bins = (
+        scored.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("o").cast("bigint").alias("so"),
+            F.sum("q").cast("decimal(38,0)").alias("sq"),
+            F.sum(
+                (F.col("q") - 10000 * F.col("o"))
+                * (F.col("q") - 10000 * F.col("o"))
+            )
+            .cast("decimal(38,0)")
+            .alias("sbrk"),
         )
-        .cast("decimal(38,0)")
-        .alias("sbr"),
+        .localCheckpoint(eager=True)
     )
-    j = bins.join(tot, "event_type")
+    tot = bins.groupBy("event_type").agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("so").cast("bigint").alias("so_t"),
+        F.sum("sbrk").cast("decimal(38,0)").alias("sbr"),
+    )
+    j = bins.select("event_type", "bin", "nk", "so", "sq").join(
+        tot, "event_type"
+    )
     dev_rel = (
         F.col("sq").cast("double") / 10000.0 / F.col("nk")
         - F.col("so").cast("double") / F.col("nk")
