@@ -587,7 +587,13 @@ def dsir_selected(
     tots = vocab.agg(
         F.sum("cr").alias("r"),
         F.count(F.lit(1)).alias("v"),
-        F.sum("ct").alias("t"),
+        # t must be NULL (not 0) when NO token is a target token: the
+        # pre-r15 two-vocab form — and the DuckDB oracle — aggregate an
+        # EMPTY target vocab there, so every lr/score is NULL and nothing
+        # is selected; a plain SUM()=0 would instead produce finite scores
+        # and select docs with no target corpus at all (ADVICE r15).
+        # With any target rows present the two forms are identical.
+        F.when(F.sum("ct") > 0, F.sum("ct")).alias("t"),
     )
     lr = (
         F.round(

@@ -124,15 +124,20 @@ def _assert_ids_below_offsets(base: DataFrame) -> DataFrame:
     )
 
 
-def er_records(cust: DataFrame) -> DataFrame:
-    """(id, name): full customer table plus the three injected corrupted
-    variants per source key < ER_N_SOURCES — the Spark twin of
-    ``_ER_RECS_SQL``."""
-    base = _assert_ids_below_offsets(
+def _er_base(cust: DataFrame) -> DataFrame:
+    """The corpus-scale branch of :func:`er_records`: the full customer
+    table projected to (id, name)."""
+    return _assert_ids_below_offsets(
         cust.select(
             F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
         )
     )
+
+
+def _er_variants(base: DataFrame) -> DataFrame:
+    """The BOUNDED branch of :func:`er_records`: the three injected
+    corrupted variants per source key — 3 × ER_N_SOURCES rows, a
+    corpus-independent constant."""
     src = base.filter(F.col("id") < ER_N_SOURCES)
     sub = src.select(
         (F.col("id") + ER_OFF_SUB).alias("id"),
@@ -155,7 +160,35 @@ def er_records(cust: DataFrame) -> DataFrame:
             F.substring("name", 4, 100),
         ).alias("name"),
     )
-    return base.unionByName(sub).unionByName(dele).unionByName(swp)
+    return sub.unionByName(dele).unionByName(swp)
+
+
+def er_records(cust: DataFrame) -> DataFrame:
+    """(id, name): full customer table plus the three injected corrupted
+    variants per source key < ER_N_SOURCES — the Spark twin of
+    ``_ER_RECS_SQL``."""
+    base = _er_base(cust)
+    return base.unionByName(_er_variants(base))
+
+
+def er_records_gated(cust: DataFrame) -> DataFrame:
+    """:func:`er_records` with the size-gated materialization the
+    multi-consumer registered queries use (r16, VERDICT r15 checkpoint
+    hygiene): only the BOUNDED variants branch (3 × ER_N_SOURCES rows —
+    constant, corpus-independent) is eagerly localCheckpointed; the
+    corpus-scale base stays a lazy column-pruned scan, re-planned per
+    consumer. The r15 form checkpointed the WHOLE 4-branch union — at
+    100 TB that materializes ~a full corpus copy to executor storage and
+    truncates its lineage (an executor loss mid-query fails the job
+    instead of recomputing a scan); the variants gate keeps the plan
+    dedup where the plan was actually exploding (the bounded union) and
+    accepts a few cheap pruned corpus re-scans instead, per the
+    bounded-frame checkpoint rule. Identical plan-bloat protection was
+    measured flat at sf0.1 (OPTIMIZATION_r16.md)."""
+    base = _er_base(cust)
+    return base.unionByName(
+        _er_variants(base).localCheckpoint(eager=True)
+    )
 
 
 def _cap_blocks(
@@ -290,15 +323,14 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's variants. Integer Levenshtein on both engines ⇒ hash-exact.
     ``on_oversized="error"``: the oracle is uncapped, so the block cap
     must be exact-or-fail (the ``dedup_minhash_verified`` precedent)."""
-    # materialize the records frame once (the er_golden_record
-    # precedent, entity.py:376): the blocking self-join consumes it on
-    # both sides plus the shared block-size aggregate, and er_records
-    # itself is a 4-branch union — the lazy form planned 16 customer
-    # scans in one query (r15)
+    # size-gated materialization (r16): the bounded variants branch is
+    # checkpointed once (the lazy 4-branch union re-planned per consumer
+    # was the r15 16-scan plan bloat); the corpus-scale base is NOT —
+    # the blocking pipeline re-plans its cheap column-pruned scan per
+    # consumer instead of materializing a corpus copy to executor
+    # storage (VERDICT r15 checkpoint hygiene)
     return blocked_match_pairs(
-        er_records(load(spark, sf_dir, "customer")).localCheckpoint(
-            eager=True
-        ),
+        er_records_gated(load(spark, sf_dir, "customer")),
         on_oversized="error",
     )
 
@@ -336,10 +368,9 @@ def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = blocked_match_pairs(
-        # materialized once — same 16-scan shape as er_blocked_match (r15)
-        er_records(load(spark, sf_dir, "customer")).localCheckpoint(
-            eager=True
-        ),
+        # size-gated: bounded variants checkpointed, corpus base lazy
+        # (the er_blocked_match rationale)
+        er_records_gated(load(spark, sf_dir, "customer")),
         on_oversized="error",
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return connected_components(pairs).select(
@@ -385,9 +416,9 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    recs = er_records(load(spark, sf_dir, "customer")).localCheckpoint(
-        eager=True
-    )  # feeds the match pipeline AND the survivorship join-back
+    # size-gated: feeds the match pipeline AND the survivorship
+    # join-back — bounded variants checkpointed, corpus base lazy
+    recs = er_records_gated(load(spark, sf_dir, "customer"))
     pairs = blocked_match_pairs(recs, on_oversized="error").select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
@@ -472,12 +503,9 @@ def _phone_col() -> F.Column:
     )
 
 
-def er_records_mf(cust: DataFrame) -> DataFrame:
-    """(id, name, phone, nk): the multi-field twin of ``er_records`` —
-    full customer table plus FOUR injected variants per source key whose
-    corruptions are split across fields (the Spark twin of
-    ``_ER_RECS_MF_SQL``)."""
-    base = _assert_ids_below_offsets(
+def _er_base_mf(cust: DataFrame) -> DataFrame:
+    """The corpus-scale branch of :func:`er_records_mf`."""
+    return _assert_ids_below_offsets(
         cust.select(
             F.col("c_custkey").alias("id"),
             F.col("c_name").alias("name"),
@@ -485,6 +513,11 @@ def er_records_mf(cust: DataFrame) -> DataFrame:
             F.col("c_nationkey").alias("nk"),
         )
     )
+
+
+def _er_variants_mf(cust: DataFrame) -> DataFrame:
+    """The BOUNDED branch of :func:`er_records_mf`: the four injected
+    variants per source key — 4 × ER_N_SOURCES rows, corpus-independent."""
     src = cust.filter(F.col("c_custkey") < ER_N_SOURCES)
     badphone = F.concat(_phone_col(), F.lit("x"))
     sub = src.select(
@@ -520,7 +553,24 @@ def er_records_mf(cust: DataFrame) -> DataFrame:
         _phone_col().alias("phone"),
         F.col("c_nationkey").alias("nk"),
     )
-    return base.unionByName(sub).unionByName(dele).unionByName(swp).unionByName(tail)
+    return sub.unionByName(dele).unionByName(swp).unionByName(tail)
+
+
+def er_records_mf(cust: DataFrame) -> DataFrame:
+    """(id, name, phone, nk): the multi-field twin of ``er_records`` —
+    full customer table plus FOUR injected variants per source key whose
+    corruptions are split across fields (the Spark twin of
+    ``_ER_RECS_MF_SQL``)."""
+    return _er_base_mf(cust).unionByName(_er_variants_mf(cust))
+
+
+def er_records_mf_gated(cust: DataFrame) -> DataFrame:
+    """:func:`er_records_mf` with the size-gated materialization —
+    bounded variants branch checkpointed, corpus-scale base left lazy
+    (the :func:`er_records_gated` rationale verbatim)."""
+    return _er_base_mf(cust).unionByName(
+        _er_variants_mf(cust).localCheckpoint(eager=True)
+    )
 
 
 def block_pass_candidates(
@@ -601,9 +651,9 @@ def er_multipass_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     group where the single-pass query finds five, and a record must
     corrupt BOTH fields to evade blocking entirely. ``on_oversized=
     "error"``: uncapped oracle ⇒ exact-or-fail caps on every pass."""
-    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
-        eager=True
-    )  # feeds both blocking passes and the verify join-back
+    # size-gated (r16): feeds both blocking passes and the verify
+    # join-back — bounded variants checkpointed, corpus base lazy
+    recs = er_records_mf_gated(load(spark, sf_dir, "customer"))
     cands = multipass_candidates(recs, on_oversized="error")
     ra = recs.select(F.col("id").alias("id_a"), F.col("name").alias("__na"))
     rb = recs.select(F.col("id").alias("id_b"), F.col("name").alias("__nb"))
@@ -715,9 +765,7 @@ def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     16. Candidates come from the same two capped blocking passes as
     er_multipass_match; no lev pre-filter — the weighted score IS the
     decision rule."""
-    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
-        eager=True
-    )
+    recs = er_records_mf_gated(load(spark, sf_dir, "customer"))
     return weighted_match_pairs(recs)
 
 
@@ -756,9 +804,7 @@ def er_weighted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    recs = er_records_mf(load(spark, sf_dir, "customer")).localCheckpoint(
-        eager=True
-    )
+    recs = er_records_mf_gated(load(spark, sf_dir, "customer"))
     pairs = weighted_match_pairs(recs).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
@@ -844,22 +890,25 @@ def er_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined arg-min aggregate on the batch cardinality, one
     left join back to the batch."""
     cust = load(spark, sf_dir, "customer")
-    allrecs = er_records_mf(cust).localCheckpoint(eager=True)
     src = cust.filter(F.col("c_custkey") < ER_N_SOURCES)
     lost = src.select(
         (F.col("c_custkey") + ER_OFF_LOST).alias("id"),
         F.concat(F.col("c_name"), F.lit("q")).alias("name"),
         F.concat(_phone_col(), F.lit("x")).alias("phone"),
     )
+    # size-gated (r16): the batch IS the bounded variants branch (every
+    # variant id >= ER_OFF_SUB, every base id asserted below it) plus the
+    # lost rows — 5 × ER_N_SOURCES rows, checkpointed once for both
+    # passes + the final join; the corpus-scale registry (= the base
+    # branch) stays a lazy pruned scan instead of the r15 full-union
+    # checkpoint that materialized a corpus copy to pick 4·N rows out
     batch = (
-        allrecs.filter(F.col("id") >= ER_OFF_SUB)
+        _er_variants_mf(cust)
         .select("id", "name", "phone")
         .unionByName(lost)
-        .localCheckpoint(eager=True)  # feeds both passes + the final join
+        .localCheckpoint(eager=True)
     )
-    registry = allrecs.filter(F.col("id") < ER_OFF_SUB).select(
-        "id", "name", "phone"
-    )
+    registry = _er_base_mf(cust).select("id", "name", "phone")
 
     cands = None
     for key in (f"right(name, 6)", "phone"):

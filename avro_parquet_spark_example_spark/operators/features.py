@@ -70,10 +70,11 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float op is the final /1e14 + ROUND, so both engines hash
     identically regardless of partition order.
 
-    Scale: explode to (row, pos, value) — (d+2) rows per record — one
-    row-keyed equi self-join (i ≤ j halves it), one map-side-combined
-    aggregate into (d+2)²/2 cells. At 100 TB you'd fuse the explode into
-    per-partition partial Grams; the emitted statistics are identical."""
+    Scale: each row emits its flattened (d+2)² outer product (join-free —
+    no explode-and-self-join, no corpus shuffle), the upper triangle is
+    kept by a pos filter, and ONE map-side-combined aggregate reduces to
+    (d+2)²/2 cells. At 100 TB you'd fuse the flatten into per-partition
+    partial Grams; the emitted statistics are identical."""
     e = load(spark, sf_dir, "embeddings")
     n_row = e.count()
     # Join-free moment build (r15, the _gram_df precedent): each row
@@ -96,8 +97,20 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * 10000000) AS BIGINT)), "
         f"array(CAST(label AS BIGINT) * 10000000))"
     )
+    # Overflow guard (ADVICE r15): the per-row products are BIGINT, which
+    # in non-ANSI mode would wrap SILENTLY for |v7| > ~3.03e9 (raw units:
+    # |embedding element| or |label| >= ~304) where the old DECIMAL(19,0)
+    # products and the DuckDB HUGEINT oracle cannot. assert_true turns the
+    # data assumption into an execution-time failure; the 6-element forall
+    # rides the same projection (no extra pass, negligible next to the
+    # 36-element outer product).
     outer = F.expr(
-        "flatten(transform(vals, iv -> transform(vals, jv -> iv * jv)))"
+        "if(assert_true(forall(vals, v -> v IS NULL"
+        " OR abs(v) <= 3037000499L),"
+        " 'ml_normal_equations: |v7| exceeds the BIGINT-product overflow"
+        " bound (~3.03e9; raw magnitude ~304)') IS NULL,"
+        " flatten(transform(vals, iv -> transform(vals, jv -> iv * jv))),"
+        " NULL)"
     )
     return (
         spread(e, width_from=e)

@@ -3655,8 +3655,12 @@ def brier_decomposition(scored: DataFrame) -> DataFrame:
         F.sum("so").cast("bigint").alias("so_t"),
         F.sum("sbrk").cast("decimal(38,0)").alias("sbr"),
     )
+    # explicit broadcast: the checkpointed grid loses size estimates, so
+    # without the hint the planner can pick a sort-merge join for this
+    # kilobyte-scale grid join (the equidepth/lorenz bucketed precedent;
+    # ADVICE r15)
     j = bins.select("event_type", "bin", "nk", "so", "sq").join(
-        tot, "event_type"
+        F.broadcast(tot), "event_type"
     )
     dev_rel = (
         F.col("sq").cast("double") / 10000.0 / F.col("nk")

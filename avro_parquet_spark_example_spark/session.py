@@ -58,6 +58,18 @@ RUNTIME_CONFIGS: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     ),
+    # RocksDB changelog checkpointing (r16): commit uploads the batch's
+    # CHANGELOG instead of a full RocksDB snapshot, so per-batch commit
+    # cost tracks rows-changed-in-batch rather than total state size —
+    # the production setting for frequent commits / large state (recovery
+    # replays changelogs since the last periodic snapshot, a bounded
+    # trade). Measured interleaved at sf0.1: session_windowed 3.00→2.12 s,
+    # stream_stream_join_outer 4.27→3.79 s, dynamic_gap 2.62→2.33 s,
+    # outputs identical (state content is unchanged; only the checkpoint
+    # wire format differs).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
 }
 
 #: Configs that must be set at session-build time.
@@ -179,12 +191,24 @@ def get_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
     local runs; on a real cluster pass ``master=None`` with an external
     cluster manager config and these settings still apply.
+
+    ``spark.sql.shuffle.partitions`` defaults to the resolved
+    ``$SPARK_GRAFT_CPUS`` (r16, VERDICT r15 scaling task): a fixed 32 meant
+    a lower-core run (the driver's 8-core bench leg) still planned 32
+    shuffle partitions — paying 4x the per-partition fixed costs while the
+    core dial moved, which is exactly the "config tuned to one width"
+    anti-pattern. Tracking the core count keeps partitions ≈ parallelism at
+    every dial setting; ``$SPARK_GRAFT_SHUFFLE`` still overrides explicitly,
+    and a production deployment sets it to cluster width the same way.
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        default_shuffle = cpus if cpus.isdigit() else "32"
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", default_shuffle)
+        )
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

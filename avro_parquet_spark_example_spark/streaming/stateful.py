@@ -33,6 +33,12 @@ from avro_parquet_spark_example_spark.sources.catalog import (
 
 SCRATCH = "/tmp/avro_parquet_spark_example_spark_streams"
 
+#: Micro-batch progress of the most recent :func:`run_to_table` run —
+#: ``StreamingQueryProgress`` JSON dicts, newest last. Diagnostic only
+#: (tools/stream_profile.py reads it to attribute wall time to batches /
+#: state commits / sink setup); queries never consume it.
+LAST_STREAM_PROGRESS: list[dict] = []
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — the events Parquet as a file-source stream with declared schema
@@ -100,11 +106,14 @@ def run_to_table(
     first batch — see :func:`stream_state_partitions` for sizing).
     ``final_no_data_batch=False`` disables the trailing watermark-advance
     micro-batch — ONLY legal when the sink already holds the full answer
-    after the data batches: complete-mode aggregations and APPEND INNER
-    stream-stream joins (matches emit with the data; the no-data batch
-    only evicts state). Append-mode queries whose late/closed results
-    emit ON watermark advance (outer joins, append windowed aggs,
-    session windows) MUST keep the default.
+    after the data batches: complete-mode aggregations, APPEND INNER
+    stream-stream joins, append ``dropDuplicates`` (the kept row emits
+    WITH its data batch; the no-data batch only evicts expired dedup
+    state), and update-mode arbitrary-state operators with NO timers
+    (``applyInPandasWithState``/``transformWithState`` under NoTimeout —
+    the function is never invoked on a no-data batch). Append-mode
+    queries whose late/closed results emit ON watermark advance (outer
+    joins, append windowed aggs, session windows) MUST keep the default.
 
     NOT REENTRANT: the overrides mutate SESSION-global confs around the
     run (Spark offers no per-query knob for either — the state-store
@@ -137,6 +146,11 @@ def run_to_table(
             .start()
         )
         query.awaitTermination()
+        LAST_STREAM_PROGRESS.clear()
+        LAST_STREAM_PROGRESS.extend(
+            p if isinstance(p, dict) else __import__("json").loads(p.json)
+            for p in query.recentProgress
+        )
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -192,7 +206,18 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "ts", "event_type")
     )
-    return run_to_table(deduped, "append")
+    # Append dropDuplicates emits the kept row WITH its data batch; the
+    # trailing no-data batch only evicts expired dedup state, so it's
+    # elided, and the dedup state store sizes to the replay's input
+    # (r16 stream profile: at the session's 32 partitions the RocksDB
+    # commit cost dominated — 97 s of aggregate state-commit task time
+    # for a 100k-row replay; 7.2 s fn wall -> ~2 s with both levers).
+    return run_to_table(
+        deduped,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
 
 
 @register(
@@ -213,7 +238,15 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total_value"),
     )
-    return run_to_table(agg, "complete")
+    # COMPLETE mode: the sink holds the full final state after the data
+    # batch — trailing no-data batch elided, state store input-sized
+    # (r16; the stream_window_unique_users precedent).
+    return run_to_table(
+        agg,
+        "complete",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
 
 
 @register(
@@ -296,7 +329,15 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = run_to_table(result, "update")
+    # UPDATE mode + NoTimeout: the handler never runs on a no-data batch,
+    # so the sink holds the full answer after the data batches — trailing
+    # batch elided, state store input-sized (r16).
+    sink = run_to_table(
+        result,
+        "update",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
     # In update mode each micro-batch emits a row per touched key; the final
     # state per user is the last emission (AvailableNow ⇒ one batch here,
     # but the dedup-by-latest keeps the contract under any batching).
@@ -333,7 +374,15 @@ def stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("win_start"), "n")
     )
-    return run_to_table(agg, "append")
+    # APPEND windowed agg: closed windows emit ON watermark advance, so
+    # the trailing no-data batch MUST stay; the state store still sizes
+    # to the replay's input (r16 — per-partition RocksDB commit cost was
+    # the profile's dominant term at the session's 32 partitions).
+    return run_to_table(
+        agg,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -581,7 +630,14 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    sink = run_to_table(result, "update")
+    # UPDATE + no timers: full answer after the data batches — trailing
+    # batch elided, state store input-sized (r16).
+    sink = run_to_table(
+        result,
+        "update",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
     # update mode: one row per touched key per micro-batch; latest wins
     from pyspark.sql import Window
 
@@ -781,7 +837,15 @@ def stream_session_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_table(agg, "append")
+    # APPEND session windows: closed sessions emit ON watermark advance —
+    # the trailing no-data batch MUST stay (it is what emits the final
+    # closed sessions); the session state store sizes to the replay's
+    # input (r16 profile: 32-partition RocksDB commits dominated).
+    return run_to_table(
+        agg,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 #: Shared with operators/timeseries.py so the stream and batch
@@ -896,7 +960,14 @@ def stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = run_to_table(result, "update")
+    # UPDATE + no timers: full answer after the data batches — trailing
+    # batch elided, state store input-sized (r16).
+    sink = run_to_table(
+        result,
+        "update",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
     # update mode re-emits a key per touched batch; keep the final state
     # (largest n_events) per user
     from pyspark.sql import Window
@@ -1032,7 +1103,14 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_table(agg, "append")
+    # APPEND session windows: trailing no-data batch MUST stay (final
+    # closed sessions emit on watermark advance); state store sizes to
+    # the replay's input (r16).
+    return run_to_table(
+        agg,
+        "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -1076,7 +1154,15 @@ def stream_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")
     )
-    sink = run_to_table(agg, "complete")
+    # COMPLETE mode: full counts in the sink after the data batch —
+    # trailing batch elided, state store input-sized (r16; the
+    # stream_window_unique_users precedent).
+    sink = run_to_table(
+        agg,
+        "complete",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+        final_no_data_batch=False,
+    )
     w = Window.partitionBy("win_start").orderBy(
         F.col("n").desc(), "event_type"
     )

@@ -148,6 +148,45 @@ def _calibrate_scan(spark, sf_dir: str) -> float:
     return round(min(runs), 4)
 
 
+#: Fixed total work for the CPU-bound scaling probe: enough chained-hash
+#: compute (~0.5 s at 32 cores) that the 8-core leg's wall time visibly
+#: grows, demonstrating the core dial end to end.
+CPU_PROBE_ROWS = 96_000_000
+CPU_PROBE_HASH_ROUNDS = 8
+
+
+def _cpu_probe(spark) -> float:
+    """CPU-bound scaling probe (round 16, VERDICT r15 scaling task): every
+    headline query at sf0.1 is sub-second of actual compute under fixed
+    per-query costs (plan build, stage scheduling), so the driver's
+    8-vs-32-core per-query ratios read ~1 and the scaling block looks as
+    if the core dial were ignored. This probe runs a FIXED amount of
+    embarrassingly parallel compute — ``CPU_PROBE_ROWS`` rows through
+    ``CPU_PROBE_HASH_ROUNDS`` chained xxhash64 rounds, one partition per
+    core, no shuffle — whose wall time scales ~1/cores, separating "the
+    harness ignores $SPARK_GRAFT_CPUS" from "fixed overhead swamps compute
+    at this SF". Reported under ``queries``/``warm_queries`` as
+    ``cpu_probe`` (an ADDITIVE key: never part of the BASELINE aggregate
+    ``value``, and absent from older records so per-round deltas skip it).
+    Best of runs 2..N, like every other key."""
+    from pyspark.sql import functions as F
+
+    n_parts = spark.sparkContext.defaultParallelism
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        expr = F.col("id")
+        for _ in range(CPU_PROBE_HASH_ROUNDS):
+            expr = F.xxhash64(expr)
+        (
+            spark.range(0, CPU_PROBE_ROWS, 1, n_parts)
+            .select(F.max(expr))
+            .collect()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs[1:]), 4)
+
+
 def _noise_guard(
     fresh: dict[str, float],
     calib: float,
@@ -253,6 +292,8 @@ def _capture(spark, sf_dir: str, queries) -> dict:
                 runs.append(time.perf_counter() - t0)
             for out in outs:
                 out[bench_key] = round(min(runs[1:]), 4)
+    probe = _cpu_probe(spark)
+    timings["cpu_probe"] = fresh["cpu_probe"] = probe
     return {
         "calib_sec": calib,
         "calib_shuffle_sec": calib_shuffle,

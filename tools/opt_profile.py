@@ -30,7 +30,9 @@ from avro_parquet_spark_example_spark.session import configure, get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r16"),
 )
 
 #: PERF_r15 fresh_top + bench headline queries — the round-15 target list.
