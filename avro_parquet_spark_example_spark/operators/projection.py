@@ -1665,6 +1665,8 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct when ±2% is acceptable, the
     ``agg_approx_distinct`` precedent), then a 5-row literal unpivot.
     No per-column rescans."""
+    from avro_parquet_spark_example_spark.sources.catalog import spread
+
     o = load(spark, sf_dir, "orders")
     rendered = {
         "o_orderkey": F.col("o_orderkey"),
@@ -1673,7 +1675,18 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": F.col("o_orderdate").cast("date"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
-    return column_profile(o, PROFILE_COLUMNS, rendered=rendered)
+    # spread (r16, guide §2.5): the multi-distinct profile plans an
+    # Expand ×(|cols|+1) — 6 rows per input row — and the one-split scan
+    # ran that blow-up plus the partial aggregate in ONE task (projected
+    # first so the widening exchange carries only the 5 profiled
+    # columns, §2.3). Exact aggregates (count/distinct/min/max) are
+    # partitioning-insensitive; interleaved A/B 2.4-2.9 -> 1.4-1.7 s,
+    # outputs identical.
+    return column_profile(
+        spread(o.select(*PROFILE_COLUMNS), width_from=o),
+        PROFILE_COLUMNS,
+        rendered=rendered,
+    )
 
 
 def column_profile(

@@ -1797,11 +1797,28 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A pytest replays the algorithm in pure Python (dict counts + list
     scan) and checks the merge table matches step for step."""
-    docs = (
+    # r16 (the spectral-trio bounded-driver-merge precedent, guide §5):
+    # the DECLARED input is capped at BPE_MAX_DOC docs on both engines —
+    # a corpus-independent constant (~600 docs / ~0.4 MB of character
+    # sequence at any SF) — so the 10 merge rounds run on the driver over
+    # the once-collected Spark-computed sequences instead of paying 10
+    # sequential cluster jobs (measured ~0.31 s of stage+collect latency
+    # per round on a quiet box: 3.0-3.4 s -> 0.4 s; merge tables diffed
+    # identical). Each round applies the SAME operations the distributed
+    # form ran — split on spaces for exact-integer pair counts, argmax by
+    # (count desc, pair) with code-point ordering (== Spark's UTF8 binary
+    # ordering), then the identical left-to-right non-overlapping string
+    # REPLACE — so the table is bit-identical by construction, and the
+    # unrolled DuckDB oracle is untouched. For an UNCAPPED corpus the
+    # distributed per-round shape (one map-side-combined pair count + one
+    # narrow per-row rewrite per round, state = one merge rule) is the
+    # 100 TB form; this query's semantics are the capped replay.
+    from collections import Counter
+
+    rows = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < BPE_MAX_DOC)
         .select(
-            "doc_id",
             F.concat(
                 F.lit(" "),
                 F.array_join(
@@ -1818,46 +1835,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" "),
             ).alias("s"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    # null text yields a NULL sequence: no pairs, never rewritten —
+    # exactly the rows the distributed explode dropped
+    docs = [r.s for r in rows if r.s is not None]
     merges = []
-    cur = docs
     for step in range(1, BPE_MERGES + 1):
-        # project the symbol array ONCE; a lambda that re-splits the
-        # string per element is O(len²) per doc (measured 7 s/round on
-        # 600 docs — the entire 64 s wall was this)
-        pairs = (
-            cur.select(F.split(F.trim(F.col("s")), " ").alias("ws"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "filter(transform(ws, (x, i) -> "
-                        "IF(i < size(ws) - 1, "
-                        "struct(x AS pa, ws[i + 1] AS pb), NULL)), "
-                        "v -> v IS NOT NULL)"
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-            .groupBy("pa", "pb")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "pa", "pb")
-            .limit(1)
+        counts: Counter = Counter()
+        for s in docs:
+            toks = s.strip().split(" ")
+            counts.update(zip(toks, toks[1:]))
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
-        top = pairs.collect()[0]
-        merges.append((step, top.pa, top.pb, top.pa + top.pb, top.cnt))
-        # no per-round checkpoint: the rewrite chain is k cheap string
-        # REPLACEs over the (checkpointed) 600-doc base — recomputing it
-        # per round costs microseconds, while an eager checkpoint costs a
-        # whole job (measured: cuts the 10-round wall ~40%)
-        cur = cur.select(
-            "doc_id",
-            F.replace(
-                F.col("s"),
-                F.lit(f" {top.pa} {top.pb} "),
-                F.lit(f" {top.pa}{top.pb} "),
-            ).alias("s"),
-        )
+        merges.append((step, pa, pb, pa + pb, cnt))
+        old, new = f" {pa} {pb} ", f" {pa}{pb} "
+        docs = [s.replace(old, new) for s in docs]
     return spark.createDataFrame(
         merges, "step bigint, left_sym string, right_sym string, merged string, cnt bigint"
     )

@@ -156,6 +156,30 @@ def main() -> int:
         f"t2: {len(keys)} keys x {args.repeat} reps ({n_checked} oracle checks), "
         f"fails: {fails or 'none'}, wall: {time.time() - t0:.0f}s"
     )
+    # Registry-wide persisted-block leak gate (r16, the kcenter leak
+    # test extended to the full sweep — VERDICT r15 checkpoint hygiene):
+    # eager localCheckpoints linger until the async ContextCleaner runs,
+    # which is fine ONLY under the bounded-frame rule. After a GC +
+    # settle, every SURVIVING persisted RDD must be small — a
+    # corpus-scale leaked block (the old kcenter regression class, or a
+    # corpus-wide localCheckpoint) trips this loudly; bounded grids and
+    # 30k-sample checkpoints pass regardless of cleaner timing.
+    gc.collect()
+    spark.catalog.clearCache()
+    time.sleep(2.0)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    leak_cap = 64 * 1024 * 1024  # far above every bounded frame at sf0.01
+    big = [
+        (i.id(), i.name(), i.memSize() + i.diskSize())
+        for i in infos
+        if i.memSize() + i.diskSize() > leak_cap
+    ]
+    print(
+        f"t3 leak gate: {len(infos)} persisted RDDs after sweep, "
+        f"oversized(>64MB): {big or 'none'}"
+    )
+    if big:
+        fails.append(f"leaked_persisted_blocks:{big}")
     spark.stop()
     return 1 if fails else 0
 
