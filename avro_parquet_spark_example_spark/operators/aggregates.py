@@ -503,12 +503,32 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns first so the widening exchange carries no dead bytes
     # (guide §2.3).
     pr = spread(li.select("l_returnflag", "l_extendedprice"), width_from=li)
-    return pr.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
-            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-        ],
+    # ONE array-percentile aggregate instead of four scalar ones (r16,
+    # guide §2.3/§7.2): each scalar percentile() builds and sorts its OWN
+    # value buffer (an OpenHashMap counts-of-values partial shuffled per
+    # aggregate), so the p25..p95 quartet paid the buffer build + merge +
+    # sort 4x. percentile(col, array(...)) computes all four from a single
+    # buffer and one sort — per-value results are the same linear
+    # interpolation over the same sorted sequence, so the outputs are
+    # bit-identical (A/B collect-compared; oracle hash PASS both SFs).
+    # Measured warm noop 2.4 -> 1.1 s at sf0.1.
+    pcts = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    return (
+        pr.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(p) for p, _ in pcts])
+            ).alias("__ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            *[
+                F.round(F.col("__ps")[i], 4).alias(name)
+                for i, (_, name) in enumerate(pcts)
+            ],
+        )
     )
 
 
@@ -522,14 +542,29 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact twin ``agg_percentiles`` is pinned by a pytest property
     (relative error < 1e-3 at accuracy=10000)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.round(
-                F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)"), 4
-            ).alias(name)
-            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-        ],
+    # One array-quantile sketch instead of four scalar ones (r16, same
+    # rewrite as agg_percentiles): the four scalar calls each built an
+    # identical G-K sketch over the group; the array form builds it once
+    # and queries all four quantiles — identical sketch, identical
+    # estimates (A/B collect-compared). Warm noop 1.2 -> 0.5 s at sf0.1.
+    pcts = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    arr = ",".join(str(p) for p, _ in pcts)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"approx_percentile(l_extendedprice, array({arr}), 10000)"
+            ).alias("__ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            *[
+                F.round(F.col("__ps")[i], 4).alias(name)
+                for i, (_, name) in enumerate(pcts)
+            ],
+        )
     )
 
 
